@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Tuned local SparkSession factory.
+  *
+  * Settings chosen for the driver harness (local[32], 128 GiB) but
+  * expressed so the same code lands well on a multi-executor cluster:
+  * AQE handles runtime coalescing and skew joins, shuffle partitions
+  * stay moderate locally, and broadcast threshold covers the dim
+  * tables this engine joins against.
+  */
+object GraftSession {
+  def build(master: String = "local[32]", appName: String = "graft"): SparkSession = {
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      .config("spark.sql.parquet.filterPushdown", "true")
+      .config("spark.sql.parquet.aggregatePushdown", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

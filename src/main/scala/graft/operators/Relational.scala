@@ -1,0 +1,441 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** §2.A — the relational/analytic operator core.
+  *
+  * Each operator is a declarative DataFrame plan (Catalyst owns join
+  * strategy, pushdown, pruning); the paired DuckDB oracle SQL lives in
+  * [[Relational.oracles]] with matching column aliases and a total
+  * deterministic ORDER BY.
+  *
+  * Determinism conventions (see SURVEY.md §6): sums of doubles rounded
+  * to 2dp, averages/ratios to 4dp, every result totally ordered by a
+  * unique key so cross-engine hash comparison is stable.
+  */
+object Relational {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** TPC-H Q1 shape: wide multi-aggregate groupBy. Map-side partial
+    * aggregation makes this a single small shuffle at any scale.
+    */
+  val q01PricingSummary: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("date"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Selective filter + narrow projection: both the predicate and the
+    * two-column read schema must reach the parquet scan.
+    */
+  val q02FilterProject: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("2000-01-01").cast("date") &&
+        col("l_discount") > 0.08 && col("l_quantity") >= 45)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3 shape: 3-way fact join, agg, top-k by revenue. */
+  val q03ShippingPriority: Q = (s, d) => {
+    val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+    val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-03-15").cast("date"))
+    val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1998-03-15").cast("date"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"), col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q4 shape: EXISTS → left-semi join with a non-equi term. */
+  val q04OrderPriority: Q = (s, d) => {
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1996-07-01").cast("date"))
+    val li = Tables.lineitem(s, d)
+    ord.join(li, col("l_orderkey") === col("o_orderkey") &&
+        col("l_shipdate") > col("o_orderdate"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** TPC-H Q5 shape: snowflake join; region/nation sides are tiny and
+    * broadcast (explicit hint), so only the fact-fact join shuffles.
+    */
+  val q05LocalSupplier: Q = (s, d) => {
+    val asia = broadcast(Tables.region(s, d).filter(col("r_name") === "ASIA"))
+    val nat = broadcast(Tables.nation(s, d))
+    val cust = Tables.customer(s, d)
+    val sup = Tables.supplier(s, d)
+    val ord = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+    Tables.lineitem(s, d)
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(nat, col("s_nationkey") === col("n_nationkey"))
+      .join(asia, col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q6 shape: tight range scan + product sum; fully pushes to
+    * the parquet scan, aggregates to one row.
+    */
+  val q06RevenueFilter: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("date") &&
+        col("l_shipdate") < lit("1997-01-01").cast("date") &&
+        col("l_discount") > 0.03 && col("l_discount") < 0.08 &&
+        col("l_quantity") < 24)
+      .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"))
+
+  /** Global top-k: Spark runs this as a TakeOrderedAndProject — no full
+    * sort at scale.
+    */
+  val q07TopK: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+
+  /** countDistinct per group (expands to two-phase distinct agg). */
+  val q08DistinctAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("distinct_parts"),
+        countDistinct(col("l_suppkey")).as("distinct_supps"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  /** Ranking window: top-3 orders per customer. */
+  val q09WindowRank: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  /** Running-total + lag window over event time per customer. */
+  val q10WindowRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        round(sum(col("o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("run_total"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
+  /** NOT EXISTS anti join: customers with no orders in 2001. */
+  val q11AntiJoin: Q = (s, d) => {
+    val ord2001 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("2001-01-01").cast("date"))
+    Tables.customer(s, d)
+      .join(ord2001, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Heterogeneous subsets unioned into one standard schema — the
+    * shape of the reference's multi-extractor `pd.concat` step.
+    */
+  val q12UnionStandard: Q = (s, d) => {
+    val fromOrders = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .select(col("o_orderkey").as("rec_id"), lit("ORDER").as("rec_type"),
+        round(col("o_totalprice"), 2).as("amount"),
+        col("o_orderdate").cast("date").as("rec_date"))
+    val fromEvents = Tables.events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("rec_id"), lit("EVENT").as("rec_type"),
+        round(col("value"), 2).as("amount"),
+        col("ts").cast("date").as("rec_date"))
+    fromOrders.unionAll(fromEvents).orderBy(col("rec_type"), col("rec_id"))
+  }
+
+  /** CASE-WHEN bucketing + aggregation. */
+  val q13CaseBucket: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("bucket",
+        when(col("o_totalprice") < 50000, "small")
+          .when(col("o_totalprice") < 200000, "medium")
+          .otherwise("large"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("total"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("bucket"))
+
+  /** Pivot: market segment → columns (conditional aggregation in the
+    * oracle; Spark pivot with an explicit value list so no extra pass).
+    */
+  val q14Pivot: Q = (s, d) => {
+    val segs = Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .pivot("c_mktsegment", segs)
+      .agg(round(sum(col("o_totalprice")), 2))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** ROLLUP hierarchical aggregation (nulls → 'ALL' sentinels so the
+    * ordering is total and engine-independent).
+    */
+  val q15Rollup: Q = (s, d) =>
+    Tables.orders(s, d)
+      .rollup(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** groupBy + HAVING. */
+  val q16Having: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"), round(sum(col("o_totalprice")), 2).as("spend"))
+      .filter(col("n_orders") >= 15)
+      .orderBy(col("o_custkey"))
+
+  /** Scalar subquery: parts priced 4% above the mean. */
+  val q17ScalarSubquery: Q = (s, d) => {
+    val p = Tables.part(s, d)
+    val threshold = p.agg((avg(col("p_retailprice")) * 1.04).as("t"))
+    p.join(broadcast(threshold))
+      .filter(col("p_retailprice") > col("t"))
+      .select(col("p_partkey"), col("p_name"), round(col("p_retailprice"), 2).as("price"))
+      .orderBy(col("p_partkey"))
+  }
+
+  /** TPC-H Q18 shape: grouped-HAVING IN-subquery over the fact table. */
+  val q18LargeOrders: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 180)
+    Tables.orders(s, d)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_orderkey"), round(col("o_totalprice"), 2).as("price"),
+        round(col("total_qty"), 2).as("total_qty"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** Broadcast dim enrich: nation+region are KB-scale at any SF —
+    * explicit broadcast keeps this a map-side join on a 1000-executor
+    * cluster.
+    */
+  val q19BroadcastEnrich: Q = (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** String function pipeline (all codegen'd built-ins, no UDFs). */
+  val q20StringFuncs: Q = (s, d) =>
+    Tables.part(s, d)
+      .filter(col("p_name").like("%e%"))
+      .select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_type"), 1, 4).as("type4"),
+        concat(col("p_brand"), lit("/"), col("p_size").cast("string")).as("brand_size"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
+  val queries: Map[String, Q] = Map(
+    "q01_pricing_summary" -> q01PricingSummary,
+    "q02_filter_project" -> q02FilterProject,
+    "q03_shipping_priority" -> q03ShippingPriority,
+    "q04_order_priority" -> q04OrderPriority,
+    "q05_local_supplier" -> q05LocalSupplier,
+    "q06_revenue_filter" -> q06RevenueFilter,
+    "q07_topk" -> q07TopK,
+    "q08_distinct_agg" -> q08DistinctAgg,
+    "q09_window_rank" -> q09WindowRank,
+    "q10_window_running" -> q10WindowRunning,
+    "q11_anti_join" -> q11AntiJoin,
+    "q12_union_standard" -> q12UnionStandard,
+    "q13_case_bucket" -> q13CaseBucket,
+    "q14_pivot" -> q14Pivot,
+    "q15_rollup" -> q15Rollup,
+    "q16_having" -> q16Having,
+    "q17_scalar_subquery" -> q17ScalarSubquery,
+    "q18_large_orders" -> q18LargeOrders,
+    "q19_broadcast_enrich" -> q19BroadcastEnrich,
+    "q20_string_funcs" -> q20StringFuncs)
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= DATE '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice*(1-l_discount),2) AS net_price
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '2000-01-01' AND l_discount > 0.08 AND l_quantity >= 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue,
+        | o_orderdate, o_orderpriority
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1998-03-15' AND l_shipdate > DATE '1998-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_local_supplier" ->
+      """SELECT n_name,
+        | round(sum(l_extendedprice*(1-l_discount)),2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    "q06_revenue_filter" ->
+      """SELECT round(sum(l_extendedprice*l_discount),2) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount > 0.03 AND l_discount < 0.08 AND l_quantity < 24""".stripMargin,
+    "q07_topk" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q08_distinct_agg" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS distinct_parts,
+        | count(DISTINCT l_suppkey) AS distinct_supps,
+        | count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_window_rank" ->
+      """SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, rn""".stripMargin,
+    "q10_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS run_total,
+        | lag(o_totalprice, 1) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey) AS prev_price
+        |FROM orders ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "q11_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= DATE '2001-01-01')
+        |ORDER BY c_custkey""".stripMargin,
+    "q12_union_standard" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey AS rec_id, 'ORDER' AS rec_type,
+        |        round(o_totalprice,2) AS amount, CAST(o_orderdate AS DATE) AS rec_date
+        | FROM orders WHERE o_orderstatus = 'F'
+        | UNION ALL
+        | SELECT event_id, 'EVENT', round(value,2), CAST(ts AS DATE)
+        | FROM events WHERE event_type = 'purchase') u
+        |ORDER BY rec_type, rec_id""".stripMargin,
+    "q13_case_bucket" ->
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'small'
+        |            WHEN o_totalprice < 200000 THEN 'medium'
+        |            ELSE 'large' END AS bucket,
+        | count(*) AS n_orders, round(sum(o_totalprice),2) AS total,
+        | round(avg(o_totalprice),4) AS avg_price
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q14_pivot" ->
+      """SELECT o_orderpriority,
+        | round(sum(CASE WHEN c_mktsegment='AUTOMOBILE' THEN o_totalprice END),2) AS "AUTOMOBILE",
+        | round(sum(CASE WHEN c_mktsegment='BUILDING' THEN o_totalprice END),2) AS "BUILDING",
+        | round(sum(CASE WHEN c_mktsegment='FURNITURE' THEN o_totalprice END),2) AS "FURNITURE",
+        | round(sum(CASE WHEN c_mktsegment='HOUSEHOLD' THEN o_totalprice END),2) AS "HOUSEHOLD",
+        | round(sum(CASE WHEN c_mktsegment='MACHINERY' THEN o_totalprice END),2) AS "MACHINERY"
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q15_rollup" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |       coalesce(o_orderpriority,'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q16_having" ->
+      """SELECT o_custkey, count(*) AS n_orders, round(sum(o_totalprice),2) AS spend
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 15
+        |ORDER BY o_custkey""".stripMargin,
+    "q17_scalar_subquery" ->
+      """SELECT p_partkey, p_name, round(p_retailprice,2) AS price
+        |FROM part
+        |WHERE p_retailprice > (SELECT avg(p_retailprice)*1.04 FROM part)
+        |ORDER BY p_partkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, round(o_totalprice,2) AS price,
+        |       round(total_qty,2) AS total_qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+        |      FROM lineitem GROUP BY l_orderkey
+        |      HAVING sum(l_quantity) > 180) big ON o_orderkey = l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "q19_broadcast_enrich" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       round(avg(c_acctbal),4) AS avg_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q20_string_funcs" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |       substring(p_type,1,4) AS type4,
+        |       concat(p_brand,'/',CAST(p_size AS VARCHAR)) AS brand_size,
+        |       length(p_name) AS name_len
+        |FROM part WHERE p_name LIKE '%e%'
+        |ORDER BY p_partkey""".stripMargin)
+}
