@@ -1,0 +1,298 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** §2.B — reference-parity ETL operators.
+  *
+  * Re-expresses the Fund-Data-ETL-Pipeline's per-statement pipeline
+  * (classify → regex-extract → normalize → enrich → validate →
+  * standardize-union → dedup; see
+  * /root/reference/extractors/purchase_confirm_extractor.py:1417-1639
+  * and SURVEY.md §1) as declarative Spark plans over the harness
+  * tables. Every step the reference does row-at-a-time in Python
+  * (signature classification `:1480-1501`, regex fields `:35-200`,
+  * to_numeric().round(2) `:1586-1588`, product_codes.json lookup,
+  * pd.concat standardization) is a codegen'd expression here — no
+  * UDFs, so the 100 TB path stays inside WholeStageCodegen.
+  */
+object FundEtl {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** 2dp money quantization for row-level derived products.
+    *
+    * `round(x, 2)` is NOT cross-engine stable on doubles: Spark rounds
+    * the shortest decimal representation (BigDecimal.valueOf) while
+    * DuckDB rounds the raw binary value, so a product like 320.835
+    * (binary ≈ 320.83499…) splits the engines. floor(x*100 + 0.5)/100
+    * is pure IEEE arithmetic — bit-identical everywhere. Oracles use
+    * the same formula.
+    */
+  private def money2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 100 + 0.5) / lit(100.0)
+
+  /** Signature-based document classification — the reference routes
+    * each statement by substring signatures of filename + first lines
+    * (`purchase_confirm_extractor.py:1480-1501`). Same shape: LIKE
+    * rules with priority order, plus a market-class dimension.
+    */
+  val etlClassify: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("text").like("%stream%") && col("text").like("%window%"), "streaming_stmt")
+          .when(col("text").like("%join%"), "join_stmt")
+          .when(col("text").like("%group%") || col("text").like("%sort%"), "agg_stmt")
+          .otherwise("other").as("doc_class"),
+        when(col("lang") === "zh", "domestic").otherwise("cross_border").as("market_class"))
+      .orderBy(col("doc_id"))
+
+  /** Regex field extraction — the reference pulls 6-digit codes and
+    * money fields out of statement text with `re.search` per platform.
+    * Declarative twin: regexp_extract with ''→NULL normalization and
+    * lpad code padding.
+    */
+  val etlExtractRegex: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        nullif(regexp_extract(col("text"), "(join|scan|sort|merge|filter)", 1), lit("")).as("first_op"),
+        nullif(regexp_extract(col("text"), "the ([a-z]+)", 1), lit("")).as("after_the"),
+        lpad(col("n_chars").cast("string"), 6, "0").as("doc_code"))
+      .orderBy(col("doc_id"))
+
+  /** Numeric normalization — comma-strip + cast + round(2) and
+    * digit-extraction + 6-digit zero-pad, mirroring
+    * `amount.replace(',','')` / `pd.to_numeric(...).round(2)` and the
+    * fund-code padding of the reference.
+    */
+  val etlNormalizeNumbers: Q = (s, d) =>
+    Tables.customer(s, d)
+      .select(col("c_custkey"),
+        lpad(regexp_extract(col("c_name"), "([0-9]+)", 1), 6, "0").as("cust_code"),
+        round(col("c_acctbal"), 2).as("balance"),
+        (col("c_acctbal") < 0).as("is_negative"),
+        regexp_replace(lit("1,234,567.89"), ",", "").cast("double").as("comma_stripped"))
+      .orderBy(col("c_custkey"))
+
+  /** Multi-format date parsing — the reference normalizes dates from
+    * many platform formats to yyyyMMdd. Round-trip two formats and
+    * emit the standardized key.
+    */
+  val etlParseDates: Q = (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_orderdate"))
+      .withColumn("slash_form", date_format(col("o_orderdate"), "yyyy/MM/dd"))
+      .withColumn("euro_form", date_format(col("o_orderdate"), "dd-MM-yyyy"))
+      .select(col("o_orderkey"),
+        to_date(col("slash_form"), "yyyy/MM/dd").as("parsed_date"),
+        date_format(to_date(col("euro_form"), "dd-MM-yyyy"), "yyyyMMdd").as("std_date"))
+      .orderBy(col("o_orderkey"))
+
+  /** Semi-structured payload fields — JSON side-band extraction (the
+    * reference carries platform payloads; here events.props).
+    */
+  val etlJsonFields: Q = (s, d) =>
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k_val"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val")).as("k_total"),
+        round(avg(col("value")), 4).as("avg_value"))
+      .orderBy(col("event_type"))
+
+  /** Dictionary enrich with miss-flag — product_codes.json lookup:
+    * name → ledger id, UNMAPPED rows surfaced instead of dropped.
+    * The dict is tiny → explicit broadcast (map-side at any scale).
+    */
+  val etlEnrichLookup: Q = (s, d) => {
+    val dict = Tables.nation(s, d).filter(col("n_nationkey") < 20)
+      .select(col("n_nationkey").as("dict_key"), col("n_name").as("ledger_id"))
+    Tables.customer(s, d)
+      .join(broadcast(dict), col("c_nationkey") === col("dict_key"), "left")
+      .select(col("c_custkey"), col("c_name"),
+        coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
+        col("ledger_id").isNotNull.as("mapped"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Validation rule summary — the reference tracks failed files /
+    * missing codes per run; here: rule → (total, passed) via a single
+    * aggregate + stack (no per-rule rescan).
+    */
+  val etlValidate: Q = (s, d) =>
+    Tables.orders(s, d)
+      .agg(count(lit(1)).as("total"),
+        sum((col("o_totalprice") > 0).cast("long")).as("amount_positive"),
+        sum(col("o_orderstatus").isin("O", "F", "P").cast("long")).as("status_known"),
+        sum(col("o_orderpriority").isNotNull.cast("long")).as("priority_present"),
+        sum((col("o_orderdate") >= lit("1990-01-01").cast("date")).cast("long")).as("date_in_range"))
+      .selectExpr("stack(4, " +
+        "'amount_positive', amount_positive, " +
+        "'date_in_range', date_in_range, " +
+        "'priority_present', priority_present, " +
+        "'status_known', status_known) as (rule, passed)", "total")
+      .select(col("rule"), col("total"), col("passed"))
+      .orderBy(col("rule"))
+
+  /** Standardize + union — every extractor branch lands in one target
+    * schema via pd.concat in the reference; here two heterogeneous
+    * sources mapped into the standard (src, rec_id, biz_code,
+    * fund_code, amount, fee, trade_date) schema and unioned.
+    */
+  val etlStandardizeUnion: Q = (s, d) => {
+    val fromOrders = Tables.orders(s, d)
+      .select(lit("orders").as("src"), col("o_orderkey").as("rec_id"),
+        when(col("o_orderstatus") === "O", "SUB")
+          .when(col("o_orderstatus") === "F", "RED")
+          .otherwise("DIV").as("biz_code"),
+        lpad((col("o_custkey") % 1000000).cast("string"), 6, "0").as("fund_code"),
+        round(col("o_totalprice"), 2).as("amount"),
+        money2(col("o_totalprice") * 0.0015).as("fee"),
+        col("o_orderdate").cast("date").as("trade_date"))
+    val fromEvents = Tables.events(s, d)
+      .filter(col("event_type").isin("purchase", "signup", "error"))
+      .select(lit("events").as("src"), col("event_id").as("rec_id"),
+        when(col("event_type") === "purchase", "SUB")
+          .when(col("event_type") === "signup", "OPEN")
+          .otherwise("OTH").as("biz_code"),
+        lpad((col("user_id") % 1000000).cast("string"), 6, "0").as("fund_code"),
+        round(col("value"), 2).as("amount"),
+        money2(col("value") * 0.0015).as("fee"),
+        col("ts").cast("date").as("trade_date"))
+    fromOrders.unionAll(fromEvents).orderBy(col("src"), col("rec_id"))
+  }
+
+  /** Keep-latest dedup per business key — re-run safety: the reference
+    * re-processes folders daily; latest record per (user, type) wins.
+    */
+  val etlDedupLatest: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        round(col("value"), 2).as("value"),
+        unix_micros(col("ts")).as("ts_us"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** Fee/commission model — tiered computed columns with round(2), the
+    * shape of the reference's 手续费/佣金 handling.
+    */
+  val etlFeeModel: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("rate",
+        when(col("o_totalprice") < 50000, 0.012)
+          .when(col("o_totalprice") < 200000, 0.008)
+          .otherwise(0.005))
+      .select(col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("amount"),
+        col("rate"),
+        money2(col("o_totalprice") * col("rate")).as("fee"),
+        money2(greatest(col("o_totalprice") * col("rate") * 0.15, lit(10.0))).as("commission"))
+      .orderBy(col("o_orderkey"))
+
+  val queries: Map[String, Q] = Map(
+    "etl_classify" -> etlClassify,
+    "etl_extract_regex" -> etlExtractRegex,
+    "etl_normalize_numbers" -> etlNormalizeNumbers,
+    "etl_parse_dates" -> etlParseDates,
+    "etl_json_fields" -> etlJsonFields,
+    "etl_enrich_lookup" -> etlEnrichLookup,
+    "etl_validate" -> etlValidate,
+    "etl_standardize_union" -> etlStandardizeUnion,
+    "etl_dedup_latest" -> etlDedupLatest,
+    "etl_fee_model" -> etlFeeModel)
+
+  val oracles: Map[String, String] = Map(
+    "etl_classify" ->
+      """SELECT doc_id, lang, source,
+        | CASE WHEN text LIKE '%stream%' AND text LIKE '%window%' THEN 'streaming_stmt'
+        |      WHEN text LIKE '%join%' THEN 'join_stmt'
+        |      WHEN text LIKE '%group%' OR text LIKE '%sort%' THEN 'agg_stmt'
+        |      ELSE 'other' END AS doc_class,
+        | CASE WHEN lang = 'zh' THEN 'domestic' ELSE 'cross_border' END AS market_class
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "etl_extract_regex" ->
+      """SELECT doc_id,
+        | nullif(regexp_extract(text, '(join|scan|sort|merge|filter)', 1), '') AS first_op,
+        | nullif(regexp_extract(text, 'the ([a-z]+)', 1), '') AS after_the,
+        | lpad(CAST(n_chars AS VARCHAR), 6, '0') AS doc_code
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "etl_normalize_numbers" ->
+      """SELECT c_custkey,
+        | lpad(regexp_extract(c_name, '([0-9]+)', 1), 6, '0') AS cust_code,
+        | round(c_acctbal, 2) AS balance,
+        | c_acctbal < 0 AS is_negative,
+        | CAST(replace('1,234,567.89', ',', '') AS DOUBLE) AS comma_stripped
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "etl_parse_dates" ->
+      """SELECT o_orderkey,
+        | CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS DATE) AS parsed_date,
+        | strftime(CAST(strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y') AS DATE), '%Y%m%d') AS std_date
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "etl_json_fields" ->
+      """SELECT event_type, count(*) AS n,
+        | sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_total,
+        | round(avg(value), 4) AS avg_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "etl_enrich_lookup" ->
+      """SELECT c_custkey, c_name,
+        | coalesce(n.ledger_id, 'UNMAPPED') AS ledger_id,
+        | n.ledger_id IS NOT NULL AS mapped
+        |FROM customer
+        |LEFT JOIN (SELECT n_nationkey AS dict_key, n_name AS ledger_id
+        |           FROM nation WHERE n_nationkey < 20) n
+        |  ON c_nationkey = dict_key
+        |ORDER BY c_custkey""".stripMargin,
+    "etl_validate" ->
+      """SELECT rule, total, passed FROM (
+        | SELECT 'amount_positive' AS rule, count(*) AS total,
+        |        sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS passed FROM orders
+        | UNION ALL
+        | SELECT 'date_in_range', count(*),
+        |        sum(CASE WHEN o_orderdate >= DATE '1990-01-01' THEN 1 ELSE 0 END) FROM orders
+        | UNION ALL
+        | SELECT 'priority_present', count(*),
+        |        sum(CASE WHEN o_orderpriority IS NOT NULL THEN 1 ELSE 0 END) FROM orders
+        | UNION ALL
+        | SELECT 'status_known', count(*),
+        |        sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 1 ELSE 0 END) FROM orders
+        |) v ORDER BY rule""".stripMargin,
+    "etl_standardize_union" ->
+      """SELECT * FROM (
+        | SELECT 'orders' AS src, o_orderkey AS rec_id,
+        |  CASE WHEN o_orderstatus='O' THEN 'SUB'
+        |       WHEN o_orderstatus='F' THEN 'RED' ELSE 'DIV' END AS biz_code,
+        |  lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
+        |  round(o_totalprice, 2) AS amount,
+        |  floor(o_totalprice * 0.0015 * 100 + 0.5) / 100.0 AS fee,
+        |  CAST(o_orderdate AS DATE) AS trade_date
+        | FROM orders
+        | UNION ALL
+        | SELECT 'events', event_id,
+        |  CASE WHEN event_type='purchase' THEN 'SUB'
+        |       WHEN event_type='signup' THEN 'OPEN' ELSE 'OTH' END,
+        |  lpad(CAST(user_id % 1000000 AS VARCHAR), 6, '0'),
+        |  round(value, 2), floor(value * 0.0015 * 100 + 0.5) / 100.0, CAST(ts AS DATE)
+        | FROM events WHERE event_type IN ('purchase','signup','error')) u
+        |ORDER BY src, rec_id""".stripMargin,
+    "etl_dedup_latest" ->
+      """SELECT user_id, event_type, event_id, round(value,2) AS value, ts_us FROM (
+        | SELECT user_id, event_type, event_id, value, epoch_us(ts) AS ts_us,
+        |  row_number() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY ts DESC, event_id DESC) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    "etl_fee_model" ->
+      """SELECT o_orderkey, round(o_totalprice,2) AS amount, rate,
+        | floor(o_totalprice * rate * 100 + 0.5) / 100.0 AS fee,
+        | floor(greatest(o_totalprice * rate * 0.15, 10.0) * 100 + 0.5) / 100.0 AS commission
+        |FROM (SELECT *, CAST(CASE WHEN o_totalprice < 50000 THEN 0.012
+        |      WHEN o_totalprice < 200000 THEN 0.008 ELSE 0.005 END AS DOUBLE) AS rate
+        |      FROM orders) t ORDER BY o_orderkey""".stripMargin)
+}
