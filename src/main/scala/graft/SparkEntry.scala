@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{FundEtl, Relational}
+import graft.operators.{FundEtl, Relational, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory and §6 for the determinism conventions shared by every
@@ -14,11 +14,11 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.queries ++ FundEtl.queries
+    Relational.queries ++ FundEtl.queries ++ TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
   def oracleSql: Map[String, String] =
-    Relational.oracles ++ FundEtl.oracles
+    Relational.oracles ++ FundEtl.oracles ++ TextAnalysis.oracles
 }

@@ -85,7 +85,7 @@ object FundEtl {
       .withColumn("slash_form", date_format(col("o_orderdate"), "yyyy/MM/dd"))
       .withColumn("euro_form", date_format(col("o_orderdate"), "dd-MM-yyyy"))
       .select(col("o_orderkey"),
-        to_date(col("slash_form"), "yyyy/MM/dd").as("parsed_date"),
+        date_format(to_date(col("slash_form"), "yyyy/MM/dd"), "yyyy-MM-dd").as("parsed_date"),
         date_format(to_date(col("euro_form"), "dd-MM-yyyy"), "yyyyMMdd").as("std_date"))
       .orderBy(col("o_orderkey"))
 
@@ -151,7 +151,7 @@ object FundEtl {
         lpad((col("o_custkey") % 1000000).cast("string"), 6, "0").as("fund_code"),
         round(col("o_totalprice"), 2).as("amount"),
         money2(col("o_totalprice") * 0.0015).as("fee"),
-        col("o_orderdate").cast("date").as("trade_date"))
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("trade_date"))
     val fromEvents = Tables.events(s, d)
       .filter(col("event_type").isin("purchase", "signup", "error"))
       .select(lit("events").as("src"), col("event_id").as("rec_id"),
@@ -161,7 +161,7 @@ object FundEtl {
         lpad((col("user_id") % 1000000).cast("string"), 6, "0").as("fund_code"),
         round(col("value"), 2).as("amount"),
         money2(col("value") * 0.0015).as("fee"),
-        col("ts").cast("date").as("trade_date"))
+        date_format(col("ts"), "yyyy-MM-dd").as("trade_date"))
     fromOrders.unionAll(fromEvents).orderBy(col("src"), col("rec_id"))
   }
 
@@ -232,12 +232,12 @@ object FundEtl {
         |FROM customer ORDER BY c_custkey""".stripMargin,
     "etl_parse_dates" ->
       """SELECT o_orderkey,
-        | CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS DATE) AS parsed_date,
+        | strftime(CAST(strptime(strftime(o_orderdate, '%Y/%m/%d'), '%Y/%m/%d') AS DATE), '%Y-%m-%d') AS parsed_date,
         | strftime(CAST(strptime(strftime(o_orderdate, '%d-%m-%Y'), '%d-%m-%Y') AS DATE), '%Y%m%d') AS std_date
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "etl_json_fields" ->
       """SELECT event_type, count(*) AS n,
-        | sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_total,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
         | round(avg(value), 4) AS avg_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_enrich_lookup" ->
@@ -250,7 +250,7 @@ object FundEtl {
         |  ON c_nationkey = dict_key
         |ORDER BY c_custkey""".stripMargin,
     "etl_validate" ->
-      """SELECT rule, total, passed FROM (
+      """SELECT rule, total, CAST(passed AS BIGINT) AS passed FROM (
         | SELECT 'amount_positive' AS rule, count(*) AS total,
         |        sum(CASE WHEN o_totalprice > 0 THEN 1 ELSE 0 END) AS passed FROM orders
         | UNION ALL
@@ -271,14 +271,14 @@ object FundEtl {
         |  lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
         |  round(o_totalprice, 2) AS amount,
         |  floor(o_totalprice * 0.0015 * 100 + 0.5) / 100.0 AS fee,
-        |  CAST(o_orderdate AS DATE) AS trade_date
+        |  strftime(o_orderdate, '%Y-%m-%d') AS trade_date
         | FROM orders
         | UNION ALL
         | SELECT 'events', event_id,
         |  CASE WHEN event_type='purchase' THEN 'SUB'
         |       WHEN event_type='signup' THEN 'OPEN' ELSE 'OTH' END,
         |  lpad(CAST(user_id % 1000000 AS VARCHAR), 6, '0'),
-        |  round(value, 2), floor(value * 0.0015 * 100 + 0.5) / 100.0, CAST(ts AS DATE)
+        |  round(value, 2), floor(value * 0.0015 * 100 + 0.5) / 100.0, strftime(ts, '%Y-%m-%d')
         | FROM events WHERE event_type IN ('purchase','signup','error')) u
         |ORDER BY src, rec_id""".stripMargin,
     "etl_dedup_latest" ->

@@ -132,7 +132,7 @@ object Relational {
     val w = Window.partitionBy(col("o_custkey"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
     Tables.orders(s, d)
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= 3)
       .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
       .orderBy(col("o_custkey"), col("rn"))
@@ -167,12 +167,12 @@ object Relational {
       .filter(col("o_orderstatus") === "F")
       .select(col("o_orderkey").as("rec_id"), lit("ORDER").as("rec_type"),
         round(col("o_totalprice"), 2).as("amount"),
-        col("o_orderdate").cast("date").as("rec_date"))
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("rec_date"))
     val fromEvents = Tables.events(s, d)
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("rec_id"), lit("EVENT").as("rec_type"),
         round(col("value"), 2).as("amount"),
-        col("ts").cast("date").as("rec_date"))
+        date_format(col("ts"), "yyyy-MM-dd").as("rec_date"))
     fromOrders.unionAll(fromEvents).orderBy(col("rec_type"), col("rec_id"))
   }
 
@@ -265,7 +265,7 @@ object Relational {
         upper(col("p_name")).as("uname"),
         substring(col("p_type"), 1, 4).as("type4"),
         concat(col("p_brand"), lit("/"), col("p_size").cast("string")).as("brand_size"),
-        length(col("p_name")).as("name_len"))
+        length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
   val queries: Map[String, Q] = Map(
@@ -378,10 +378,10 @@ object Relational {
     "q12_union_standard" ->
       """SELECT * FROM (
         | SELECT o_orderkey AS rec_id, 'ORDER' AS rec_type,
-        |        round(o_totalprice,2) AS amount, CAST(o_orderdate AS DATE) AS rec_date
+        |        round(o_totalprice,2) AS amount, strftime(o_orderdate, '%Y-%m-%d') AS rec_date
         | FROM orders WHERE o_orderstatus = 'F'
         | UNION ALL
-        | SELECT event_id, 'EVENT', round(value,2), CAST(ts AS DATE)
+        | SELECT event_id, 'EVENT', round(value,2), strftime(ts, '%Y-%m-%d')
         | FROM events WHERE event_type = 'purchase') u
         |ORDER BY rec_type, rec_id""".stripMargin,
     "q13_case_bucket" ->
@@ -435,7 +435,7 @@ object Relational {
       """SELECT p_partkey, upper(p_name) AS uname,
         |       substring(p_type,1,4) AS type4,
         |       concat(p_brand,'/',CAST(p_size AS VARCHAR)) AS brand_size,
-        |       length(p_name) AS name_len
+        |       CAST(length(p_name) AS BIGINT) AS name_len
         |FROM part WHERE p_name LIKE '%e%'
         |ORDER BY p_partkey""".stripMargin)
 }

@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.E — text analysis for a training-data pipeline.
+  *
+  * Language ID (stopword-profile n-gram heuristic), quality scoring,
+  * token counting (whitespace + BPE-ish regex), and a rolling-hash
+  * document fingerprint. Everything is `functions._` composition —
+  * codegen'd, shuffle-free (map-only over documents), so at 100 TB
+  * these run at scan speed. No UDFs.
+  */
+object TextAnalysis {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Cross-engine-stable 4dp quantization (see FundEtl.money2: round()
+    * on doubles is not engine-stable near boundaries).
+    */
+  private def q4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> "\\b(the|of|and|to|in|a)\\b",
+    "es" -> "\\b(el|la|de|que|los|es)\\b",
+    "de" -> "\\b(der|die|und|das|ist|ein)\\b",
+    "fr" -> "\\b(le|les|des|est|une|dans)\\b")
+
+  /** Stopword-profile language ID: count marker hits per language,
+    * argmax with a fixed priority tie-break. The reference's platform
+    * classifier is the same shape — substring-signature scoring with
+    * priority rules (purchase_confirm_extractor.py:1480-1501).
+    */
+  val txLangId: Q = (s, d) => {
+    val scored = langMarkers.foldLeft(Tables.documents(s, d)) {
+      case (df, (lang, pat)) =>
+        df.withColumn(s"score_$lang", regexp_count(col("text"), lit(pat)).cast("long"))
+    }
+    val Seq(en, es, de, fr) = langMarkers.map { case (l, _) => col(s"score_$l") }
+    scored.select(col("doc_id"),
+        en.as("score_en"), es.as("score_es"), de.as("score_de"), fr.as("score_fr"),
+        when(en >= es && en >= de && en >= fr && en > 0, "en")
+          .when(es >= de && es >= fr && es > 0, "es")
+          .when(de >= fr && de > 0, "de")
+          .when(fr > 0, "fr")
+          .otherwise("unknown").as("predicted_lang"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: length, word count, mean word length, digit and
+    * stopword ratios, composite score — the filters an LLM-data
+    * pipeline runs before training.
+    */
+  val txQuality: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_len", length(col("text")).cast("double"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast("double"))
+      .withColumn("n_stop", regexp_count(col("text"), lit("\\b(the|a|of|and|to)\\b")).cast("double"))
+      .withColumn("n_digit", regexp_count(col("text"), lit("[0-9]")).cast("double"))
+      .select(col("doc_id"),
+        col("n_len").cast("long").as("len_chars"),
+        col("n_words").cast("long").as("n_words"),
+        q4((col("n_len") - col("n_words") + 1) / col("n_words")).as("avg_word_len"),
+        q4(col("n_stop") / col("n_words")).as("stop_ratio"),
+        q4(col("n_digit") / col("n_len")).as("digit_ratio"),
+        q4(least(col("n_words") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("n_digit") / col("n_len"))).as("quality_score"))
+      .orderBy(col("doc_id"))
+
+  /** Token counting: whitespace tokens plus a BPE-ish regex token
+    * stream (letter runs / digit runs / single other chars).
+    */
+  val txTokens: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("ws_tokens"),
+        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars_text"))
+      .orderBy(col("doc_id"))
+
+  /** Rolling-hash fingerprint over the token stream — a polynomial
+    * hash (mod 1e9+7) of (first-char, length) token features, computed
+    * with the `aggregate` higher-order function so it stays inside
+    * codegen. Mirrors content-fingerprint dedup keys.
+    */
+  val txFingerprint: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        aggregate(
+          transform(split(col("text"), " "), x => (ascii(x) * 7 + length(x)).cast("long")),
+          lit(0L),
+          (acc, x) => pmod(acc * 31 + x, lit(1000000007L))).as("fingerprint"),
+        col("n_chars"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, Q] = Map(
+    "tx_langid" -> txLangId,
+    "tx_quality" -> txQuality,
+    "tx_tokens" -> txTokens,
+    "tx_fingerprint" -> txFingerprint)
+
+  val oracles: Map[String, String] = Map(
+    "tx_langid" ->
+      """SELECT doc_id, score_en, score_es, score_de, score_fr,
+        | CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
+        |      WHEN score_es >= score_de AND score_es >= score_fr AND score_es > 0 THEN 'es'
+        |      WHEN score_de >= score_fr AND score_de > 0 THEN 'de'
+        |      WHEN score_fr > 0 THEN 'fr'
+        |      ELSE 'unknown' END AS predicted_lang
+        |FROM (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\b(the|of|and|to|in|a)\b')) AS score_en,
+        |  len(regexp_extract_all(text, '\b(el|la|de|que|los|es)\b')) AS score_es,
+        |  len(regexp_extract_all(text, '\b(der|die|und|das|ist|ein)\b')) AS score_de,
+        |  len(regexp_extract_all(text, '\b(le|les|des|est|une|dans)\b')) AS score_fr
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "tx_quality" ->
+      """SELECT doc_id,
+        | CAST(n_len AS BIGINT) AS len_chars,
+        | CAST(n_words AS BIGINT) AS n_words,
+        | floor((n_len - n_words + 1) / n_words * 10000 + 0.5) / 10000.0 AS avg_word_len,
+        | floor(n_stop / n_words * 10000 + 0.5) / 10000.0 AS stop_ratio,
+        | floor(n_digit / n_len * 10000 + 0.5) / 10000.0 AS digit_ratio,
+        | floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 AS quality_score
+        |FROM (SELECT doc_id,
+        |  CAST(length(text) AS DOUBLE) AS n_len,
+        |  CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '\b(the|a|of|and|to)\b')) AS DOUBLE) AS n_stop,
+        |  CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "tx_tokens" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS ws_tokens,
+        | len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS bpe_tokens,
+        | CAST(length(text) AS BIGINT) AS n_chars_text
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(
+        |   list_prepend(CAST(0 AS BIGINT),
+        |     list_transform(string_split(text, ' '),
+        |       x -> CAST(ascii(x) * 7 + length(x) AS BIGINT))),
+        |   (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint,
+        | n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

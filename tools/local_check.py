@@ -47,6 +47,9 @@ def main(sf_dir, out_dir):
         if len(got) != len(exp):
             print(f"FAIL-ROWS {name}: got={len(got)} exp={len(exp)}")
             n_fail += 1; continue
+        for c in got.columns:
+            if str(got[c].dtype) != str(exp[c].dtype):
+                print(f"  WARN-DTYPE {name}.{c}: got={got[c].dtype} exp={exp[c].dtype}")
         bad = None
         for c in got.columns:
             g, e = got[c], exp[c]
