@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.cosineSim
+import graft.sources.Tables
+
+/** §2.C — deduplication family for a training-data pipeline.
+  *
+  * All candidate generation is hash-bucket based (explode → equi-join
+  * on a bucket key), never pairwise n²: shuffle volume is rows×bands of
+  * small keys, which is the property that survives a 100× scale-up.
+  * Signatures are computed map-only with codegen'd expression trees
+  * (HOFs over token arrays — no UDFs).
+  */
+object Dedup {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def q4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
+
+  /** doc_id + normalized text + word-3-gram shingle hashes. */
+  private def shingled(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) < 3 THEN array(norm)
+          | ELSE transform(sequence(0, size(toks)-3),
+          |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END""".stripMargin))
+      .withColumn("sh_hashes", expr("array_distinct(transform(shingles, x -> xxhash64(x)))"))
+
+  /** Exact dedup: md5 of whitespace-normalized lowercase text, keep the
+    * smallest doc_id per hash. Two-phase: map-side hash, one shuffle on
+    * the digest.
+    */
+  val ddExact: Q = (s, d) => {
+    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+    Tables.documents(s, d)
+      .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("text_hash"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** MinHash (32 perms over xxhash64'd 3-gram shingles) + banded LSH
+    * (8 bands × 4 rows): docs sharing any band become candidate pairs;
+    * the signature-estimated Jaccard filters at 0.5.
+    */
+  val ddMinhashLsh: Q = (s, d) => {
+    val sigs = shingled(s, d)
+      .withColumn("sig", expr(
+        // ANSI mode (Spark 4 default) rejects wrap-around: reduce the
+        // 64-bit hash mod the Mersenne prime 2^31-1 first so
+        // h31*(2p+1)+p*c stays far below 2^63.
+        """transform(sequence(0, 31), p ->
+          |  array_min(transform(sh_hashes, h ->
+          |    pmod(pmod(h, 2147483647) * cast(2*p+1 as bigint)
+          |         + cast(p as bigint) * 2654435761, 2147483647))))""".stripMargin))
+      .select(col("doc_id"), col("sig"))
+    val banded = sigs.withColumn("band_key", explode(expr(
+        """transform(sequence(0, 7), b -> concat_ws(',', cast(b as string),
+          |  cast(sig[b*4] as string), cast(sig[b*4+1] as string),
+          |  cast(sig[b*4+2] as string), cast(sig[b*4+3] as string)))""".stripMargin)))
+      .select(col("doc_id"), col("band_key"))
+    val pairs = banded.as("a")
+      .join(banded.as("b"), col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    pairs
+      .join(sigs.select(col("doc_id").as("doc_a"), col("sig").as("sig_a")), "doc_a")
+      .join(sigs.select(col("doc_id").as("doc_b"), col("sig").as("sig_b")), "doc_b")
+      .withColumn("est_jaccard", q4(expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)") / 32.0))
+      .filter(col("est_jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash over token hashes; candidates from 16-bit chunk
+    * bands (any hamming-≤3 pair shares a chunk), verified by
+    * bit_count(xor) ≤ 10.
+    */
+  val ddSimhash: Q = (s, d) => {
+    val sim = Tables.documents(s, d)
+      .withColumn("th", expr("transform(split(lower(trim(text)), ' '), t -> xxhash64(t))"))
+      .withColumn("bitcounts", expr(
+        """aggregate(th, array_repeat(cast(0 as bigint), 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |    (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1)))""".stripMargin))
+      .withColumn("simhash", expr(
+        """aggregate(zip_with(bitcounts, sequence(0, 63),
+          |    (c, j) -> if(c > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+          |  cast(0 as bigint), (acc, v) -> acc | v)""".stripMargin))
+      .select(col("doc_id"), col("simhash"))
+    val chunked = sim.withColumn("c", explode(sequence(lit(0), lit(3))))
+      .withColumn("chunk_key", concat_ws(":", col("c"),
+        expr("shiftright(simhash, c * 16) & 65535")))
+      .select(col("doc_id"), col("simhash"), col("chunk_key"))
+    chunked.as("a")
+      .join(chunked.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= 10)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Exact n-gram Jaccard on candidate pairs blocked by a 1-perm
+    * minhash (equal min shingle hash ⇒ candidate; catches j≈0.99 pairs
+    * w.p. ≈ j), thresholded at 0.8.
+    */
+  val ddNgramJaccard: Q = (s, d) => {
+    val sh = shingled(s, d)
+      .withColumn("blk", expr("array_min(sh_hashes)"))
+      .select(col("doc_id"), col("blk"), col("sh_hashes"))
+    sh.as("a")
+      .join(sh.as("b"), col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        q4(size(array_intersect(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double") /
+          size(array_union(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double")).as("jaccard"))
+      .filter(col("jaccard") >= 0.8)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Embedding near-dup via the hyperplane buckets of Similarity:
+    * within-bucket exact cosine ≥ 0.3 (this corpus has no planted
+    * embedding dups; 0.3 surfaces the genuinely-closest pairs).
+    */
+  val ddEmbedCosine: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+      .withColumn("bucket", Similarity.bucketOf(col("embedding")))
+      .select(col("vec_id"), col("embedding"), col("bucket"))
+    emb.as("a")
+      .join(emb.as("b"), col("a.bucket") === col("b.bucket") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos", cosineSim(col("a.embedding"), col("b.embedding")))
+      .filter(col("cos") >= 0.3)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        q4(col("cos")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
+      .limit(50)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "dd_exact" -> ddExact,
+    "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_simhash" -> ddSimhash,
+    "dd_ngram_jaccard" -> ddNgramJaccard,
+    "dd_embed_cosine" -> ddEmbedCosine)
+
+  /** dd_exact is deterministic SQL; the rest are signature-based
+    * (xxhash64 has no DuckDB twin) → rows-only checks.
+    */
+  val oracles: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT doc_id, text_hash FROM (
+        | SELECT doc_id,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+        |  row_number() OVER (
+        |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        | FROM documents) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+import graft.sources.Tables
+
+/** §2.D — similarity search over the embedding column.
+  *
+  * ann_brute_topk is the exact correctness baseline: broadcast the
+  * (small) query set, one codegen'd cosine pass over the corpus, per-
+  * query top-k. At 100 TB the corpus side stays partition-parallel and
+  * nothing shuffles but the k survivors per partition.
+  *
+  * ann_lsh_topk is the scale path: random-hyperplane signatures bucket
+  * the corpus (map-only), candidates come from the query's bucket
+  * (hamming ≤ 1 multi-probe), and only candidates pay the exact cosine.
+  */
+object Similarity {
+  private type Q = (SparkSession, String) => DataFrame
+
+  private def q4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
+
+  /** Deterministic random hyperplanes (fixed seed — signatures must be
+    * reproducible across runs and engines).
+    */
+  private[operators] val planes: Seq[Seq[Float]] = {
+    val rng = new scala.util.Random(42)
+    Seq.fill(6)(Seq.fill(64)(rng.nextGaussian().toFloat))
+  }
+
+  /** Sign-bit bucket id from the 6 hyperplanes (64 buckets). */
+  private[operators] def bucketOf(emb: Column): Column =
+    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
+      acc + when(dotProduct(emb, typedlit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
+    }
+
+  val annBruteTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    emb.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        q4(col("raw_sim")).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val annLshTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d).withColumn("bucket", bucketOf(col("embedding")))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("bucket").as("q_bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    emb.join(broadcast(queries),
+        expr("bit_count(bucket ^ q_bucket) <= 1") && col("vec_id") =!= col("query_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        q4(col("raw_sim")).as("sim"), col("bucket").cast("long").as("bucket"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "ann_brute_topk" -> annBruteTopk,
+    "ann_lsh_topk" -> annLshTopk)
+
+  /** ann_lsh_topk is approximate by construction → rows-only check.
+    * ann_brute_topk is exact and DuckDB has list_cosine_similarity.
+    */
+  val oracles: Map[String, String] = Map(
+    "ann_brute_topk" ->
+      """SELECT query_id, rank, neighbor_id, sim FROM (
+        | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |  floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
+        |  row_number() OVER (PARTITION BY q.vec_id
+        |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        | FROM embeddings e
+        | CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
+        | WHERE e.vec_id <> q.vec_id) t
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+}

@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge.
+  *
+  * Spark 4 made the Column/Expression conversion `private[sql]`
+  * (columnNodeSupport.scala); custom Catalyst expressions still need
+  * it, so this one-file subpackage exposes exactly the two
+  * conversions and nothing else.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
