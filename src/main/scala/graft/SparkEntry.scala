@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.operators.{Dedup, FundEtl, Relational, Similarity, TextAnalysis}
+import graft.operators.{Dedup, FundEtl, Multimodal, Relational, Similarity, StreamingTwins, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §2 for the operator
   * inventory and §6 for the determinism conventions shared by every
@@ -15,12 +15,14 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ FundEtl.queries ++ TextAnalysis.queries ++
-      Dedup.queries ++ Similarity.queries
+      Dedup.queries ++ Similarity.queries ++ StreamingTwins.queries ++
+      Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ FundEtl.oracles ++ TextAnalysis.oracles ++
-      Dedup.oracles ++ Similarity.oracles
+      Dedup.oracles ++ Similarity.oracles ++ StreamingTwins.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** §2.F — multimodal column plumbing.
+  *
+  * Images/audio/video ride through the engine as opaque `binary`
+  * columns with typed metadata structs; decode/feature-extraction runs
+  * batch-wise per partition (the same shape a vectorized/pandas-style
+  * decode batch takes on a cluster). The decoder itself is a
+  * deterministic STUB — the image/audio codecs aren't in this
+  * container — but the Spark-side plumbing (binary payloads, metadata
+  * struct schema, partition-batched extraction, typed output schema)
+  * is real and oracle-able by row count.
+  */
+object Multimodal {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Build payload+meta, then "decode" per-partition: byte-histogram
+    * features stand in for pixel statistics.
+    */
+  val mmDecodeMeta: Q = (s, d) => {
+    import s.implicits._
+    val base = Tables.documents(s, d).select(
+      col("doc_id"),
+      // synthetic opaque payload — in production this is the image bytes
+      encode(col("text"), "UTF-8").as("payload"),
+      ((col("doc_id") % 32) + 16).cast("int").as("width"),
+      ((col("doc_id") % 24) + 12).cast("int").as("height"),
+      lit("fake/rgb8").as("format"))
+    base
+      .select(col("doc_id"), col("payload"), col("width"), col("height"), col("format"))
+      .as[(Long, Array[Byte], Int, Int, String)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, w, h, fmt) =>
+          // STUB decoder (deterministic): byte histogram mod 4. A real
+          // deployment swaps this body for the codec call; the
+          // partition-batched iterator shape is what matters at scale.
+          val hist = new Array[Long](4)
+          var i = 0
+          while (i < bytes.length) { hist((bytes(i) & 0xff) % 4) += 1; i += 1 }
+          (id, w, h, fmt, bytes.length.toLong, hist(0), hist(1), hist(2), hist(3))
+        }
+      }
+      .toDF("doc_id", "width", "height", "format", "n_bytes", "h0", "h1", "h2", "h3")
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, Q] = Map("mm_decode_meta" -> mmDecodeMeta)
+
+  /** The byte histogram is computable in SQL for ASCII text, so this
+    * gets a real oracle despite the mapPartitions implementation.
+    */
+  val oracles: Map[String, String] = Map(
+    "mm_decode_meta" ->
+      """SELECT doc_id,
+        | CAST(doc_id % 32 + 16 AS INT) AS width,
+        | CAST(doc_id % 24 + 12 AS INT) AS height,
+        | 'fake/rgb8' AS format,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 0)) AS h0,
+        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 1)) AS h1,
+        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 2)) AS h2,
+        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 3)) AS h3
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.sources.Tables
+
+/** §2.G — batch twins of the streaming pipelines.
+  *
+  * The genuine `readStream`/`writeStream` pipelines live in
+  * [[graft.streaming.EventStreams]]; these operators run the same
+  * event-time semantics (tumbling windows, gap sessionization,
+  * key dedup) in batch so the DuckDB oracle can check them.
+  */
+object StreamingTwins {
+  private type Q = (SparkSession, String) => DataFrame
+
+  /** Event-time tumbling window aggregate — batch twin of the
+    * watermarked streaming agg (same `window()` operator Structured
+    * Streaming uses; keyed by (window, type), the natural shuffle key).
+    */
+  val stTumblingAgg: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n"), col("total"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** Gap-based sessionization (30-min inactivity) via gaps-and-islands:
+    * lag → new-session flag → running sum → per-session aggregate.
+    * Batch twin of flatMapGroupsWithState sessionization.
+    */
+  val stSessionize: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800L * 1000000L, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Key dedup keep-first within a minute bucket — batch twin of
+    * streaming dropDuplicates under a watermark.
+    */
+  val stDedupEvents: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("minute_b"))
+      .orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .withColumn("minute_b", date_format(date_trunc("minute", col("ts")), "yyyy-MM-dd HH:mm"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("minute_b"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "st_tumbling_agg" -> stTumblingAgg,
+    "st_sessionize" -> stSessionize,
+    "st_dedup_events" -> stDedupEvents)
+
+  val oracles: Map[String, String] = Map(
+    "st_tumbling_agg" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        | event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "st_sessionize" ->
+      """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+        | min(ts_us) AS start_us, max(ts_us) AS end_us,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM (
+        | SELECT user_id, value, ts_us,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        | FROM (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |             > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events) flagged) sessions
+        |GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin,
+    "st_dedup_events" ->
+      """SELECT event_id, user_id, event_type, minute_b FROM (
+        | SELECT event_id, user_id, event_type,
+        |  strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS minute_b,
+        |  row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
+        |                     ORDER BY ts, event_id) AS rn
+        | FROM events) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+}

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+/** Genuine Structured Streaming pipelines over the events schema.
+  *
+  * Batch twins with DuckDB oracles live in
+  * [[graft.operators.StreamingTwins]]; this module is the streaming
+  * runtime: watermarked tumbling aggregation, watermark-bounded key
+  * dedup, and custom sessionization state via flatMapGroupsWithState.
+  * Specs drive these with MemoryStream (see EventStreamsSpec).
+  */
+object EventStreams {
+  case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long, total_value: Double)
+
+  private case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+
+  /** File-based stream over an events parquet directory (the
+    * production entry: statement drops land in a directory, the stream
+    * picks them up incrementally — the streaming version of the
+    * reference's daily folder scan).
+    */
+  def fromParquetDir(spark: SparkSession, dir: String, schemaDdl: String): DataFrame =
+    spark.readStream.schema(schemaDdl).parquet(dir)
+
+  /** Watermarked event-time tumbling aggregate. State is bounded by
+    * the 2h watermark; keyed by (window, type) — the shuffle key the
+    * stateful agg needs anyway.
+    */
+  def tumblingAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("total"))
+
+  /** Watermark-bounded exactly-once key dedup. */
+  def dedupByEventId(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Gap-based sessionization (30-min inactivity) with explicit state:
+    * one SessionState per user, closed + emitted on gap or event-time
+    * timeout. The streaming twin of StreamingTwins.stSessionize.
+    */
+  def sessionize(events: Dataset[Evt], gapMinutes: Int = 30): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    val gapUs = gapMinutes.toLong * 60L * 1000000L
+
+    def fn(userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      var closed = List.empty[SessionOut]
+      var cur = state.getOption
+      if (sorted.isEmpty) {
+        if (state.hasTimedOut && cur.isDefined) {
+          val s = cur.get
+          closed ::= SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
+          state.remove()
+        }
+      } else {
+        sorted.foreach { e =>
+          val us = e.ts.getTime * 1000L
+          cur match {
+            case Some(s) if us - s.lastUs <= gapUs =>
+              cur = Some(SessionState(s.startUs, us, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= SessionOut(userId, s.startUs, s.lastUs, s.n, s.total)
+              cur = Some(SessionState(us, us, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(us, us, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.lastUs / 1000L + gapMinutes.toLong * 60L * 1000L)
+        }
+      }
+      closed.reverseIterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+}
