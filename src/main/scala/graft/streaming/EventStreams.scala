@@ -13,14 +13,17 @@ import java.sql.Timestamp
   * dedup, and custom sessionization state via flatMapGroupsWithState.
   * Specs drive these with MemoryStream (see EventStreamsSpec).
   */
+// Top-level case classes: encoder codegen (Janino) cannot instantiate
+// object-nested classes (it looks for a zero-arg outer constructor).
+case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
+    n_events: Long, total_value: Double)
+
+case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
+
 object EventStreams {
-  case class Evt(event_id: Long, ts: Timestamp, user_id: Long,
-      event_type: String, value: Double)
-
-  case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
-      n_events: Long, total_value: Double)
-
-  private case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
 
   /** File-based stream over an events parquet directory (the
     * production entry: statement drops land in a directory, the stream

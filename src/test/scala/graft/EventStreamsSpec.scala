@@ -1,0 +1,76 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{EventStreams, Evt}
+
+/** MemoryStream-driven specs for the real Structured Streaming
+  * pipelines (batch twins are oracle-checked separately).
+  */
+class EventStreamsSpec extends SparkTestBase {
+
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("tumblingAgg counts events into hourly windows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Evt]
+    val q = EventStreams.tumblingAgg(input.toDF())
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append").start()
+    input.addData(
+      Evt(1, ts(0), 1, "click", 1.0),
+      Evt(2, ts(10), 1, "click", 2.0),
+      Evt(3, ts(70), 2, "view", 3.0))
+    q.processAllAvailable()
+    // second batch advances the watermark past the first windows so
+    // append mode emits them
+    input.addData(Evt(4, ts(400), 3, "click", 4.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("tumbling_out").collect()
+      .map(r => (r.getAs[Timestamp]("window_start"), r.getAs[String]("event_type"), r.getAs[Long]("n")))
+    assert(out.exists { case (_, t, n) => t == "click" && n == 2 })
+    assert(out.exists { case (_, t, n) => t == "view" && n == 1 })
+  }
+
+  test("dedupByEventId drops duplicate ids within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Evt]
+    val q = EventStreams.dedupByEventId(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    input.addData(
+      Evt(1, ts(0), 1, "click", 1.0),
+      Evt(1, ts(1), 1, "click", 1.0),
+      Evt(2, ts(2), 1, "view", 2.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("sessionize closes a session after the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[Evt]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_out")
+      .outputMode("append").start()
+    // session 1: two events 10 min apart; then 60-min gap; session 2
+    input.addData(
+      Evt(1, ts(0), 7, "click", 1.0),
+      Evt(2, ts(10), 7, "click", 2.0))
+    q.processAllAvailable()
+    input.addData(Evt(3, ts(70), 7, "view", 3.0))
+    q.processAllAvailable()
+    // advance watermark far enough to time the second session out
+    input.addData(Evt(4, ts(500), 9, "click", 0.5))
+    q.processAllAvailable()
+    input.addData(Evt(5, ts(900), 9, "click", 0.5))
+    q.processAllAvailable(); q.stop()
+    val sessions = spark.table("session_out").collect()
+      .filter(_.getAs[Long]("user_id") == 7L)
+      .map(r => (r.getAs[Long]("n_events"), r.getAs[Double]("total_value")))
+    assert(sessions.contains((2L, 3.0)), s"got ${sessions.toSeq}")
+    assert(sessions.contains((1L, 3.0)), s"got ${sessions.toSeq}")
+  }
+}

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** One smoke per registered operator + targeted semantic checks (the
+  * numeric oracle comparison runs via Verify + the driver's DuckDB
+  * pass; these assert structure and invariants).
+  */
+class OperatorsSpec extends SparkTestBase {
+
+  test("every registered query runs and has a deterministic schema") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sfDir)
+      val n = df.count()
+      assert(n >= 0, s"$name failed to execute")
+      assert(df.columns.distinct.length == df.columns.length, s"$name has duplicate columns")
+    }
+  }
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracles without queries: $missing")
+  }
+
+  test("entry returns nonzero rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q01 groups to returnflag x linestatus") {
+    val rows = operators.Relational.q01PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    val counts = rows.map(_.getAs[Long]("count_order")).sum
+    val total = operators.Relational.q02FilterProject(spark, sfDir) // touch another op
+    assert(counts > 0)
+  }
+
+  test("q07 topk is ordered and bounded") {
+    val rows = operators.Relational.q07TopK(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("dd_exact keeps one doc per distinct normalized text") {
+    val docs = sources.Tables.documents(spark, sfDir)
+    val distinctTexts = docs.select(lower(trim(col("text")))).distinct().count()
+    assert(operators.Dedup.ddExact(spark, sfDir).count() == distinctTexts)
+  }
+
+  test("dd_minhash_lsh pairs are canonical and thresholded") {
+    val rows = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      assert(r.getAs[Double]("est_jaccard") >= 0.5)
+    }
+  }
+
+  test("ann_brute_topk returns exactly k neighbors per query, ranked") {
+    val rows = operators.Similarity.annBruteTopk(spark, sfDir).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.size == 8)
+    byQuery.values.foreach { g =>
+      assert(g.length == 10)
+      val sims = g.sortBy(_.getAs[Long]("rank")).map(_.getAs[Double]("sim"))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("etl_enrich_lookup flags unmapped rows instead of dropping them") {
+    val df = operators.FundEtl.etlEnrichLookup(spark, sfDir)
+    val total = sources.Tables.customer(spark, sfDir).count()
+    assert(df.count() == total)
+    val unmapped = df.filter(col("ledger_id") === "UNMAPPED").count()
+    assert(unmapped == df.filter(!col("mapped")).count())
+  }
+
+  test("st_sessionize sessions don't overlap per user") {
+    val rows = operators.StreamingTwins.stSessionize(spark, sfDir).collect()
+    rows.groupBy(_.getAs[Long]("user_id")).values.foreach { g =>
+      val sorted = g.sortBy(_.getAs[Long]("session_id"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("end_us") < b.getAs[Long]("start_us"))
+        case _ =>
+      }
+    }
+  }
+
+  test("mm_decode_meta histogram sums to payload size") {
+    operators.Multimodal.mmDecodeMeta(spark, sfDir).collect().foreach { r =>
+      val sum = Seq("h0", "h1", "h2", "h3").map(r.getAs[Long]).sum
+      assert(sum == r.getAs[Long]("n_bytes"))
+    }
+  }
+}
