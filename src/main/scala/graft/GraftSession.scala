@@ -15,6 +15,7 @@ object GraftSession {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

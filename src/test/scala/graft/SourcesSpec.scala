@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.Tables
+
+/** CSV/JSON source round-trips and the SQL extension functions. */
+class SourcesSpec extends SparkTestBase {
+
+  test("csv round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Tables.customer(spark, sfDir).limit(25)
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    val back = Tables.csv(spark, dir,
+      "c_custkey BIGINT, c_name STRING, c_nationkey INT, c_acctbal DOUBLE, c_mktsegment STRING")
+    assert(back.count() == 25)
+    assert(back.schema("c_acctbal").dataType.typeName == "double")
+  }
+
+  test("json-lines round-trip with explicit schema") {
+    val dir = Files.createTempDirectory("graft_json").toString
+    Tables.nation(spark, sfDir).write.mode("overwrite").json(dir)
+    val back = Tables.json(spark, dir,
+      "n_nationkey INT, n_name STRING, n_regionkey INT")
+    assert(back.count() == 25)
+    assert(back.filter(col("n_name").isNull).count() == 0)
+  }
+
+  test("partitioned parquet write prunes on read") {
+    val dir = Files.createTempDirectory("graft_part").toString
+    Tables.orders(spark, sfDir)
+      .withColumn("status", col("o_orderstatus"))
+      .write.mode("overwrite").partitionBy("status").parquet(dir)
+    val one = spark.read.parquet(dir).filter(col("status") === "F")
+    val plan = one.queryExecution.executedPlan.toString
+    assert(one.count() > 0)
+    assert(!plan.contains("status = O"), "partition filter should prune, not scan-filter")
+  }
+
+  test("graft_cosine is callable from SQL via extensions") {
+    Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
+    val rows = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c, graft_dot(embedding, embedding) AS d FROM emb_sql")
+      .collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+      assert(r.getDouble(1) > 0.0)
+    }
+  }
+}
