@@ -268,7 +268,38 @@ object Relational {
         length(col("p_name")).cast("long").as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** Exact interpolated percentiles per group (linear interpolation —
+    * the same definition DuckDB's quantile_cont uses).
+    */
+  val q21Percentiles: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        q4(expr("percentile(o_totalprice, 0.5)")).as("p50"),
+        q4(expr("percentile(o_totalprice, 0.95)")).as("p95"),
+        q4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
+      .orderBy(col("o_orderpriority"))
+
+  /** Sketch aggregates: HyperLogLog++ distinct estimates next to the
+    * exact counts they approximate (cross-engine sketches differ →
+    * the oracle carries the exact columns and the relative-error bound
+    * is asserted in OperatorsSpec).
+    */
+  val q22ApproxDistinct: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("exact_parts"),
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(c * 10000 + 0.5) / lit(10000.0)
+
   val queries: Map[String, Q] = Map(
+    "q21_percentiles" -> q21Percentiles,
+    "q22_approx_distinct" -> q22ApproxDistinct,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_shipping_priority" -> q03ShippingPriority,
@@ -291,6 +322,12 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q21_percentiles" ->
+      """SELECT o_orderpriority,
+        | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
+        | floor(quantile_cont(o_totalprice, 0.95) * 10000 + 0.5) / 10000.0 AS p95,
+        | floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000.0 AS p99
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -69,9 +69,49 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** IVF-style ANN: a fixed coarse quantizer (the first 16 vectors as
+    * centroids — deterministic; production would train k-means once and
+    * broadcast it), each corpus vector assigned to its nearest centroid
+    * map-only, queries probe their 4 nearest lists. Only probed lists
+    * pay the exact cosine — at 100 TB the assignment is a scan and the
+    * probe touches 4/16ths of the corpus.
+    */
+  val annIvfTopk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
+    val byVec = Window.partitionBy(col("vec_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosineSim(col("embedding"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(byVec))
+      .filter(col("c_rank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cent_id"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val probes = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(byQuery))
+      .filter(col("c_rank") <= 4)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .withColumn("rank", row_number().over(byQ).cast("long"))
+      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        q4(col("raw_sim")).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_brute_topk" -> annBruteTopk,
-    "ann_lsh_topk" -> annLshTopk)
+    "ann_lsh_topk" -> annLshTopk,
+    "ann_ivf_topk" -> annIvfTopk)
 
   /** ann_lsh_topk is approximate by construction → rows-only check.
     * ann_brute_topk is exact and DuckDB has list_cosine_similarity.

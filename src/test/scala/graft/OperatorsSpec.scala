@@ -66,6 +66,24 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q22 approx distinct is within the 2% rsd ballpark") {
+    operators.Relational.q22ApproxDistinct(spark, sfDir).collect().foreach { r =>
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.1, s"approx=$approx exact=$exact")
+    }
+  }
+
+  test("ann_ivf recall: probed lists recover most brute-force neighbors") {
+    val brute = operators.Similarity.annBruteTopk(spark, sfDir).collect()
+      .filter(_.getAs[Long]("rank") <= 5)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = operators.Similarity.annIvfTopk(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
+  }
+
   test("etl_enrich_lookup flags unmapped rows instead of dropping them") {
     val df = operators.FundEtl.etlEnrichLookup(spark, sfDir)
     val total = sources.Tables.customer(spark, sfDir).count()
