@@ -41,18 +41,16 @@ object Dedup {
       .persist()
 
   /** Exact dedup: md5 of whitespace-normalized lowercase text, keep the
-    * smallest doc_id per hash. Two-phase: map-side hash, one shuffle on
-    * the digest.
+    * smallest doc_id per hash — a partial-aggregating groupBy (map-side
+    * combine), not a window, so the shuffle carries one row per digest.
     */
-  val ddExact: Q = (s, d) => {
-    val w = Window.partitionBy(col("text_hash")).orderBy(col("doc_id"))
+  val ddExact: Q = (s, d) =>
     Tables.documents(s, d)
       .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"))
       .select(col("doc_id"), col("text_hash"))
       .orderBy(col("doc_id"))
-  }
 
   /** MinHash (32 perms over xxhash64'd 3-gram shingles) + banded LSH
     * (8 bands × 4 rows): docs sharing any band become candidate pairs;
@@ -183,12 +181,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
-      """SELECT doc_id, text_hash FROM (
-        | SELECT doc_id,
-        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
-        |  row_number() OVER (
-        |    PARTITION BY md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g')))
-        |    ORDER BY doc_id) AS rn
-        | FROM documents) t
-        |WHERE rn = 1 ORDER BY doc_id""".stripMargin)
+      """SELECT min(doc_id) AS doc_id,
+        | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin)
 }

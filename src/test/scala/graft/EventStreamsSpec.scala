@@ -33,6 +33,28 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.exists { case (_, t, n) => t == "view" && n == 1 })
   }
 
+  test("file-source stream: parquet drop directory feeds tumblingAgg") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
+    Seq(
+      Evt(1, ts(0), 1, "click", 1.0),
+      Evt(2, ts(5), 2, "click", 2.0),
+      Evt(3, ts(70), 1, "view", 3.0)).toDS()
+      .write.mode("overwrite").parquet(dir)
+    val stream = EventStreams.fromParquetDir(spark, dir,
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+    val q = EventStreams.tumblingAgg(stream)
+      .writeStream.format("memory").queryName("file_tumbling_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    // second file advances the watermark so the first windows emit
+    Seq(Evt(4, ts(400), 3, "click", 4.0)).toDS().write.mode("append").parquet(dir)
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("file_tumbling_out").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n"))).toSet
+    assert(out.contains(("click", 2L)) && out.contains(("view", 1L)), s"got $out")
+  }
+
   test("dedupByEventId drops duplicate ids within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
