@@ -196,7 +196,60 @@ object FundEtl {
         money2(greatest(col("o_totalprice") * col("rate") * 0.15, lit(10.0))).as("commission"))
       .orderBy(col("o_orderkey"))
 
+  /** Dividend statement semantics — the reference's dividend extractor
+    * (dividend_extractor.py:22) lands in a distinct schema (派送份额 /
+    * 派送金额 / 红利截止日期) and distinguishes cash dividends from
+    * reinvestment (红利再投资: shares credited at NAV, no cash). Same
+    * split here with a deterministic NAV model and a cutoff date.
+    */
+  val etlDividend: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .withColumn("nav", lit(1.0) + (col("o_custkey") % 50).cast("double") / 100.0)
+      .withColumn("div_type",
+        when(col("o_orderkey") % 3 === 0, "REINVEST").otherwise("CASH"))
+      .select(col("o_orderkey").as("rec_id"),
+        lpad((col("o_custkey") % 1000000).cast("string"), 6, "0").as("fund_code"),
+        col("div_type"),
+        when(col("div_type") === "CASH", round(col("o_totalprice"), 2))
+          .otherwise(0.0).as("pay_amount"),
+        when(col("div_type") === "REINVEST", money2(col("o_totalprice") / col("nav")))
+          .otherwise(0.0).as("pay_shares"),
+        col("nav"),
+        date_format(date_add(col("o_orderdate"), 2), "yyyy-MM-dd").as("cutoff_date"))
+      .orderBy(col("rec_id"))
+
+  /** Conversion (超级转换) semantics — one record carries BOTH legs
+    * (conversion_extractor.py:22-23: 转出* out-leg + 转入* in-leg
+    * columns) and uses its own product-code dict (a second mapping
+    * file). Out-leg fee is deducted before the in-leg is credited at
+    * the target NAV; the conversion dict here is the region table.
+    */
+  val etlConversion: Q = (s, d) => {
+    val convDict = Tables.region(s, d)
+      .select(col("r_regionkey").as("conv_key"), col("r_name").as("conv_ledger"))
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "O")
+      .withColumn("out_fee", money2(col("o_totalprice") * 0.001))
+      .withColumn("in_amount", money2(col("o_totalprice") - col("out_fee")))
+      .withColumn("in_nav", lit(1.0) + (col("o_orderkey") % 40).cast("double") / 100.0)
+      .join(broadcast(convDict), (col("o_custkey") % 5) === col("conv_key"), "left")
+      .select(col("o_orderkey").as("rec_id"),
+        coalesce(col("conv_ledger"), lit("UNMAPPED")).as("conv_ledger"),
+        lpad((col("o_custkey") % 1000000).cast("string"), 6, "0").as("out_code"),
+        round(col("o_totalprice"), 2).as("out_amount"),
+        col("out_fee"),
+        lpad((col("o_orderkey") % 1000000).cast("string"), 6, "0").as("in_code"),
+        col("in_amount"),
+        money2(col("in_amount") / col("in_nav")).as("in_shares"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("out_confirm_date"),
+        date_format(date_add(col("o_orderdate"), 1), "yyyy-MM-dd").as("in_confirm_date"))
+      .orderBy(col("rec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_dividend" -> etlDividend,
+    "etl_conversion" -> etlConversion,
     "etl_classify" -> etlClassify,
     "etl_extract_regex" -> etlExtractRegex,
     "etl_normalize_numbers" -> etlNormalizeNumbers,
@@ -209,6 +262,39 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_dividend" ->
+      """SELECT o_orderkey AS rec_id,
+        | lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
+        | div_type,
+        | CASE WHEN div_type = 'CASH' THEN round(o_totalprice, 2) ELSE 0.0 END AS pay_amount,
+        | CASE WHEN div_type = 'REINVEST'
+        |      THEN floor(o_totalprice / nav * 100 + 0.5) / 100.0 ELSE 0.0 END AS pay_shares,
+        | nav,
+        | strftime(o_orderdate + INTERVAL 2 DAY, '%Y-%m-%d') AS cutoff_date
+        |FROM (SELECT *,
+        |  1.0 + CAST(o_custkey % 50 AS DOUBLE) / 100.0 AS nav,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'REINVEST' ELSE 'CASH' END AS div_type
+        | FROM orders WHERE o_orderstatus = 'P') t
+        |ORDER BY rec_id""".stripMargin,
+    "etl_conversion" ->
+      """SELECT o_orderkey AS rec_id,
+        | coalesce(conv_ledger, 'UNMAPPED') AS conv_ledger,
+        | lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS out_code,
+        | round(o_totalprice, 2) AS out_amount,
+        | out_fee,
+        | lpad(CAST(o_orderkey % 1000000 AS VARCHAR), 6, '0') AS in_code,
+        | in_amount,
+        | floor(in_amount / in_nav * 100 + 0.5) / 100.0 AS in_shares,
+        | strftime(o_orderdate, '%Y-%m-%d') AS out_confirm_date,
+        | strftime(o_orderdate + INTERVAL 1 DAY, '%Y-%m-%d') AS in_confirm_date
+        |FROM (SELECT *,
+        |  floor(o_totalprice * 0.001 * 100 + 0.5) / 100.0 AS out_fee,
+        |  floor((o_totalprice - floor(o_totalprice * 0.001 * 100 + 0.5) / 100.0) * 100 + 0.5) / 100.0 AS in_amount,
+        |  1.0 + CAST(o_orderkey % 40 AS DOUBLE) / 100.0 AS in_nav
+        | FROM orders WHERE o_orderstatus = 'O') t
+        |LEFT JOIN (SELECT r_regionkey AS conv_key, r_name AS conv_ledger FROM region) r
+        |  ON o_custkey % 5 = conv_key
+        |ORDER BY rec_id""".stripMargin,
     "etl_classify" ->
       """SELECT doc_id, lang, source,
         | CASE WHEN text LIKE '%stream%' AND text LIKE '%window%' THEN 'streaming_stmt'
