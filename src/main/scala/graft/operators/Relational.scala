@@ -297,9 +297,30 @@ object Relational {
   private def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 10000 + 0.5) / lit(10000.0)
 
+  /** Salted skew join: events.user_id is low-cardinality (heavy keys),
+    * so the per-user enrich join salts the fact side 8 ways and
+    * explodes the dim side — every reducer gets 1/8th of each hot key.
+    * Salting is plan-internal: the result (and the oracle, a plain
+    * join) is identical to the unsalted join.
+    */
+  val q23SkewSaltedJoin: Q = (s, d) => {
+    val salted = Tables.events(s, d)
+      .withColumn("salt", pmod(col("event_id"), lit(8)).cast("int"))
+    val userDim = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("user_events"))
+      .withColumn("salt", explode(sequence(lit(0), lit(7))))
+    salted.join(userDim, Seq("user_id", "salt"))
+      .groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("total_value"),
+        max(col("user_events")).as("user_events"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q21_percentiles" -> q21Percentiles,
     "q22_approx_distinct" -> q22ApproxDistinct,
+    "q23_skew_salted_join" -> q23SkewSaltedJoin,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_shipping_priority" -> q03ShippingPriority,
@@ -328,6 +349,13 @@ object Relational {
         | floor(quantile_cont(o_totalprice, 0.95) * 10000 + 0.5) / 10000.0 AS p95,
         | floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000.0 AS p99
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q23_skew_salted_join" ->
+      """SELECT e.user_id, round(sum(e.value), 2) AS total_value,
+        | max(u.user_events) AS user_events
+        |FROM events e
+        |JOIN (SELECT user_id, count(*) AS user_events
+        |      FROM events GROUP BY user_id) u ON e.user_id = u.user_id
+        |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

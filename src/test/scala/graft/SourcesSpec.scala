@@ -37,6 +37,21 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("status = O"), "partition filter should prune, not scan-filter")
   }
 
+  test("bucketed tables co-locate the join (no shuffle on bucketed sides)") {
+    Tables.orders(spark, sfDir)
+      .write.mode("overwrite").bucketBy(8, "o_custkey")
+      .sortBy("o_custkey").saveAsTable("orders_bkt")
+    Tables.customer(spark, sfDir)
+      .write.mode("overwrite").bucketBy(8, "c_custkey")
+      .sortBy("c_custkey").saveAsTable("customer_bkt")
+    val joined = spark.table("orders_bkt")
+      .join(spark.table("customer_bkt"), col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed join should not shuffle:\n$plan")
+    assert(joined.count() > 0)
+  }
+
   test("graft_cosine is callable from SQL via extensions") {
     Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
     val rows = spark.sql(
