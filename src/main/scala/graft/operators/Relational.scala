@@ -317,10 +317,22 @@ object Relational {
       .orderBy(col("user_id"))
   }
 
+  /** Per-key top-k via the custom two-phase bounded-heap operator
+    * (graft.plans.TopK) — same semantics as the q09 window formulation,
+    * but only k rows per key per input partition reach the shuffle.
+    * The oracle is the window formulation, proving plan equivalence.
+    */
+  val q24TopkPerKey: Q = (s, d) =>
+    graft.plans.TopK.perKey(
+      Tables.orders(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_totalprice")),
+      keyCols = Seq("o_custkey"), orderCol = "o_totalprice", tieCol = "o_orderkey", k = 3)
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+
   val queries: Map[String, Q] = Map(
     "q21_percentiles" -> q21Percentiles,
     "q22_approx_distinct" -> q22ApproxDistinct,
     "q23_skew_salted_join" -> q23SkewSaltedJoin,
+    "q24_topk_per_key" -> q24TopkPerKey,
     "q01_pricing_summary" -> q01PricingSummary,
     "q02_filter_project" -> q02FilterProject,
     "q03_shipping_priority" -> q03ShippingPriority,
@@ -356,6 +368,13 @@ object Relational {
         |JOIN (SELECT user_id, count(*) AS user_events
         |      FROM events GROUP BY user_id) u ON e.user_id = u.user_id
         |GROUP BY e.user_id ORDER BY e.user_id""".stripMargin,
+    "q24_topk_per_key" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+        | SELECT o_custkey, o_orderkey, o_totalprice,
+        |  row_number() OVER (PARTITION BY o_custkey
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM orders) t
+        |WHERE rn <= 3 ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,

@@ -1,0 +1,130 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Descending, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.graft.Bridge
+
+/** Per-key top-k as a first-class operator.
+  *
+  * The window-function formulation (row_number over partitionBy key)
+  * shuffles EVERY row and fully sorts every key group. This operator
+  * runs a bounded heap per key on the map side first, so at most
+  * k rows per (key, input-partition) reach the shuffle — at 100 TB the
+  * shuffle shrinks from the full fact table to ~k × keys × partitions.
+  *
+  * Shape: logical node → [[TopKStrategy]] plans a partial exec (no
+  * distribution requirement) under a final exec (requires clustering
+  * by key, so EnsureRequirements inserts exactly one exchange between
+  * them) — the same partial/final split Spark's HashAggregate uses.
+  */
+case class TopKPerKeyNode(keys: Seq[Expression], order: Expression, tie: Expression,
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKExec {
+  /** Bounded per-key heaps over one partition's rows; emits each key's
+    * current top-k (unsorted — the final exec re-heaps anyway and the
+    * caller appends a deterministic orderBy).
+    */
+  def localTopK(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow], k: Int): Iterator[InternalRow] = {
+    val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+    // GenerateOrdering: compare(a,b) < 0 ⇔ a sorts FIRST (a is better).
+    // A PQ maximizes its ordering, so the PQ max under `ordering` is the
+    // row that sorts LAST — the weakest kept row — exactly the eviction
+    // candidate. No reversal.
+    val evictOrd: Ordering[InternalRow] = ordering
+    iter.foreach { row =>
+      val key = keyProj(row)
+      val heap = heaps.getOrElseUpdate(key.copy(),
+        scala.collection.mutable.PriorityQueue.empty[InternalRow](evictOrd))
+      if (heap.size < k) heap.enqueue(row.copy())
+      else if (ordering.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+    }
+    heaps.valuesIterator.flatMap(_.iterator)
+  }
+}
+
+case class TopKPartialExec(keys: Seq[Expression], order: Expression, tie: Expression,
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyExprs, sortOrders) = TopKStrategy.bound(keys, order, tie, child.output)
+    child.execute().mapPartitions { iter =>
+      TopKExec.localTopK(iter, UnsafeProjection.create(keyExprs),
+        GenerateOrdering.generate(sortOrders), k)
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =
+    copy(child = newChild)
+}
+
+case class TopKFinalExec(keys: Seq[Expression], order: Expression, tie: Expression,
+    k: Int, child: SparkPlan) extends UnaryExecNode {
+  override def output: Seq[Attribute] = child.output
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (keys.isEmpty) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(TopKStrategy.bound(keys, order, tie, child.output)._1) :: Nil
+  override protected def doExecute(): RDD[InternalRow] = {
+    val (keyExprs, sortOrders) = TopKStrategy.bound(keys, order, tie, child.output)
+    child.execute().mapPartitions { iter =>
+      TopKExec.localTopK(iter, UnsafeProjection.create(keyExprs),
+        GenerateOrdering.generate(sortOrders), k)
+    }
+  }
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKFinalExec =
+    copy(child = newChild)
+}
+
+object TopKStrategy extends SparkStrategy {
+  /** Resolve by name against the child's output, then bind to input
+    * ordinals (AttributeReference alone is Unevaluable in exec code).
+    */
+  private[plans] def bound(keys: Seq[Expression], order: Expression, tie: Expression,
+      output: Seq[Attribute]): (Seq[Expression], Seq[SortOrder]) = {
+    def bind(e: Expression): Expression = {
+      val resolved = e.transform {
+        case a: Attribute => output.find(_.name == a.name).getOrElse(a)
+      }
+      org.apache.spark.sql.catalyst.expressions.BindReferences
+        .bindReference(resolved, org.apache.spark.sql.catalyst.expressions.AttributeSeq(output))
+    }
+    (keys.map(bind), Seq(SortOrder(bind(order), Descending), SortOrder(bind(tie), Ascending)))
+  }
+
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, order, tie, k, child) =>
+      TopKFinalExec(keys, order, tie, k,
+        TopKPartialExec(keys, order, tie, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+object TopK {
+  /** DataFrame API: top-k rows per key, ranked by `orderCol` desc with
+    * `tieCol` asc as the deterministic tie-break. Registers the planner
+    * strategy idempotently so it works on any session.
+    */
+  def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
+      tieCol: String, k: Int): DataFrame = {
+    val spark = df.sparkSession
+    if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
+      spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
+    }
+    val node = TopKPerKeyNode(
+      keyCols.map(c => Bridge.expression(df(c))),
+      Bridge.expression(df(orderCol)),
+      Bridge.expression(df(tieCol)),
+      k, Bridge.logicalPlan(df))
+    Bridge.ofRows(spark, node)
+  }
+}

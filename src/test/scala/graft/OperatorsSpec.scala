@@ -84,6 +84,21 @@ class OperatorsSpec extends SparkTestBase {
     assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
   }
 
+  test("custom TopK operator matches the window formulation exactly") {
+    import org.apache.spark.sql.expressions.Window
+    val src = sources.Tables.orders(spark, sfDir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+    val viaWindow = src.withColumn("rn", row_number().over(
+        Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))))
+      .filter(col("rn") <= 3).drop("rn")
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+    val viaCustom = operators.Relational.q24TopkPerKey(spark, sfDir)
+    assert(viaCustom.collect().toSeq == viaWindow.collect().toSeq)
+    val plan = viaCustom.queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPartial") && plan.contains("TopKFinal"), plan)
+  }
+
   test("etl_enrich_lookup flags unmapped rows instead of dropping them") {
     val df = operators.FundEtl.etlEnrichLookup(spark, sfDir)
     val total = sources.Tables.customer(spark, sfDir).count()

@@ -38,6 +38,13 @@ class SourcesSpec extends SparkTestBase {
   }
 
   test("bucketed tables co-locate the join (no shuffle on bucketed sides)") {
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS customer_bkt")
+    // a previously-aborted run can leave the managed location behind
+    import scala.reflect.io.Directory
+    Seq("orders_bkt", "customer_bkt").foreach { t =>
+      new Directory(new java.io.File(s"spark-warehouse/$t")).deleteRecursively()
+    }
     Tables.orders(spark, sfDir)
       .write.mode("overwrite").bucketBy(8, "o_custkey")
       .sortBy("o_custkey").saveAsTable("orders_bkt")
