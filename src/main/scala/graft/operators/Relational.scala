@@ -328,7 +328,56 @@ object Relational {
       keyCols = Seq("o_custkey"), orderCol = "o_totalprice", tieCol = "o_orderkey", k = 3)
       .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
 
+  /** Set operations: INTERSECT and EXCEPT between customer key sets. */
+  val q25SetOps: Q = (s, d) => {
+    val buyers96 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("date") &&
+        col("o_orderdate") < lit("1997-01-01").cast("date"))
+      .select(col("o_custkey"))
+    val buyers97 = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast("date") &&
+        col("o_orderdate") < lit("1998-01-01").cast("date"))
+      .select(col("o_custkey"))
+    val both = buyers96.intersect(buyers97).withColumn("set_rel", lit("BOTH"))
+    val only96 = buyers96.except(buyers97).withColumn("set_rel", lit("ONLY_96"))
+    both.unionAll(only96).orderBy(col("set_rel"), col("o_custkey"))
+  }
+
+  /** CUBE aggregation over (status, priority). */
+  val q26Cube: Q = (s, d) =>
+    Tables.orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** Ordered string aggregation per group (collect → sort → join; the
+    * deterministic twin of string_agg ORDER BY).
+    */
+  val q27StringAgg: Q = (s, d) =>
+    Tables.nation(s, d)
+      .groupBy(col("n_regionkey"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n"))
+      .orderBy(col("n_regionkey"))
+
+  /** Generator/lateral: explode document tokens, global top-20 words. */
+  val q28ExplodeWords: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
   val queries: Map[String, Q] = Map(
+    "q25_set_ops" -> q25SetOps,
+    "q26_cube" -> q26Cube,
+    "q27_string_agg" -> q27StringAgg,
+    "q28_explode_words" -> q28ExplodeWords,
     "q21_percentiles" -> q21Percentiles,
     "q22_approx_distinct" -> q22ApproxDistinct,
     "q23_skew_salted_join" -> q23SkewSaltedJoin,
@@ -355,6 +404,38 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q25_set_ops" ->
+      """SELECT * FROM (
+        | SELECT o_custkey, 'BOTH' AS set_rel FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01')
+        | UNION ALL
+        | SELECT o_custkey, 'ONLY_96' FROM (
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders
+        |  WHERE o_orderdate >= DATE '1997-01-01' AND o_orderdate < DATE '1998-01-01')
+        |) u ORDER BY set_rel, o_custkey""".stripMargin,
+    "q26_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        |       coalesce(o_orderpriority,'ALL') AS priority,
+        |       count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "q27_string_agg" ->
+      """SELECT n_regionkey,
+        | string_agg(n_name, ',' ORDER BY n_name) AS nations,
+        | count(*) AS n
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q28_explode_words" ->
+      """SELECT word, count(*) AS n FROM (
+        | SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |WHERE length(word) > 0
+        |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
     "q21_percentiles" ->
       """SELECT o_orderpriority,
         | floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0 AS p50,
