@@ -25,6 +25,9 @@ object GraftSession {
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
+      // runtime row-group pruning on large joins: the selective side
+      // broadcasts a bloom filter into the probe side's scan
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

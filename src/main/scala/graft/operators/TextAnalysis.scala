@@ -93,13 +93,54 @@ object TextAnalysis {
         col("n_chars"))
       .orderBy(col("doc_id"))
 
+  /** End-to-end corpus cleaning — the composition an LLM-data pipeline
+    * actually runs: quality-gate (length + digit ratio + score), then
+    * exact-dedup survivors (min doc_id per normalized digest). The
+    * near-dup removal stage on top of this lives in Dedup (rows-only —
+    * seeded MinHash); this deterministic core is oracle-checked.
+    */
+  val txCleanCorpus: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_len", length(col("text")).cast("double"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast("double"))
+      .withColumn("n_digit", regexp_count(col("text"), lit("[0-9]")).cast("double"))
+      .withColumn("quality_score",
+        q4(least(col("n_words") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("n_digit") / col("n_len"))))
+      .filter(col("n_words") >= 10 && col("n_digit") / col("n_len") < 0.3 &&
+        col("quality_score") >= 0.1)
+      .withColumn("text_hash", md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("doc_id"),
+        min(col("lang")).as("lang"),
+        min(col("quality_score")).as("quality_score"))
+      .select(col("doc_id"), col("lang"), col("quality_score"), col("text_hash"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "tx_clean_corpus" -> txCleanCorpus,
     "tx_langid" -> txLangId,
     "tx_quality" -> txQuality,
     "tx_tokens" -> txTokens,
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_clean_corpus" ->
+      """SELECT min(doc_id) AS doc_id, min(lang) AS lang,
+        | min(quality_score) AS quality_score, text_hash
+        |FROM (
+        | SELECT doc_id, lang,
+        |  floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 AS quality_score,
+        |  n_words, n_digit, n_len,
+        |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash
+        | FROM (
+        |  SELECT doc_id, lang, text,
+        |   CAST(length(text) AS DOUBLE) AS n_len,
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+        |  FROM documents) raw) scored
+        |WHERE n_words >= 10 AND n_digit / n_len < 0.3 AND quality_score >= 0.1
+        |GROUP BY text_hash ORDER BY doc_id""".stripMargin,
     "tx_langid" ->
       """SELECT doc_id, score_en, score_es, score_de, score_fr,
         | CASE WHEN score_en >= score_es AND score_en >= score_de AND score_en >= score_fr AND score_en > 0 THEN 'en'
