@@ -70,6 +70,22 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table("dedup_out").count() == 2)
   }
 
+  test("checkpointed parquet sink: stream lands as readable files") {
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft_sink_in").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink_out").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("graft_sink_ck").toString
+    Seq(Evt(1, ts(0), 1, "click", 1.0), Evt(2, ts(5), 2, "view", 2.0)).toDS()
+      .write.mode("overwrite").parquet(inDir)
+    val q = EventStreams.fromParquetDir(spark, inDir,
+      "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckDir)
+      .outputMode("append").start()
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.parquet(outDir).count() == 2)
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
