@@ -247,7 +247,31 @@ object FundEtl {
       .orderBy(col("rec_id"))
   }
 
+  /** Manual-redemption detail semantics — the manual redemption
+    * extractor's schema (manual_redemption_extractor.py:279) carries
+    * 是否结转收益 (carry-forward-P&L flag), 赎回类型 (redemption type)
+    * and settlement timing; purchase-confirm adds 买入利息 (accrued
+    * interest). Modeled: arrival lag, day-count interest accrual,
+    * type classification, carry flag.
+    */
+  val etlRedemptionDetail: Q = (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "F")
+      .withColumn("arrival_date",
+        date_add(col("o_orderdate"), ((col("o_orderkey") % 7) + 1).cast("int")))
+      .withColumn("hold_days", datediff(col("arrival_date"), col("o_orderdate")).cast("long"))
+      .select(col("o_orderkey").as("rec_id"),
+        when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "FORCED")
+          .otherwise("NORMAL").as("redemption_type"),
+        round(col("o_totalprice"), 2).as("amount"),
+        col("hold_days"),
+        money2(col("o_totalprice") * 0.035 / 365.0 * col("hold_days")).as("interest"),
+        (col("o_totalprice") > 100000).as("carry_forward"),
+        date_format(col("arrival_date"), "yyyy-MM-dd").as("arrival_date"))
+      .orderBy(col("rec_id"))
+
   val queries: Map[String, Q] = Map(
+    "etl_redemption_detail" -> etlRedemptionDetail,
     "etl_dividend" -> etlDividend,
     "etl_conversion" -> etlConversion,
     "etl_classify" -> etlClassify,
@@ -262,6 +286,18 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_redemption_detail" ->
+      """SELECT o_orderkey AS rec_id,
+        | CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'FORCED'
+        |      ELSE 'NORMAL' END AS redemption_type,
+        | round(o_totalprice, 2) AS amount,
+        | CAST(date_diff('day', o_orderdate, arrival) AS BIGINT) AS hold_days,
+        | floor(o_totalprice * 0.035 / 365.0 * date_diff('day', o_orderdate, arrival) * 100 + 0.5) / 100.0 AS interest,
+        | o_totalprice > 100000 AS carry_forward,
+        | strftime(arrival, '%Y-%m-%d') AS arrival_date
+        |FROM (SELECT *, o_orderdate + to_days(CAST(o_orderkey % 7 + 1 AS INT)) AS arrival
+        |      FROM orders WHERE o_orderstatus = 'F') t
+        |ORDER BY rec_id""".stripMargin,
     "etl_dividend" ->
       """SELECT o_orderkey AS rec_id,
         | lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
