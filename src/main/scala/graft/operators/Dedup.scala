@@ -153,6 +153,9 @@ object Dedup {
   /** Embedding near-dup via the hyperplane buckets of Similarity:
     * within-bucket exact cosine ≥ 0.3 (this corpus has no planted
     * embedding dups; 0.3 surfaces the genuinely-closest pairs).
+    * Within-bucket comparison is quadratic in bucket size — at larger
+    * corpus sizes raise Similarity.planes so expected bucket occupancy
+    * stays bounded (buckets = 2^planes).
     */
   val ddEmbedCosine: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
