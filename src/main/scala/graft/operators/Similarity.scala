@@ -40,13 +40,19 @@ object Similarity {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("raw_sim").desc, col("vec_id"))
-    emb.crossJoin(broadcast(queries))
+    val scored = emb.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    // The selection runs through the custom bounded-heap operator: only
+    // k rows per (query, partition) reach the shuffle — a window
+    // row_number here would shuffle every scored row. The residual
+    // window for the rank label runs over k×queries rows.
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"), orderCol = "raw_sim", tieCol = "vec_id", k = 10)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         q4(col("raw_sim")).as("sim"))
       .orderBy(col("query_id"), col("rank"))
