@@ -48,7 +48,38 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  val queries: Map[String, Q] = Map("mm_decode_meta" -> mmDecodeMeta)
+  /** Frame sampling: treat the payload as fixed-size frames (a video
+    * column's shape), keep every 4th frame, emit one row per sampled
+    * frame with a per-frame checksum — an iterator-EXPANDING
+    * mapPartitions (one input row → many frame rows), the batch shape
+    * a real frame-decoder pipeline uses.
+    */
+  val mmFrameSample: Q = (s, d) => {
+    import s.implicits._
+    val frameSize = 16
+    val stride = 4
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.flatMap { case (id, bytes) =>
+          val nFrames = bytes.length / frameSize
+          (0 until nFrames by stride).iterator.map { f =>
+            var sum = 0L
+            var i = f * frameSize
+            val end = i + frameSize
+            while (i < end) { sum += bytes(i) & 0xff; i += 1 }
+            (id, f.toLong, sum)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "frame_checksum")
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "mm_decode_meta" -> mmDecodeMeta,
+    "mm_frame_sample" -> mmFrameSample)
 
   /** The byte histogram is computable in SQL for ASCII text, so this
     * gets a real oracle despite the mapPartitions implementation.
@@ -64,5 +95,13 @@ object Multimodal {
         | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 1)) AS h1,
         | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 2)) AS h2,
         | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 3)) AS h3
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_frame_sample" ->
+      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
+        | CAST(list_sum(bytes[(f*16+1):(f*16+16)]) AS BIGINT) AS frame_checksum
+        |FROM (
+        | SELECT doc_id, unnest(range(0, strlen(text) // 16, 4)) AS f,
+        |  list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        | FROM documents) t
+        |ORDER BY doc_id, frame_idx""".stripMargin)
 }

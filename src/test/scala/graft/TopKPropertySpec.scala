@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Randomized equivalence: the custom bounded-heap operator vs the
+  * window formulation, across seeds that force ties, singleton groups,
+  * and k larger than the group size.
+  */
+class TopKPropertySpec extends SparkTestBase {
+
+  private def check(seed: Int, nRows: Int, nKeys: Int, nVals: Int, k: Int): Unit = {
+    import spark.implicits._
+    val rng = new scala.util.Random(seed)
+    // low-cardinality vals produce plenty of order-ties; id breaks them
+    val data = (0 until nRows).map { i =>
+      (rng.nextInt(nKeys).toLong, i.toLong, rng.nextInt(nVals).toDouble)
+    }
+    val df = data.toDF("key", "id", "v").repartition(5)
+    val expected = df.withColumn("rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))))
+      .filter(col("rn") <= k).drop("rn")
+      .orderBy(col("key"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val actual = plans.TopK.perKey(df, Seq("key"), "v", "id", k)
+      .orderBy(col("key"), col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(actual == expected, s"seed=$seed k=$k keys=$nKeys")
+  }
+
+  test("random datasets: heavy ties") { check(seed = 1, nRows = 500, nKeys = 7, nVals = 3, k = 4) }
+  test("random datasets: many singleton groups") { check(seed = 2, nRows = 300, nKeys = 400, nVals = 100, k = 3) }
+  test("random datasets: k exceeds group size") { check(seed = 3, nRows = 100, nKeys = 5, nVals = 50, k = 40) }
+  test("random datasets: k = 1") { check(seed = 4, nRows = 400, nKeys = 20, nVals = 10, k = 1) }
+}
