@@ -58,8 +58,13 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
+    // java.sql.Timestamp.getTime truncates to ms; recover full µs so
+    // streaming sessions carry the same boundaries as the batch twin.
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
     def fn(userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = evts.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+      val sorted = evts.toSeq.sortBy(e => (micros(e.ts), e.event_id))
       var closed = List.empty[SessionOut]
       var cur = state.getOption
       if (sorted.isEmpty) {
@@ -70,7 +75,7 @@ object EventStreams {
         }
       } else {
         sorted.foreach { e =>
-          val us = e.ts.getTime * 1000L
+          val us = micros(e.ts)
           cur match {
             case Some(s) if us - s.lastUs <= gapUs =>
               cur = Some(SessionState(s.startUs, us, s.n + 1, s.total + e.value))

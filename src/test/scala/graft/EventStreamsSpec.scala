@@ -2,6 +2,7 @@ package graft
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import graft.streaming.{EventStreams, Evt}
 
 /** MemoryStream-driven specs for the real Structured Streaming
@@ -68,6 +69,39 @@ class EventStreamsSpec extends SparkTestBase {
       Evt(2, ts(2), 1, "view", 2.0))
     q.processAllAvailable(); q.stop()
     assert(spark.table("dedup_out").count() == 2)
+  }
+
+  test("streaming sessionize matches the batch gaps-and-islands twin on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evts = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.sessionize(input.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("session_eq_out")
+      .outputMode("append").start()
+    input.addData(evts.toSeq)
+    q.processAllAvailable()
+    // far-future event advances the watermark so every open session
+    // times out and emits
+    val maxTs = evts.map(_.ts.getTime).max
+    input.addData(Evt(-1, new Timestamp(maxTs + 86400000L * 30), -1, "noop", 0.0))
+    q.processAllAvailable()
+    input.addData(Evt(-2, new Timestamp(maxTs + 86400000L * 60), -1, "noop", 0.0))
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("session_eq_out")
+      .filter(col("user_id") >= 0)
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Long]("n_events"), math.round(r.getAs[Double]("total_value") * 100)))
+      .toSet
+    val batch = operators.StreamingTwins.stSessionize(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"), r.getAs[Long]("end_us"),
+        r.getAs[Long]("n_events"), math.round(r.getAs[Double]("total_value") * 100)))
+      .toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
   test("checkpointed parquet sink: stream lands as readable files") {
