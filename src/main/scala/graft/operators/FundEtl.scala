@@ -270,7 +270,41 @@ object FundEtl {
         date_format(col("arrival_date"), "yyyy-MM-dd").as("arrival_date"))
       .orderBy(col("rec_id"))
 
+  /** Typed JSON parsing — from_json with an explicit schema (the
+    * structured cousin of etl_json_fields' path extraction).
+    */
+  val etlJsonTyped: Q = (s, d) => {
+    val propsSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.IntegerType)))
+    Tables.events(s, d)
+      .withColumn("parsed", from_json(col("props"), propsSchema))
+      .select(col("event_id"), col("parsed.k").cast("long").as("k_val"),
+        (col("parsed.k") % 10 === 0).as("k_round"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Daily-rerun upsert: restated records (status P, amounts corrected)
+    * replace their snapshot rows, everything else carries forward —
+    * the anti-join + union merge the reference effectively performs by
+    * re-extracting a day's folder.
+    */
+  val etlUpsertSnapshot: Q = (s, d) => {
+    val snapshot = Tables.orders(s, d)
+      .select(col("o_orderkey").as("key"), round(col("o_totalprice"), 2).as("amount"),
+        lit("SNAPSHOT").as("src"))
+    val restated = Tables.orders(s, d)
+      .filter(col("o_orderstatus") === "P")
+      .select(col("o_orderkey").as("key"),
+        money2(col("o_totalprice") * 1.01).as("amount"),
+        lit("RESTATED").as("src"))
+    snapshot.join(restated.select(col("key")), Seq("key"), "left_anti")
+      .unionAll(restated)
+      .orderBy(col("key"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_json_typed" -> etlJsonTyped,
+    "etl_upsert_snapshot" -> etlUpsertSnapshot,
     "etl_redemption_detail" -> etlRedemptionDetail,
     "etl_dividend" -> etlDividend,
     "etl_conversion" -> etlConversion,
@@ -286,6 +320,21 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_json_typed" ->
+      """SELECT event_id,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+        | CAST(json_extract_string(props, '$.k') AS INT) % 10 = 0 AS k_round
+        |FROM events ORDER BY event_id""".stripMargin,
+    "etl_upsert_snapshot" ->
+      """SELECT * FROM (
+        | SELECT o_orderkey AS key, round(o_totalprice, 2) AS amount,
+        |        'SNAPSHOT' AS src
+        | FROM orders WHERE o_orderstatus <> 'P'
+        | UNION ALL
+        | SELECT o_orderkey, floor(o_totalprice * 1.01 * 100 + 0.5) / 100.0,
+        |        'RESTATED'
+        | FROM orders WHERE o_orderstatus = 'P') u
+        |ORDER BY key""".stripMargin,
     "etl_redemption_detail" ->
       """SELECT o_orderkey AS rec_id,
         | CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 'FORCED'
