@@ -302,7 +302,51 @@ object FundEtl {
       .orderBy(col("key"))
   }
 
+  /** The complete 16-column master table — the reference's
+    * `target_cols` (purchase_confirm_extractor.py:22: 账套编号
+    * 基金市场代码 交易市场 日期 业务类别 数量 金额 手续费 佣金 交易对手
+    * 资金账户 赎回到账日期 股东账户 席位号 产品名称 基金平台) composed
+    * end-to-end: classify → normalize → enrich (broadcast dict) →
+    * compute → standardize. One row per order, Hundsun-ready.
+    */
+  val etlMasterTable: Q = (s, d) => {
+    val platforms = Seq("haomai", "tiantian", "lide", "yingmi", "changliang",
+      "jiaohang", "wangjin", "pingan")
+    val platformCol = element_at(
+      typedlit(platforms), (col("o_orderkey") % platforms.size).cast("int") + 1)
+    val ledgerDict = Tables.nation(s, d)
+      .select(col("n_nationkey").as("dict_key"), col("n_name").as("ledger_id"))
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(ledgerDict), col("c_nationkey") === col("dict_key"), "left")
+      .withColumn("nav", lit(1.0) + (col("o_custkey") % 80).cast("double") / 200.0)
+      .withColumn("biz_type",
+        when(col("o_orderstatus") === "O", "SUB")
+          .when(col("o_orderstatus") === "F", "RED").otherwise("DIV"))
+      .select(
+        coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
+        lpad((col("o_custkey") % 1000000).cast("string"), 6, "0").as("fund_code"),
+        when(col("o_orderkey") % 2 === 0, "OTC").otherwise("EXCH").as("market"),
+        date_format(col("o_orderdate"), "yyyyMMdd").as("trade_date"),
+        col("biz_type"),
+        money2(col("o_totalprice") / col("nav")).as("shares"),
+        round(col("o_totalprice"), 2).as("amount"),
+        money2(col("o_totalprice") * 0.0015).as("fee"),
+        money2(greatest(col("o_totalprice") * 0.0015 * 0.15, lit(5.0))).as("commission"),
+        platformCol.as("counterparty"),
+        lpad((col("o_custkey") % 100000).cast("string"), 8, "0").as("cash_account"),
+        when(col("biz_type") === "RED",
+          date_format(date_add(col("o_orderdate"), 3), "yyyyMMdd")).as("arrival_date"),
+        concat(lit("H"), lpad(col("o_custkey").cast("string"), 9, "0")).as("holder_account"),
+        lpad((col("o_orderkey") % 1000).cast("string"), 4, "0").as("seat_no"),
+        col("c_name").as("product_name"),
+        platformCol.as("platform"),
+        col("o_orderkey").as("rec_id"))
+      .orderBy(col("rec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_master_table" -> etlMasterTable,
     "etl_json_typed" -> etlJsonTyped,
     "etl_upsert_snapshot" -> etlUpsertSnapshot,
     "etl_redemption_detail" -> etlRedemptionDetail,
@@ -320,6 +364,36 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_master_table" ->
+      """SELECT
+        | coalesce(n_name, 'UNMAPPED') AS ledger_id,
+        | lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
+        | CASE WHEN o_orderkey % 2 = 0 THEN 'OTC' ELSE 'EXCH' END AS market,
+        | strftime(o_orderdate, '%Y%m%d') AS trade_date,
+        | biz_type,
+        | floor(o_totalprice / nav * 100 + 0.5) / 100.0 AS shares,
+        | round(o_totalprice, 2) AS amount,
+        | floor(o_totalprice * 0.0015 * 100 + 0.5) / 100.0 AS fee,
+        | floor(greatest(o_totalprice * 0.0015 * 0.15, 5.0) * 100 + 0.5) / 100.0 AS commission,
+        | platform AS counterparty,
+        | lpad(CAST(o_custkey % 100000 AS VARCHAR), 8, '0') AS cash_account,
+        | CASE WHEN biz_type = 'RED'
+        |      THEN strftime(o_orderdate + INTERVAL 3 DAY, '%Y%m%d') END AS arrival_date,
+        | concat('H', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) AS holder_account,
+        | lpad(CAST(o_orderkey % 1000 AS VARCHAR), 4, '0') AS seat_no,
+        | c_name AS product_name,
+        | platform,
+        | o_orderkey AS rec_id
+        |FROM (
+        | SELECT *,
+        |  1.0 + CAST(o_custkey % 80 AS DOUBLE) / 200.0 AS nav,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'SUB'
+        |       WHEN o_orderstatus = 'F' THEN 'RED' ELSE 'DIV' END AS biz_type,
+        |  ['haomai','tiantian','lide','yingmi','changliang','jiaohang','wangjin','pingan'][CAST(o_orderkey % 8 AS INT) + 1] AS platform
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | LEFT JOIN nation ON c_nationkey = n_nationkey) t
+        |ORDER BY rec_id""".stripMargin,
     "etl_json_typed" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
