@@ -117,7 +117,44 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("quality_score"), col("text_hash"))
       .orderBy(col("doc_id"))
 
+  /** PII-style redaction: digit runs → <NUM>, long hex-ish tokens →
+    * <ID>, email-shaped tokens → <EMAIL> — the masking pass a
+    * training-data pipeline runs before tokenization. Deterministic,
+    * map-only.
+    */
+  val txRedact: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(col("text"), "[a-z0-9.+-]+@[a-z0-9.-]+", "<EMAIL>"),
+            "[0-9]{4,}", "<NUM>"),
+          "\\b[a-f0-9]{16,}\\b", "<ID>"))
+      .select(col("doc_id"),
+        col("redacted"),
+        (col("redacted") =!= col("text")).as("was_redacted"),
+        regexp_count(col("redacted"), lit("<NUM>")).cast("long").as("n_num_masks"))
+      .orderBy(col("doc_id"))
+
+  /** Bigram frequency table — sliding-window n-gram stats over the
+    * corpus (explode the zipped token stream, one shuffle on the
+    * bigram key with map-side combine).
+    */
+  val txBigrams: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+          | ELSE zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |               slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |               (a, b) -> concat(a, ' ', b)) END""".stripMargin)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(30)
+
   val queries: Map[String, Q] = Map(
+    "tx_redact" -> txRedact,
+    "tx_bigrams" -> txBigrams,
     "tx_clean_corpus" -> txCleanCorpus,
     "tx_langid" -> txLangId,
     "tx_quality" -> txQuality,
@@ -125,6 +162,25 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_redact" ->
+      """SELECT doc_id, redacted, redacted <> text AS was_redacted,
+        | len(regexp_extract_all(redacted, '<NUM>')) AS n_num_masks
+        |FROM (
+        | SELECT doc_id, text,
+        |  regexp_replace(
+        |   regexp_replace(
+        |    regexp_replace(text, '[a-z0-9.+-]+@[a-z0-9.-]+', '<EMAIL>', 'g'),
+        |    '[0-9]{4,}', '<NUM>', 'g'),
+        |   '\b[a-f0-9]{16,}\b', '<ID>', 'g') AS redacted
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
+    "tx_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        | SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |   ELSE list_transform(range(1, len(toks)),
+        |        i -> concat(toks[i], ' ', toks[i+1])) END) AS bigram
+        | FROM (SELECT string_split(text, ' ') AS toks FROM documents) x) t
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 30""".stripMargin,
     "tx_clean_corpus" ->
       """SELECT min(doc_id) AS doc_id, min(lang) AS lang,
         | min(quality_score) AS quality_score, text_hash
