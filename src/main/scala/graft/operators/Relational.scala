@@ -373,7 +373,67 @@ object Relational {
       .orderBy(col("n").desc, col("word"))
       .limit(20)
 
+  /** As-of join — an operator Spark lacks natively, composed the
+    * scalable way: tag both streams, union, and carry the most recent
+    * purchase attributes forward with last(..., ignoreNulls) over one
+    * event-time window. Single shuffle on the join key, no per-row
+    * probing; the oracle is DuckDB's native ASOF LEFT JOIN.
+    */
+  val q29AsofJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), lit(null).cast("long").as("click_id"),
+        col("ts").as("p_ts"), col("value").as("p_value"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id").as("click_id"),
+        lit(null).cast("timestamp").as("p_ts"), lit(null).cast("double").as("p_value"))
+    // purchases sort before a same-instant click (p.ts <= c.ts matches)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("click_id").isNotNull.cast("int"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    purchases.unionAll(clicks)
+      .withColumn("m_ts", last(col("p_ts"), ignoreNulls = true).over(w))
+      .withColumn("m_value", last(col("p_value"), ignoreNulls = true).over(w))
+      .filter(col("click_id").isNotNull)
+      .select(col("click_id").as("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("click_us"),
+        unix_micros(col("m_ts")).as("purchase_us"),
+        round(col("m_value"), 2).as("purchase_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Range (interval) join — error events matched to OTHER users'
+    * concurrent sessions. A naive inequality join is O(n·m); the scale
+    * path buckets time by hour, explodes each session over the hours
+    * it spans (bounded by the watermark/gap), and equi-joins on the
+    * bucket before applying the range predicate — the standard
+    * range-join optimization. Oracle: DuckDB plain inequality join.
+    */
+  val q30RangeJoin: Q = (s, d) => {
+    val hourUs = 3600L * 1000000L
+    val sessions = StreamingTwins.stSessionize(s, d)
+      .select(col("user_id").as("s_user"), col("start_us"), col("end_us"))
+    val sessBuckets = sessions.withColumn("bkt",
+      explode(expr(s"sequence(start_us div $hourUs, end_us div $hourUs)")))
+    val errors = Tables.events(s, d)
+      .filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("bkt", expr(s"ts_us div $hourUs"))
+    val matched = errors.join(sessBuckets,
+        errors("bkt") === sessBuckets("bkt") &&
+          col("ts_us") >= col("start_us") && col("ts_us") <= col("end_us") &&
+          col("user_id") =!= col("s_user"))
+      .groupBy(col("event_id"))
+      .agg(count(lit(1)).as("n_concurrent"))
+    errors.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        coalesce(col("n_concurrent"), lit(0L)).as("n_concurrent"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q29_asof_join" -> q29AsofJoin,
+    "q30_range_join" -> q30RangeJoin,
     "q25_set_ops" -> q25SetOps,
     "q26_cube" -> q26Cube,
     "q27_string_agg" -> q27StringAgg,
@@ -404,6 +464,39 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q29_asof_join" ->
+      """SELECT c.event_id, c.user_id,
+        | epoch_us(c.ts) AS click_us,
+        | epoch_us(p.ts) AS purchase_us,
+        | round(p.value, 2) AS purchase_value
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND p.ts <= c.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q30_range_join" ->
+      """WITH sessions AS (
+        | SELECT user_id AS s_user, min(ts_us) AS start_us, max(ts_us) AS end_us
+        | FROM (
+        |  SELECT user_id, ts_us,
+        |   sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM (
+        |   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |           OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |              > 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |   FROM events) flagged) grouped
+        | GROUP BY user_id, session_id),
+        |errors AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us
+        | FROM events WHERE event_type = 'error')
+        |SELECT e.event_id, e.user_id, e.ts_us,
+        | count(s.s_user) AS n_concurrent
+        |FROM errors e
+        |LEFT JOIN sessions s
+        |  ON e.ts_us >= s.start_us AND e.ts_us <= s.end_us AND e.user_id <> s.s_user
+        |GROUP BY e.event_id, e.user_id, e.ts_us
+        |ORDER BY e.event_id""".stripMargin,
     "q25_set_ops" ->
       """SELECT * FROM (
         | SELECT o_custkey, 'BOTH' AS set_rel FROM (
