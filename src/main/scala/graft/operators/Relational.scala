@@ -431,9 +431,23 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** Fixed-width histogram over order totals (the profiling primitive
+    * behind data-quality dashboards): one map-side bucket expr + one
+    * small-key shuffle.
+    */
+  val q31Histogram: Q = (s, d) =>
+    Tables.orders(s, d)
+      .withColumn("bin", floor(col("o_totalprice") / 25000.0).cast("long"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("bin_min"),
+        round(max(col("o_totalprice")), 2).as("bin_max"))
+      .orderBy(col("bin"))
+
   val queries: Map[String, Q] = Map(
     "q29_asof_join" -> q29AsofJoin,
     "q30_range_join" -> q30RangeJoin,
+    "q31_histogram" -> q31Histogram,
     "q25_set_ops" -> q25SetOps,
     "q26_cube" -> q26Cube,
     "q27_string_agg" -> q27StringAgg,
@@ -497,6 +511,12 @@ object Relational {
         |  ON e.ts_us >= s.start_us AND e.ts_us <= s.end_us AND e.user_id <> s.s_user
         |GROUP BY e.event_id, e.user_id, e.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "q31_histogram" ->
+      """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
+        | count(*) AS n,
+        | round(min(o_totalprice), 2) AS bin_min,
+        | round(max(o_totalprice), 2) AS bin_max
+        |FROM orders GROUP BY 1 ORDER BY bin""".stripMargin,
     "q25_set_ops" ->
       """SELECT * FROM (
         | SELECT o_custkey, 'BOTH' AS set_rel FROM (

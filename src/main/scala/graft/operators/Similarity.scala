@@ -114,15 +114,50 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Scalar int8 quantization of the embedding column — the storage
+    * path for billion-scale vector corpora (4× smaller than float32).
+    * Per-vector symmetric scale = max|x|/127; emits reconstruction
+    * error stats so the quantizer is auditable. Map-only, codegen'd
+    * HOF arithmetic.
+    */
+  val annQuantizeInt8: Q = (s, d) =>
+    Tables.embeddings(s, d)
+      .withColumn("scale", expr(
+        "aggregate(embedding, cast(0.0 as double), (m, x) -> greatest(m, abs(cast(x as double)))) / 127.0"))
+      .withColumn("q", expr(
+        "transform(embedding, x -> cast(floor(cast(x as double) / scale + 0.5) as int))"))
+      .withColumn("recon_err", expr(
+        """aggregate(zip_with(embedding, q, (x, v) -> abs(cast(x as double) - v * scale)),
+          | cast(0.0 as double), (acc, e) -> acc + e) / size(embedding)""".stripMargin))
+      .select(col("vec_id"),
+        floor(col("scale") * 1000000 + 0.5).cast("long").as("scale_e6"),
+        expr("aggregate(q, 0, (acc, v) -> acc + abs(v))").cast("long").as("l1_q"),
+        floor(col("recon_err") * 1000000 + 0.5).cast("long").as("recon_err_e6"))
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, Q] = Map(
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
-    "ann_ivf_topk" -> annIvfTopk)
+    "ann_ivf_topk" -> annIvfTopk,
+    "ann_quantize_int8" -> annQuantizeInt8)
 
   /** ann_lsh_topk is approximate by construction → rows-only check.
     * ann_brute_topk is exact and DuckDB has list_cosine_similarity.
     */
   val oracles: Map[String, String] = Map(
+    "ann_quantize_int8" ->
+      """SELECT vec_id,
+        | CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6,
+        | CAST(list_sum(list_transform(embedding,
+        |   x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT)))) AS BIGINT) AS l1_q,
+        | CAST(floor(list_sum(list_transform(embedding,
+        |   x -> abs(CAST(x AS DOUBLE) - CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS INT) * scale)))
+        |   / len(embedding) * 1000000 + 0.5) AS BIGINT) AS recon_err_e6
+        |FROM (
+        | SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        | FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin,
     "ann_brute_topk" ->
       """SELECT query_id, rank, neighbor_id, sim FROM (
         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
