@@ -444,10 +444,53 @@ object Relational {
         round(max(col("o_totalprice")), 2).as("bin_max"))
       .orderBy(col("bin"))
 
+  /** RANGE-framed window: trailing 30-day spend per customer — the
+    * value-based frame (RANGE, not ROWS) over event time.
+    */
+  val q32RangeFrame: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day_n"))
+      .rangeBetween(-30, Window.currentRow)
+    Tables.orders(s, d)
+      .withColumn("day_n", datediff(col("o_orderdate"), lit("1995-01-01").cast("date")).cast("long"))
+      .select(col("o_custkey"), col("o_orderkey"), col("day_n"),
+        round(sum(col("o_totalprice")).over(w), 2).as("trailing_30d"),
+        count(lit(1)).over(w).as("n_30d"))
+      .orderBy(col("o_custkey"), col("day_n"), col("o_orderkey"))
+  }
+
+  /** Distribution windows: quartile bucket + percent_rank per market
+    * segment.
+    */
+  val q33Ntile: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        round(col("c_acctbal"), 2).as("balance"),
+        ntile(4).over(w).cast("long").as("quartile"),
+        q4(percent_rank().over(w)).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** Statistical aggregates: stddev, correlation, covariance per
+    * return flag.
+    */
+  val q34Stats: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        q4(stddev_samp(col("l_extendedprice"))).as("sd_price"),
+        q4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+        q4(covar_samp(col("l_discount"), col("l_tax"))).as("covar_disc_tax"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
     "q29_asof_join" -> q29AsofJoin,
     "q30_range_join" -> q30RangeJoin,
     "q31_histogram" -> q31Histogram,
+    "q32_range_frame" -> q32RangeFrame,
+    "q33_ntile" -> q33Ntile,
+    "q34_stats" -> q34Stats,
     "q25_set_ops" -> q25SetOps,
     "q26_cube" -> q26Cube,
     "q27_string_agg" -> q27StringAgg,
@@ -511,6 +554,28 @@ object Relational {
         |  ON e.ts_us >= s.start_us AND e.ts_us <= s.end_us AND e.user_id <> s.s_user
         |GROUP BY e.event_id, e.user_id, e.ts_us
         |ORDER BY e.event_id""".stripMargin,
+    "q32_range_frame" ->
+      """SELECT o_custkey, o_orderkey, day_n,
+        | round(sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day_n
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS trailing_30d,
+        | count(*) OVER (PARTITION BY o_custkey ORDER BY day_n
+        |   RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS n_30d
+        |FROM (SELECT *, CAST(date_diff('day', DATE '1995-01-01', o_orderdate) AS BIGINT) AS day_n
+        |      FROM orders) t
+        |ORDER BY o_custkey, day_n, o_orderkey""".stripMargin,
+    "q33_ntile" ->
+      """SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS balance,
+        | CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        | floor(percent_rank() OVER w * 10000 + 0.5) / 10000.0 AS pct_rank
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q34_stats" ->
+      """SELECT l_returnflag,
+        | floor(stddev_samp(l_extendedprice) * 10000 + 0.5) / 10000.0 AS sd_price,
+        | floor(corr(l_quantity, l_extendedprice) * 10000 + 0.5) / 10000.0 AS corr_qty_price,
+        | floor(covar_samp(l_discount, l_tax) * 10000 + 0.5) / 10000.0 AS covar_disc_tax
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q31_histogram" ->
       """SELECT CAST(floor(o_totalprice / 25000.0) AS BIGINT) AS bin,
         | count(*) AS n,
