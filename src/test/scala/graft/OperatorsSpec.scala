@@ -22,6 +22,16 @@ class OperatorsSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
+  test("rows-only set is exactly the intended approximate/seeded ops") {
+    // a typo'd oracle key silently downgrades a query to a weak
+    // rows-only check — pin the intended set
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
+      "dd_embed_cosine", "ann_lsh_topk", "ann_ivf_topk", "q22_approx_distinct")
+    assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
+      s"unexpectedly oracled: ${intended -- rowsOnly}")
+  }
+
   test("entry returns nonzero rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
