@@ -345,7 +345,37 @@ object FundEtl {
       .orderBy(col("rec_id"))
   }
 
+  /** Cross-source reconciliation via the typed cogroup API — platform
+    * statements (events) against the internal ledger (orders), one
+    * output row per reconciliation key including keys present on only
+    * one side, with a match verdict. The fund-ops closing check.
+    */
+  val etlReconcile: Q = (s, d) => {
+    import s.implicits._
+    val ledger = Tables.orders(s, d)
+      .select((col("o_custkey") % 100).as("rk"), col("o_totalprice"))
+      .as[(Long, Double)]
+    val statements = Tables.events(s, d)
+      .select(col("user_id").as("rk"), col("value"))
+      .as[(Long, Double)]
+    ledger.groupByKey(_._1).cogroup(statements.groupByKey(_._1)) {
+      (key, ord, evs) =>
+        var nOrd = 0L; var sumOrd = 0.0
+        ord.foreach { o => nOrd += 1; sumOrd += o._2 }
+        var nEv = 0L; var sumEv = 0.0
+        evs.foreach { e => nEv += 1; sumEv += e._2 }
+        val verdict =
+          if (nOrd == 0) "STATEMENT_ONLY"
+          else if (nEv == 0) "LEDGER_ONLY"
+          else "MATCHED"
+        Iterator((key, nOrd, math.floor(sumOrd * 100 + 0.5) / 100, nEv,
+          math.floor(sumEv * 100 + 0.5) / 100, verdict))
+    }.toDF("rk", "n_ledger", "ledger_total", "n_statements", "statement_total", "verdict")
+      .orderBy(col("rk"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_reconcile" -> etlReconcile,
     "etl_master_table" -> etlMasterTable,
     "etl_json_typed" -> etlJsonTyped,
     "etl_upsert_snapshot" -> etlUpsertSnapshot,
@@ -364,6 +394,22 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_reconcile" ->
+      """SELECT coalesce(l.rk, st.rk) AS rk,
+        | coalesce(l.n_ledger, 0) AS n_ledger,
+        | coalesce(l.ledger_total, 0.0) AS ledger_total,
+        | coalesce(st.n_statements, 0) AS n_statements,
+        | coalesce(st.statement_total, 0.0) AS statement_total,
+        | CASE WHEN l.rk IS NULL THEN 'STATEMENT_ONLY'
+        |      WHEN st.rk IS NULL THEN 'LEDGER_ONLY'
+        |      ELSE 'MATCHED' END AS verdict
+        |FROM (SELECT o_custkey % 100 AS rk, count(*) AS n_ledger,
+        |       floor(sum(o_totalprice) * 100 + 0.5) / 100.0 AS ledger_total
+        |      FROM orders GROUP BY 1) l
+        |FULL OUTER JOIN (SELECT user_id AS rk, count(*) AS n_statements,
+        |       floor(sum(value) * 100 + 0.5) / 100.0 AS statement_total
+        |      FROM events GROUP BY 1) st ON l.rk = st.rk
+        |ORDER BY rk""".stripMargin,
     "etl_master_table" ->
       """SELECT
         | coalesce(n_name, 'UNMAPPED') AS ledger_id,
