@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Recall of the LSH dedup family against exact ground truth computed
+  * brute-force over the sf0.001 corpus (500 docs → 125k pairs, cheap
+  * in-memory).
+  */
+class DedupRecallSpec extends SparkTestBase {
+
+  private lazy val shingleSets: Map[Long, Set[String]] =
+    sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), lower(trim(col("text"))).as("t"))
+      .collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val sh = if (toks.length < 3) Set(r.getString(1))
+          else toks.sliding(3).map(_.mkString(" ")).toSet
+        r.getLong(0) -> sh
+      }.toMap
+
+  private lazy val trueHighPairs: Set[(Long, Long)] = {
+    val ids = shingleSets.keys.toSeq.sorted
+    (for {
+      i <- ids.iterator
+      j <- ids.iterator if i < j
+      a = shingleSets(i); b = shingleSets(j)
+      inter = (a & b).size
+      if inter > 0 && inter.toDouble / (a | b).size >= 0.9
+    } yield (i, j)).toSet
+  }
+
+  test("minhash-LSH finds every pair with exact jaccard >= 0.9") {
+    val found = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val missed = trueHighPairs -- found
+    assert(trueHighPairs.nonEmpty, "corpus should contain planted near-dups")
+    assert(missed.isEmpty, s"LSH missed ${missed.size}/${trueHighPairs.size}: ${missed.take(5)}")
+  }
+
+  test("ngram-jaccard blocking finds nearly all true pairs") {
+    val found = operators.Dedup.ddNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // two-perm blocking has ~j^2 recall per pair (≈0.8 at j=0.9)
+    val recall = (trueHighPairs & found).size.toDouble / trueHighPairs.size
+    assert(recall >= 0.6, s"recall=$recall over ${trueHighPairs.size} true pairs")
+    // and everything it reports really is >= 0.8 exact jaccard
+    found.foreach { case (a, b) =>
+      val (sa, sb) = (shingleSets(a), shingleSets(b))
+      val j = (sa & sb).size.toDouble / (sa | sb).size
+      assert(j >= 0.75, s"pair ($a,$b) reported but exact jaccard=$j")
+    }
+  }
+}
