@@ -172,7 +172,50 @@ object Dedup {
       .limit(50)
   }
 
+  /** Near-dup CLUSTERING: connected components over the MinHash-LSH
+    * pair graph via iterative min-label propagation — pairwise matches
+    * become dedup groups (keep cluster_id = min doc, drop the rest).
+    * Each iteration is one join + one groupBy; components here are
+    * tiny chains so the fixpoint lands in O(log diameter) rounds —
+    * the same loop structure (driver-side iteration over declarative
+    * steps) used for large-graph CC at cluster scale.
+    */
+  val ddCluster: Q = (s, d) => {
+    val pairs = ddMinhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    var labels = edges.select(col("doc_a").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .persist()
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 15) {
+      val propagated = edges
+        .join(labels, edges("doc_a") === labels("node"))
+        .select(col("doc_b").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy(col("node"))
+        .agg(min(col("label")).as("label"))
+        .persist()
+      val changed = propagated.as("p")
+        .join(labels.as("l"), col("p.node") === col("l.node"))
+        .filter(col("p.label") =!= col("l.label"))
+        .limit(1).count()
+      labels = propagated
+      converged = changed == 0
+      rounds += 1
+    }
+    labels
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size").cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_cluster" -> ddCluster,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_simhash" -> ddSimhash,

@@ -27,7 +27,8 @@ class OperatorsSpec extends SparkTestBase {
     // rows-only check — pin the intended set
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
-      "dd_embed_cosine", "ann_lsh_topk", "ann_ivf_topk", "q22_approx_distinct")
+      "dd_embed_cosine", "dd_cluster", "ann_lsh_topk", "ann_ivf_topk",
+      "q22_approx_distinct")
     assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
       s"unexpectedly oracled: ${intended -- rowsOnly}")
   }
@@ -53,6 +54,25 @@ class OperatorsSpec extends SparkTestBase {
     val docs = sources.Tables.documents(spark, sfDir)
     val distinctTexts = docs.select(lower(trim(col("text")))).distinct().count()
     assert(operators.Dedup.ddExact(spark, sfDir).count() == distinctTexts)
+  }
+
+  test("dd_cluster labels every paired doc with its component minimum") {
+    val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    // reference union-find
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    val got = operators.Dedup.ddCluster(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(got == expected, s"diff=${(got.toSet diff expected.toSet).take(5)}")
   }
 
   test("dd_minhash_lsh pairs are canonical and thresholded") {
