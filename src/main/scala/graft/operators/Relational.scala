@@ -10,7 +10,11 @@ import graft.sources.Tables
   * Each operator is a declarative DataFrame plan (Catalyst owns join
   * strategy, pushdown, pruning); the paired DuckDB oracle SQL lives in
   * [[Relational.oracles]] with matching column aliases and a total
-  * deterministic ORDER BY.
+  * deterministic ORDER BY. Where a shape mirrors the reference it is
+  * cited inline (e.g. q12's standardize-union is the multi-extractor
+  * `pd.concat` of /root/reference/extractors/
+  * purchase_confirm_extractor.py:1603, q13's CASE bucketing is its
+  * business-type routing at :1440-1461).
   *
   * Determinism conventions (see SURVEY.md §6): sums of doubles rounded
   * to 2dp, averages/ratios to 4dp, every result totally ordered by a

@@ -10,7 +10,12 @@ import graft.sources.Tables
   * The genuine `readStream`/`writeStream` pipelines live in
   * [[graft.streaming.EventStreams]]; these operators run the same
   * event-time semantics (tumbling windows, gap sessionization,
-  * key dedup) in batch so the DuckDB oracle can check them.
+  * key dedup) in batch so the DuckDB oracle can check them. The
+  * streaming surface is the incremental version of the reference's
+  * daily dated-folder scan (main - 基金单提取程序.py walks
+  * `\\...\估值材料（备查）/<year>/<yyyymmdd>/`;
+  * purchase_confirm_extractor.py:1432 os.walk) — statements drop in,
+  * the pipeline picks them up.
   */
 object StreamingTwins {
   private type Q = (SparkSession, String) => DataFrame
