@@ -152,7 +152,26 @@ object TextAnalysis {
       .orderBy(col("n").desc, col("bigram"))
       .limit(30)
 
+  /** Deterministic stratified sampling — per-language rates via a
+    * multiplicative hash of the document id (Knuth constant, id first
+    * reduced mod 1000003 so the product never overflows ANSI bigint), so the
+    * sample is reproducible across runs and engines: the selection an
+    * LLM-data pipeline makes when rebalancing a corpus.
+    */
+  val txSampleStratified: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("bucket", pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L)))
+      .withColumn("rate",
+        when(col("lang") === "en", 80)
+          .when(col("lang").isin("de", "fr", "es"), 50)
+          .otherwise(30))
+      .filter(col("bucket") < col("rate"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"),
+        col("rate").cast("long").as("rate"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "tx_sample_stratified" -> txSampleStratified,
     "tx_redact" -> txRedact,
     "tx_bigrams" -> txBigrams,
     "tx_clean_corpus" -> txCleanCorpus,
@@ -162,6 +181,15 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_sample_stratified" ->
+      """SELECT doc_id, lang, bucket, rate FROM (
+        | SELECT doc_id, lang,
+        |  ((doc_id % 1000003) * 2654435761) % 100 AS bucket,
+        |  CAST(CASE WHEN lang = 'en' THEN 80
+        |       WHEN lang IN ('de','fr','es') THEN 50
+        |       ELSE 30 END AS BIGINT) AS rate
+        | FROM documents) t
+        |WHERE bucket < rate ORDER BY doc_id""".stripMargin,
     "tx_redact" ->
       """SELECT doc_id, redacted, redacted <> text AS was_redacted,
         | len(regexp_extract_all(redacted, '<NUM>')) AS n_num_masks
