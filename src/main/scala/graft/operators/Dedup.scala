@@ -56,7 +56,14 @@ object Dedup {
     * (8 bands × 4 rows): docs sharing any band become candidate pairs;
     * the signature-estimated Jaccard filters at 0.5.
     */
-  val ddMinhashLsh: Q = (s, d) => {
+  val ddMinhashLsh: Q = (s, d) =>
+    minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Unsorted MinHash-LSH pair graph — shared by dd_minhash_lsh (which
+    * adds the presentation sort) and dd_cluster (which doesn't need
+    * one; a global sort in front of an iterative consumer is waste).
+    */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = shingled(s, d)
       .withColumn("sig", expr(
         // ANSI mode (Spark 4 default) rejects wrap-around: reduce the
@@ -88,7 +95,6 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash over token hashes; candidates from 16-bit chunk
@@ -175,19 +181,28 @@ object Dedup {
   /** Near-dup CLUSTERING: connected components over the MinHash-LSH
     * pair graph via iterative min-label propagation — pairwise matches
     * become dedup groups (keep cluster_id = min doc, drop the rest).
-    * Each iteration is one join + one groupBy; components here are
-    * tiny chains so the fixpoint lands in O(log diameter) rounds —
-    * the same loop structure (driver-side iteration over declarative
-    * steps) used for large-graph CC at cluster scale.
+    * Each iteration is one join + one groupBy, `localCheckpoint`ed so
+    * the logical plan stays O(1) per round instead of growing with the
+    * iteration count (the standard lineage-truncation move for
+    * iterative DataFrame algorithms — without it, round-N optimization
+    * replays all N-1 prior plans and the loop goes quadratic).
+    * Convergence is detected from the label sum: min-propagation only
+    * ever lowers labels, so an unchanged sum IS the fixpoint — one
+    * cheap aggregate per round instead of a propagated⋈labels diff
+    * join. Components here are tiny chains so the fixpoint lands in
+    * O(diameter) rounds.
     */
   val ddCluster: Q = (s, d) => {
-    val pairs = ddMinhashLsh(s, d).select(col("doc_a"), col("doc_b"))
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .persist()
+      .localCheckpoint()
+    def labelSum(df: DataFrame): Long =
+      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var rounds = 0
     while (!converged && rounds < 15) {
@@ -197,13 +212,11 @@ object Dedup {
         .unionAll(labels)
         .groupBy(col("node"))
         .agg(min(col("label")).as("label"))
-        .persist()
-      val changed = propagated.as("p")
-        .join(labels.as("l"), col("p.node") === col("l.node"))
-        .filter(col("p.label") =!= col("l.label"))
-        .limit(1).count()
+        .localCheckpoint()
+      val newSum = labelSum(propagated)
       labels = propagated
-      converged = changed == 0
+      converged = newSum == prevSum
+      prevSum = newSum
       rounds += 1
     }
     labels
