@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, SimHash64}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... graft_cosine(a, b)
@@ -21,5 +21,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) =>
+        MinHashSignature(children(0), children(1).eval().asInstanceOf[Number].intValue)))
+    ext.injectFunction((
+      FunctionIdentifier("graft_simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
+      (children: Seq[Expression]) => SimHash64(children(0))))
   }
 }

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** Native Catalyst expressions for dedup signature kernels.
+  *
+  * The MinHash/SimHash signatures were first written as higher-order
+  * function chains (`transform`/`aggregate`/`zip_with`); HOFs are
+  * interpreted (CodegenFallback) and these kernels are O(perms ×
+  * shingles) / O(64 × tokens) per row, so at corpus scale the lambda
+  * interpreter dominates the scan. Each expression here generates (and
+  * interprets, for the fallback path) one tight primitive loop —
+  * identical arithmetic to the HOF originals, so signatures and every
+  * downstream LSH bucket stay bit-for-bit the same.
+  */
+
+/** minhash_sig(sh_hashes, numPerms): for permutation p, min over
+  * shingle hashes h of  ((h mod M) * (2p+1) + p*2654435761) mod M
+  * with M = 2^31-1 (Mersenne prime) — exactly the HOF version in
+  * Dedup.shingled. Returns null for an empty array (array_min of an
+  * empty array is null in the HOF original).
+  */
+case class MinHashSignature(child: Expression, numPerms: Int)
+    extends UnaryExpression with Serializable {
+  override def prettyName: String = "graft_minhash_sig"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](numPerms)
+    val M = 2147483647L
+    var p = 0
+    while (p < numPerms) {
+      val ca = 2L * p + 1L
+      val cb = p.toLong * 2654435761L
+      var mn = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        var r = arr.getLong(i) % M
+        if (r < 0) r += M
+        val v = (r * ca + cb) % M
+        if (v < mn) mn = v
+        i += 1
+      }
+      out(p) = mn
+      p += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val p = ctx.freshName("p"); val i = ctx.freshName("i")
+      val ca = ctx.freshName("ca"); val cb = ctx.freshName("cb")
+      val mn = ctx.freshName("mn"); val r = ctx.freshName("r")
+      val v = ctx.freshName("v")
+      s"""
+         |int $n = $a.numElements();
+         |if ($n == 0) { ${ev.isNull} = true; } else {
+         |  long[] $out = new long[$numPerms];
+         |  for (int $p = 0; $p < $numPerms; $p++) {
+         |    long $ca = 2L * $p + 1L;
+         |    long $cb = ((long) $p) * 2654435761L;
+         |    long $mn = Long.MAX_VALUE;
+         |    for (int $i = 0; $i < $n; $i++) {
+         |      long $r = $a.getLong($i) % 2147483647L;
+         |      if ($r < 0) $r += 2147483647L;
+         |      long $v = ($r * $ca + $cb) % 2147483647L;
+         |      if ($v < $mn) $mn = $v;
+         |    }
+         |    $out[$p] = $mn;
+         |  }
+         |  ${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** simhash64(tokens): xxhash64 (seed 42, same as the built-in) each
+  * token, vote per bit (+1 if set, −1 if clear), emit the 64-bit
+  * majority word — exactly the `aggregate`/`zip_with` chain it
+  * replaces, in one pass over the tokens.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression with Serializable {
+  override def prettyName: String = "graft_simhash64"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < n) {
+      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      var j = 0
+      while (j < 64) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var res = 0L
+    var j = 0
+    while (j < 64) { if (counts(j) > 0) res |= 1L << j; j += 1 }
+    res
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val counts = ctx.freshName("counts")
+      val i = ctx.freshName("i"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val res = ctx.freshName("res")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $counts = new int[64];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  long $h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUTF8String($a.getUTF8String($i), 42L);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >> $j) & 1L) == 1L) $counts[$j]++; else $counts[$j]--;
+         |  }
+         |}
+         |long $res = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($counts[$j] > 0) $res |= 1L << $j; }
+         |${ev.value} = $res;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object HashFunctions {
+  def minhashSig(hashes: Column, numPerms: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(hashes), numPerms))
+
+  def simhash64(tokens: Column): Column =
+    Bridge.column(SimHash64(Bridge.expression(tokens)))
+}

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.cosineSim
+import graft.functions.HashFunctions.{minhashSig, simhash64}
 import graft.sources.Tables
 
 /** §2.C — deduplication family for a training-data pipeline.
@@ -52,7 +53,9 @@ object Dedup {
       .select(col("doc_id"), col("text_hash"))
       .orderBy(col("doc_id"))
 
-  /** MinHash (32 perms over xxhash64'd 3-gram shingles) + banded LSH
+  /** MinHash (32 perms over xxhash64'd 3-gram shingles, computed by
+    * the native codegen'd MinHashSignature expression — the HOF chain
+    * it replaced was interpreted O(32×shingles) per row) + banded LSH
     * (8 bands × 4 rows): docs sharing any band become candidate pairs;
     * the signature-estimated Jaccard filters at 0.5.
     */
@@ -65,14 +68,7 @@ object Dedup {
     */
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = shingled(s, d)
-      .withColumn("sig", expr(
-        // ANSI mode (Spark 4 default) rejects wrap-around: reduce the
-        // 64-bit hash mod the Mersenne prime 2^31-1 first so
-        // h31*(2p+1)+p*c stays far below 2^63.
-        """transform(sequence(0, 31), p ->
-          |  array_min(transform(sh_hashes, h ->
-          |    pmod(pmod(h, 2147483647) * cast(2*p+1 as bigint)
-          |         + cast(p as bigint) * 2654435761, 2147483647))))""".stripMargin))
+      .withColumn("sig", minhashSig(col("sh_hashes"), 32))
       .select(col("doc_id"), col("sig"))
       .persist()
     // Carry the signature through the band join: the estimate is
@@ -97,21 +93,15 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
   }
 
-  /** 64-bit SimHash over token hashes; candidates from 16-bit chunk
-    * bands (any hamming-≤3 pair shares a chunk), verified by
-    * bit_count(xor) ≤ 10.
+  /** 64-bit SimHash over token hashes (native codegen'd SimHash64
+    * expression — one pass over tokens instead of an interpreted
+    * O(64×tokens) aggregate/zip_with chain); candidates from 16-bit
+    * chunk bands (any hamming-≤3 pair shares a chunk), verified by
+    * bit_count(xor) ≤ 4.
     */
   val ddSimhash: Q = (s, d) => {
     val sim = Tables.documents(s, d)
-      .withColumn("th", expr("transform(split(lower(trim(text)), ' '), t -> xxhash64(t))"))
-      .withColumn("bitcounts", expr(
-        """aggregate(th, array_repeat(cast(0 as bigint), 64),
-          |  (acc, h) -> zip_with(acc, sequence(0, 63),
-          |    (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1)))""".stripMargin))
-      .withColumn("simhash", expr(
-        """aggregate(zip_with(bitcounts, sequence(0, 63),
-          |    (c, j) -> if(c > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
-          |  cast(0 as bigint), (acc, v) -> acc | v)""".stripMargin))
+      .withColumn("simhash", simhash64(split(lower(trim(col("text"))), " ")))
       .select(col("doc_id"), col("simhash"))
       .persist()
     val chunked = sim.withColumn("c", explode(sequence(lit(0), lit(3))))

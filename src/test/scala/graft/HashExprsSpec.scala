@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.HashFunctions._
+
+/** Native codegen'd signature kernels vs the interpreted HOF chains
+  * they replaced — must be bit-for-bit identical (every downstream LSH
+  * bucket depends on it).
+  */
+class HashExprsSpec extends SparkTestBase {
+
+  private def docs = sources.Tables.documents(spark, sfDir)
+
+  test("minhashSig matches the transform/array_min HOF chain") {
+    val sh = docs
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) < 3 THEN array(norm)
+          | ELSE transform(sequence(0, size(toks)-3),
+          |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END""".stripMargin))
+      .withColumn("sh_hashes", expr("array_distinct(transform(shingles, x -> xxhash64(x)))"))
+    val cmp = sh.select(
+      minhashSig(col("sh_hashes"), 32).as("native"),
+      expr("""transform(sequence(0, 31), p ->
+               array_min(transform(sh_hashes, h ->
+                 pmod(pmod(h, 2147483647) * cast(2*p+1 as bigint)
+                      + cast(p as bigint) * 2654435761, 2147483647))))""").as("composed"))
+    assert(cmp.filter(not(col("native") === col("composed"))).count() === 0)
+  }
+
+  test("simhash64 matches the aggregate/zip_with HOF chain") {
+    val cmp = docs
+      .withColumn("th", expr("transform(split(lower(trim(text)), ' '), t -> xxhash64(t))"))
+      .withColumn("bitcounts", expr(
+        """aggregate(th, array_repeat(cast(0 as bigint), 64),
+          |  (acc, h) -> zip_with(acc, sequence(0, 63),
+          |    (a, j) -> a + if((shiftright(h, j) & 1) = 1, 1, -1)))""".stripMargin))
+      .select(
+        simhash64(split(lower(trim(col("text"))), " ")).as("native"),
+        expr("""aggregate(zip_with(bitcounts, sequence(0, 63),
+                  (c, j) -> if(c > 0, shiftleft(cast(1 as bigint), j), cast(0 as bigint))),
+                cast(0 as bigint), (acc, v) -> acc | v)""").as("composed"))
+    assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
+  }
+
+  test("expressions are registered as SQL functions via extensions") {
+    docs.createOrReplaceTempView("hx_docs")
+    val n = spark.sql(
+      """SELECT graft_simhash64(split(lower(trim(text)), ' ')) AS sh,
+        |       graft_minhash_sig(transform(split(text, ' '), x -> xxhash64(x)), 8) AS mh
+        |FROM hx_docs""".stripMargin).count()
+    assert(n > 0)
+  }
+}
