@@ -77,9 +77,92 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  /** Nearest-neighbor resize to a fixed 8×8 thumbnail: the payload is
+    * read as a width×height single-channel raster (out-of-range pixels
+    * are 0), each output pixel samples src (⌊y·h/8⌋, ⌊x·w/8⌋) — the
+    * real index arithmetic of a NN resize; only the "pixels" are stub
+    * (text bytes). One row in → one thumbnail row out, partition-
+    * batched like a vectorized image-transform stage.
+    */
+  val mmResize: Q = (s, d) => {
+    import s.implicits._
+    val out = 8
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        ((col("doc_id") % 32) + 16).cast("int").as("width"),
+        ((col("doc_id") % 24) + 12).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, w, h) =>
+          var sum = 0L
+          var mn = 255L
+          var mx = 0L
+          var y = 0
+          while (y < out) {
+            val sy = y * h / out
+            var x = 0
+            while (x < out) {
+              val sx = x * w / out
+              val idx = sy * w + sx
+              val v: Long = if (idx < bytes.length) (bytes(idx) & 0xff).toLong else 0L
+              sum += v
+              if (v < mn) mn = v
+              if (v > mx) mx = v
+              x += 1
+            }
+            y += 1
+          }
+          (id, out, out, sum, mn, mx)
+        }
+      }
+      .toDF("doc_id", "out_w", "out_h", "thumb_sum", "thumb_min", "thumb_max")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-payload feature extraction — the byte-level statistics a
+    * training pipeline computes per asset before filtering (mean
+    * level, energy, dynamic range, alphabet size). Stub stands in for
+    * a codec-backed extractor; batch shape and typed output schema are
+    * the real thing.
+    */
+  val mmFeatureExtract: Q = (s, d) => {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val seen = new Array[Boolean](256)
+          var sum = 0L
+          var sumSq = 0L
+          var mn = 255
+          var mx = 0
+          var i = 0
+          while (i < bytes.length) {
+            val v = bytes(i) & 0xff
+            seen(v) = true
+            sum += v
+            sumSq += v.toLong * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            i += 1
+          }
+          val n = bytes.length.max(1)
+          val nDistinct = seen.count(identity).toLong
+          val mean = math.floor(sum.toDouble / n * 10000 + 0.5) / 10000.0
+          val energy = math.floor(sumSq.toDouble / n * 10000 + 0.5) / 10000.0
+          (id, bytes.length.toLong, mean, energy, (mx - mn).toLong, nDistinct)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "mean_level", "energy", "dyn_range", "alphabet")
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "mm_decode_meta" -> mmDecodeMeta,
-    "mm_frame_sample" -> mmFrameSample)
+    "mm_frame_sample" -> mmFrameSample,
+    "mm_resize" -> mmResize,
+    "mm_feature_extract" -> mmFeatureExtract)
 
   /** The byte histogram is computable in SQL for ASCII text, so this
     * gets a real oracle despite the mapPartitions implementation.
@@ -103,5 +186,34 @@ object Multimodal {
         | SELECT doc_id, unnest(range(0, strlen(text) // 16, 4)) AS f,
         |  list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
         | FROM documents) t
-        |ORDER BY doc_id, frame_idx""".stripMargin)
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_resize" ->
+      """SELECT doc_id,
+        | CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
+        | CAST(list_sum(thumb) AS BIGINT) AS thumb_sum,
+        | CAST(list_min(thumb) AS BIGINT) AS thumb_min,
+        | CAST(list_max(thumb) AS BIGINT) AS thumb_max
+        |FROM (
+        | SELECT doc_id,
+        |  list_transform(range(0, 64), i ->
+        |    CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < strlen(text)
+        |         THEN bytes[((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1]
+        |         ELSE 0 END) AS thumb
+        | FROM (
+        |  SELECT doc_id, doc_id % 32 + 16 AS w, doc_id % 24 + 12 AS h,
+        |   text, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        |  FROM documents) r) t
+        |ORDER BY doc_id""".stripMargin,
+    "mm_feature_extract" ->
+      """SELECT doc_id,
+        | CAST(strlen(text) AS BIGINT) AS n_bytes,
+        | floor(list_sum(bytes) * 1.0 / greatest(strlen(text), 1) * 10000 + 0.5) / 10000.0 AS mean_level,
+        | floor(list_sum(list_transform(bytes, v -> v * v)) * 1.0 / greatest(strlen(text), 1) * 10000 + 0.5) / 10000.0 AS energy,
+        | CAST(list_max(bytes) - list_min(bytes) AS BIGINT) AS dyn_range,
+        | CAST(len(list_distinct(bytes)) AS BIGINT) AS alphabet
+        |FROM (
+        | SELECT doc_id, text,
+        |  list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin)
 }

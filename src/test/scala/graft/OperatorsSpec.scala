@@ -153,4 +153,20 @@ class OperatorsSpec extends SparkTestBase {
       assert(sum == r.getAs[Long]("n_bytes"))
     }
   }
+
+  test("mm_resize thumbnail stats are consistent") {
+    operators.Multimodal.mmResize(spark, sfDir).collect().foreach { r =>
+      val (sum, mn, mx) = (r.getAs[Long]("thumb_sum"),
+        r.getAs[Long]("thumb_min"), r.getAs[Long]("thumb_max"))
+      assert(mn <= mx && sum >= 64 * mn && sum <= 64 * mx)
+    }
+  }
+
+  test("mm_feature_extract bounds: mean within dynamic range, alphabet <= 256") {
+    operators.Multimodal.mmFeatureExtract(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("dyn_range") >= 0 && r.getAs[Long]("dyn_range") <= 255)
+      assert(r.getAs[Long]("alphabet") >= 1 && r.getAs[Long]("alphabet") <= 256)
+      assert(r.getAs[Double]("mean_level") >= 0.0 && r.getAs[Double]("mean_level") <= 255.0)
+    }
+  }
 }
