@@ -76,23 +76,38 @@ object Similarity {
   }
 
   /** IVF-style ANN: a fixed coarse quantizer (the first 16 vectors as
-    * centroids — deterministic; production would train k-means once and
-    * broadcast it), each corpus vector assigned to its nearest centroid
-    * map-only, queries probe their 4 nearest lists. Only probed lists
-    * pay the exact cosine — at 100 TB the assignment is a scan and the
-    * probe touches 4/16ths of the corpus.
+    * centroids — deterministic; production would train k-means once),
+    * collected to the driver and inlined as literal vectors — trained
+    * centroids ARE a broadcast constant in real IVF, so list assignment
+    * becomes a map-only codegen'd argmax fold over 16 cosines instead
+    * of a 16× crossJoin row blowup + window shuffle. Queries probe
+    * their 4 nearest lists; only probed lists pay the exact cosine, and
+    * the per-query selection runs through the bounded-heap TopK
+    * operator (k rows per partition reach the shuffle). At 100 TB the
+    * assignment is a scan and the probe touches 4/16ths of the corpus.
     */
   val annIvfTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
+    val centroids: Seq[(Int, Seq[Float])] = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0).toInt, r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    // Argmax as a linear-size expression: one array of 16 cosines,
+    // array_max + first array_position. (A when/otherwise fold would
+    // reference its accumulator three times per step — 3^16 expression
+    // nodes.) First-position keeps the smallest cent_id on exact ties —
+    // same order as a c_sim desc, cent_id asc window.
+    val centIds: Seq[Long] = centroids.map(_._1.toLong)
+    def nearestCentroid(e: Column): Column = {
+      val sims = array(centroids.map { case (_, v) => cosineSim(e, typedlit(v)) }: _*)
+      element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
+    }
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroid(col("embedding")).as("cent_id"))
     val cents = emb.filter(col("vec_id") < 16)
       .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb"))
-    val byVec = Window.partitionBy(col("vec_id"))
-      .orderBy(col("c_sim").desc, col("cent_id"))
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosineSim(col("embedding"), col("c_emb")))
-      .withColumn("c_rank", row_number().over(byVec))
-      .filter(col("c_rank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cent_id"))
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cent_id"))
     val probes = emb.filter(col("vec_id") < 8)
@@ -102,13 +117,15 @@ object Similarity {
       .withColumn("c_rank", row_number().over(byQuery))
       .filter(col("c_rank") <= 4)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
-    val byQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("raw_sim").desc, col("vec_id"))
-    assigned.join(broadcast(probes), Seq("cent_id"))
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
-      .withColumn("rank", row_number().over(byQ).cast("long"))
-      .filter(col("rank") <= 5)
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"), orderCol = "raw_sim", tieCol = "vec_id", k = 5)
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(byQ).cast("long"))
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         q4(col("raw_sim")).as("sim"))
       .orderBy(col("query_id"), col("rank"))
