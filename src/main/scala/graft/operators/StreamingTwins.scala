@@ -67,10 +67,36 @@ object StreamingTwins {
       .orderBy(col("event_id"))
   }
 
+  /** Stream-stream interval join twin: click→purchase attribution —
+    * each purchase matches the same user's clicks in the preceding 30
+    * minutes. In streaming this is the watermarked interval join
+    * (EventStreams.attributeJoin); in batch, an equi-join on user_id
+    * with the time-range predicate. The equi key carries the shuffle;
+    * the range condition prunes post-join — the same plan a 100 TB
+    * attribution pipeline runs.
+    */
+  val stStreamJoin: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("click_us"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        unix_micros(col("ts")).as("purchase_us"), col("value"))
+    clicks.join(purchases, Seq("user_id"))
+      .filter(col("purchase_us") >= col("click_us") &&
+        col("purchase_us") - col("click_us") <= 1800L * 1000000L)
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_us") - col("click_us")).as("lag_us"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("click_id"), col("purchase_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_tumbling_agg" -> stTumblingAgg,
     "st_sessionize" -> stSessionize,
-    "st_dedup_events" -> stDedupEvents)
+    "st_dedup_events" -> stDedupEvents,
+    "st_stream_join" -> stStreamJoin)
 
   val oracles: Map[String, String] = Map(
     "st_tumbling_agg" ->
@@ -99,5 +125,16 @@ object StreamingTwins {
         |  row_number() OVER (PARTITION BY user_id, event_type, date_trunc('minute', ts)
         |                     ORDER BY ts, event_id) AS rn
         | FROM events) t
-        |WHERE rn = 1 ORDER BY event_id""".stripMargin)
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "st_stream_join" ->
+      """SELECT c.user_id, c.click_id, p.purchase_id,
+        | p.purchase_us - c.click_us AS lag_us, round(p.value, 2) AS value
+        |FROM (SELECT user_id, event_id AS click_id, epoch_us(ts) AS click_us
+        |      FROM events WHERE event_type = 'click') c
+        |JOIN (SELECT user_id, event_id AS purchase_id, epoch_us(ts) AS purchase_us, value
+        |      FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id
+        |WHERE p.purchase_us >= c.click_us
+        |  AND p.purchase_us - c.click_us <= 1800 * 1000000
+        |ORDER BY click_id, purchase_id""".stripMargin)
 }

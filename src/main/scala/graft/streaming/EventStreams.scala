@@ -50,6 +50,31 @@ object EventStreams {
     events.withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: click→purchase attribution — each
+    * purchase joins the same user's clicks from the preceding
+    * `windowMinutes`. Watermarks on both sides + the event-time range
+    * condition let the state store expire unmatched rows; the equi key
+    * (user_id) carries the shuffle. Batch twin:
+    * StreamingTwins.stStreamJoin.
+    */
+  def attributeJoin(clicks: DataFrame, purchases: DataFrame,
+      windowMinutes: Int = 30): DataFrame = {
+    val c = clicks
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "1 hour")
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $windowMinutes MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * one SessionState per user, closed + emitted on gap or event-time
     * timeout. The streaming twin of StreamingTwins.stSessionize.

@@ -104,6 +104,28 @@ class EventStreamsSpec extends SparkTestBase {
       s"streamed=${streamed.size} batch=${batch.size} onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("attributeJoin matches purchases to preceding clicks within the window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = EventStreams.attributeJoin(clicks.toDF(), purchases.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode("append").start()
+    clicks.addData(
+      Evt(1, ts(0), 1, "click", 0.0),
+      Evt(2, ts(5), 1, "click", 0.0),
+      Evt(3, ts(0), 2, "click", 0.0))
+    purchases.addData(
+      Evt(10, ts(10), 1, "purchase", 9.99), // matches clicks 1 and 2
+      Evt(11, ts(50), 2, "purchase", 5.0),  // 50 min after click 3 -> no match
+      Evt(12, ts(10), 3, "purchase", 1.0))  // no click for user 3
+    q.processAllAvailable(); q.stop()
+    val out = spark.table("attr_out").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(out == Set((1L, 10L), (2L, 10L)), s"got $out")
+  }
+
   test("checkpointed parquet sink: stream lands as readable files") {
     import spark.implicits._
     val inDir = java.nio.file.Files.createTempDirectory("graft_sink_in").toString
