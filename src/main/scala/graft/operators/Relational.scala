@@ -488,7 +488,45 @@ object Relational {
         q4(covar_samp(col("l_discount"), col("l_tax"))).as("covar_disc_tax"))
       .orderBy(col("l_returnflag"))
 
+  /** FULL OUTER join: every customer vs the big-spend order rollup —
+    * unmatched sides survive with null-coalesced defaults. The join
+    * keys carry the shuffle; at scale the smaller grouped side would
+    * broadcast when it fits.
+    */
+  val q35OuterJoin: Q = (s, d) => {
+    val big = Tables.orders(s, d)
+      .filter(col("o_totalprice") > 400000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_big"), round(sum(col("o_totalprice")), 2).as("big_spend"))
+    Tables.customer(s, d)
+      .select(col("c_custkey"), col("c_mktsegment"))
+      .join(big, col("c_custkey") === col("o_custkey"), "full_outer")
+      .select(coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+        coalesce(col("c_mktsegment"), lit("<none>")).as("segment"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        coalesce(col("big_spend"), lit(0.0)).as("big_spend"))
+      .orderBy(col("custkey"))
+  }
+
+  /** GROUPING SETS — the general form rollup/cube specialize: explicit
+    * (flag,status) / (flag) / () levels with grouping_id
+    * disambiguating real nulls from subtotal rows.
+    */
+  val q36GroupingSets: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")), Seq(col("l_returnflag")), Seq()),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("gid"), col("n"), col("qty"))
+      .orderBy(col("flag"), col("status"), col("gid"))
+
   val queries: Map[String, Q] = Map(
+    "q35_outer_join" -> q35OuterJoin,
+    "q36_grouping_sets" -> q36GroupingSets,
     "q29_asof_join" -> q29AsofJoin,
     "q30_range_join" -> q30RangeJoin,
     "q31_histogram" -> q31Histogram,
@@ -525,6 +563,26 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q35_outer_join" ->
+      """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
+        | coalesce(c.c_mktsegment, '<none>') AS segment,
+        | coalesce(o.n_big, 0) AS n_big,
+        | coalesce(o.big_spend, 0.0) AS big_spend
+        |FROM customer c
+        |FULL JOIN (SELECT o_custkey, count(*) AS n_big,
+        |             round(sum(o_totalprice), 2) AS big_spend
+        |           FROM orders WHERE o_totalprice > 400000
+        |           GROUP BY o_custkey) o
+        |  ON c.c_custkey = o.o_custkey
+        |ORDER BY custkey""".stripMargin,
+    "q36_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        | coalesce(l_linestatus, 'ALL') AS status,
+        | CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+        | count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY flag, status, gid""".stripMargin,
     "q29_asof_join" ->
       """SELECT c.event_id, c.user_id,
         | epoch_us(c.ts) AS click_us,

@@ -47,4 +47,10 @@ object Tables {
     */
   def json(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(ddl).json(path)
+
+  /** ORC reader — second columnar format with full predicate pushdown
+    * and column pruning, for interop with ORC-based warehouses.
+    */
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
 }

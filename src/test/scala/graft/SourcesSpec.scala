@@ -59,6 +59,17 @@ class SourcesSpec extends SparkTestBase {
     assert(joined.count() > 0)
   }
 
+  test("orc round-trip preserves rows and pushes filters to the scan") {
+    val dir = Files.createTempDirectory("graft_orc").toString
+    Tables.orders(spark, sfDir).write.mode("overwrite").orc(dir)
+    val back = Tables.orc(spark, dir).filter(col("o_totalprice") > 100000)
+    val expected = Tables.orders(spark, sfDir).filter(col("o_totalprice") > 100000).count()
+    assert(back.count() == expected)
+    val scan = back.queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [") && scan.contains("o_totalprice"),
+      s"ORC scan should push the filter:\n$scan")
+  }
+
   test("graft_cosine is callable from SQL via extensions") {
     Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
     val rows = spark.sql(
