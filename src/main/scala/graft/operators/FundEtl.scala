@@ -374,7 +374,41 @@ object FundEtl {
       .orderBy(col("rk"))
   }
 
+  /** SCD type-2 dimension merge — the warehouse-grade version of the
+    * reference's product-code dictionary maintenance
+    * (ui/product_code_manager.py edits the name→ledger dict in place;
+    * at scale the dict is a versioned dimension). An update batch
+    * closes the prior version (valid_to set, is_current=false) and
+    * opens a new effective-dated one; untouched keys pass through.
+    * Update keys reach the current side as a broadcast semi/anti join.
+    */
+  val etlScd2: Q = (s, d) => {
+    val cur = Tables.customer(s, d)
+      .select(col("c_custkey").as("custkey"),
+        col("c_mktsegment").as("segment"),
+        money2(col("c_acctbal")).as("balance"))
+    val upd = cur.filter(col("custkey") % 7 === 0)
+      .select(col("custkey"), col("segment"),
+        money2(col("balance") * 1.1).as("balance"))
+    val updKeys = upd.select(col("custkey"))
+    val closed = cur.join(broadcast(updKeys), Seq("custkey"), "left_semi")
+      .withColumn("valid_from", lit("1995-01-01"))
+      .withColumn("valid_to", lit("1996-06-01"))
+      .withColumn("is_current", lit(false))
+    val fresh = upd
+      .withColumn("valid_from", lit("1996-06-01"))
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit(true))
+    val untouched = cur.join(broadcast(updKeys), Seq("custkey"), "left_anti")
+      .withColumn("valid_from", lit("1995-01-01"))
+      .withColumn("valid_to", lit("9999-12-31"))
+      .withColumn("is_current", lit(true))
+    closed.unionByName(fresh).unionByName(untouched)
+      .orderBy(col("custkey"), col("valid_from"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_scd2" -> etlScd2,
     "etl_reconcile" -> etlReconcile,
     "etl_master_table" -> etlMasterTable,
     "etl_json_typed" -> etlJsonTyped,
@@ -394,6 +428,28 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_scd2" ->
+      """WITH cur AS (
+        |  SELECT c_custkey AS custkey, c_mktsegment AS segment,
+        |         floor(c_acctbal * 100 + 0.5) / 100.0 AS balance
+        |  FROM customer),
+        |upd AS (
+        |  SELECT custkey, segment,
+        |         floor(balance * 1.1 * 100 + 0.5) / 100.0 AS balance
+        |  FROM cur WHERE custkey % 7 = 0)
+        |SELECT custkey, segment, balance,
+        |       '1995-01-01' AS valid_from, '1996-06-01' AS valid_to,
+        |       false AS is_current
+        |FROM cur WHERE custkey IN (SELECT custkey FROM upd)
+        |UNION ALL
+        |SELECT custkey, segment, balance,
+        |       '1996-06-01', '9999-12-31', true
+        |FROM upd
+        |UNION ALL
+        |SELECT custkey, segment, balance,
+        |       '1995-01-01', '9999-12-31', true
+        |FROM cur WHERE custkey NOT IN (SELECT custkey FROM upd)
+        |ORDER BY custkey, valid_from""".stripMargin,
     "etl_reconcile" ->
       """SELECT coalesce(l.rk, st.rk) AS rk,
         | coalesce(l.n_ledger, 0) AS n_ledger,

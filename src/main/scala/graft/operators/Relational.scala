@@ -48,7 +48,10 @@ object Relational {
       .filter(col("l_shipdate") >= lit("2000-01-01").cast("date") &&
         col("l_discount") > 0.08 && col("l_quantity") >= 45)
       .select(col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("net_price"))
+        // row-level product: round() is not cross-engine stable on
+        // doubles (caught at sf0.1) — use the IEEE-pure formula
+        (floor(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100 + 0.5) / 100.0)
+          .as("net_price"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
   /** TPC-H Q3 shape: 3-way fact join, agg, top-k by revenue. */
@@ -710,7 +713,7 @@ object Relational {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_extendedprice*(1-l_discount),2) AS net_price
+        | floor(l_extendedprice*(1-l_discount)*100 + 0.5)/100.0 AS net_price
         |FROM lineitem
         |WHERE l_shipdate >= DATE '2000-01-01' AND l_discount > 0.08 AND l_quantity >= 45
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
