@@ -141,10 +141,70 @@ case class SimHash64(child: Expression) extends UnaryExpression with Serializabl
     copy(child = newChild)
 }
 
+/** shingle_hashes(tokens, n): distinct xxhash64 (seed 42) values of
+  * the space-joined word n-gram shingles, first-occurrence order —
+  * exactly `array_distinct(transform(shingles, xxhash64))` over
+  * `concat_ws(' ', toks[i..i+n-1])` windows, with the `size < n`
+  * degenerate case hashing the whole space-joined token string (equal
+  * to the original `array(norm)` branch: the tokens came from a
+  * single-space split of norm, so the join reconstructs it).
+  */
+case class ShingleHashes(child: Expression, n: Int)
+    extends UnaryExpression with Serializable {
+  override def prettyName: String = "graft_shingle_hashes"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashes.compute(input.asInstanceOf[ArrayData], n)
+
+  // Codegen is one static call: the per-row work is a JVM loop either
+  // way; what matters is staying inside the generated consumer instead
+  // of an interpreted HOF expression tree with per-element dispatch.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.ShingleHashes.compute($a, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  private val space = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    val toks = new Array[org.apache.spark.unsafe.types.UTF8String](m)
+    var i = 0
+    while (i < m) { toks(i) = arr.getUTF8String(i); i += 1 }
+    if (m < n) {
+      val joined = org.apache.spark.unsafe.types.UTF8String.concatWs(space, toks: _*)
+      return UnsafeArrayData.fromPrimitiveArray(
+        Array(XXH64.hashUTF8String(joined, 42L)))
+    }
+    val seen = new java.util.HashSet[java.lang.Long](m * 2)
+    val out = new Array[Long](m - n + 1)
+    var k = 0
+    i = 0
+    while (i <= m - n) {
+      val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+      var j = 0
+      while (j < n) { window(j) = toks(i + j); j += 1 }
+      val h = XXH64.hashUTF8String(
+        org.apache.spark.unsafe.types.UTF8String.concatWs(space, window: _*), 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(java.util.Arrays.copyOf(out, k))
+  }
+}
+
 object HashFunctions {
   def minhashSig(hashes: Column, numPerms: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(hashes), numPerms))
 
   def simhash64(tokens: Column): Column =
     Bridge.column(SimHash64(Bridge.expression(tokens)))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    Bridge.column(ShingleHashes(Bridge.expression(tokens), n))
 }

@@ -32,12 +32,8 @@ object Dedup {
   private def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
-      .withColumn("toks", split(col("norm"), " "))
-      .withColumn("shingles", expr(
-        """CASE WHEN size(toks) < 3 THEN array(norm)
-          | ELSE transform(sequence(0, size(toks)-3),
-          |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END""".stripMargin))
-      .withColumn("sh_hashes", expr("array_distinct(transform(shingles, x -> xxhash64(x)))"))
+      .withColumn("sh_hashes",
+        graft.functions.HashFunctions.shingleHashes(split(col("norm"), " "), 3))
       .select(col("doc_id"), col("norm"), col("sh_hashes"))
       .persist()
 

@@ -44,6 +44,33 @@ class HashExprsSpec extends SparkTestBase {
     assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
   }
 
+  test("shingleHashes matches the concat_ws/array_distinct HOF chain") {
+    val cmp = docs
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("toks", split(col("norm"), " "))
+      .withColumn("shingles", expr(
+        """CASE WHEN size(toks) < 3 THEN array(norm)
+          | ELSE transform(sequence(0, size(toks)-3),
+          |                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) END""".stripMargin))
+      .select(
+        shingleHashes(col("toks"), 3).as("native"),
+        expr("array_distinct(transform(shingles, x -> xxhash64(x)))").as("composed"))
+    assert(cmp.filter(not(col("native") === col("composed"))).count() === 0)
+  }
+
+  test("shingleHashes degenerate cases: short docs hash the whole string") {
+    import spark.implicits._
+    val cmp = Seq("one two", "single", "a b c", "a b c d").toDF("t")
+      .withColumn("toks", split(col("t"), " "))
+      .select(col("t"), shingleHashes(col("toks"), 3).as("h"),
+        expr("xxhash64(t)").as("whole"))
+      .collect()
+    cmp.filter(r => r.getString(0).split(" ").length < 3).foreach { r =>
+      assert(r.getSeq[Long](1) == Seq(r.getLong(2)))
+    }
+    assert(cmp.find(_.getString(0) == "a b c d").get.getSeq[Long](1).length == 2)
+  }
+
   test("expressions are registered as SQL functions via extensions") {
     docs.createOrReplaceTempView("hx_docs")
     val n = spark.sql(
