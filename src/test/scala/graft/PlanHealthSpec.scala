@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan regression guards over the whole operator surface —
+  * the properties SURVEY.md §5 claims, asserted so a future operator
+  * can't silently lose them.
+  */
+class PlanHealthSpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan.toString
+
+  test("no operator plans a CartesianProduct") {
+    SparkEntry.queries.keys.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans an unbounded cartesian product")
+    }
+  }
+
+  test("selective scans push their filters into the parquet reader") {
+    Seq("q02_filter_project", "q06_revenue_filter", "q03_shipping_priority").foreach { n =>
+      val plan = planOf(n)
+      assert("PushedFilters: \\[[^\\]]".r.findFirstIn(plan).isDefined,
+        s"$n: no non-empty PushedFilters in\n$plan")
+    }
+  }
+
+  test("dimension joins broadcast instead of shuffling the fact side") {
+    Seq("q05_local_supplier", "q19_broadcast_enrich", "etl_enrich_lookup",
+      "ann_ivf_topk").foreach { n =>
+      val plan = planOf(n)
+      assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+        s"$n: expected a broadcast join in\n$plan")
+    }
+  }
+
+  test("narrow projections prune the scan schema") {
+    val plan = planOf("q02_filter_project")
+    // q02 reads 3 output columns + 3 filter columns; the full lineitem
+    // table has 16 — a pruned ReadSchema must not mention l_comment.
+    assert(!plan.contains("l_comment"), s"q02 reads unprojected columns:\n$plan")
+  }
+}
