@@ -23,16 +23,22 @@ object Similarity {
   private def q4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
 
   /** Deterministic random hyperplanes (fixed seed — signatures must be
-    * reproducible across runs and engines).
+    * reproducible across runs and engines). `nPlanes` is the corpus-
+    * size lever: buckets = 2^planes, so expected occupancy = n/2^p —
+    * raise p as the corpus grows to keep within-bucket candidate
+    * generation (quadratic in occupancy) bounded. 6 planes fit the
+    * harness corpus; a 10⁹-doc corpus wants ~20.
     */
-  private[operators] val planes: Seq[Seq[Float]] = {
+  private[graft] def makePlanes(nPlanes: Int, dim: Int = 64): Seq[Seq[Float]] = {
     val rng = new scala.util.Random(42)
-    Seq.fill(6)(Seq.fill(64)(rng.nextGaussian().toFloat))
+    Seq.fill(nPlanes)(Seq.fill(dim)(rng.nextGaussian().toFloat))
   }
 
-  /** Sign-bit bucket id from the 6 hyperplanes (64 buckets). */
-  private[operators] def bucketOf(emb: Column): Column =
-    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
+  private[graft] val planes: Seq[Seq[Float]] = makePlanes(6)
+
+  /** Sign-bit bucket id from the hyperplanes (2^planes buckets). */
+  private[graft] def bucketOf(emb: Column, ps: Seq[Seq[Float]] = planes): Column =
+    ps.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
       acc + when(dotProduct(emb, typedlit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
     }
 

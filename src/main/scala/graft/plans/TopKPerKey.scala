@@ -12,11 +12,15 @@ import org.apache.spark.sql.graft.Bridge
 
 /** Per-key top-k as a first-class operator.
   *
-  * The window-function formulation (row_number over partitionBy key)
-  * shuffles EVERY row and fully sorts every key group. This operator
-  * runs a bounded heap per key on the map side first, so at most
-  * k rows per (key, input-partition) reach the shuffle — at 100 TB the
-  * shuffle shrinks from the full fact table to ~k × keys × partitions.
+  * Spark's own InferWindowGroupLimit (3.5+) already map-side-limits
+  * the `filter(row_number <= k)` window pattern, but its partial stage
+  * still SORTS every input partition (WindowGroupLimitExec requires
+  * child ordering) — O(n log n) per partition. This operator runs a
+  * bounded heap per key instead — O(n log k), no sort node at all —
+  * and is callable on any DataFrame without window bookkeeping. Either
+  * way at most k rows per (key, input-partition) reach the shuffle; at
+  * 100 TB the win is skipping the full map-side sort of the fact
+  * table.
   *
   * Shape: logical node → [[TopKStrategy]] plans a partial exec (no
   * distribution requirement) under a final exec (requires clustering
