@@ -287,6 +287,23 @@ object Relational {
         q4(expr("percentile(o_totalprice, 0.99)")).as("p99"))
       .orderBy(col("o_orderpriority"))
 
+  /** Approximate percentiles (t-digest-style sketch) next to the exact
+    * values — the at-scale percentile path: exact percentile
+    * materializes every group's values, approx_percentile is a
+    * mergeable fixed-size sketch (partial-aggregating, bounded
+    * memory). Cross-engine sketches differ → rows-only; the error
+    * bound vs exact is asserted in OperatorsSpec.
+    */
+  val q37ApproxPercentile: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        q4(expr("percentile(o_totalprice, 0.5)")).as("exact_p50"),
+        q4(expr("approx_percentile(o_totalprice, 0.5, 1000)")).as("approx_p50"),
+        q4(expr("percentile(o_totalprice, 0.99)")).as("exact_p99"),
+        q4(expr("approx_percentile(o_totalprice, 0.99, 1000)")).as("approx_p99"))
+      .orderBy(col("o_orderpriority"))
+
   /** Sketch aggregates: HyperLogLog++ distinct estimates next to the
     * exact counts they approximate (cross-engine sketches differ →
     * the oracle carries the exact columns and the relative-error bound
@@ -530,6 +547,7 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "q35_outer_join" -> q35OuterJoin,
     "q36_grouping_sets" -> q36GroupingSets,
+    "q37_approx_percentile" -> q37ApproxPercentile,
     "q29_asof_join" -> q29AsofJoin,
     "q30_range_join" -> q30RangeJoin,
     "q31_histogram" -> q31Histogram,

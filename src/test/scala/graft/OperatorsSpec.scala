@@ -28,7 +28,7 @@ class OperatorsSpec extends SparkTestBase {
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
       "dd_embed_cosine", "dd_cluster", "ann_lsh_topk", "ann_ivf_topk",
-      "q22_approx_distinct")
+      "q22_approx_distinct", "q37_approx_percentile")
     assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
       s"unexpectedly oracled: ${intended -- rowsOnly}")
   }
@@ -41,6 +41,17 @@ class OperatorsSpec extends SparkTestBase {
     val rows = operators.Relational.q01PricingSummary(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 9)
     assert(rows.map(_.getAs[Long]("count_order")).sum > 0)
+  }
+
+  test("q37 approx percentiles land within 2% of exact") {
+    operators.Relational.q37ApproxPercentile(spark, sfDir).collect().foreach { r =>
+      Seq(("exact_p50", "approx_p50"), ("exact_p99", "approx_p99")).foreach {
+        case (e, a) =>
+          val exact = r.getAs[Double](e); val approx = r.getAs[Double](a)
+          assert(math.abs(approx - exact) <= 0.02 * exact,
+            s"$a=$approx vs $e=$exact")
+      }
+    }
   }
 
   test("q07 topk is ordered and bounded") {
