@@ -89,6 +89,28 @@ case class TopKFinalExec(keys: Seq[Expression], order: Expression, tie: Expressi
     copy(child = newChild)
 }
 
+/** Optimizer rule: push a deterministic filter that references only
+  * the TopK key columns BELOW the TopK node. Selecting whole key
+  * groups commutes with per-key top-k (dropping a group never changes
+  * another group's top-k), but Catalyst can't know that for a foreign
+  * node — without this rule a `topK(...).filter(key = x)` pays the
+  * full top-k over every group and the filter never reaches the scan.
+  * Registered via GraftExtensions.injectOptimizerRule; the pushed
+  * filter then participates in normal scan pushdown at planning time.
+  */
+object TopKFilterPushdown
+    extends org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+  import org.apache.spark.sql.catalyst.expressions.AttributeSet
+  import org.apache.spark.sql.catalyst.plans.logical.Filter
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+    case f @ Filter(cond, t @ TopKPerKeyNode(keys, _, _, _, child))
+        if cond.deterministic &&
+          cond.references.subsetOf(AttributeSet(keys.flatMap(_.references))) =>
+      t.copy(child = Filter(cond, child))
+  }
+}
+
 object TopKStrategy extends SparkStrategy {
   /** Resolve by name against the child's output, then bind to input
     * ordinals (AttributeReference alone is Unevaluable in exec code).

@@ -32,4 +32,40 @@ class TopKPropertySpec extends SparkTestBase {
   test("random datasets: many singleton groups") { check(seed = 2, nRows = 300, nKeys = 400, nVals = 100, k = 3) }
   test("random datasets: k exceeds group size") { check(seed = 3, nRows = 100, nKeys = 5, nVals = 50, k = 40) }
   test("random datasets: k = 1") { check(seed = 4, nRows = 400, nKeys = 20, nVals = 10, k = 1) }
+
+  test("TopKFilterPushdown moves key filters below the TopK node") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong % 10, i.toLong, (i * 37 % 100).toDouble))
+      .toDF("key", "id", "v").repartition(5)
+    val filtered = plans.TopK.perKey(df, Seq("key"), "v", "id", k = 3)
+      .filter(col("key") === 4)
+    // optimized shape: the filter moves below the TopK node (and from
+    // there keeps pushing — over a LocalRelation it's evaluated away
+    // entirely by ConvertToLocalRelation), so the TopK node ends up at
+    // the root with no Filter above it
+    val optimized = filtered.queryExecution.optimizedPlan
+    assert(optimized.isInstanceOf[plans.TopKPerKeyNode],
+      s"filter should have been pushed off the top:\n$optimized")
+    // and results match the filter-first construction
+    val expected = plans.TopK.perKey(df.filter(col("key") === 4), Seq("key"), "v", "id", 3)
+      .orderBy(col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val actual = filtered
+      .orderBy(col("v").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(actual == expected)
+  }
+
+  test("non-key filters stay above the TopK node (no unsound pushdown)") {
+    import spark.implicits._
+    val df = (0 until 500).map(i => (i.toLong % 10, i.toLong, (i * 37 % 100).toDouble))
+      .toDF("key", "id", "v").repartition(5)
+    val filtered = plans.TopK.perKey(df, Seq("key"), "v", "id", k = 3)
+      .filter(col("v") > 50)
+    val optimized = filtered.queryExecution.optimizedPlan
+    assert(optimized.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter],
+      s"value filter must stay ABOVE the TopK node:\n$optimized")
+    assert(optimized.children.head.isInstanceOf[plans.TopKPerKeyNode],
+      s"value filter must sit directly on the TopK node:\n$optimized")
+  }
 }
