@@ -189,16 +189,20 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
+    // One hop of min-label propagation (keeps every node via the self
+    // union). Two hops run per checkpoint/convergence check below —
+    // labels travel 2 edges per round, halving the fixpoint rounds
+    // for the same number of driver-side barriers.
+    def hop(ls: DataFrame): DataFrame = edges
+      .join(ls, edges("doc_a") === ls("node"))
+      .select(col("doc_b").as("node"), col("label"))
+      .unionAll(ls)
+      .groupBy(col("node"))
+      .agg(min(col("label")).as("label"))
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 15) {
-      val propagated = edges
-        .join(labels, edges("doc_a") === labels("node"))
-        .select(col("doc_b").as("node"), col("label"))
-        .unionAll(labels)
-        .groupBy(col("node"))
-        .agg(min(col("label")).as("label"))
-        .localCheckpoint()
+    while (!converged && rounds < 8) {
+      val propagated = hop(hop(labels)).localCheckpoint()
       val newSum = labelSum(propagated)
       labels = propagated
       converged = newSum == prevSum
