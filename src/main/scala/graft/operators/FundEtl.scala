@@ -407,7 +407,26 @@ object FundEtl {
       .orderBy(col("custkey"), col("valid_from"))
   }
 
+  /** VARIANT-typed semi-structured path — parse_json once into the
+    * binary columnar VARIANT encoding, shred typed fields out with
+    * variant_get. Same semantics as the string get_json_object op
+    * (etl_json_fields) but the at-scale shape: one parse, typed
+    * columnar access after.
+    */
+  val etlVariantShred: Q = (s, d) =>
+    Tables.events(s, d)
+      .withColumn("v", parse_json(col("props")))
+      .select(col("event_type"),
+        expr("variant_get(v, '$.k', 'int')").as("k_val"),
+        col("value"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("k_val").cast("long")).as("k_total"),
+        floor(avg(col("value")) * 10000 + 0.5).cast("long").as("avg_value_e4"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, Q] = Map(
+    "etl_variant_shred" -> etlVariantShred,
     "etl_scd2" -> etlScd2,
     "etl_reconcile" -> etlReconcile,
     "etl_master_table" -> etlMasterTable,
@@ -428,6 +447,11 @@ object FundEtl {
     "etl_fee_model" -> etlFeeModel)
 
   val oracles: Map[String, String] = Map(
+    "etl_variant_shred" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+        | CAST(floor(avg(value) * 10000 + 0.5) AS BIGINT) AS avg_value_e4
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "etl_scd2" ->
       """WITH cur AS (
         |  SELECT c_custkey AS custkey, c_mktsegment AS segment,

@@ -544,7 +544,26 @@ object Relational {
         col("gid"), col("n"), col("qty"))
       .orderBy(col("flag"), col("status"), col("gid"))
 
+  /** MapType round-trip: per-priority status→count maps built with
+    * map_from_entries over sorted collected structs, consumed back via
+    * explode + size — the map-column manipulation surface (config
+    * payloads, feature maps) exercised end-to-end with a flat oracle.
+    */
+  val q38MapOps: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"), col("o_orderstatus"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("o_orderpriority"))
+      .agg(map_from_entries(
+        sort_array(collect_list(struct(col("o_orderstatus"), col("cnt"))))).as("m"))
+      .select(col("o_orderpriority"),
+        size(col("m")).cast("long").as("n_statuses"),
+        explode(col("m")).as(Seq("status", "n_status")))
+      .select(col("o_orderpriority"), col("status"), col("n_status"), col("n_statuses"))
+      .orderBy(col("o_orderpriority"), col("status"))
+
   val queries: Map[String, Q] = Map(
+    "q38_map_ops" -> q38MapOps,
     "q35_outer_join" -> q35OuterJoin,
     "q36_grouping_sets" -> q36GroupingSets,
     "q37_approx_percentile" -> q37ApproxPercentile,
@@ -584,6 +603,15 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q38_map_ops" ->
+      """SELECT t.o_orderpriority, t.status, t.n_status, u.n_statuses
+        |FROM (SELECT o_orderpriority, o_orderstatus AS status,
+        |        count(*) AS n_status
+        |      FROM orders GROUP BY 1, 2) t
+        |JOIN (SELECT o_orderpriority,
+        |        count(DISTINCT o_orderstatus) AS n_statuses
+        |      FROM orders GROUP BY 1) u USING (o_orderpriority)
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "q35_outer_join" ->
       """SELECT coalesce(c.c_custkey, o.o_custkey) AS custkey,
         | coalesce(c.c_mktsegment, '<none>') AS segment,

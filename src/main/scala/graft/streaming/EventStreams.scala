@@ -75,6 +75,40 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** foreachBatch upsert sink: each micro-batch merges into a
+    * keep-latest-per-key parquet snapshot (read current → anti-join
+    * restated keys → union batch → overwrite). The standard streaming
+    * pattern for sinks without native upsert; the batch-side merge is
+    * the same anti-join+union shape as the etl_upsert_snapshot
+    * operator. Exactly-once per key within a batch via the
+    * keep-latest window on (key, ts).
+    */
+  def upsertToParquet(events: DataFrame, snapshotDir: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_id"))
+              .orderBy(col("ts").desc, monotonically_increasing_id())))
+          .filter(col("rn") === 1).drop("rn")
+        val merged =
+          try {
+            val cur = spark.read.parquet(snapshotDir)
+            cur.join(latest.select(col("event_id").as("k")),
+                col("event_id") === col("k"), "left_anti")
+              .unionByName(latest)
+          } catch { case _: org.apache.spark.sql.AnalysisException => latest }
+        // two-phase write: parquet can't overwrite its own input dir
+        val tmp = snapshotDir + "_staging"
+        merged.write.mode("overwrite").parquet(tmp)
+        spark.read.parquet(tmp).write.mode("overwrite").parquet(snapshotDir)
+      }
+      .start()
+
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * one SessionState per user, closed + emitted on gap or event-time
     * timeout. The streaming twin of StreamingTwins.stSessionize.

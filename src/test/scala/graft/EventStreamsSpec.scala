@@ -142,6 +142,27 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("foreachBatch upsert: later batches restate keys in the snapshot") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_upsert_snap").toString + "/snap"
+    val ck = java.nio.file.Files.createTempDirectory("graft_upsert_ck").toString
+    val input = MemoryStream[Evt]
+    val q = EventStreams.upsertToParquet(input.toDF(), snap, ck)
+    input.addData(
+      Evt(1, ts(0), 1, "click", 1.0),
+      Evt(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    // restate event 1, add event 3
+    input.addData(
+      Evt(1, ts(10), 1, "click", 9.0),
+      Evt(3, ts(11), 3, "purchase", 3.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(snap).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    assert(out == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0), s"got $out")
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
