@@ -142,6 +142,29 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.read.parquet(outDir).count() == 2)
   }
 
+  test("streaming attributeJoin matches the batch interval-join twin on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evts = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Evt].collect()
+    val clicks = MemoryStream[Evt]
+    val purchases = MemoryStream[Evt]
+    val q = EventStreams.attributeJoin(clicks.toDF(), purchases.toDF(), windowMinutes = 30)
+      .writeStream.format("memory").queryName("attr_eq_out")
+      .outputMode("append").start()
+    clicks.addData(evts.filter(_.event_type == "click").toSeq)
+    purchases.addData(evts.filter(_.event_type == "purchase").toSeq)
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.table("attr_eq_out").collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    val batch = operators.StreamingTwins.stStreamJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("purchase_id"))).toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+  }
+
   test("foreachBatch upsert: later batches restate keys in the snapshot") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
