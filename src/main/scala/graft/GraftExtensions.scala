@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TopKValues}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... graft_cosine(a, b)
@@ -31,6 +31,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "graft_simhash64"),
       (children: Seq[Expression]) => SimHash64(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_topk"),
+      new ExpressionInfo(classOf[TopKValues].getName, "graft_topk"),
+      (children: Seq[Expression]) =>
+        TopKValues(children(0), children(1),
+          children(2).eval().asInstanceOf[Number].intValue)
+          .toAggregateExpression()))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

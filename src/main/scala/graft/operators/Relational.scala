@@ -562,7 +562,26 @@ object Relational {
       .select(col("o_orderpriority"), col("status"), col("n_status"), col("n_statuses"))
       .orderBy(col("o_orderpriority"), col("status"))
 
+  /** Bounded top-k via the custom TypedImperativeAggregate — the
+    * aggregation-path twin of the q24 physical operator: partial
+    * aggregation ships at most k pairs per (group, map task) to the
+    * exchange, and the aggregate composes with other aggs in the same
+    * groupBy. Result flattened with posexplode for the oracle.
+    */
+  val q39TopkAgg: Q = (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.TopKAggFunctions
+        .topkAgg(col("o_totalprice"), col("o_orderkey"), 3).as("top"),
+        count(lit(1)).as("n_orders"))
+      .select(col("o_orderpriority"), col("n_orders"), posexplode(col("top")))
+      .select(col("o_orderpriority"), col("n_orders"),
+        (col("pos") + 1).cast("long").as("rnk"),
+        col("col.v").as("amount"), col("col.tie").as("okey"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+
   val queries: Map[String, Q] = Map(
+    "q39_topk_agg" -> q39TopkAgg,
     "q38_map_ops" -> q38MapOps,
     "q35_outer_join" -> q35OuterJoin,
     "q36_grouping_sets" -> q36GroupingSets,
@@ -603,6 +622,17 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q39_topk_agg" ->
+      """SELECT t.o_orderpriority, u.n_orders, t.rnk, t.amount, t.okey
+        |FROM (
+        | SELECT o_orderpriority, o_totalprice AS amount, o_orderkey AS okey,
+        |  row_number() OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        | FROM orders) t
+        |JOIN (SELECT o_orderpriority, count(*) AS n_orders
+        |      FROM orders GROUP BY 1) u USING (o_orderpriority)
+        |WHERE t.rnk <= 3
+        |ORDER BY o_orderpriority, rnk""".stripMargin,
     "q38_map_ops" ->
       """SELECT t.o_orderpriority, t.status, t.n_status, u.n_statuses
         |FROM (SELECT o_orderpriority, o_orderstatus AS status,

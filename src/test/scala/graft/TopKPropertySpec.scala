@@ -56,6 +56,37 @@ class TopKPropertySpec extends SparkTestBase {
     assert(actual == expected)
   }
 
+  test("TopKValues aggregate matches the window formulation and partial-aggregates") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val df = (0 until 2000).map { i =>
+      (rng.nextInt(13).toLong, i.toLong, rng.nextInt(40).toDouble)
+    }.toDF("key", "id", "v").repartition(6)
+    val agg = df.groupBy(col("key"))
+      .agg(functions.TopKAggFunctions.topkAgg(col("v"), col("id"), 5).as("top"))
+      .select(col("key"), posexplode(col("top")))
+      .select(col("key"), (col("pos") + 1).as("rnk"), col("col.v").as("v"), col("col.tie").as("id"))
+    val win = df.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("v").desc, col("id"))).cast("int"))
+      .filter(col("rnk") <= 5).select(col("key"), col("rnk"), col("v"), col("id"))
+    val a = agg.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = win.collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(a == w, s"onlyAgg=${(a -- w).take(3)} onlyWin=${(w -- a).take(3)}")
+    // partial aggregation: an ObjectHashAggregate pair with a partial stage
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && plan.contains("partial_graft_topk"),
+      s"expected partial object hash aggregation:\n$plan")
+  }
+
+  test("graft_topk is callable from SQL via extensions") {
+    import spark.implicits._
+    (0 until 100).map(i => (i % 5, i.toDouble)).toDF("g", "x")
+      .createOrReplaceTempView("topk_sql")
+    val rows = spark.sql(
+      "SELECT g, graft_topk(x, CAST(g AS BIGINT), 2) AS t FROM topk_sql GROUP BY g").collect()
+    assert(rows.length == 5)
+  }
+
   test("non-key filters stay above the TopK node (no unsound pushdown)") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong % 10, i.toLong, (i * 37 % 100).toDouble))
