@@ -92,11 +92,29 @@ object StreamingTwins {
       .orderBy(col("click_id"), col("purchase_id"))
   }
 
+  /** Native session_window() sessionization — Spark's built-in session
+    * operator (works identically in batch and Structured Streaming
+    * with a watermark). Differs from the gaps-and-islands twin in the
+    * emitted bounds: window.end = last event + gap, and an event
+    * exactly gap after the previous one starts a NEW session (windows
+    * are half-open [ts, ts+gap)); the oracle mirrors both.
+    */
+  val stSessionWindow: Q = (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("start_us"),
+        unix_micros(col("session_window.end")).as("end_us"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("user_id"), col("start_us"))
+
   val queries: Map[String, Q] = Map(
     "st_tumbling_agg" -> stTumblingAgg,
     "st_sessionize" -> stSessionize,
     "st_dedup_events" -> stDedupEvents,
-    "st_stream_join" -> stStreamJoin)
+    "st_stream_join" -> stStreamJoin,
+    "st_session_window" -> stSessionWindow)
 
   val oracles: Map[String, String] = Map(
     "st_tumbling_agg" ->
@@ -136,5 +154,20 @@ object StreamingTwins {
         |  ON c.user_id = p.user_id
         |WHERE p.purchase_us >= c.click_us
         |  AND p.purchase_us - c.click_us <= 1800 * 1000000
-        |ORDER BY click_id, purchase_id""".stripMargin)
+        |ORDER BY click_id, purchase_id""".stripMargin,
+    "st_session_window" ->
+      """SELECT user_id, min(ts_us) AS start_us,
+        | max(ts_us) + 1800 * 1000000 AS end_us,
+        | count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM (
+        | SELECT user_id, value, ts_us,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        | FROM (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        |   CASE WHEN lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) IS NULL
+        |          OR epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+        |             >= 1800 * 1000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events) flagged) sessions
+        |GROUP BY user_id, sid ORDER BY user_id, start_us""".stripMargin)
 }
