@@ -27,22 +27,35 @@ object Bench {
       try fn(spark, warmDir).count() catch { case _: Throwable => }
     }
     spark.catalog.clearCache()
+    // A failed query must be a loud error marker, not a plausible wall
+    // time — otherwise a regression hides inside a "fast" number.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch {
+        case t: Throwable =>
+          errors += name -> t.getClass.getSimpleName; false
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       // Each measurement is self-contained: drop this operator's
       // persisted intermediates so they don't distort the next one.
       spark.catalog.clearCache()
-      name -> dt
+      name -> (if (ok) dt else -1.0)
     }
+    val succeeded = results.filter(_._2 >= 0)
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val headlineTotal = headline.flatMap(results.get).sum
-    val allTotal = if (results.nonEmpty) results.values.sum else 0.0
+    val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
+      .mkString("{", ",", "}")
+    val headlineTotal = headline.flatMap(succeeded.get).sum
+    val allTotal = if (succeeded.nonEmpty) succeeded.values.sum else 0.0
     val hs = headline.map("\"" + _ + "\"").mkString("[", ",", "]")
     println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","queries":$qs,""" +
-      s""""headline":$hs,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}""")
+      s""""errors":$es,"headline":$hs,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}""")
+    // Compact repeat on its own FINAL line: the driver's tail capture is
+    // character-bounded and once truncated the leading "value" field out
+    // of the long line above. This line is short enough to always survive.
+    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -580,7 +580,30 @@ object Relational {
         col("col.v").as("amount"), col("col.tie").as("okey"))
       .orderBy(col("o_orderpriority"), col("rnk"))
 
+  /** Navigation windows — lead, framed nth_value/last_value, first —
+    * rounding out the window surface next to lag (q10), rank (q09),
+    * ntile/percent_rank (q33). All share one (custkey, date, key)
+    * window ordering, so Catalyst evaluates them in a single Window
+    * node over one shuffle.
+    */
+  val q40WindowNav: Q = (s, d) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        nth_value(col("o_totalprice"), 2)
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("second_price"),
+        last_value(col("o_totalprice"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+          .as("final_price"),
+        first(col("o_totalprice")).over(w).as("first_price"))
+      .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q40_window_nav" -> q40WindowNav,
     "q39_topk_agg" -> q39TopkAgg,
     "q38_map_ops" -> q38MapOps,
     "q35_outer_join" -> q35OuterJoin,
@@ -622,6 +645,16 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q40_window_nav" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,
+        | nth_value(o_totalprice, 2) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_price,
+        | last_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS final_price,
+        | first_value(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS first_price
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "q39_topk_agg" ->
       """SELECT t.o_orderpriority, u.n_orders, t.rnk, t.amount, t.okey
         |FROM (

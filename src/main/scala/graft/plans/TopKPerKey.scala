@@ -112,14 +112,21 @@ object TopKFilterPushdown
 }
 
 object TopKStrategy extends SparkStrategy {
-  /** Resolve by name against the child's output, then bind to input
-    * ordinals (AttributeReference alone is Unevaluable in exec code).
+  /** Resolve against the child's output, then bind to input ordinals
+    * (AttributeReference alone is Unevaluable in exec code). Resolution
+    * is by exprId first — name matching would silently bind the wrong
+    * column when the child output carries duplicate names (self-join
+    * outputs); the name fallback only covers attributes re-created by
+    * an optimizer rewrite that didn't preserve ids.
     */
   private[plans] def bound(keys: Seq[Expression], order: Expression, tie: Expression,
       output: Seq[Attribute]): (Seq[Expression], Seq[SortOrder]) = {
     def bind(e: Expression): Expression = {
       val resolved = e.transform {
-        case a: Attribute => output.find(_.name == a.name).getOrElse(a)
+        case a: Attribute =>
+          output.find(_.exprId == a.exprId)
+            .orElse(output.find(_.name == a.name))
+            .getOrElse(a)
       }
       org.apache.spark.sql.catalyst.expressions.BindReferences
         .bindReference(resolved, org.apache.spark.sql.catalyst.expressions.AttributeSeq(output))
@@ -141,15 +148,24 @@ object TopK {
     * strategy idempotently so it works on any session.
     */
   def perKey(df: DataFrame, keyCols: Seq[String], orderCol: String,
-      tieCol: String, k: Int): DataFrame = {
+      tieCol: String, k: Int): DataFrame =
+    perKey(df, keyCols.map(df(_)), df(orderCol), df(tieCol), k)
+
+  /** Column-based variant for inputs whose output carries duplicate
+    * names (e.g. a self-join) — name lookup can't address those, but a
+    * side-qualified Column (`joined("a.v")`) carries the exprId the
+    * binder resolves by.
+    */
+  def perKey(df: DataFrame, keys: Seq[Column], order: Column,
+      tie: Column, k: Int): DataFrame = {
     val spark = df.sparkSession
     if (!spark.experimental.extraStrategies.contains(TopKStrategy)) {
       spark.experimental.extraStrategies = spark.experimental.extraStrategies :+ TopKStrategy
     }
     val node = TopKPerKeyNode(
-      keyCols.map(c => Bridge.expression(df(c))),
-      Bridge.expression(df(orderCol)),
-      Bridge.expression(df(tieCol)),
+      keys.map(Bridge.expression),
+      Bridge.expression(order),
+      Bridge.expression(tie),
       k, Bridge.logicalPlan(df))
     Bridge.ofRows(spark, node)
   }

@@ -87,6 +87,36 @@ class TopKPropertySpec extends SparkTestBase {
     assert(rows.length == 5)
   }
 
+  test("duplicate column names bind by exprId, not name (self-join input)") {
+    import spark.implicits._
+    // A join output with TWO columns named "v" and two named "key":
+    // name-based binding would silently resolve every reference to the
+    // left side's attribute; exprId binding must order by the RIGHT
+    // side's v (= 100 - left.v) and flip the ranking.
+    val left = (0 until 60).map(i => (i.toLong % 4, i.toLong, (i % 10).toDouble))
+      .toDF("key", "id", "v")
+    val right = (0 until 10).map(i => (i.toDouble, 100.0 - i))
+      .toDF("v", "vr")
+    val joined = left.join(right, left("v") === right("v"))
+    val top = plans.TopK.perKey(joined,
+        keys = Seq(left("key")), order = right("vr"), tie = left("id"), k = 2)
+      .select(left("key").as("key"), left("id").as("id"),
+        left("v").as("lv"), right("vr").as("vr"))
+      .orderBy(col("key"), col("vr").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    val w = Window.partitionBy(left("key")).orderBy(right("vr").desc, left("id"))
+    val expected = joined.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(left("key").as("key"), left("id").as("id"),
+        left("v").as("lv"), right("vr").as("vr"))
+      .orderBy(col("key"), col("vr").desc, col("id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(top == expected)
+    // ranking by vr means SMALL left-v rows win — catches a silent bind
+    // of `order` to the left "v"
+    assert(top.forall(_._3 <= 1.0), s"top-2 by vr must be the smallest left v: $top")
+  }
+
   test("non-key filters stay above the TopK node (no unsound pushdown)") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong % 10, i.toLong, (i * 37 % 100).toDouble))
