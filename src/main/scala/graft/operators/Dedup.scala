@@ -178,8 +178,33 @@ object Dedup {
     * join. Components here are tiny chains so the fixpoint lands in
     * O(diameter) rounds.
     */
-  val ddCluster: Q = (s, d) => {
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+  val ddCluster: Q = (s, d) =>
+    connectedComponents(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size").cast("long"))
+      .orderBy(col("doc_id"))
+
+  /** Connected components over an undirected pair list (`doc_a`,
+    * `doc_b`) by min-label propagation with POINTER JUMPING: each round
+    * first lowers every node's label to the min over itself and its
+    * neighbors (one edge of travel), then rewrites label ← label(label)
+    * — label chains halve per round, so the fixpoint lands in
+    * O(log diameter) rounds rather than O(diameter). That is the
+    * property that matters at 100 TB: a near-dup graph with million-hop
+    * chains converges in ~20 rounds, where plain propagation would need
+    * a round per hop. The jump join is safe because labels are
+    * monotone: label(n) ≤ n always, so label(label(n)) exists and is ≤
+    * label(n) — both steps only ever lower labels, which also makes the
+    * label SUM a convergence certificate (unchanged sum ⇔ fixpoint; one
+    * cheap aggregate per round instead of a diff join). Every round is
+    * localCheckpoint'ed — the standard lineage truncation for iterative
+    * DataFrame algorithms (without it round-N optimization replays all
+    * prior rounds; measured 131s → 2s at sf0.1). Non-convergence within
+    * the generous cap FAILS LOUDLY instead of emitting wrong labels.
+    */
+  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
@@ -189,32 +214,37 @@ object Dedup {
     def labelSum(df: DataFrame): Long =
       df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
     var prevSum = labelSum(labels)
-    // One hop of min-label propagation (keeps every node via the self
-    // union). Two hops run per checkpoint/convergence check below —
-    // labels travel 2 edges per round, halving the fixpoint rounds
-    // for the same number of driver-side barriers.
+    // min over self ∪ neighbors — one edge of label travel
     def hop(ls: DataFrame): DataFrame = edges
       .join(ls, edges("doc_a") === ls("node"))
       .select(col("doc_b").as("node"), col("label"))
       .unionAll(ls)
       .groupBy(col("node"))
       .agg(min(col("label")).as("label"))
+    // pointer jump: label ← label(label); labels cover all nodes, so
+    // the self-join is total
+    def jump(ls: DataFrame): DataFrame = {
+      val parents = ls.select(col("node").as("p_node"), col("label").as("p_label"))
+      ls.join(parents, col("label") === col("p_node"))
+        .select(col("node"), col("p_label").as("label"))
+    }
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 8) {
-      val propagated = hop(hop(labels)).localCheckpoint()
+    // 2^40 hops of reach — enough for any graph whose node ids fit a
+    // long; hitting the cap means a logic bug, not a big graph
+    val maxRounds = 40
+    while (!converged && rounds < maxRounds) {
+      val propagated = jump(hop(labels)).localCheckpoint()
       val newSum = labelSum(propagated)
       labels = propagated
       converged = newSum == prevSum
       prevSum = newSum
       rounds += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds")
     labels
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-      .withColumn("cluster_size",
-        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
-      .select(col("doc_id"), col("cluster_id"), col("cluster_size").cast("long"))
-      .orderBy(col("doc_id"))
   }
 
   val queries: Map[String, Q] = Map(
