@@ -48,14 +48,18 @@ object Bench {
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }
       .mkString("{", ",", "}")
     val headlineTotal = headline.flatMap(succeeded.get).sum
+    // A failed headline query shrinks headlineTotal, which would read as a
+    // SPEEDUP round-over-round — flag incompleteness so the headline number
+    // can't be compared as-is.
+    val headlineComplete = headline.forall(succeeded.contains)
     val allTotal = if (succeeded.nonEmpty) succeeded.values.sum else 0.0
     val hs = headline.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","queries":$qs,""" +
+    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","headline_complete":$headlineComplete,"queries":$qs,""" +
       s""""errors":$es,"headline":$hs,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}""")
     // Compact repeat on its own FINAL line: the driver's tail capture is
     // character-bounded and once truncated the leading "value" field out
     // of the long line above. This line is short enough to always survive.
-    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","headline_complete":$headlineComplete,"all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -211,8 +211,12 @@ object Dedup {
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
-    def labelSum(df: DataFrame): Long =
-      df.agg(coalesce(sum(col("label")), lit(0L))).head().getLong(0)
+    // Decimal(38,0) sum: Spark's non-ANSI Long sum wraps on overflow, and
+    // a wrapped delta of exactly 2^64 would fake a fixpoint on graphs with
+    // huge id ranges. Decimal is overflow-proof at any node count.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(coalesce(sum(col("label").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
     var prevSum = labelSum(labels)
     // min over self ∪ neighbors — one edge of label travel
     def hop(ls: DataFrame): DataFrame = edges
@@ -234,10 +238,14 @@ object Dedup {
     // long; hitting the cap means a logic bug, not a big graph
     val maxRounds = 40
     while (!converged && rounds < maxRounds) {
-      val propagated = jump(hop(labels)).localCheckpoint()
+      // Checkpoint the hop before jumping: jump self-joins its input, so
+      // an un-checkpointed hop subtree would sit on both sides of the
+      // jump join and per-round cost would hinge on exchange reuse.
+      val hopped = hop(labels).localCheckpoint()
+      val propagated = jump(hopped).localCheckpoint()
       val newSum = labelSum(propagated)
       labels = propagated
-      converged = newSum == prevSum
+      converged = newSum.compareTo(prevSum) == 0
       prevSum = newSum
       rounds += 1
     }
@@ -255,12 +263,26 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_embed_cosine" -> ddEmbedCosine)
 
-  /** dd_exact is deterministic SQL; the rest are signature-based
-    * (xxhash64 has no DuckDB twin) → rows-only checks.
+  /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
+    * fixed-seed float literals (Similarity.bucketSql inlines them), so
+    * it carries a full oracle too. The remaining dd_* are xxhash64-
+    * seeded (no DuckDB twin) → rows-only checks with ScalaTest
+    * invariants instead.
     */
   val oracles: Map[String, String] = Map(
     "dd_exact" ->
       """SELECT min(doc_id) AS doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash
-        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin)
+        |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
+    "dd_embed_cosine" ->
+      s"""WITH b AS (
+         | SELECT vec_id, embedding, ${Similarity.bucketSql("embedding")} AS bucket
+         | FROM embeddings)
+         |SELECT vec_a, vec_b, cosine FROM (
+         | SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+         |  floor(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS cosine
+         | FROM b a
+         | JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) >= 0.3) t
+         |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin)
 }

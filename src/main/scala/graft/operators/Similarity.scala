@@ -42,6 +42,23 @@ object Similarity {
       acc + when(dotProduct(emb, typedlit(p)) > 0d, lit(1 << i)).otherwise(lit(0))
     }
 
+  /** The seed-42 hyperplanes as a DuckDB DOUBLE[] literal, and the
+    * bucket id as DuckDB SQL — the planes are plain float constants, so
+    * the "approximate" LSH operators are in fact fully deterministic and
+    * can carry a hash-checked oracle. `f.toDouble.toString` is the
+    * shortest decimal that round-trips the exact double value of each
+    * float, and float→double widening is exact, so both engines see
+    * bit-identical plane values.
+    */
+  private def planeSqlLit(p: Seq[Float]): String =
+    p.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
+
+  /** DuckDB twin of [[bucketOf]] over column `c` (same sign-sum form). */
+  private[operators] def bucketSql(c: String): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(CASE WHEN list_dot_product(CAST($c AS DOUBLE[]), ${planeSqlLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
   val annBruteTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 8)
@@ -164,10 +181,51 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_quantize_int8" -> annQuantizeInt8)
 
-  /** ann_lsh_topk is approximate by construction → rows-only check.
-    * ann_brute_topk is exact and DuckDB has list_cosine_similarity.
+  /** Every ann_* operator carries a full DuckDB oracle: ann_brute is
+    * exact; ann_lsh's hyperplanes are fixed-seed float literals inlined
+    * into the SQL (deterministic, not "approximate" in any run-to-run
+    * sense); ann_ivf's centroids are the first 16 corpus rows, which
+    * DuckDB reads from the same parquet.
     */
   val oracles: Map[String, String] = Map(
+    "ann_lsh_topk" ->
+      s"""WITH b AS (
+         | SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket
+         | FROM embeddings)
+         |SELECT query_id, rank, neighbor_id, sim, bucket FROM (
+         | SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+         |  floor(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
+         |  CAST(e.bucket AS BIGINT) AS bucket,
+         |  row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+         | FROM b e
+         | JOIN (SELECT * FROM b WHERE vec_id < 8) q
+         |   ON bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
+         |  AND e.vec_id <> q.vec_id) t
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) t WHERE rn <= 4)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_quantize_int8" ->
       """SELECT vec_id,
         | CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_e6,

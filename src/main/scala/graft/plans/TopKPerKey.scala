@@ -125,7 +125,17 @@ object TopKStrategy extends SparkStrategy {
       val resolved = e.transform {
         case a: Attribute =>
           output.find(_.exprId == a.exprId)
-            .orElse(output.find(_.name == a.name))
+            .orElse {
+              // Fallback for ids re-created by an optimizer rewrite. An
+              // ambiguous name here (self-join output) must fail loudly —
+              // picking the first match would silently bind the wrong
+              // column.
+              val byName = output.filter(_.name == a.name)
+              if (byName.size > 1) throw new IllegalStateException(
+                s"TopKPerKey: ambiguous attribute '${a.name}' (exprId miss, " +
+                  s"${byName.size} name matches) — cannot bind safely")
+              byName.headOption
+            }
             .getOrElse(a)
       }
       org.apache.spark.sql.catalyst.expressions.BindReferences

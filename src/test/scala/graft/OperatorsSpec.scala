@@ -27,8 +27,7 @@ class OperatorsSpec extends SparkTestBase {
     // rows-only check — pin the intended set
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
-      "dd_embed_cosine", "dd_cluster", "ann_lsh_topk", "ann_ivf_topk",
-      "q22_approx_distinct", "q37_approx_percentile")
+      "dd_cluster", "q22_approx_distinct", "q37_approx_percentile")
     assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
       s"unexpectedly oracled: ${intended -- rowsOnly}")
   }
