@@ -33,6 +33,36 @@ object FundEtl {
   private def money2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5) / lit(100.0)
 
+  /** The data-driven platform rule library — the reference hard-codes
+    * 20+ platforms as per-platform code blocks (signature detection
+    * `purchase_confirm_extractor.py:1480-1501`, per-platform field
+    * regexes `:35-200`); at scale that's a broadcast RELATION, so
+    * adding a platform is adding a row, not code. Each row: platform
+    * id, match priority, content signature, and the field labels that
+    * drive regex extraction for that platform.
+    */
+  private[graft] val platformRules: Seq[(String, Int, String, String, String)] = Seq(
+    ("haomai", 1, "【好买基金】交易确认单", "确认金额", "手续费"),
+    ("tiantian", 2, "天天基金网结算数据", "成交金额", "费用"),
+    ("yingmi", 3, "盈米财富对账单", "交易金额", "手续费"),
+    ("jingdong", 4, "京东肯特瑞交易回执", "确认金额", "手续费"),
+    ("pingan", 5, "平安银行代销确认", "发生金额", "费用合计"),
+    ("changliang", 6, "长量基金确认数据", "确认金额", "手续费"))
+
+  /** product_codes.json analog: product name → ledger id (two corpus
+    * products deliberately unmapped to exercise the miss path).
+    */
+  private[graft] val productLedger: Seq[(String, String)] = Seq(
+    ("安鑫回报混合A", "L001"), ("稳健增利债券C", "L002"),
+    ("创新成长股票", "L003"), ("货币增值宝B", "L004"))
+
+  /** The committed statement-file corpus (tools/gen_statements.py) —
+    * dated folders of per-platform text statements, the same input
+    * layout the reference walks with os.walk
+    * (`purchase_confirm_extractor.py:1417-1439`).
+    */
+  private[graft] val statementsDir = "/root/repo/data/statements"
+
   /** Signature-based document classification — the reference routes
     * each statement by substring signatures of filename + first lines
     * (`purchase_confirm_extractor.py:1480-1501`). Same shape: LIKE
@@ -425,7 +455,97 @@ object FundEtl {
         floor(avg(col("value")) * 10000 + 0.5).cast("long").as("avg_value_e4"))
       .orderBy(col("event_type"))
 
+  /** END-TO-END file ingestion — the reference's actual front door:
+    * walk dated folders of platform statement files, classify each by
+    * content signature + filename keyword, regex-extract the fields,
+    * normalize numbers/dates, enrich via the product dict, flag
+    * failures (`purchase_confirm_extractor.py:1417-1639` in one
+    * operator). Spark-first shape: a binaryFile scan (at 100 TB this
+    * is the distributed object-store listing + read), a broadcast
+    * nested-loop join against the tiny RULE RELATION (platformRules —
+    * adding a platform is adding a row), and codegen'd regex/label
+    * extraction where the per-platform field labels come from the rule
+    * row, not from code. Defect files surface with valid=false instead
+    * of being dropped — the reference's failed-file tracking.
+    */
+  val etlIngestFiles: Q = (s, _) => {
+    import s.implicits._
+    val rules = platformRules
+      .toDF("platform", "priority", "signature", "amount_label", "fee_label")
+    val dict = productLedger.toDF("p_name", "ledger_id")
+    val files = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(statementsDir)
+      .select(col("path"), col("content").cast("string").as("content"))
+      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+    // Signature classification as a rules join: priority order mirrors
+    // the reference's first-match-wins loop.
+    val byPriority = Window.partitionBy(col("file_name")).orderBy(col("priority"))
+    val classified = files
+      .join(broadcast(rules), col("content").contains(col("signature")), "left")
+      .withColumn("rn", row_number().over(byPriority))
+      .filter(col("rn") === 1)
+    // Filename keyword routing with the reference's exclusion ordering
+    // (`:1440-1461`): 申购确认 must be tested before 申购.
+    classified
+      .withColumn("biz_type",
+        when(col("file_name").contains("shengouqueren"), "CONF")
+          .when(col("file_name").contains("shengou"), "SUB")
+          .when(col("file_name").contains("shuhui"), "RED")
+          .when(col("file_name").contains("fenhong"), "DIV")
+          .otherwise("OTH"))
+      .withColumn("fund_code",
+        nullif(regexp_extract(col("content"), "基金代码：([0-9]{6})", 1), lit("")))
+      .withColumn("product_name",
+        nullif(regexp_extract(col("content"), "产品名称：(.+)", 1), lit("")))
+      .withColumn("amount", expr(
+        "cast(replace(nullif(regexp_extract(content, concat(amount_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("shares", expr(
+        "cast(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)"))
+      .withColumn("fee", expr(
+        "cast(replace(nullif(regexp_extract(content, concat(fee_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("trade_date",
+        regexp_replace(nullif(regexp_extract(col("content"), "确认日期：(.+)", 1), lit("")),
+          "[^0-9]", ""))
+      .join(broadcast(dict), col("product_name") === col("p_name"), "left")
+      .select(col("file_name"), col("batch_date"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        col("biz_type"), col("fund_code"), col("product_name"),
+        coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
+        col("amount"), col("shares"), col("fee"), col("trade_date"),
+        (col("fund_code").isNotNull && col("platform").isNotNull).as("valid"))
+      .orderBy(col("file_name"))
+  }
+
+  /** Rules-as-data classification over a LARGE table — the broadcast
+    * rule relation from etl_ingest_files applied at corpus scale:
+    * documents × 3 regex rules via broadcast nested-loop, first match
+    * by priority wins, no per-class code. The shape that carries the
+    * reference's 20+ platform × 5 biz-type matrix as data.
+    */
+  val etlRulesClassify: Q = (s, d) => {
+    import s.implicits._
+    val rules = Seq(
+      (1, "stream.*window", "streaming_stmt"),
+      (2, "join", "join_stmt"),
+      (3, "group|sort", "agg_stmt"))
+      .toDF("priority", "pattern", "doc_class")
+    val byPriority = Window.partitionBy(col("doc_id")).orderBy(col("priority"))
+    Tables.documents(s, d)
+      .join(broadcast(rules), expr("text rlike pattern"), "left")
+      .withColumn("rn", row_number().over(byPriority))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"),
+        coalesce(col("doc_class"), lit("other")).as("doc_class"),
+        coalesce(col("priority"), lit(99)).cast("long").as("matched_priority"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_ingest_files" -> etlIngestFiles,
+    "etl_rules_classify" -> etlRulesClassify,
     "etl_variant_shred" -> etlVariantShred,
     "etl_scd2" -> etlScd2,
     "etl_reconcile" -> etlReconcile,
@@ -446,7 +566,67 @@ object FundEtl {
     "etl_dedup_latest" -> etlDedupLatest,
     "etl_fee_model" -> etlFeeModel)
 
+  /** The oracle's rule/dict relations are rendered from the SAME Scala
+    * Seqs that feed the Spark side — one source of truth, so a new
+    * platform row updates query and oracle together.
+    */
+  private def rulesValuesSql: String = platformRules
+    .map { case (p, pr, sig, al, fl) => s"('$p', $pr, '$sig', '$al', '$fl')" }
+    .mkString(", ")
+
+  private def dictValuesSql: String = productLedger
+    .map { case (n, l) => s"('$n', '$l')" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "etl_ingest_files" ->
+      s"""WITH rules(platform, priority, signature, amount_label, fee_label) AS (
+         |  VALUES $rulesValuesSql),
+         |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
+         |files AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+         |    content
+         |  FROM read_text('$statementsDir/*/*.txt')),
+         |classified AS (
+         |  SELECT * FROM (
+         |    SELECT f.*, r.platform, r.priority, r.amount_label, r.fee_label,
+         |      row_number() OVER (PARTITION BY f.file_name ORDER BY r.priority) AS rn
+         |    FROM files f LEFT JOIN rules r ON contains(f.content, r.signature)) t
+         |  WHERE rn = 1),
+         |extracted AS (
+         |  SELECT file_name, batch_date, platform,
+         |    CASE WHEN contains(file_name, 'shengouqueren') THEN 'CONF'
+         |         WHEN contains(file_name, 'shengou') THEN 'SUB'
+         |         WHEN contains(file_name, 'shuhui') THEN 'RED'
+         |         WHEN contains(file_name, 'fenhong') THEN 'DIV'
+         |         ELSE 'OTH' END AS biz_type,
+         |    nullif(regexp_extract(content, '基金代码：([0-9]{6})', 1), '') AS fund_code,
+         |    nullif(regexp_extract(content, '产品名称：(.+)', 1), '') AS product_name,
+         |    CAST(replace(nullif(regexp_extract(content, amount_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
+         |    CAST(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
+         |    CAST(replace(nullif(regexp_extract(content, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee,
+         |    regexp_replace(nullif(regexp_extract(content, '确认日期：(.+)', 1), ''), '[^0-9]', '', 'g') AS trade_date
+         |  FROM classified)
+         |SELECT e.file_name, e.batch_date,
+         |  coalesce(e.platform, 'UNKNOWN') AS platform,
+         |  e.biz_type, e.fund_code, e.product_name,
+         |  coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
+         |  e.amount, e.shares, e.fee, e.trade_date,
+         |  (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid
+         |FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name
+         |ORDER BY e.file_name""".stripMargin,
+    "etl_rules_classify" ->
+      """WITH rules(priority, pattern, doc_class) AS (VALUES
+        |  (1, 'stream.*window', 'streaming_stmt'),
+        |  (2, 'join', 'join_stmt'),
+        |  (3, 'group|sort', 'agg_stmt'))
+        |SELECT doc_id, coalesce(doc_class, 'other') AS doc_class,
+        |  CAST(coalesce(priority, 99) AS BIGINT) AS matched_priority
+        |FROM (
+        |  SELECT d.doc_id, r.doc_class, r.priority,
+        |    row_number() OVER (PARTITION BY d.doc_id ORDER BY r.priority) AS rn
+        |  FROM documents d LEFT JOIN rules r ON regexp_matches(d.text, r.pattern)) t
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "etl_variant_shred" ->
       """SELECT event_type, count(*) AS n,
         | CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,

@@ -36,6 +36,26 @@ class OperatorsSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("etl_ingest_files: classification, exclusion order, defect flags") {
+    val rows = operators.FundEtl.etlIngestFiles(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val byName = rows.map(r => r.getAs[String]("file_name") -> r).toMap
+    // 申购确认 must not fall through to 申购 (reference exclusion rule)
+    assert(byName("haomai_shengouqueren_20240115.txt").getAs[String]("biz_type") == "CONF")
+    assert(byName("haomai_shengou_20240115.txt").getAs[String]("biz_type") == "SUB")
+    // defect files: surfaced with valid=false, never dropped
+    val unknown = byName("weizhi_shengou_20240116.txt")
+    assert(unknown.getAs[String]("platform") == "UNKNOWN" && !unknown.getAs[Boolean]("valid"))
+    val nocode = byName("haomai_shuhui_nocode_20240116.txt")
+    assert(nocode.getAs[String]("fund_code") == null && !nocode.getAs[Boolean]("valid"))
+    // per-platform labels drive extraction: every well-formed file yields an amount
+    assert(rows.count(_.getAs[java.lang.Double]("amount") != null) == 49)
+    // all dates normalized to yyyyMMdd regardless of platform format
+    assert(rows.forall { r =>
+      val t = r.getAs[String]("trade_date"); t == null || t.matches("[0-9]{8}")
+    })
+  }
+
   test("q01 groups to returnflag x linestatus") {
     val rows = operators.Relational.q01PricingSummary(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 9)
