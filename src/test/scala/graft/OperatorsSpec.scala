@@ -27,7 +27,7 @@ class OperatorsSpec extends SparkTestBase {
     // rows-only check — pin the intended set
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
-      "dd_cluster", "q22_approx_distinct", "q37_approx_percentile")
+      "dd_cluster", "ann_ivf_kmeans", "q22_approx_distinct", "q37_approx_percentile")
     assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
       s"unexpectedly oracled: ${intended -- rowsOnly}")
   }
@@ -140,6 +140,61 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
     val recall = (brute & ivf).size.toDouble / brute.size
     assert(recall >= 0.3, s"IVF recall $recall suspiciously low")
+  }
+
+  test("ann_ivf_kmeans: training wins where structure exists; corpus floor holds") {
+    // Pure-Scala IVF recall harness over a point set: assign by max
+    // dot, probe the 4 nearest lists, recall@5 vs brute force. Queries
+    // span ALL clusters (2 per cluster) — evaluating only on rows the
+    // untrained quantizer was built from would bias the comparison.
+    val queryIds = (16 until 48).toVector
+    def ivfRecall(pts: Array[Array[Double]], cents: Array[Array[Double]]): Double = {
+      val k = cents.length
+      def dot(a: Array[Double], b: Array[Double]): Double =
+        a.indices.foldLeft(0.0)((s, i) => s + a(i) * b(i))
+      val assign = pts.map(p => (0 until k).maxBy(c => (dot(p, cents(c)), -c)))
+      var hits = 0
+      for (qi <- queryIds) {
+        val sims = pts.indices.map(j => if (j == qi) -9.0 else dot(pts(qi), pts(j)))
+        val brute = pts.indices.sortBy(j => (-sims(j), j)).take(5).toSet
+        val probe = (0 until k).sortBy(c => (-dot(pts(qi), cents(c)), c)).take(4).toSet
+        val got = pts.indices
+          .filter(j => j != qi && probe(assign(j)))
+          .sortBy(j => (-sims(j), j)).take(5).toSet
+        hits += (brute & got).size
+      }
+      hits / (5.0 * queryIds.size)
+    }
+    // Planted structure: 16 cluster centers, 512 points at 0.8·center +
+    // 0.6·noise — but the FIRST 16 points (the untrained quantizer's
+    // centroids) come from only 2 clusters, the realistic failure of
+    // quantizing from whatever rows come first.
+    val rng = new scala.util.Random(7)
+    val dim = 64
+    val centers = Array.fill(16)(operators.Similarity.normalize(
+      Array.fill(dim)(rng.nextGaussian())))
+    val pts = Array.tabulate(512) { i =>
+      val c = if (i < 16) i % 2 else i % 16
+      val noise = Array.fill(dim)(rng.nextGaussian() * 0.6)
+      operators.Similarity.normalize(
+        centers(c).zip(noise).map { case (x, e) => 0.8 * x + e })
+    }
+    val untrained = ivfRecall(pts, pts.take(16))
+    val trained = ivfRecall(pts, operators.Similarity.sphericalKMeans(pts, 16, 10))
+    assert(trained > untrained,
+      s"k-means IVF recall $trained not above untrained $untrained on clustered data")
+    info(s"planted-cluster recall@5: untrained=$untrained kmeans=$trained")
+    // On the (isotropic) harness corpus the trained operator must still
+    // clear a recall floor vs brute force at sf0.01.
+    val dir = "/root/testdata/sf0.01"
+    val brute = operators.Similarity.annBruteTopk(spark, dir).collect()
+      .filter(_.getAs[Long]("rank") <= 5)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val km = operators.Similarity.annIvfKmeans(spark, dir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val corpusRecall = (brute & km).size.toDouble / brute.size
+    assert(corpusRecall >= 0.6, s"corpus recall $corpusRecall below floor")
+    info(s"corpus recall@5: kmeans=$corpusRecall")
   }
 
   test("custom TopK operator matches the window formulation exactly") {
