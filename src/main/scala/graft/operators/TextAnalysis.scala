@@ -74,7 +74,11 @@ object TextAnalysis {
     Tables.documents(s, d)
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("long").as("ws_tokens"),
-        regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long").as("bpe_tokens"),
+        // native one-pass kernel; bit parity with the
+        // regexp_count(text, '[a-z]+|[0-9]+|[^a-z0-9 ]') twin is
+        // pinned in TextExprsSpec (the DuckDB oracle still runs the
+        // regex form)
+        graft.functions.TextFunctions.bpeTokenCount(col("text")).as("bpe_tokens"),
         length(col("text")).cast("long").as("n_chars_text"))
       .orderBy(col("doc_id"))
 

@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Bit parity of the native token-count kernel vs its regex twin —
+  * the same guarantee HashExprsSpec gives the signature kernels.
+  */
+class TextExprsSpec extends SparkTestBase {
+
+  private def regexTwin(c: org.apache.spark.sql.Column) =
+    regexp_count(c, lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("long")
+
+  test("graft_token_count matches regexp_count on the documents corpus") {
+    val df = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        TextFunctions.bpeTokenCount(col("text")).as("native"),
+        regexTwin(col("text")).as("regex"))
+    assert(df.filter(col("native") =!= col("regex")).count() == 0)
+    assert(df.filter(col("native") > 0).count() > 0)
+  }
+
+  test("graft_token_count edge cases match the regex") {
+    import spark.implicits._
+    val cases = Seq(
+      "", " ", "   ", "abc", "abc def", "a1b2", "123 456", "a,b.c",
+      "ABC", "aB cD", "a  b", "trailing ", " leading", "a-1-b",
+      "héllo wörld", "中文 分词", "emoji 😀 ok", "x\ty\nz",
+      "a" * 500, ("ab 12 !? " * 40).trim)
+    val df = cases.toDF("t")
+      .select(TextFunctions.bpeTokenCount(col("t")).as("native"),
+        regexTwin(col("t")).as("regex"), col("t"))
+    val bad = df.filter(col("native") =!= col("regex")).collect()
+    assert(bad.isEmpty, bad.map(r => s"'${r.getString(2)}': native=${r.getLong(0)} regex=${r.getLong(1)}").mkString("; "))
+  }
+
+  test("kernel interpreted and codegen paths agree") {
+    // eval path directly
+    import org.apache.spark.unsafe.types.UTF8String
+    val s = "ab 12 x! 中"
+    assert(graft.functions.TextKernels.bpeTokenCount(UTF8String.fromString(s)) == 5L)
+  }
+}
