@@ -105,6 +105,24 @@ class OperatorsSpec extends SparkTestBase {
     assert(got == expected, s"diff=${(got.toSet diff expected.toSet).take(5)}")
   }
 
+  test("connectedComponents converges on a 300-hop chain (pointer jumping)") {
+    import spark.implicits._
+    // a path graph of diameter 300 — plain one-hop propagation would
+    // need 300 rounds; pointer jumping must land it within the 40-round
+    // cap (log2(300) ≈ 8.2 jump rounds) or throw
+    val chain = (0L until 300L).map(i => (i, i + 1))
+    // plus a separate cycle and an isolated pair, shuffled ids so labels
+    // aren't trivially ordered
+    val cycle = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L))
+    val pair = Seq((5000L, 4999L))
+    val pairs = (chain ++ cycle ++ pair).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponents(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert((0L to 300L).forall(labels(_) == 0L), "chain not fully merged")
+    assert(Seq(1000L, 1001L, 1002L).forall(labels(_) == 1000L))
+    assert(labels(4999L) == 4999L && labels(5000L) == 4999L)
+  }
+
   test("dd_minhash_lsh pairs are canonical and thresholded") {
     val rows = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
     rows.foreach { r =>
