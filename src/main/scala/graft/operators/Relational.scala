@@ -602,7 +602,24 @@ object Relational {
       .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
   }
 
+  /** Conditional aggregation via the SQL FILTER clause — one scan
+    * producing unconditioned and predicate-scoped aggregates side by
+    * side (the pivot-free form of conditional rollups). All aggregates
+    * share one partial-agg pass; no per-predicate rescan.
+    */
+  val q41FilterAgg: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_all"),
+        expr("count(*) FILTER (WHERE l_discount > 0.05)").as("n_disc"),
+        expr("round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2)").as("rev_bulk"),
+        expr("floor(avg(l_extendedprice) FILTER (WHERE l_tax < 0.03) * 10000 + 0.5)")
+          .cast("long").as("avg_lowtax_e4"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, Q] = Map(
+    "q41_filter_agg" -> q41FilterAgg,
     "q40_window_nav" -> q40WindowNav,
     "q39_topk_agg" -> q39TopkAgg,
     "q38_map_ops" -> q38MapOps,
@@ -645,6 +662,13 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q41_filter_agg" ->
+      """SELECT l_returnflag,
+        | CAST(count(*) AS BIGINT) AS n_all,
+        | CAST(count(*) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS n_disc,
+        | round(sum(l_extendedprice) FILTER (WHERE l_quantity >= 25), 2) AS rev_bulk,
+        | CAST(floor(avg(l_extendedprice) FILTER (WHERE l_tax < 0.03) * 10000 + 0.5) AS BIGINT) AS avg_lowtax_e4
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q40_window_nav" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
         | lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS next_price,

@@ -109,14 +109,69 @@ object StreamingTwins {
         col("n_events"), col("total_value"))
       .orderBy(col("user_id"), col("start_us"))
 
+  /** Watermark lateness audit with faithful micro-batch semantics —
+    * which events WOULD be dropped by `withWatermark("ts", "10
+    * minutes")` when the source's partitions replay at different
+    * speeds (the Kafka-partition-lag scenario watermark delay exists
+    * for; this corpus is perfectly ordered, so lateness must come
+    * from the arrival model, not the data). Deterministic replay: 8
+    * source partitions keyed user_id%8, partition p drains at rate
+    * 64/(64+p); arrival ticks of 500 events form micro-batches; the
+    * watermark for a batch is the max event time of all PRIOR batches
+    * minus G — exactly how Structured Streaming advances watermarks.
+    *
+    * Scale shape: per-partition row_number (partitioned window), one
+    * groupBy to tick-level maxima, a running max over the TINY tick
+    * table (rows = corpus/500 — the only global window, bounded), and
+    * a broadcast join back. No global per-event window.
+    */
+  val stLatenessAudit: Q = (s, d) => {
+    val wPart = Window.partitionBy(col("src_part")).orderBy(col("event_id"))
+    val arr = Tables.events(s, d)
+      .withColumn("src_part", col("user_id") % 8)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("arrival_rank",
+        expr("(row_number() OVER (PARTITION BY src_part ORDER BY event_id) " +
+          "* (64 + src_part)) div 64"))
+      .withColumn("tick", expr("arrival_rank div 500"))
+    val wTick = Window.orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val watermarks = arr.groupBy(col("tick"))
+      .agg(max(col("ts_us")).as("tick_max"))
+      .withColumn("watermark", max(col("tick_max")).over(wTick) - 600000000L)
+      .select(col("tick"), col("watermark"))
+    arr.join(broadcast(watermarks), "tick")
+      .filter(col("ts_us") < col("watermark"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (col("watermark") - col("ts_us")).as("late_by_us"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_tumbling_agg" -> stTumblingAgg,
     "st_sessionize" -> stSessionize,
     "st_dedup_events" -> stDedupEvents,
     "st_stream_join" -> stStreamJoin,
-    "st_session_window" -> stSessionWindow)
+    "st_session_window" -> stSessionWindow,
+    "st_lateness_audit" -> stLatenessAudit)
 
   val oracles: Map[String, String] = Map(
+    "st_lateness_audit" ->
+      """WITH arr AS (
+        | SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  (row_number() OVER (PARTITION BY user_id % 8 ORDER BY event_id)
+        |    * (64 + user_id % 8)) // 64 AS arrival_rank
+        | FROM events),
+        |t AS (SELECT event_id, user_id, ts_us, arrival_rank // 500 AS tick FROM arr),
+        |wm AS (
+        | SELECT tick,
+        |  max(tick_max) OVER (ORDER BY tick
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - 600000000 AS watermark
+        | FROM (SELECT tick, max(ts_us) AS tick_max FROM t GROUP BY tick) x)
+        |SELECT t.event_id, t.user_id, t.ts_us,
+        | wm.watermark - t.ts_us AS late_by_us
+        |FROM t JOIN wm USING (tick)
+        |WHERE t.ts_us < wm.watermark ORDER BY t.event_id""".stripMargin,
     "st_tumbling_agg" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         | event_type, count(*) AS n, round(sum(value), 2) AS total

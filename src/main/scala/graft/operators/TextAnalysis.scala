@@ -174,7 +174,39 @@ object TextAnalysis {
         col("rate").cast("long").as("rate"))
       .orderBy(col("doc_id"))
 
+  /** Document-frequency token pruning — the word-level analog of
+    * boilerplate removal: tokens present in > 78% of documents carry
+    * no signal (corpus-level stopwords) and are stripped before
+    * training. Two shuffles total: one distinct+groupBy for the df
+    * table (vocabulary-sized, Zipf-bounded), one groupBy to reassemble
+    * documents; the df join keys on the token (AQE broadcasts it when
+    * small — no forced hint, the vocabulary of a 100 TB corpus may not
+    * fit an executor). Token order is restored via posexplode +
+    * array_sort over (pos, tok) structs, so the rebuilt text is
+    * deterministic.
+    */
+  val txDfPrune: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val df = toks.select(col("doc_id"), col("tok")).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    toks.join(df, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("keep", col("df") * 100 <= col("n_docs") * 78)
+      .groupBy(col("doc_id"))
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN keep THEN struct(pos, tok) END)), x -> x.tok), ' ')")
+          .as("pruned_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_pruned"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_df_prune" -> txDfPrune,
     "tx_sample_stratified" -> txSampleStratified,
     "tx_redact" -> txRedact,
     "tx_bigrams" -> txBigrams,
@@ -185,6 +217,21 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_df_prune" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(split(text, ' ')) AS tok,
+        |         generate_subscripts(split(text, ' '), 1) AS pos
+        |  FROM documents),
+        |df AS (
+        |  SELECT tok, count(DISTINCT doc_id) AS df FROM toks GROUP BY tok),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT t.doc_id,
+        |  coalesce(string_agg(t.tok, ' ' ORDER BY t.pos)
+        |    FILTER (WHERE df.df * 100 <= n.n_docs * 78), '') AS pruned_text,
+        |  CAST(count(*) FILTER (WHERE df.df * 100 <= n.n_docs * 78) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE df.df * 100 > n.n_docs * 78) AS BIGINT) AS n_pruned
+        |FROM toks t JOIN df ON t.tok = df.tok CROSS JOIN n
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "tx_sample_stratified" ->
       """SELECT doc_id, lang, bucket, rate FROM (
         | SELECT doc_id, lang,
