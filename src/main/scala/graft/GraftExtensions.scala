@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{CosineSimilarity, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TopKValues}
+import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TopKValues}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... graft_cosine(a, b)
@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         TopKValues(children(0), children(1),
           children(2).eval().asInstanceOf[Number].intValue)
           .toAggregateExpression()))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_token_count"),
+      (children: Seq[Expression]) => BpeTokenCount(children(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

@@ -34,6 +34,14 @@ class TextExprsSpec extends SparkTestBase {
     assert(bad.isEmpty, bad.map(r => s"'${r.getString(2)}': native=${r.getLong(0)} regex=${r.getLong(1)}").mkString("; "))
   }
 
+  test("graft_token_count is callable from SQL via extensions") {
+    import spark.implicits._
+    Seq("ab 12 x!").toDF("t").createOrReplaceTempView("tok_sql")
+    val n = spark.sql("SELECT graft_token_count(t) AS n FROM tok_sql")
+      .head().getLong(0)
+    assert(n == 4L)
+  }
+
   test("kernel interpreted and codegen paths agree") {
     // eval path directly
     import org.apache.spark.unsafe.types.UTF8String
