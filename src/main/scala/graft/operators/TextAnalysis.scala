@@ -183,7 +183,12 @@ object TextAnalysis {
     * small — no forced hint, the vocabulary of a 100 TB corpus may not
     * fit an executor). Token order is restored via posexplode +
     * array_sort over (pos, tok) structs, so the rebuilt text is
-    * deterministic.
+    * deterministic. The corpus is deliberately scanned twice (df
+    * branch + rebuild branch) rather than persisting the exploded
+    * token stream: the explosion is a ~3× size blowup, and at corpus
+    * scale a second columnar scan is cheaper than caching it; the
+    * third scan in the plan is the zero-column count(*) (row-count
+    * metadata only).
     */
   val txDfPrune: Q = (s, d) => {
     val docs = Tables.documents(s, d)
