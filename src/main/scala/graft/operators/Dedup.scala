@@ -145,13 +145,17 @@ object Dedup {
   /** Embedding near-dup via the hyperplane buckets of Similarity:
     * within-bucket exact cosine ≥ 0.3 (this corpus has no planted
     * embedding dups; 0.3 surfaces the genuinely-closest pairs).
-    * Within-bucket comparison is quadratic in bucket size — at larger
-    * corpus sizes raise Similarity.planes so expected bucket occupancy
-    * stays bounded (buckets = 2^planes).
+    * Within-bucket comparison is quadratic in bucket size, so the
+    * plane count is WIRED to corpus size (Similarity.planesFor: 2^p
+    * buckets, expected occupancy ≤ ~32); plane sets nest, so growth
+    * only splits buckets. The oracle mirrors the same thresholds via
+    * a CASE over count(*).
     */
   val ddEmbedCosine: Q = (s, d) => {
+    val n = Tables.embeddings(s, d).count()
     val emb = Tables.embeddings(s, d)
-      .withColumn("bucket", Similarity.bucketOf(col("embedding")))
+      .withColumn("bucket",
+        Similarity.bucketOf(col("embedding"), Similarity.planesFor(n)))
       .select(col("vec_id"), col("embedding"), col("bucket"))
     emb.as("a")
       .join(emb.as("b"), col("a.bucket") === col("b.bucket") &&
@@ -276,7 +280,8 @@ object Dedup {
         |FROM documents GROUP BY 2 ORDER BY doc_id""".stripMargin,
     "dd_embed_cosine" ->
       s"""WITH b AS (
-         | SELECT vec_id, embedding, ${Similarity.bucketSql("embedding")} AS bucket
+         | SELECT vec_id, embedding,
+         |  ${Similarity.adaptiveBucketSql("embedding", "SELECT count(*) FROM embeddings")} AS bucket
          | FROM embeddings)
          |SELECT vec_a, vec_b, cosine FROM (
          | SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,

@@ -36,6 +36,22 @@ object Similarity {
 
   private[graft] val planes: Seq[Seq[Float]] = makePlanes(6)
 
+  /** The corpus-size lever, wired: smallest p ≥ 6 with 32·2^p ≥ n, so
+    * expected bucket occupancy stays ≤ ~32 as the corpus grows (the
+    * within-bucket compare is quadratic in occupancy). Exact integer
+    * arithmetic — the DuckDB oracle mirrors the same thresholds.
+    * Because every plane set extends the same seed-42 stream, plane
+    * sets NEST: planesFor(n1) is a prefix of planesFor(n2) for
+    * n1 ≤ n2, so raising p only splits buckets, never reshuffles them.
+    */
+  private[graft] def pFor(n: Long): Int = {
+    var p = 6
+    while ((32L << p) < n && p < 30) p += 1
+    p
+  }
+
+  private[graft] def planesFor(n: Long): Seq[Seq[Float]] = makePlanes(pFor(n))
+
   /** Sign-bit bucket id from the hyperplanes (2^planes buckets). */
   private[graft] def bucketOf(emb: Column, ps: Seq[Seq[Float]] = planes): Column =
     ps.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
@@ -54,10 +70,23 @@ object Similarity {
     p.map(_.toDouble.toString).mkString("[", ",", "]::DOUBLE[]")
 
   /** DuckDB twin of [[bucketOf]] over column `c` (same sign-sum form). */
-  private[operators] def bucketSql(c: String): String =
-    planes.zipWithIndex.map { case (p, i) =>
+  private[operators] def bucketSql(c: String, ps: Seq[Seq[Float]] = planes): String =
+    ps.zipWithIndex.map { case (p, i) =>
       s"(CASE WHEN list_dot_product(CAST($c AS DOUBLE[]), ${planeSqlLit(p)}) > 0 THEN ${1 << i} ELSE 0 END)"
     }.mkString("(", " + ", ")")
+
+  /** Corpus-size-adaptive DuckDB twin of `bucketOf(e, planesFor(n))`:
+    * one CASE branch per plane count the oracle may need (p = 6..9
+    * covers corpora to 16384 vectors; the operator itself is unbounded
+    * — a bigger corpus needs the next branch added here, and the
+    * verify gate fails loudly rather than silently diverging).
+    */
+  private[operators] def adaptiveBucketSql(c: String, countSql: String): String = {
+    val branches = (6 to 9).map { p =>
+      s"WHEN ($countSql) <= ${32L << p} THEN ${bucketSql(c, makePlanes(p))}"
+    }
+    branches.mkString("(CASE ", " ", " END)")
+  }
 
   val annBruteTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)

@@ -33,4 +33,18 @@ class LshScaleSpec extends SparkTestBase {
     assert(occ10 * 2 <= occ6,
       s"10 planes should cut max occupancy >=2x vs 6 planes: occ6=$occ6 occ10=$occ10")
   }
+
+  test("planesFor wires plane count to corpus size with nesting") {
+    // smallest p >= 6 with 32*2^p >= n — expected occupancy stays <= ~32
+    assert(Similarity.pFor(100) == 6)
+    assert(Similarity.pFor(2048) == 6)
+    assert(Similarity.pFor(2049) == 7)
+    assert(Similarity.pFor(10000) == 9)
+    assert(Similarity.pFor(1000000) == 15)
+    // plane sets nest: growing the corpus only SPLITS buckets (the
+    // seed-42 stream is a prefix), never reshuffles existing ones
+    val p6 = Similarity.makePlanes(6)
+    val p9 = Similarity.makePlanes(9)
+    assert(p9.take(6) == p6)
+  }
 }
