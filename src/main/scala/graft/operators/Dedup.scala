@@ -246,11 +246,21 @@ object Dedup {
       // an un-checkpointed hop subtree would sit on both sides of the
       // jump join and per-round cost would hinge on exchange reuse.
       val hopped = hop(labels).localCheckpoint()
-      val propagated = jump(hopped).localCheckpoint()
-      val newSum = labelSum(propagated)
-      labels = propagated
-      converged = newSum.compareTo(prevSum) == 0
-      prevSum = newSum
+      val hopSum = labelSum(hopped)
+      if (hopSum.compareTo(prevSum) == 0) {
+        // hop-fixpoint IS the CC fixpoint (labels are monotone and for
+        // every edge (a,b) an unchanged sum forces label(a)=label(b)),
+        // so the final round skips the jump join entirely.
+        labels = hopped
+        converged = true
+      } else {
+        // an unchanged sum across jump alone is NOT a certificate
+        // (jump is label(label); hop could still lower) — only the
+        // hop-fixpoint test above terminates the loop.
+        val propagated = jump(hopped).localCheckpoint()
+        prevSum = labelSum(propagated)
+        labels = propagated
+      }
       rounds += 1
     }
     if (!converged)
