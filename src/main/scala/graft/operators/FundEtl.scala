@@ -468,7 +468,13 @@ object FundEtl {
     * row, not from code. Defect files surface with valid=false instead
     * of being dropped — the reference's failed-file tracking.
     */
-  val etlIngestFiles: Q = (s, _) => {
+  val etlIngestFiles: Q = (s, _) => ingestFrom(s, statementsDir)
+
+  /** The ingest pipeline over any statement directory — etlIngestFiles
+    * binds it to the committed corpus; scale measurements point it at
+    * a generated multi-thousand-file tree.
+    */
+  private[graft] def ingestFrom(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val rules = platformRules
       .toDF("platform", "priority", "signature", "amount_label", "fee_label")
@@ -476,7 +482,7 @@ object FundEtl {
     val files = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.txt")
       .option("recursiveFileLookup", "true")
-      .load(statementsDir)
+      .load(dir)
       .select(col("path"), col("content").cast("string").as("content"))
       .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
       .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))

@@ -12,8 +12,14 @@ so the files can be committed and oracled byte-for-byte.
 Run once from the repo root: python3 tools/gen_statements.py
 """
 import os
+import sys
 
-ROOT = os.path.join(os.path.dirname(__file__), "..", "data", "statements")
+# default: the committed corpus. Optional args for scale measurement:
+#   python3 tools/gen_statements.py /tmp/statements_10k 208
+# writes <n_dates> dated folders (48 files each) to the given dir.
+ROOT = sys.argv[1] if len(sys.argv) > 1 else \
+    os.path.join(os.path.dirname(__file__), "..", "data", "statements")
+N_DATES = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
 # (pinyin, signature line, amount label, fee label, date style)
 PLATFORMS = [
@@ -39,7 +45,22 @@ PRODUCTS = [
     "价值精选混合", "量化对冲多策略",
 ]
 
-DATES = ["20240115", "20240116"]
+def _dates():
+    if N_DATES <= 0:
+        return ["20240115", "20240116"]
+    out = []
+    y, m = 2024, 1
+    d = 1
+    for _ in range(N_DATES):
+        out.append(f"{y}{m:02d}{d:02d}")
+        d += 1
+        if d > 28:
+            d = 1; m += 1
+            if m > 12:
+                m = 1; y += 1
+    return out
+
+DATES = _dates()
 
 
 def fmt_date(d, style):
