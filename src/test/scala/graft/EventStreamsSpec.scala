@@ -186,6 +186,40 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0), s"got $out")
   }
 
+  test("partitioned upsert merges correctly and leaves untouched buckets alone") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val snap = java.nio.file.Files.createTempDirectory("graft_upsertp_snap").toString + "/snap"
+    val ck = java.nio.file.Files.createTempDirectory("graft_upsertp_ck").toString
+    val input = MemoryStream[Evt]
+    val q = EventStreams.upsertToPartitionedParquet(input.toDF(), snap, ck, nBuckets = 4)
+    // batch 1 populates buckets 1 (events 1,5) and 2 (event 2)
+    input.addData(
+      Evt(1, ts(0), 1, "click", 1.0),
+      Evt(5, ts(1), 5, "view", 5.0),
+      Evt(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    def bucketFiles(b: Int): Set[(String, Long)] = {
+      val dir = new java.io.File(s"$snap/bkt=$b")
+      if (!dir.exists()) Set.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified())).toSet
+    }
+    val b1Before = bucketFiles(1)
+    assert(b1Before.nonEmpty)
+    // batch 2 touches ONLY bucket 2 (restate event 2, add event 6)
+    input.addData(
+      Evt(2, ts(10), 2, "view", 9.0),
+      Evt(6, ts(11), 6, "click", 6.0))
+    q.processAllAvailable(); q.stop()
+    val out = spark.read.parquet(snap).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    assert(out == Map(1L -> 1.0, 5L -> 5.0, 2L -> 9.0, 6L -> 6.0), s"got $out")
+    // bucket 1 files were not rewritten by the second batch
+    assert(bucketFiles(1) == b1Before,
+      s"untouched bucket rewritten: before=$b1Before after=${bucketFiles(1)}")
+  }
+
   test("sessionize closes a session after the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
