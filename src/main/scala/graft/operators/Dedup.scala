@@ -269,7 +269,33 @@ object Dedup {
     labels
   }
 
+  /** Canonical-document selection — the last stage of near-dup
+    * removal: within each near-dup cluster keep the HIGHEST-QUALITY
+    * member (tie → lowest doc_id), not an arbitrary one; everything
+    * else becomes the drop list. Joins the CC cluster labels with the
+    * tx_quality score (broadcast-size label table at harness scale;
+    * a plain key join at corpus scale), one window for the argmax.
+    * Docs outside any near-dup pair are their own canonical.
+    */
+  val ddCanonical: Q = (s, d) => {
+    val labels = connectedComponents(
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val quality = TextAnalysis.txQuality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val labeled = quality.join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    labeled
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("cluster_id"), col("quality_score"),
+        (col("rn") === 1).as("is_canonical"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_canonical" -> ddCanonical,
     "dd_cluster" -> ddCluster,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,

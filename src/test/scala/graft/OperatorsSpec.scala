@@ -27,7 +27,8 @@ class OperatorsSpec extends SparkTestBase {
     // rows-only check — pin the intended set
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
-      "dd_cluster", "ann_ivf_kmeans", "q22_approx_distinct", "q37_approx_percentile")
+      "dd_cluster", "dd_canonical", "ann_ivf_kmeans",
+      "q22_approx_distinct", "q37_approx_percentile")
     assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
       s"unexpectedly oracled: ${intended -- rowsOnly}")
   }
@@ -103,6 +104,22 @@ class OperatorsSpec extends SparkTestBase {
     val got = operators.Dedup.ddCluster(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
     assert(got == expected, s"diff=${(got.toSet diff expected.toSet).take(5)}")
+  }
+
+  test("dd_canonical keeps exactly one best-quality doc per cluster") {
+    val rows = operators.Dedup.ddCanonical(spark, sfDir).collect()
+    assert(rows.length == sources.Tables.documents(spark, sfDir).count())
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      val canon = members.filter(_.getAs[Boolean]("is_canonical"))
+      assert(canon.length == 1, s"cluster $cid has ${canon.length} canonicals")
+      val best = members.map(m =>
+        (-m.getAs[Double]("quality_score"), m.getAs[Long]("doc_id"))).min
+      assert(canon.head.getAs[Long]("doc_id") == best._2,
+        s"cluster $cid canonical is not the best-quality member")
+    }
+    // near-dup clusters exist on this corpus, so some docs are dropped
+    assert(rows.count(!_.getAs[Boolean]("is_canonical")) > 0)
   }
 
   test("connectedComponents converges on a 300-hop chain (pointer jumping)") {
