@@ -478,7 +478,6 @@ object FundEtl {
     import s.implicits._
     val rules = platformRules
       .toDF("platform", "priority", "signature", "amount_label", "fee_label")
-    val dict = productLedger.toDF("p_name", "ledger_id")
     val files = s.read.format("binaryFile")
       .option("pathGlobFilter", "*.txt")
       .option("recursiveFileLookup", "true")
@@ -493,8 +492,20 @@ object FundEtl {
       .join(broadcast(rules), col("content").contains(col("signature")), "left")
       .withColumn("rn", row_number().over(byPriority))
       .filter(col("rn") === 1)
-    // Filename keyword routing with the reference's exclusion ordering
-    // (`:1440-1461`): 申购确认 must be tested before 申购.
+    extractStatementFields(s, classified).orderBy(col("file_name"))
+  }
+
+  /** The map-only tail of the ingest pipeline (filename routing, field
+    * extraction, normalization, dict enrich, validity flag) — shared
+    * by the batch operator above and the STREAMING ingest
+    * (graft.streaming.EventStreams.statementStream): every step here
+    * is stateless, so the same code runs per micro-batch unchanged.
+    * Input must already carry (content, file_name, batch_date,
+    * platform, amount_label, fee_label).
+    */
+  private[graft] def extractStatementFields(s: SparkSession, classified: DataFrame): DataFrame = {
+    import s.implicits._
+    val dict = productLedger.toDF("p_name", "ledger_id")
     classified
       .withColumn("biz_type",
         when(col("file_name").contains("shengouqueren"), "CONF")
@@ -522,7 +533,6 @@ object FundEtl {
         coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
         col("amount"), col("shares"), col("fee"), col("trade_date"),
         (col("fund_code").isNotNull && col("platform").isNotNull).as("valid"))
-      .orderBy(col("file_name"))
   }
 
   /** Rules-as-data classification over a LARGE table — the broadcast

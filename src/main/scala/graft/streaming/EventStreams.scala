@@ -109,6 +109,34 @@ object EventStreams {
       }
       .start()
 
+  /** STREAMING statement ingestion — the reference's daily folder scan
+    * as an incremental pipeline: statement files dropped into `dir`
+    * are picked up per micro-batch, classified against the broadcast
+    * platform-rule relation (stream-static join — stateless), and run
+    * through the same map-only extraction tail as the batch operator
+    * (FundEtl.extractStatementFields; ONE implementation for both
+    * modes). The priority window of the batch path is replaced by the
+    * unique-signature property of the rule table (each content matches
+    * at most one signature), since per-file windows are not available
+    * in append-mode streams. Sink it with upsertToPartitionedParquet
+    * keyed on file_name for an incrementally-maintained master table.
+    */
+  def statementStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val rules = graft.operators.FundEtl.platformRules
+      .toDF("platform", "priority", "signature", "amount_label", "fee_label")
+    val files = spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"), col("content").cast("string").as("content"))
+      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+      .join(broadcast(rules), col("content").contains(col("signature")), "left")
+    graft.operators.FundEtl.extractStatementFields(spark, files)
+  }
+
   /** Partition-pruned foreachBatch upsert: the snapshot is laid out in
     * key-bucket partitions (bkt = key mod nBuckets); each micro-batch
     * merges ONLY the buckets its keys touch — read is partition-pruned

@@ -186,6 +186,34 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out == Map(1L -> 9.0, 2L -> 2.0, 3L -> 3.0), s"got $out")
   }
 
+  test("statementStream ingests dropped files incrementally") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft_stmt_stream").toString
+    Files.createDirectories(Paths.get(s"$root/20240115"))
+    def drop(name: String): Unit =
+      Files.copy(Paths.get(s"/root/repo/data/statements/20240115/$name"),
+        Paths.get(s"$root/20240115/$name"), StandardCopyOption.REPLACE_EXISTING)
+    drop("haomai_shengouqueren_20240115.txt")
+    drop("pingan_shuhui_20240115.txt")
+    val q = EventStreams.statementStream(spark, root)
+      .writeStream.format("memory").queryName("stmt_stream")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val after2 = spark.table("stmt_stream").collect()
+    assert(after2.length == 2)
+    // a later drop lands in the NEXT micro-batch — incremental pickup
+    drop("tiantian_fenhong_20240115.txt")
+    q.processAllAvailable(); q.stop()
+    val rows = spark.table("stmt_stream").collect()
+      .map(r => r.getAs[String]("file_name") -> r).toMap
+    assert(rows.size == 3)
+    assert(rows("haomai_shengouqueren_20240115.txt").getAs[String]("platform") == "haomai")
+    assert(rows("haomai_shengouqueren_20240115.txt").getAs[String]("biz_type") == "CONF")
+    assert(rows("tiantian_fenhong_20240115.txt").getAs[String]("platform") == "tiantian")
+    assert(rows("pingan_shuhui_20240115.txt").getAs[java.lang.Double]("amount") != null)
+    assert(rows.values.forall(_.getAs[Boolean]("valid")))
+  }
+
   test("partitioned upsert merges correctly and leaves untouched buckets alone") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
