@@ -158,7 +158,26 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Content-addressed dedup over the opaque binary payload — the
+    * storage layout move for media corpora: digest the raw bytes
+    * (md5 here; production uses sha256), keep one canonical asset per
+    * digest, account the savings. Unlike dd_exact (normalized TEXT),
+    * this hashes the payload bytes verbatim — the digest IS the
+    * storage key. Partial-aggregating groupBy: one row per digest to
+    * the shuffle.
+    */
+  val mmDedupBytes: Q = (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .groupBy(md5(col("payload")).as("digest"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("ref_count"),
+        max(length(col("payload"))).cast("long").as("n_bytes"))
+      .withColumn("bytes_saved", (col("ref_count") - 1) * col("n_bytes"))
+      .orderBy(col("digest"))
+
   val queries: Map[String, Q] = Map(
+    "mm_dedup_bytes" -> mmDedupBytes,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
@@ -168,6 +187,12 @@ object Multimodal {
     * gets a real oracle despite the mapPartitions implementation.
     */
   val oracles: Map[String, String] = Map(
+    "mm_dedup_bytes" ->
+      """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
+        | CAST(count(*) AS BIGINT) AS ref_count,
+        | CAST(max(strlen(text)) AS BIGINT) AS n_bytes,
+        | CAST((count(*) - 1) * max(strlen(text)) AS BIGINT) AS bytes_saved
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "mm_decode_meta" ->
       """SELECT doc_id,
         | CAST(doc_id % 32 + 16 AS INT) AS width,
