@@ -618,7 +618,38 @@ object Relational {
           .cast("long").as("avg_lowtax_e4"))
       .orderBy(col("l_returnflag"))
 
+  /** Distribution windows beyond ntile/percent_rank: dense_rank (no
+    * gaps across ties) and cume_dist (fraction ≤ current) per market
+    * segment — one partitioned sort serves all three.
+    */
+  val q42DistWindows: Q = (s, d) => {
+    val w = Window.partitionBy(col("c_mktsegment")).orderBy(col("c_acctbal"), col("c_custkey"))
+    Tables.customer(s, d)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        round(col("c_acctbal"), 2).as("balance"),
+        dense_rank().over(w).cast("long").as("drank"),
+        floor(cume_dist().over(w) * 10000 + 0.5).cast("long").as("cume_e4"))
+      .orderBy(col("c_mktsegment"), col("c_custkey"))
+  }
+
+  /** UNPIVOT/melt — wide metric columns to (metric, value) rows, the
+    * inverse of q14's pivot; Spark's unpivot is a generator (no
+    * shuffle), same as stack().
+    */
+  val q43Unpivot: Q = (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("gross"),
+        round(sum(col("l_discount")), 2).as("disc_total"),
+        round(sum(col("l_tax")), 2).as("tax_total"))
+      .unpivot(Array(col("l_returnflag")),
+        Array(col("gross"), col("disc_total"), col("tax_total")),
+        "metric", "value")
+      .orderBy(col("l_returnflag"), col("metric"))
+
   val queries: Map[String, Q] = Map(
+    "q42_dist_windows" -> q42DistWindows,
+    "q43_unpivot" -> q43Unpivot,
     "q41_filter_agg" -> q41FilterAgg,
     "q40_window_nav" -> q40WindowNav,
     "q39_topk_agg" -> q39TopkAgg,
@@ -662,6 +693,22 @@ object Relational {
     "q20_string_funcs" -> q20StringFuncs)
 
   val oracles: Map[String, String] = Map(
+    "q42_dist_windows" ->
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS balance,
+        | CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        | CAST(floor(cume_dist() OVER w * 10000 + 0.5) AS BIGINT) AS cume_e4
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q43_unpivot" ->
+      """SELECT l_returnflag, metric, value FROM (
+        | SELECT l_returnflag,
+        |  round(sum(l_extendedprice), 2) AS gross,
+        |  round(sum(l_discount), 2) AS disc_total,
+        |  round(sum(l_tax), 2) AS tax_total
+        | FROM lineitem GROUP BY l_returnflag) t
+        |UNPIVOT (value FOR metric IN (gross, disc_total, tax_total))
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "q41_filter_agg" ->
       """SELECT l_returnflag,
         | CAST(count(*) AS BIGINT) AS n_all,
