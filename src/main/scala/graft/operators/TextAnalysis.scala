@@ -210,7 +210,37 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Benchmark DECONTAMINATION — the pipeline stage that drops
+    * training documents overlapping an evaluation set: word-3-gram
+    * shingles on both sides, equi-join on the shingle (never pairwise
+    * doc×doc), distinct-overlap count per (corpus doc, benchmark doc),
+    * flag at ≥ 5 shared shingles. The benchmark stand-in is doc_id <
+    * 20; corpus side is everything else. Shuffle volume is the shingle
+    * stream; the benchmark side is broadcast-size by construction
+    * (eval sets are small) — asymmetric by design, unlike the
+    * symmetric dd_ngram_jaccard near-dup pass.
+    */
+  val txDecontaminate: Q = (s, d) => {
+    def shingles(df: DataFrame, idAs: String): DataFrame = df
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("toks", split(col("norm"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id").as(idAs), explode(expr(
+        """array_distinct(transform(sequence(0, size(toks)-3),
+          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin))
+        .as("shingle"))
+    val docs = Tables.documents(s, d)
+    val bench = shingles(docs.filter(col("doc_id") < 20), "bench_id")
+    val corpus = shingles(docs.filter(col("doc_id") >= 20), "doc_id")
+    corpus.join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_decontaminate" -> txDecontaminate,
     "tx_df_prune" -> txDfPrune,
     "tx_sample_stratified" -> txSampleStratified,
     "tx_redact" -> txRedact,
@@ -222,6 +252,18 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_decontaminate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+        |        FROM documents) t
+        |  WHERE len(toks) >= 3)
+        |SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM (SELECT * FROM sh WHERE doc_id >= 20) c
+        |JOIN (SELECT * FROM sh WHERE doc_id < 20) b USING (shingle)
+        |GROUP BY 1, 2 HAVING count(*) >= 5
+        |ORDER BY 1, 2""".stripMargin,
     "tx_df_prune" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(split(text, ' ')) AS tok,
