@@ -20,9 +20,22 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys → rows-only check.
+    *
+    * SQL may reference the `__AUX__` token: Verify substitutes it with
+    * the absolute path of the split-oracle aux-dump directory for the
+    * scale factor under check (see [[auxDumps]]).
     */
   def oracleSql: Map[String, String] =
     Relational.oracles ++ FundEtl.oracles ++ TextAnalysis.oracles ++
       Dedup.oracles ++ Similarity.oracles ++ StreamingTwins.oracles ++
       Multimodal.oracles
+
+  /** Split-oracle auxiliary tables: Spark-computed seeded intermediates
+    * (hash-signature tables, the LSH pair graph, trained centroids)
+    * that Verify dumps to parquet so the DuckDB oracles can re-run all
+    * downstream logic independently. NOT operator results — written
+    * outside the driver's result dir, referenced via `__AUX__`.
+    */
+  def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
+    Dedup.auxDumps ++ Similarity.auxDumps
 }

@@ -22,6 +22,19 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // Split-oracle aux dumps live OUTSIDE outDir (the driver treats
+    // every outDir subdirectory as an operator result) — keyed by the
+    // sf basename so a multi-SF check never reads a stale dump. The
+    // `__AUX__` token in the oracle SQL is rewritten below, so the
+    // dumped oracle_sql.json is self-contained for this run.
+    val auxBase = s"/root/repo/target/verify_aux/${new java.io.File(sfDir).getName}"
+    SparkEntry.auxDumps.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$auxBase/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -35,7 +48,8 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxBase))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -62,11 +62,23 @@ object Dedup {
     * adds the presentation sort) and dd_cluster (which doesn't need
     * one; a global sort in front of an iterative consumer is waste).
     */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = shingled(s, d)
+  /** The MinHash signature table (doc_id, sig[32]) — the boundary of
+    * the SPLIT ORACLE: Verify dumps this table (and the other seeded
+    * intermediates below) to parquet, and the DuckDB oracle re-runs
+    * everything downstream of the hash kernel — banding, bucket join,
+    * estimate, threshold — in independent SQL. The kernel itself is
+    * pinned bit-for-bit against its HOF twin in HashExprsSpec, so
+    * between the two checks the whole operator is covered without
+    * DuckDB needing xxhash64.
+    */
+  private def minhashSigTable(s: SparkSession, d: String): DataFrame =
+    shingled(s, d)
       .withColumn("sig", minhashSig(col("sh_hashes"), 32))
       .select(col("doc_id"), col("sig"))
       .persist()
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    val sigs = minhashSigTable(s, d)
     // Carry the signature through the band join: the estimate is
     // computed inline on band-collided rows and duplicates (a pair can
     // collide in up to 8 bands) collapse in one groupBy — one shuffle
@@ -95,11 +107,18 @@ object Dedup {
     * chunk bands (any hamming-≤3 pair shares a chunk), verified by
     * bit_count(xor) ≤ 4.
     */
-  val ddSimhash: Q = (s, d) => {
-    val sim = Tables.documents(s, d)
+  /** SimHash signature table — split-oracle boundary, same as
+    * [[minhashSigTable]]: the kernel is spec-pinned, the chunk-banding
+    * and hamming verify are re-run by the DuckDB oracle over this dump.
+    */
+  private def simhashSigTable(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
       .withColumn("simhash", simhash64(split(lower(trim(col("text"))), " ")))
       .select(col("doc_id"), col("simhash"))
       .persist()
+
+  val ddSimhash: Q = (s, d) => {
+    val sim = simhashSigTable(s, d)
     val chunked = sim.withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_key", concat_ws(":", col("c"),
         expr("shiftright(simhash, c * 16) & 65535")))
@@ -303,13 +322,112 @@ object Dedup {
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_embed_cosine" -> ddEmbedCosine)
 
+  /** Split-oracle auxiliary dumps: the Spark-computed seeded
+    * intermediates (signature tables, the LSH pair graph) that the
+    * DuckDB oracles read back via read_parquet. Verify writes each to
+    * `target/verify_aux/<sf>/<name>` and substitutes the `__AUX__`
+    * token in the oracle SQL with that absolute path. The hash kernels
+    * themselves are pinned bit-for-bit in HashExprsSpec; everything
+    * downstream of them (banding, bucket joins, thresholds, connected
+    * components, canonical selection) is re-derived independently in
+    * SQL — so the only logic either check trusts without a twin is the
+    * one-line kernel invocation.
+    */
+  val auxDumps: Map[String, Q] = Map(
+    "dd_minhash_sigs" -> ((s, d) => minhashSigTable(s, d)),
+    "dd_simhash_sigs" -> ((s, d) => simhashSigTable(s, d)),
+    "dd_shingles" -> ((s, d) => shingled(s, d).select(col("doc_id"), col("sh_hashes"))),
+    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))))
+
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
-    * it carries a full oracle too. The remaining dd_* are xxhash64-
-    * seeded (no DuckDB twin) → rows-only checks with ScalaTest
-    * invariants instead.
+    * it carries a full oracle too. The xxhash64-seeded operators carry
+    * SPLIT ORACLES (see [[auxDumps]]): DuckDB re-runs the banding /
+    * join / threshold / clustering logic over the dumped signature
+    * tables. dd_cluster's oracle computes connected components from
+    * the dumped pair graph with a recursive CTE — a genuinely
+    * independent algorithm (transitive closure) from the Spark side's
+    * pointer-jumping label propagation.
     */
   val oracles: Map[String, String] = Map(
+    "dd_minhash_lsh" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__AUX__/dd_minhash_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] AS band
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands)
+        |SELECT doc_a, doc_b, est_jaccard FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    floor(len(list_filter(range(1, 33), i -> a.sig[i] = b2.sig[i])) / 32.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+        |  FROM banded a JOIN banded b2
+        |    ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id) t
+        |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_simhash" ->
+      """WITH s AS (
+        |  SELECT doc_id, simhash FROM read_parquet('__AUX__/dd_simhash_sigs/*.parquet')),
+        |chunked AS (
+        |  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bands)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming
+        |  FROM chunked a JOIN chunked b2
+        |    ON a.b = b2.b AND a.chunk = b2.chunk AND a.doc_id < b2.doc_id) t
+        |WHERE hamming <= 4 ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, sh_hashes,
+        |    list_min(sh_hashes) AS blk1,
+        |    list_min(list_transform(sh_hashes,
+        |      h -> ((((h % 2147483647) + 2147483647) % 2147483647) * 1103 + 12345) % 2147483647)) AS blk2,
+        |    len(sh_hashes) AS n_sh
+        |  FROM read_parquet('__AUX__/dd_shingles/*.parquet'))
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |    floor(CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.sh_hashes, b.sh_hashes))) * 10000 + 0.5) / 10000.0 AS jaccard
+        |  FROM sh a JOIN sh b
+        |    ON a.blk1 = b.blk1 AND a.blk2 = b.blk2 AND a.doc_id < b.doc_id
+        |   AND b.n_sh * 5 >= a.n_sh * 4 AND a.n_sh * 5 >= b.n_sh * 4) t
+        |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_cluster" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
+    "dd_canonical" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+        |quality AS (
+        |  SELECT doc_id,
+        |    floor(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |      * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text))
+        |      * 10000 + 0.5) / 10000.0 AS quality_score
+        |  FROM documents)
+        |SELECT doc_id, cluster_id, quality_score,
+        |  row_number() OVER (PARTITION BY cluster_id
+        |    ORDER BY quality_score DESC, doc_id) = 1 AS is_canonical
+        |FROM (
+        |  SELECT q.doc_id, coalesce(cc.cluster_id, q.doc_id) AS cluster_id, q.quality_score
+        |  FROM quality q LEFT JOIN cc ON q.doc_id = cc.doc_id) t
+        |ORDER BY doc_id""".stripMargin,
     "dd_exact" ->
       """SELECT min(doc_id) AS doc_id,
         | md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash

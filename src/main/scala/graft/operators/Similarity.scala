@@ -297,13 +297,51 @@ object Similarity {
     "ann_ivf_kmeans" -> annIvfKmeans,
     "ann_quantize_int8" -> annQuantizeInt8)
 
+  /** Split-oracle aux dump: the k-means-trained centroids. Training is
+    * driver-side deterministic Scala (fixed init, fixed iteration
+    * count); the centroid table is the boundary — DuckDB re-runs the
+    * entire assignment / probe / top-k plan over the dumped centroids,
+    * so everything distributed is cross-checked and only the bounded
+    * driver-side Lloyd loop (spec-covered in OperatorsSpec) is trusted.
+    */
+  val auxDumps: Map[String, Q] = Map(
+    "ivf_centroids" -> ((s, d) => {
+      val sqlCtx = s
+      import sqlCtx.implicits._
+      trainCentroids(s, d).toDF("cent_id", "c_emb")
+    }))
+
   /** Every ann_* operator carries a full DuckDB oracle: ann_brute is
     * exact; ann_lsh's hyperplanes are fixed-seed float literals inlined
     * into the SQL (deterministic, not "approximate" in any run-to-run
     * sense); ann_ivf's centroids are the first 16 corpus rows, which
-    * DuckDB reads from the same parquet.
+    * DuckDB reads from the same parquet; ann_ivf_kmeans' trained
+    * centroids come from the `ivf_centroids` split-oracle dump.
     */
   val oracles: Map[String, String] = Map(
+    "ann_ivf_kmeans" ->
+      """WITH cents AS (
+        |  SELECT cent_id, CAST(c_emb AS DOUBLE[]) AS c_emb
+        |  FROM read_parquet('__AUX__/ivf_centroids/*.parquet')),
+        |assigned AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) t WHERE rn <= 4)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_lsh_topk" ->
       s"""WITH b AS (
          | SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket

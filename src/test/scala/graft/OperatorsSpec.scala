@@ -24,13 +24,23 @@ class OperatorsSpec extends SparkTestBase {
 
   test("rows-only set is exactly the intended approximate/seeded ops") {
     // a typo'd oracle key silently downgrades a query to a weak
-    // rows-only check — pin the intended set
+    // rows-only check — pin the intended set. Since round 4 the seeded
+    // dd_* / trained-IVF operators carry SPLIT oracles (Verify dumps
+    // their signature/pair/centroid tables; DuckDB re-runs the
+    // downstream logic) — only the genuinely sketch-approximate pair
+    // remains rows-only.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val intended = Set("dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
-      "dd_cluster", "dd_canonical", "ann_ivf_kmeans",
-      "q22_approx_distinct", "q37_approx_percentile")
+    val intended = Set("q22_approx_distinct", "q37_approx_percentile")
     assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
       s"unexpectedly oracled: ${intended -- rowsOnly}")
+  }
+
+  test("every __AUX__ oracle reference has a matching aux dump") {
+    val referenced = SparkEntry.oracleSql.values
+      .flatMap("__AUX__/([a-z0-9_]+)/".r.findAllMatchIn(_).map(_.group(1))).toSet
+    val dumped = SparkEntry.auxDumps.keySet
+    assert((referenced -- dumped).isEmpty, s"oracle reads missing aux: ${referenced -- dumped}")
+    assert((dumped -- referenced).isEmpty, s"aux dumped but never read: ${dumped -- referenced}")
   }
 
   test("entry returns nonzero rows") {
