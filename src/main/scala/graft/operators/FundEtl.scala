@@ -559,7 +559,40 @@ object FundEtl {
       .orderBy(col("doc_id"))
   }
 
+  /** CDC changelog APPLY — materialize the final table state from an
+    * ordered insert/update/delete stream (the Delta/Hudi merge shape;
+    * the reference's analog is the daily rerun that restates a
+    * previously-loaded batch, FundEtl.etlUpsertSnapshot, generalized
+    * to row-level ops). The event stream stands in as the changelog:
+    * signup → I, error → D, everything else → U, ordered by (ts,
+    * event_id) per user_id. One row_number window keyed on user_id
+    * picks the latest op; a key whose LAST op is a delete drops out of
+    * the final state (an earlier delete is superseded by any later
+    * I/U). One shuffle on the key — at 100 TB the same plan applies a
+    * day's changelog against a bucketed snapshot without a sort-merge
+    * of the full history.
+    */
+  val etlCdcApply: Q = (s, d) => {
+    val byKey = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("op",
+        when(col("event_type") === "signup", "I")
+          .when(col("event_type") === "error", "D")
+          .otherwise("U"))
+      .withColumn("rn", row_number().over(byKey))
+      .withColumn("n_ops",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1 && col("op") =!= "D")
+      .select(col("user_id"), col("op").as("last_op"),
+        round(col("value"), 2).as("final_value"),
+        unix_micros(col("ts")).as("last_ts_us"),
+        col("n_ops").cast("long").as("n_ops"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
     "etl_rules_classify" -> etlRulesClassify,
     "etl_variant_shred" -> etlVariantShred,
@@ -594,6 +627,19 @@ object FundEtl {
     .map { case (n, l) => s"('$n', '$l')" }.mkString(", ")
 
   val oracles: Map[String, String] = Map(
+    "etl_cdc_apply" ->
+      """SELECT user_id, last_op, final_value, last_ts_us, n_ops FROM (
+        |  SELECT user_id,
+        |    CASE WHEN event_type = 'signup' THEN 'I'
+        |         WHEN event_type = 'error' THEN 'D'
+        |         ELSE 'U' END AS last_op,
+        |    round(value, 2) AS final_value,
+        |    epoch_us(ts) AS last_ts_us,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+        |    CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n_ops
+        |  FROM events) t
+        |WHERE rn = 1 AND last_op <> 'D'
+        |ORDER BY user_id""".stripMargin,
     "etl_ingest_files" ->
       s"""WITH rules(platform, priority, signature, amount_label, fee_label) AS (
          |  VALUES $rulesValuesSql),

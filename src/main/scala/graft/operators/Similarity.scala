@@ -290,7 +290,52 @@ object Similarity {
         floor(col("recon_err") * 1000000 + 0.5).cast("long").as("recon_err_e6"))
       .orderBy(col("vec_id"))
 
+  /** Product quantization — the storage/recall path for billion-scale
+    * ANN beyond scalar int8 (annQuantizeInt8): the 64-dim embedding
+    * splits into 8 subvectors of 8 dims; each subvector is assigned to
+    * its nearest of 16 codewords (the corresponding subvectors of the
+    * first 16 corpus rows — deterministic, like the IVF coarse
+    * quantizer, so DuckDB rebuilds the codebooks from the same
+    * parquet), giving a 64-bit code per vector: 32× smaller than
+    * float32. Assignment metric is per-subspace cosine ("spherical
+    * PQ" — consistent with the cosine metric every ann_* operator
+    * ranks by). The codebooks are driver-collected literals (a
+    * broadcast constant, as in real PQ training), so encoding is one
+    * map-only codegen'd pass: 8×16 small-dim cosines + argmax per row,
+    * no shuffle. Emits the packed code plus per-subspace quantization
+    * quality (mean / worst max-cosine) as the audit columns.
+    */
+  val annPq: Q = (s, d) => {
+    val k = 16; val m = 8; val sub = 8
+    val codebooks: Seq[Seq[Seq[Float]]] = {
+      val rows = Tables.embeddings(s, d).filter(col("vec_id") < k)
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0))
+        .map(_.getSeq[Float](1).toIndexedSeq)
+      (0 until m).map(j => rows.toSeq.map(v => v.slice(j * sub, (j + 1) * sub).toSeq))
+    }
+    val simsCols: Seq[Column] = (0 until m).map { j =>
+      val subCol = slice(col("embedding"), j * sub + 1, sub)
+      array(codebooks(j).map(cw => cosineSim(subCol, typedlit(cw))): _*)
+    }
+    // argmax via array_position-of-max (linear-size expression; first
+    // position keeps the lowest code on exact ties — same order as the
+    // oracle's sim DESC, code ASC window)
+    val scored = Tables.embeddings(s, d).select(
+      col("vec_id") +: simsCols.zipWithIndex.flatMap { case (sims, j) =>
+        Seq(array_max(sims).as(s"m$j"),
+          (array_position(sims, array_max(sims)) - 1).cast("long").as(s"c$j"))
+      }: _*)
+    val packed = (0 until m).map(j => col(s"c$j") * (1L << (4 * j))).reduce(_ + _)
+    val meanCos = (0 until m).map(j => col(s"m$j")).reduce(_ + _) / m.toDouble
+    val minCos = least((0 until m).map(j => col(s"m$j")): _*)
+    scored.select(col("vec_id"), packed.cast("long").as("code_packed"),
+      q4(meanCos).as("mean_sub_cos"), q4(minCos).as("min_sub_cos"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_pq" -> annPq,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -319,6 +364,25 @@ object Similarity {
     * centroids come from the `ivf_centroids` split-oracle dump.
     */
   val oracles: Map[String, String] = Map(
+    "ann_pq" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+        |cw AS (
+        |  SELECT c.vec_id AS code, s.j,
+        |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
+        |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16),
+        |best AS (
+        |  SELECT vec_id, j, code, sim FROM (
+        |    SELECT e.vec_id, cw.j, cw.code,
+        |      list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) AS sim,
+        |      row_number() OVER (PARTITION BY e.vec_id, cw.j
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) DESC, cw.code) AS rn
+        |    FROM embeddings e CROSS JOIN cw) t
+        |  WHERE rn = 1)
+        |SELECT vec_id,
+        |  CAST(sum(code * (CAST(1 AS BIGINT) << (4 * j))) AS BIGINT) AS code_packed,
+        |  floor(list_reduce(list(sim ORDER BY j), (a, b) -> a + b) / 8.0 * 10000 + 0.5) / 10000.0 AS mean_sub_cos,
+        |  floor(min(sim) * 10000 + 0.5) / 10000.0 AS min_sub_cos
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ann_ivf_kmeans" ->
       """WITH cents AS (
         |  SELECT cent_id, CAST(c_emb AS DOUBLE[]) AS c_emb

@@ -147,15 +147,95 @@ object StreamingTwins {
       .orderBy(col("event_id"))
   }
 
+  /** Ordered funnel analysis — view → click → purchase, each stage's
+    * timestamp strictly after the previous stage's FIRST occurrence
+    * (the standard product-analytics funnel; an out-of-order click
+    * before the first view does not count). Three co-partitioned
+    * aggregations on user_id: each stage is filter → join previous
+    * stage → min-aggregate, so the shuffle key stays user_id
+    * throughout and AQE reuses the exchange; the final counts are
+    * three scalar aggregates unioned into the summary. At 100 TB the
+    * per-stage state is one row per surviving user.
+    */
+  val stFunnel: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("ts_us") > col("v_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("ts_us") > col("c_us"))
+      .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
+    def stage(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).cast("long").as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    val base = v.agg(count(lit(1)).cast("double").as("n_first"))
+    stage(v, "1_view").unionByName(stage(c, "2_view_click"))
+      .unionByName(stage(p, "3_view_click_purchase"))
+      .crossJoin(broadcast(base))
+      .select(col("stage"), col("n_users"),
+        (floor(col("n_users") / col("n_first") * 10000 + 0.5) / 10000.0).as("conv_from_first"))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention matrix — users grouped by the date of their
+    * first event; n_users active at each day offset from their cohort
+    * date. Two user_id-keyed aggregations (first day, distinct active
+    * days) + one count on (cohort_day, offset): the distinct
+    * pre-aggregation means the final shuffle carries one row per
+    * (user, day), not per event.
+    */
+  val stRetention: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .distinct()
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    ev.join(firstDay, "user_id")
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("day_offset"), col("n_users"))
+      .orderBy(col("cohort_day"), col("day_offset"))
+  }
+
   val queries: Map[String, Q] = Map(
     "st_tumbling_agg" -> stTumblingAgg,
     "st_sessionize" -> stSessionize,
     "st_dedup_events" -> stDedupEvents,
     "st_stream_join" -> stStreamJoin,
     "st_session_window" -> stSessionWindow,
-    "st_lateness_audit" -> stLatenessAudit)
+    "st_lateness_audit" -> stLatenessAudit,
+    "st_funnel" -> stFunnel,
+    "st_retention" -> stRetention)
 
   val oracles: Map[String, String] = Map(
+    "st_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |v AS (SELECT user_id, min(ts_us) AS v_us FROM ev
+        |      WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts_us) AS c_us FROM ev e
+        |      JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts_us > v.v_us GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts_us) AS p_us FROM ev e
+        |      JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts_us > c.c_us GROUP BY e.user_id),
+        |counts AS (
+        |  SELECT '1_view' AS stage, count(*) AS n_users FROM v
+        |  UNION ALL SELECT '2_view_click', count(*) FROM c
+        |  UNION ALL SELECT '3_view_click_purchase', count(*) FROM p)
+        |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
+        |  floor(n_users / (SELECT CAST(count(*) AS DOUBLE) FROM v) * 10000 + 0.5) / 10000.0 AS conv_from_first
+        |FROM counts ORDER BY stage""".stripMargin,
+    "st_retention" ->
+      """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY user_id)
+        |SELECT strftime(f.cohort_day, '%Y-%m-%d') AS cohort_day,
+        |  CAST(date_diff('day', f.cohort_day, ev.day) AS BIGINT) AS day_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM ev JOIN f ON ev.user_id = f.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "st_lateness_audit" ->
       """WITH arr AS (
         | SELECT event_id, user_id, epoch_us(ts) AS ts_us,

@@ -239,7 +239,47 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Repetition-based quality filters (the Gopher-rules family):
+    * unique-token ratio, duplicated-bigram fraction, and top-token
+    * fraction, with a composite repetitiveness flag. Everything is
+    * map-only array arithmetic over the token list — including the
+    * most-frequent-token count, computed as the longest equal-run of
+    * the SORTED token array via a single `aggregate` fold (struct
+    * accumulator: previous token, current run, best run) — so the
+    * operator runs at scan speed with zero shuffle; the DuckDB oracle
+    * derives the same mode count independently via unnest + group-by.
+    */
+  val txRepetition: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_words", size(col("toks")).cast("long"))
+      .withColumn("n_uniq", size(array_distinct(col("toks"))).cast("long"))
+      .withColumn("bigrams", expr(
+        """CASE WHEN size(toks) < 2 THEN array()
+          | ELSE zip_with(slice(toks, 1, size(toks) - 1),
+          |               slice(toks, 2, size(toks) - 1),
+          |               (a, b) -> concat(a, ' ', b)) END""".stripMargin))
+      .withColumn("n_bg", size(col("bigrams")).cast("long"))
+      .withColumn("n_uniq_bg", size(array_distinct(col("bigrams"))).cast("long"))
+      .withColumn("top_run", expr(
+        """aggregate(array_sort(toks),
+          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+          |  (acc, x) -> named_struct(
+          |    'prev', x,
+          |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+          |    'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+          |  acc -> acc.best)""".stripMargin))
+      .select(col("doc_id"), col("n_words"),
+        q4(col("n_uniq").cast("double") / col("n_words")).as("uniq_ratio"),
+        when(col("n_bg") === 0, 0.0).otherwise(
+          q4(lit(1.0) - col("n_uniq_bg").cast("double") / col("n_bg"))).as("dup_bigram_frac"),
+        q4(col("top_run").cast("double") / col("n_words")).as("top_tok_frac"))
+      .withColumn("is_repetitive",
+        col("dup_bigram_frac") > 0.3 || col("top_tok_frac") > 0.2)
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
+    "tx_repetition" -> txRepetition,
     "tx_decontaminate" -> txDecontaminate,
     "tx_df_prune" -> txDfPrune,
     "tx_sample_stratified" -> txSampleStratified,
@@ -252,6 +292,31 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(toks) AS n_words, len(list_distinct(toks)) AS n_uniq,
+        |    CASE WHEN len(toks) < 2 THEN 0 ELSE len(toks) - 1 END AS n_bg,
+        |    CASE WHEN len(toks) < 2 THEN 0
+        |         ELSE len(list_distinct(list_transform(range(1, len(toks)),
+        |                i -> toks[i] || ' ' || toks[i+1]))) END AS n_uniq_bg
+        |  FROM t),
+        |top AS (
+        |  SELECT doc_id, max(c) AS top_run FROM (
+        |    SELECT doc_id, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(toks) AS tok FROM t) u
+        |    GROUP BY doc_id, tok) g
+        |  GROUP BY doc_id)
+        |SELECT doc_id, n_words, uniq_ratio, dup_bigram_frac, top_tok_frac,
+        |  dup_bigram_frac > 0.3 OR top_tok_frac > 0.2 AS is_repetitive
+        |FROM (
+        |  SELECT b.doc_id, CAST(b.n_words AS BIGINT) AS n_words,
+        |    floor(b.n_uniq / CAST(b.n_words AS DOUBLE) * 10000 + 0.5) / 10000.0 AS uniq_ratio,
+        |    CASE WHEN b.n_bg = 0 THEN 0.0
+        |         ELSE floor((1.0 - b.n_uniq_bg / CAST(b.n_bg AS DOUBLE)) * 10000 + 0.5) / 10000.0 END AS dup_bigram_frac,
+        |    floor(p.top_run / CAST(b.n_words AS DOUBLE) * 10000 + 0.5) / 10000.0 AS top_tok_frac
+        |  FROM base b JOIN top p ON b.doc_id = p.doc_id) x
+        |ORDER BY doc_id""".stripMargin,
     "tx_decontaminate" ->
       """WITH sh AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -47,6 +47,41 @@ class OperatorsSpec extends SparkTestBase {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("st_funnel: stage counts are monotone non-increasing") {
+    val rows = operators.StreamingTwins.stFunnel(spark, sfDir)
+      .orderBy("stage").collect().map(_.getLong(1))
+    assert(rows.length == 3)
+    assert(rows.sliding(2).forall { case Array(a, b) => a >= b },
+      s"funnel widened downstream: ${rows.mkString(",")}")
+  }
+
+  test("etl_cdc_apply: no resurrected deletes, n_ops covers the full log") {
+    val finalState = operators.FundEtl.etlCdcApply(spark, sfDir)
+    assert(finalState.filter(col("last_op") === "D").count() == 0)
+    // every user's op count in the output equals their event count
+    val logCounts = graft.sources.Tables.events(spark, sfDir)
+      .groupBy("user_id").count()
+    val mismatched = finalState.join(logCounts, "user_id")
+      .filter(col("n_ops") =!= col("count")).count()
+    assert(mismatched == 0)
+  }
+
+  test("ann_pq: packed codes stay within 8 nibbles and decode to valid codewords") {
+    val codes = operators.Similarity.annPq(spark, sfDir)
+      .select("code_packed").collect().map(_.getLong(0))
+    assert(codes.forall(c => c >= 0 && c < (1L << 32)), "code outside 8x4-bit range")
+    // self-coding: the 16 codebook source vectors must quantize to
+    // themselves in every subspace (their own subvector is cosine-1)
+    val selfCodes = operators.Similarity.annPq(spark, sfDir)
+      .filter(col("vec_id") < 16).collect()
+    selfCodes.foreach { r =>
+      val id = r.getLong(0); val packed = r.getLong(1)
+      val nibbles = (0 until 8).map(j => (packed >> (4 * j)) & 15L)
+      assert(nibbles.forall(_ == id), s"vec $id not self-coded: $nibbles")
+      assert(r.getDouble(2) == 1.0, s"vec $id mean_sub_cos ${r.getDouble(2)} != 1")
+    }
+  }
+
   test("etl_ingest_files: classification, exclusion order, defect flags") {
     val rows = operators.FundEtl.etlIngestFiles(spark, sfDir).collect()
     assert(rows.length == 50)
