@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TopKValues}
+import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, MinHashSignature, ShingleHashes, SimHash64, TokenModeCount, TopKValues}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... graft_cosine(a, b)
@@ -42,6 +42,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_token_count"),
       (children: Seq[Expression]) => BpeTokenCount(children(0))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_token_mode_count"),
+      new ExpressionInfo(classOf[TokenModeCount].getName, "graft_token_mode_count"),
+      (children: Seq[Expression]) => TokenModeCount(children(0))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

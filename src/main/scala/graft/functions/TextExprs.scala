@@ -46,6 +46,27 @@ object TextKernels {
     }
     cnt
   }
+
+  /** Max multiplicity of any element — one hashmap pass. UTF8String
+    * implements equals/hashCode over the bytes, so map keys are exact
+    * token identity (the same equality `array_sort` + equal-run uses).
+    */
+  def tokenModeCount(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
+    val n = arr.numElements()
+    if (n == 0) return 0L
+    val counts = new java.util.HashMap[UTF8String, java.lang.Long](n * 2)
+    var best = 0L
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val prev = counts.get(t)
+      val c = if (prev == null) 1L else prev.longValue() + 1L
+      counts.put(t, c)
+      if (c > best) best = c
+      i += 1
+    }
+    best
+  }
 }
 
 /** graft_token_count(text) — codegen'd single-pass twin of the regex
@@ -68,7 +89,34 @@ case class BpeTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** graft_token_mode_count(tokens) — the count of the most frequent
+  * token in the array (the "top token" of the repetition filters).
+  * The HOF formulation (array_sort + an `aggregate` fold tracking the
+  * longest equal-run) is interpreted per element; this kernel is one
+  * hashmap pass over the tokens — same value by definition (the max
+  * run of a sorted array IS the max multiplicity), pinned by a
+  * bit-parity spec against the HOF twin. Empty array → 0.
+  */
+case class TokenModeCount(child: Expression)
+    extends UnaryExpression with Serializable {
+  override def prettyName: String = "graft_token_mode_count"
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    TextKernels.tokenModeCount(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.TextKernels.tokenModeCount($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     Bridge.column(BpeTokenCount(Bridge.expression(c)))
+
+  def tokenModeCount(c: Column): Column =
+    Bridge.column(TokenModeCount(Bridge.expression(c)))
 }

@@ -261,14 +261,12 @@ object TextAnalysis {
           |               (a, b) -> concat(a, ' ', b)) END""".stripMargin))
       .withColumn("n_bg", size(col("bigrams")).cast("long"))
       .withColumn("n_uniq_bg", size(array_distinct(col("bigrams"))).cast("long"))
-      .withColumn("top_run", expr(
-        """aggregate(array_sort(toks),
-          |  named_struct('prev', '', 'run', 0L, 'best', 0L),
-          |  (acc, x) -> named_struct(
-          |    'prev', x,
-          |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
-          |    'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
-          |  acc -> acc.best)""".stripMargin))
+      // native one-pass hashmap kernel; the array_sort + equal-run
+      // `aggregate` fold it replaces is its bit-parity twin in
+      // TextExprsSpec (interpreted HOF folds are the 4-8× tax shape
+      // at corpus scale)
+      .withColumn("top_run",
+        graft.functions.TextFunctions.tokenModeCount(col("toks")))
       .select(col("doc_id"), col("n_words"),
         q4(col("n_uniq").cast("double") / col("n_words")).as("uniq_ratio"),
         when(col("n_bg") === 0, 0.0).otherwise(

@@ -48,4 +48,36 @@ class TextExprsSpec extends SparkTestBase {
     val s = "ab 12 x! 中"
     assert(graft.functions.TextKernels.bpeTokenCount(UTF8String.fromString(s)) == 5L)
   }
+
+  private def modeHofTwin(toks: org.apache.spark.sql.Column) =
+    expr("""aggregate(array_sort(toks),
+      |  named_struct('prev', '', 'run', 0L, 'best', 0L),
+      |  (acc, x) -> named_struct(
+      |    'prev', x,
+      |    'run', IF(x = acc.prev, acc.run + 1L, 1L),
+      |    'best', greatest(acc.best, IF(x = acc.prev, acc.run + 1L, 1L))),
+      |  acc -> acc.best)""".stripMargin)
+
+  test("graft_token_mode_count matches the sorted-run HOF fold on the corpus") {
+    val df = sources.Tables.documents(spark, sfDir)
+      .withColumn("toks", split(col("text"), " "))
+      .select(col("doc_id"),
+        TextFunctions.tokenModeCount(col("toks")).as("native"),
+        modeHofTwin(col("toks")).as("hof"))
+    assert(df.filter(col("native") =!= col("hof")).count() == 0)
+    assert(df.filter(col("native") > 1).count() > 0)
+  }
+
+  test("graft_token_mode_count edge cases") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq.empty[String], 0L), (Seq("a"), 1L), (Seq("a", "a", "a"), 3L),
+      (Seq("a", "b", "a", "b", "a"), 3L), (Seq("", "", "x"), 2L),
+      (Seq("中", "中", "wörld"), 2L))
+    cases.foreach { case (toks, want) =>
+      val got = Seq(toks).toDF("toks")
+        .select(TextFunctions.tokenModeCount(col("toks"))).head().getLong(0)
+      assert(got == want, s"$toks: got $got want $want")
+    }
+  }
 }
