@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.sources.Tables
 
 /** §2.E — text analysis for a training-data pipeline.
@@ -276,7 +277,62 @@ object TextAnalysis {
         col("dup_bigram_frac") > 0.3 || col("top_tok_frac") > 0.2)
       .orderBy(col("doc_id"))
 
+  /** Corpus MIX REBALANCING — the domain/language-mixing stage of a
+    * training-data pipeline: a broadcast target-mix relation (lang →
+    * parts-per-million share) is joined against the measured per-lang
+    * counts, giving a deterministic downsampling rate per language
+    * (rate_e6 = target_ppm × total / count, capped at keep-all);
+    * selection reuses the stratified-sampling hash so the sample is
+    * reproducible across runs and engines. All integer arithmetic —
+    * no float rates to drift cross-engine. Two broadcast joins over
+    * one corpus scan; the count aggregation is the only shuffle.
+    */
+  val txMixRebalance: Q = (s, d) => {
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    val targets = Seq(("en", 300000L), ("es", 200000L), ("de", 200000L),
+      ("fr", 150000L), ("zh", 150000L)).toDF("lang", "target_ppm")
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    val total = docs.agg(count(lit(1)).as("total"))
+    docs.join(broadcast(counts), "lang")
+      .crossJoin(broadcast(total))
+      .join(broadcast(targets), Seq("lang"), "left")
+      .withColumn("rate_e6", least(lit(1000000L),
+        expr("coalesce(target_ppm, 0L) * total div cnt")))
+      .withColumn("bucket",
+        pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(1000000L)))
+      .filter(col("bucket") < col("rate_e6"))
+      .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"),
+        col("rate_e6").cast("long").as("rate_e6"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Sequence PACKING — assign documents to fixed-token-budget packs
+    * (the sample-packing stage before training): per source, documents
+    * fill packs greedily in doc_id order via a running token sum;
+    * pack_id = (cumulative − 1) div budget. The window partitions by
+    * source, so packing parallelizes across sources; the running sum
+    * within one source is inherently sequential (packing is an ordered
+    * fold) — at corpus scale the pack key is salted to (source, shard)
+    * to bound any one chain, which only renames packs.
+    */
+  val txPack: Q = (s, d) => {
+    val budget = 2000L
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_toks", size(split(col("text"), " ")).cast("long"))
+      .withColumn("cum_toks", sum(col("n_toks")).over(bySource))
+      .withColumn("pack_id", expr(s"(cum_toks - 1) div $budget"))
+      .select(col("doc_id"), col("source"), col("n_toks"), col("cum_toks"),
+        col("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_mix_rebalance" -> txMixRebalance,
+    "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
     "tx_decontaminate" -> txDecontaminate,
     "tx_df_prune" -> txDfPrune,
@@ -290,6 +346,30 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_mix_rebalance" ->
+      """WITH targets(lang, target_ppm) AS (
+        |  VALUES ('en', 300000), ('es', 200000), ('de', 200000),
+        |         ('fr', 150000), ('zh', 150000)),
+        |counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+        |tot AS (SELECT count(*) AS total FROM documents)
+        |SELECT doc_id, lang, bucket, rate_e6 FROM (
+        |  SELECT d.doc_id, d.lang,
+        |    CAST(((d.doc_id % 1000003) * 2654435761) % 1000000 AS BIGINT) AS bucket,
+        |    CAST(least(1000000, coalesce(t.target_ppm, 0) * tot.total // c.cnt) AS BIGINT) AS rate_e6
+        |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
+        |  LEFT JOIN targets t ON d.lang = t.lang) x
+        |WHERE bucket < rate_e6 ORDER BY doc_id""".stripMargin,
+    "tx_pack" ->
+      """SELECT doc_id, source, n_toks, cum_toks,
+        |  CAST((cum_toks - 1) // 2000 AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, source, n_toks,
+        |    CAST(sum(n_toks) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        |  FROM (SELECT doc_id, source,
+        |          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+        |        FROM documents) t) x
+        |ORDER BY doc_id""".stripMargin,
     "tx_repetition" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |base AS (
