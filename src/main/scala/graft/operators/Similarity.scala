@@ -305,37 +305,102 @@ object Similarity {
     * no shuffle. Emits the packed code plus per-subspace quantization
     * quality (mean / worst max-cosine) as the audit columns.
     */
-  val annPq: Q = (s, d) => {
-    val k = 16; val m = 8; val sub = 8
-    val codebooks: Seq[Seq[Seq[Float]]] = {
-      val rows = Tables.embeddings(s, d).filter(col("vec_id") < k)
-        .select(col("vec_id"), col("embedding")).collect()
-        .sortBy(_.getLong(0))
-        .map(_.getSeq[Float](1).toIndexedSeq)
-      (0 until m).map(j => rows.toSeq.map(v => v.slice(j * sub, (j + 1) * sub).toSeq))
+  private val pqM = 8; private val pqSub = 8; private val pqK = 16
+
+  /** The PQ codebooks: per subspace j, the 16 codewords are the j-th
+    * subvectors of the first 16 corpus rows (deterministic — DuckDB
+    * rebuilds them from the same parquet). Driver-collected literals,
+    * as in real PQ (the trained codebook IS a broadcast constant).
+    */
+  private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = {
+    val rows = Tables.embeddings(s, d).filter(col("vec_id") < pqK)
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).toIndexedSeq)
+    (0 until pqM).map(j => rows.toSeq.map(v => v.slice(j * pqSub, (j + 1) * pqSub).toSeq))
+  }
+
+  /** Map-only PQ encoder: per subspace, the max sub-cosine (m_j) and
+    * the argmax codeword id (c_j). argmax via array_position-of-max
+    * (linear-size expression; first position keeps the lowest code on
+    * exact ties — same order as the oracle's sim DESC, code ASC
+    * window).
+    */
+  private def pqEncoded(s: SparkSession, d: String,
+      books: Seq[Seq[Seq[Float]]]): DataFrame = {
+    val simsCols: Seq[Column] = (0 until pqM).map { j =>
+      val subCol = slice(col("embedding"), j * pqSub + 1, pqSub)
+      array(books(j).map(cw => cosineSim(subCol, typedlit(cw))): _*)
     }
-    val simsCols: Seq[Column] = (0 until m).map { j =>
-      val subCol = slice(col("embedding"), j * sub + 1, sub)
-      array(codebooks(j).map(cw => cosineSim(subCol, typedlit(cw))): _*)
-    }
-    // argmax via array_position-of-max (linear-size expression; first
-    // position keeps the lowest code on exact ties — same order as the
-    // oracle's sim DESC, code ASC window)
-    val scored = Tables.embeddings(s, d).select(
+    Tables.embeddings(s, d).select(
       col("vec_id") +: simsCols.zipWithIndex.flatMap { case (sims, j) =>
         Seq(array_max(sims).as(s"m$j"),
           (array_position(sims, array_max(sims)) - 1).cast("long").as(s"c$j"))
       }: _*)
-    val packed = (0 until m).map(j => col(s"c$j") * (1L << (4 * j))).reduce(_ + _)
-    val meanCos = (0 until m).map(j => col(s"m$j")).reduce(_ + _) / m.toDouble
-    val minCos = least((0 until m).map(j => col(s"m$j")): _*)
+  }
+
+  val annPq: Q = (s, d) => {
+    val scored = pqEncoded(s, d, pqCodebooks(s, d))
+    val packed = (0 until pqM).map(j => col(s"c$j") * (1L << (4 * j))).reduce(_ + _)
+    val meanCos = (0 until pqM).map(j => col(s"m$j")).reduce(_ + _) / pqM.toDouble
+    val minCos = least((0 until pqM).map(j => col(s"m$j")): _*)
     scored.select(col("vec_id"), packed.cast("long").as("code_packed"),
       q4(meanCos).as("mean_sub_cos"), q4(minCos).as("min_sub_cos"))
       .orderBy(col("vec_id"))
   }
 
+  /** PQ-ADC top-k search — the read side of product quantization:
+    * queries score CODES, not vectors (asymmetric distance
+    * computation). Per (candidate, query), the approximate cosine is
+    * Σ_j dot(q_sub_j, codeword_j[c_j]) over the codeword norms —
+    * every factor comes from the 8 stored nibbles plus literal
+    * codebooks, so the corpus scan reads 8 bytes of code per vector
+    * instead of 256 bytes of floats (the I/O ratio that makes ADC the
+    * billion-scale rerank front-end). Queries broadcast (8 rows); the
+    * per-query selection runs through the bounded-heap TopK operator.
+    * Sub-dots accumulate in fixed j order (left-assoc reduce) so the
+    * DuckDB oracle can mirror the sum bit-for-bit via an ordered
+    * list_reduce.
+    */
+  val annPqTopk: Q = (s, d) => {
+    val books = pqCodebooks(s, d)
+    // No barrier needed: the encode projection sits on the STREAM side
+    // of the broadcast query join, so it runs once per corpus row
+    // regardless of the query count (a per-pair recompute would need
+    // the projections to collapse across the join, which they can't).
+    // In production the codes are a stored table and the encode scan
+    // disappears entirely.
+    val codes = pqEncoded(s, d, books)
+      .select(col("vec_id") +: (0 until pqM).map(j => col(s"c$j")): _*)
+    val queries = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val dots = (0 until pqM).map { j =>
+      val cw = element_at(typedlit(books(j)), (col(s"c$j") + 1).cast("int"))
+      dotProduct(slice(col("q_emb"), j * pqSub + 1, pqSub), cw)
+    }
+    val normSqs = (0 until pqM).map { j =>
+      val cw = element_at(typedlit(books(j)), (col(s"c$j") + 1).cast("int"))
+      dotProduct(cw, cw)
+    }
+    val adc = dots.reduce(_ + _) /
+      (sqrt(dotProduct(col("q_emb"), col("q_emb"))) * sqrt(normSqs.reduce(_ + _)))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_sim", adc)
+      .select(col("query_id"), col("vec_id"), col("adc_sim"))
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"), orderCol = "adc_sim", tieCol = "vec_id", k = 5)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        q4(col("adc_sim")).as("adc_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_pq" -> annPq,
+    "ann_pq_topk" -> annPqTopk,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -383,6 +448,44 @@ object Similarity {
         |  floor(list_reduce(list(sim ORDER BY j), (a, b) -> a + b) / 8.0 * 10000 + 0.5) / 10000.0 AS mean_sub_cos,
         |  floor(min(sim) * 10000 + 0.5) / 10000.0 AS min_sub_cos
         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+    "ann_pq_topk" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+        |cw AS (
+        |  SELECT c.vec_id AS code, s.j,
+        |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
+        |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT e.vec_id, cw.j, cw.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, cw.j
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) DESC, cw.code) AS rn
+        |    FROM embeddings e CROSS JOIN cw) t
+        |  WHERE rn = 1),
+        |queries AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |parts AS (
+        |  SELECT q.query_id, c.vec_id, c.j,
+        |    list_dot_product(q.q_emb[c.j*8+1 : c.j*8+8], cw.w) AS part_dot,
+        |    list_dot_product(cw.w, cw.w) AS part_nsq
+        |  FROM codes c JOIN cw ON cw.j = c.j AND cw.code = c.code
+        |  CROSS JOIN queries q
+        |  WHERE c.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list(part_dot ORDER BY j), (a, b) -> a + b) AS dotsum,
+        |    list_reduce(list(part_nsq ORDER BY j), (a, b) -> a + b) AS nsqsum
+        |  FROM parts GROUP BY query_id, vec_id),
+        |sims AS (
+        |  SELECT s.query_id, s.vec_id,
+        |    s.dotsum / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(s.nsqsum)) AS adc
+        |  FROM scored s JOIN queries q ON s.query_id = q.query_id)
+        |SELECT query_id, rank, neighbor_id, adc_sim FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |    floor(adc * 10000 + 0.5) / 10000.0 AS adc_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rank
+        |  FROM sims) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_kmeans" ->
       """WITH cents AS (
         |  SELECT cent_id, CAST(c_emb AS DOUBLE[]) AS c_emb

@@ -66,6 +66,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(mismatched == 0)
   }
 
+  test("ann_pq_topk: ADC score is exact for codebook-row neighbors") {
+    // a codebook source vector self-codes in every subspace, so its PQ
+    // reconstruction is the vector itself — for those neighbors the
+    // asymmetric score must equal the true cosine bit-for-bit
+    import graft.functions.VectorFunctions.cosineSim
+    val adc = operators.Similarity.annPqTopk(spark, sfDir)
+      .filter(col("neighbor_id") < 16)
+    val emb = graft.sources.Tables.embeddings(spark, sfDir)
+    val exact = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .join(emb.select(col("vec_id").as("neighbor_id"), col("embedding")),
+        col("neighbor_id") < 16 && col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(cosineSim(col("q_emb"), col("embedding")) * 10000 + 0.5) / 10000.0)
+          .as("true_sim"))
+    val joined = adc.join(exact, Seq("query_id", "neighbor_id"))
+    assert(joined.count() == adc.count())
+    val diverged = joined.filter(col("adc_sim") =!= col("true_sim")).count()
+    assert(diverged == 0, s"$diverged codebook-row neighbors with inexact ADC")
+  }
+
   test("ann_pq: packed codes stay within 8 nibbles and decode to valid codewords") {
     val codes = operators.Similarity.annPq(spark, sfDir)
       .select("code_packed").collect().map(_.getLong(0))
