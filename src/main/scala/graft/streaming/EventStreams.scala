@@ -23,6 +23,12 @@ case class SessionOut(user_id: Long, start_us: Long, end_us: Long,
 
 case class SessionState(startUs: Long, lastUs: Long, n: Long, total: Double)
 
+case class CdcState(lastUs: Long, lastEventId: Long, lastOp: String,
+    lastValue: Double, nOps: Long)
+
+case class CdcOut(user_id: Long, last_op: String, final_value: Double,
+    last_ts_us: Long, n_ops: Long, deleted: Boolean)
+
 object EventStreams {
 
   /** File-based stream over an events parquet directory (the
@@ -184,6 +190,56 @@ object EventStreams {
         }
       }
       .start()
+
+  /** STREAMING CDC apply — the incremental twin of
+    * FundEtl.etlCdcApply: keyed state holds the latest op per key
+    * (ordered by (event time, event_id), so late rows within the
+    * stream cannot regress the state), and every micro-batch emits the
+    * key's refreshed final row in Update mode — exactly a continuously
+    * maintained merge view. A delete marks the row `deleted = true`
+    * (downstream sinks drop it) but keeps the state, since a later
+    * insert/update legitimately resurrects the key. State size is one
+    * small record per LIVE KEY — bounded by the key cardinality, not
+    * the stream length, which is what makes a 100 TB changelog
+    * consumable: the state store carries the table, not the history.
+    */
+  def cdcApply(events: Dataset[Evt]): Dataset[CdcOut] = {
+    import events.sparkSession.implicits._
+
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
+    def opOf(eventType: String): String = eventType match {
+      case "signup" => "I"
+      case "error" => "D"
+      case _ => "U"
+    }
+
+    def fn(userId: Long, evts: Iterator[Evt], state: GroupState[CdcState]): Iterator[CdcOut] = {
+      var cur = state.getOption
+      evts.foreach { e =>
+        val us = micros(e.ts)
+        val newer = cur.forall(s =>
+          us > s.lastUs || (us == s.lastUs && e.event_id > s.lastEventId))
+        cur = Some(cur match {
+          case Some(s) if !newer => s.copy(nOps = s.nOps + 1)
+          case Some(s) => CdcState(us, e.event_id, opOf(e.event_type), e.value, s.nOps + 1)
+          case None => CdcState(us, e.event_id, opOf(e.event_type), e.value, 1L)
+        })
+      }
+      cur match {
+        case Some(s) =>
+          state.update(s)
+          Iterator.single(CdcOut(userId, s.lastOp, s.lastValue, s.lastUs,
+            s.nOps, s.lastOp == "D"))
+        case None => Iterator.empty
+      }
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
 
   /** Gap-based sessionization (30-min inactivity) with explicit state:
     * one SessionState per user, closed + emitted on gap or event-time

@@ -104,6 +104,43 @@ class EventStreamsSpec extends SparkTestBase {
       s"streamed=${streamed.size} batch=${batch.size} onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming cdcApply matches the batch etl_cdc_apply twin on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evts = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.cdcApply(input.toDS())
+      .writeStream.format("memory").queryName("cdc_out")
+      .outputMode("update").start()
+    // deliver in three micro-batches — per-key state must carry across
+    val (b1, rest) = evts.splitAt(evts.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b =>
+      input.addData(b.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // final emission per key = the row with the full op count
+    val byKey = spark.table("cdc_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("last_op"),
+        math.round(r.getAs[Double]("final_value") * 100), r.getAs[Long]("last_ts_us"),
+        r.getAs[Long]("n_ops"), r.getAs[Boolean]("deleted")))
+      .groupBy(_._1).map { case (_, rows) => rows.maxBy(_._5) }
+    val streamed = byKey.filterNot(_._6)
+      .map { case (u, op, v, ts, n, _) => (u, op, v, ts, n) }.toSet
+    val batch = operators.FundEtl.etlCdcApply(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("last_op"),
+        math.round(r.getAs[Double]("final_value") * 100), r.getAs[Long]("last_ts_us"),
+        r.getAs[Long]("n_ops")))
+      .toSet
+    assert(streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size} " +
+        s"onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
+    // deleted keys really are suppressed from the batch view
+    assert(byKey.count(_._6) > 0, "corpus should contain keys whose last op is D")
+  }
+
   test("attributeJoin matches purchases to preceding clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
