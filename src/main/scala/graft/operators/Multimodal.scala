@@ -158,6 +158,61 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Perceptual average-hash over the 8×8 NN thumbnail (same index
+    * math as mmResize): bit i set iff pixel i is strictly brighter
+    * than the thumbnail mean — compared as `pixel·64 > sum` so the
+    * mean never becomes a float. Emitted as two 32-bit halves
+    * (lo = bits 0..31): a 2^63 bit in one BIGINT would wrap in Spark
+    * but ERROR in DuckDB's checked arithmetic, and the split also
+    * hands downstream banding its chunks for free. This is the stored
+    * artifact of image near-dup dedup; candidate pairing over it is
+    * the dd_simhash chunk-band shape (hamming ≤ r pairs share an
+    * exact 16-bit band by pigeonhole). Map-only, partition-batched.
+    */
+  val mmPhash: Q = (s, d) => {
+    import s.implicits._
+    val out = 8
+    Tables.documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
+        ((col("doc_id") % 32) + 16).cast("int").as("width"),
+        ((col("doc_id") % 24) + 12).cast("int").as("height"))
+      .as[(Long, Array[Byte], Int, Int)]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes, w, h) =>
+          val thumb = new Array[Long](out * out)
+          var sum = 0L
+          var y = 0
+          while (y < out) {
+            val sy = y * h / out
+            var x = 0
+            while (x < out) {
+              val sx = x * w / out
+              val idx = sy * w + sx
+              val v: Long = if (idx < bytes.length) (bytes(idx) & 0xff).toLong else 0L
+              thumb(y * out + x) = v
+              sum += v
+              x += 1
+            }
+            y += 1
+          }
+          var lo = 0L
+          var hi = 0L
+          var nBright = 0L
+          var i = 0
+          while (i < 64) {
+            if (thumb(i) * 64 > sum) {
+              nBright += 1
+              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+            }
+            i += 1
+          }
+          (id, lo, hi, nBright)
+        }
+      }
+      .toDF("doc_id", "phash_lo", "phash_hi", "n_bright")
+      .orderBy(col("doc_id"))
+  }
+
   /** Content-addressed dedup over the opaque binary payload — the
     * storage layout move for media corpora: digest the raw bytes
     * (md5 here; production uses sha256), keep one canonical asset per
@@ -177,6 +232,7 @@ object Multimodal {
       .orderBy(col("digest"))
 
   val queries: Map[String, Q] = Map(
+    "mm_phash" -> mmPhash,
     "mm_dedup_bytes" -> mmDedupBytes,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_frame_sample" -> mmFrameSample,
@@ -187,6 +243,24 @@ object Multimodal {
     * gets a real oracle despite the mapPartitions implementation.
     */
   val oracles: Map[String, String] = Map(
+    "mm_phash" ->
+      """SELECT doc_id,
+        | CAST(list_sum(list_transform(range(1, 33), i ->
+        |   CASE WHEN thumb[i] * 64 > list_sum(thumb) THEN (CAST(1 AS BIGINT) << (i - 1)) ELSE 0 END)) AS BIGINT) AS phash_lo,
+        | CAST(list_sum(list_transform(range(33, 65), i ->
+        |   CASE WHEN thumb[i] * 64 > list_sum(thumb) THEN (CAST(1 AS BIGINT) << (i - 33)) ELSE 0 END)) AS BIGINT) AS phash_hi,
+        | CAST(len(list_filter(thumb, v -> v * 64 > list_sum(thumb))) AS BIGINT) AS n_bright
+        |FROM (
+        | SELECT doc_id,
+        |  list_transform(range(0, 64), i ->
+        |    CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < strlen(text)
+        |         THEN bytes[((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1]
+        |         ELSE 0 END) AS thumb
+        | FROM (
+        |  SELECT doc_id, doc_id % 32 + 16 AS w, doc_id % 24 + 12 AS h,
+        |   text, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
+        |  FROM documents) r) t
+        |ORDER BY doc_id""".stripMargin,
     "mm_dedup_bytes" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         | CAST(count(*) AS BIGINT) AS ref_count,

@@ -374,6 +374,27 @@ object Similarity {
       .select(col("vec_id") +: (0 until pqM).map(j => col(s"c$j")): _*)
     val queries = Tables.embeddings(s, d).filter(col("vec_id") < 8)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scored = codes.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_sim", adcSimExpr(books))
+      .select(col("query_id"), col("vec_id"), col("adc_sim"))
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"), orderCol = "adc_sim", tieCol = "vec_id", k = 5)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        q4(col("adc_sim")).as("adc_sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
+  /** The ADC approximate-cosine expression over code columns c0..c7
+    * and a q_emb query vector — shared by annPqTopk (all-pairs) and
+    * annIvfPq (probed lists only). Sub-dots accumulate in fixed j
+    * order (left-assoc reduce) so the DuckDB oracle mirrors the float
+    * sum exactly via an ordered list_reduce.
+    */
+  private def adcSimExpr(books: Seq[Seq[Seq[Float]]]): Column = {
     val dots = (0 until pqM).map { j =>
       val cw = element_at(typedlit(books(j)), (col(s"c$j") + 1).cast("int"))
       dotProduct(slice(col("q_emb"), j * pqSub + 1, pqSub), cw)
@@ -382,11 +403,50 @@ object Similarity {
       val cw = element_at(typedlit(books(j)), (col(s"c$j") + 1).cast("int"))
       dotProduct(cw, cw)
     }
-    val adc = dots.reduce(_ + _) /
+    dots.reduce(_ + _) /
       (sqrt(dotProduct(col("q_emb"), col("q_emb"))) * sqrt(normSqs.reduce(_ + _)))
-    val scored = codes.crossJoin(broadcast(queries))
+  }
+
+  /** IVF + PQ — the composition billion-scale ANN indexes actually
+    * ship (coarse quantizer narrows to nprobe lists, PQ codes pay the
+    * distance): list assignment is the same map-only literal-centroid
+    * argmax as annIvfTopk, candidates come from the query's 4 nearest
+    * lists, and the scoring reads the 8-nibble PQ code via ADC instead
+    * of the raw vector. One scan encodes code + list id side by side;
+    * at serving time both are stored columns and the probe touches
+    * nprobe/16ths of a corpus it reads 8 bytes/vector from.
+    */
+  val annIvfPq: Q = (s, d) => {
+    val books = pqCodebooks(s, d)
+    val centroids: Seq[(Long, Seq[Float])] = Tables.embeddings(s, d)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+    val centIds: Seq[Long] = centroids.map(_._1)
+    def nearestCentroid(e: Column): Column = {
+      val sims = array(centroids.map { case (_, v) => cosineSim(e, typedlit(v)) }: _*)
+      element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
+    }
+    val codes = pqEncoded(s, d, books)
+      .join(Tables.embeddings(s, d)
+        .select(col("vec_id"), nearestCentroid(col("embedding")).as("cent_id")),
+        Seq("vec_id"))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    val cents = centroids.toDF("cent_id", "c_emb")
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val probes = Tables.embeddings(s, d).filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(byQuery))
+      .filter(col("c_rank") <= 4)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    val scored = codes.join(broadcast(probes), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adc_sim", adc)
+      .withColumn("adc_sim", adcSimExpr(books))
       .select(col("query_id"), col("vec_id"), col("adc_sim"))
     val top = graft.plans.TopK.perKey(scored,
       keyCols = Seq("query_id"), orderCol = "adc_sim", tieCol = "vec_id", k = 5)
@@ -401,6 +461,7 @@ object Similarity {
   val queries: Map[String, Q] = Map(
     "ann_pq" -> annPq,
     "ann_pq_topk" -> annPqTopk,
+    "ann_ivf_pq" -> annIvfPq,
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
@@ -471,6 +532,64 @@ object Similarity {
         |  FROM codes c JOIN cw ON cw.j = c.j AND cw.code = c.code
         |  CROSS JOIN queries q
         |  WHERE c.vec_id <> q.query_id),
+        |scored AS (
+        |  SELECT query_id, vec_id,
+        |    list_reduce(list(part_dot ORDER BY j), (a, b) -> a + b) AS dotsum,
+        |    list_reduce(list(part_nsq ORDER BY j), (a, b) -> a + b) AS nsqsum
+        |  FROM parts GROUP BY query_id, vec_id),
+        |sims AS (
+        |  SELECT s.query_id, s.vec_id,
+        |    s.dotsum / (sqrt(list_dot_product(q.q_emb, q.q_emb)) * sqrt(s.nsqsum)) AS adc
+        |  FROM scored s JOIN queries q ON s.query_id = q.query_id)
+        |SELECT query_id, rank, neighbor_id, adc_sim FROM (
+        |  SELECT query_id, vec_id AS neighbor_id,
+        |    floor(adc * 10000 + 0.5) / 10000.0 AS adc_sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id) AS rank
+        |  FROM sims) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_ivf_pq" ->
+      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
+        |cw AS (
+        |  SELECT c.vec_id AS code, s.j,
+        |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
+        |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16),
+        |codes AS (
+        |  SELECT vec_id, j, code FROM (
+        |    SELECT e.vec_id, cw.j, cw.code,
+        |      row_number() OVER (PARTITION BY e.vec_id, cw.j
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) DESC, cw.code) AS rn
+        |    FROM embeddings e CROSS JOIN cw) t
+        |  WHERE rn = 1),
+        |cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, cent_id FROM (
+        |    SELECT e.vec_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |queries AS (
+        |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
+        |  FROM embeddings WHERE vec_id < 8),
+        |probes AS (
+        |  SELECT query_id, cent_id FROM (
+        |    SELECT q.query_id, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.query_id
+        |        ORDER BY list_cosine_similarity(q.q_emb, c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM queries q CROSS JOIN cents c) t WHERE rn <= 4),
+        |cand AS (
+        |  SELECT p.query_id, a.vec_id
+        |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.query_id),
+        |parts AS (
+        |  SELECT cd.query_id, cd.vec_id, c.j,
+        |    list_dot_product(q.q_emb[c.j*8+1 : c.j*8+8], cw.w) AS part_dot,
+        |    list_dot_product(cw.w, cw.w) AS part_nsq
+        |  FROM cand cd
+        |  JOIN queries q ON q.query_id = cd.query_id
+        |  JOIN codes c ON c.vec_id = cd.vec_id
+        |  JOIN cw ON cw.j = c.j AND cw.code = c.code),
         |scored AS (
         |  SELECT query_id, vec_id,
         |    list_reduce(list(part_dot ORDER BY j), (a, b) -> a + b) AS dotsum,
