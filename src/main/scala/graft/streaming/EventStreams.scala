@@ -191,6 +191,47 @@ object EventStreams {
       }
       .start()
 
+  /** foreachBatch merge into a BUCKETED MANAGED TABLE — the third
+    * point in the sink-cost design space: upsertToParquet rewrites the
+    * whole snapshot and shuffles the merge join; the partitioned sink
+    * prunes the rewrite; THIS sink removes the merge join's shuffle —
+    * the snapshot is bucketed on the merge key, so the anti-join reads
+    * it in place (output partitioning already matches the join key)
+    * and only the incoming batch hashes into buckets. The rewrite is
+    * staged to a twin bucketed table and swapped in with a catalog
+    * rename, so a concurrent reader never sees a half-written
+    * snapshot. A real lakehouse table format combines this bucketing
+    * with the partition pruning of upsertToPartitionedParquet.
+    */
+  def upsertToBucketedTable(events: DataFrame, table: String,
+      checkpointDir: String, nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        import org.apache.spark.sql.expressions.Window
+        val latest = batch
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("event_id"))
+              .orderBy(col("ts").desc, monotonically_increasing_id())))
+          .filter(col("rn") === 1).drop("rn")
+        val merged =
+          if (spark.catalog.tableExists(table)) {
+            val cur = spark.table(table)
+            cur.join(latest.select(col("event_id").as("k")),
+                col("event_id") === col("k"), "left_anti")
+              .unionByName(latest)
+          } else latest
+        val staging = table + "_staging"
+        spark.sql(s"DROP TABLE IF EXISTS $staging")
+        merged.write.bucketBy(nBuckets, "event_id").sortBy("event_id")
+          .saveAsTable(staging)
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+        spark.sql(s"ALTER TABLE $staging RENAME TO $table")
+        ()
+      }
+      .start()
+
   /** STREAMING CDC apply — the incremental twin of
     * FundEtl.etlCdcApply: keyed state holds the latest op per key
     * (ordered by (event time, event_id), so late rows within the

@@ -141,6 +141,51 @@ class EventStreamsSpec extends SparkTestBase {
     assert(byKey.count(_._6) > 0, "corpus should contain keys whose last op is D")
   }
 
+  test("bucketed-table sink: merge semantics, bucket metadata, shuffle-free snapshot side") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tbl = "events_bkt_snap"
+    Seq(tbl, tbl + "_staging").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      new scala.reflect.io.Directory(new java.io.File(s"spark-warehouse/$t"))
+        .deleteRecursively()
+    }
+    val ck = java.nio.file.Files.createTempDirectory("graft_bkt_ck").toString
+    val input = MemoryStream[Evt]
+    val q = EventStreams.upsertToBucketedTable(input.toDF(), tbl, ck)
+    input.addData(
+      Evt(1, ts(0), 1, "click", 1.0),
+      Evt(2, ts(1), 2, "view", 2.0))
+    q.processAllAvailable()
+    // second batch restates key 1 and adds key 3
+    input.addData(
+      Evt(1, ts(10), 1, "click", 9.0),
+      Evt(3, ts(11), 3, "purchase", 3.0))
+    q.processAllAvailable(); q.stop()
+    val snap = spark.table(tbl).collect()
+      .map(r => (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toSet
+    assert(snap == Set((1L, 9.0), (2L, 2.0), (3L, 3.0)), s"got $snap")
+    // the swapped-in table carries the bucket spec
+    val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+    assert(ddl.contains("Num Buckets=8"), s"missing bucket spec: $ddl")
+    // the merge join reads the snapshot in place: with broadcast off,
+    // the only hash exchange is on the incoming-batch side
+    val noBcast = spark.sessionState.conf.getConfString(
+      "spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val latest = Seq((1L, 42.0)).toDF("k", "v")
+      val plan = spark.table(tbl)
+        .join(latest, col("event_id") === col("k"), "left_anti")
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(event_id"),
+        s"snapshot side should not shuffle:\n$plan")
+      assert(plan.contains("Exchange hashpartitioning(k"),
+        s"batch side should hash into the buckets:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBcast)
+  }
+
   test("attributeJoin matches purchases to preceding clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
