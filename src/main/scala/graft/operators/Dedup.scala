@@ -227,10 +227,44 @@ object Dedup {
     * prior rounds; measured 131s → 2s at sf0.1). Non-convergence within
     * the generous cap FAILS LOUDLY instead of emitting wrong labels.
     */
-  private[graft] def connectedComponents(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponents(pairs: DataFrame,
+      driverPathMaxEdges: Long = 100000L): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
+    // Small-graph fast path: the right tool changes with scale. Below
+    // the threshold the pair graph fits the driver with room to spare
+    // and a union-find labels it in microseconds, where the
+    // distributed fixpoint pays a fixed ~10-job overhead (hop + jump +
+    // certificate aggregates per round). Above it, the iterative path
+    // below is the only option — a 100 TB near-dup graph never fits a
+    // driver. Labels are identical by construction: union always
+    // parents the larger root under the smaller, so every root IS its
+    // component minimum — the same labeling the min-propagation
+    // fixpoint converges to (spec-asserted equal on the corpus graph).
+    if (edges.count() <= driverPathMaxEdges) {
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) {
+          if (ra < rb) parent(rb) = ra else parent(ra) = rb
+        }
+      }
+      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+        .toDF("node", "label")
+    }
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()

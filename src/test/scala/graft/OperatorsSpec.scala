@@ -199,11 +199,27 @@ class OperatorsSpec extends SparkTestBase {
     val cycle = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L))
     val pair = Seq((5000L, 4999L))
     val pairs = (chain ++ cycle ++ pair).toDF("doc_a", "doc_b")
-    val labels = operators.Dedup.connectedComponents(pairs).collect()
+    // threshold 0 forces the DISTRIBUTED fixpoint — this spec exists to
+    // cover the pointer-jumping loop, not the driver fast path
+    val labels = operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L)
+      .collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert((0L to 300L).forall(labels(_) == 0L), "chain not fully merged")
     assert(Seq(1000L, 1001L, 1002L).forall(labels(_) == 1000L))
     assert(labels(4999L) == 4999L && labels(5000L) == 4999L)
+  }
+
+  test("connectedComponents driver fast path matches the distributed fixpoint") {
+    val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val fast = toMap(operators.Dedup.connectedComponents(pairs))
+    val distributed = toMap(
+      operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L))
+    assert(fast == distributed,
+      s"paths diverge: ${(fast.toSet -- distributed.toSet).take(3)}")
+    assert(fast.nonEmpty)
   }
 
   test("dd_minhash_lsh pairs are canonical and thresholded") {
