@@ -347,7 +347,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** LEAKAGE-FREE SPLIT ASSIGNMENT — the train/val/test split a
+    * training pipeline must make AFTER near-dup analysis: hashing raw
+    * doc ids would scatter near-duplicate documents across splits
+    * (evaluation contamination); hashing the CLUSTER id keeps every
+    * near-dup group in one split by construction. Reuses the CC
+    * labels over the MinHash-LSH pair graph; singletons are their own
+    * cluster. The split hash is the engine's reproducible sampling
+    * hash (integer arithmetic, cross-engine stable); 80/10/10.
+    */
+  val ddSplitLeakfree: Q = (s, d) => {
+    val labels = connectedComponents(
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(pmod(col("cluster_id"), lit(1000003L)) * 2654435761L, lit(100L)))
+      .select(col("doc_id"), col("cluster_id"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_split_leakfree" -> ddSplitLeakfree,
     "dd_canonical" -> ddCanonical,
     "dd_cluster" -> ddCluster,
     "dd_exact" -> ddExact,
@@ -384,6 +410,26 @@ object Dedup {
     * pointer-jumping label propagation.
     */
   val oracles: Map[String, String] = Map(
+    "dd_split_leakfree" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS cluster_id,
+        |    ((coalesce(cc.cluster_id, d.doc_id) % 1000003) * 2654435761) % 100 AS bucket
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id) t
+        |ORDER BY doc_id""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH sigs AS (
         |  SELECT doc_id, sig FROM read_parquet('__AUX__/dd_minhash_sigs/*.parquet')),

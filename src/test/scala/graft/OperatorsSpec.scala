@@ -209,6 +209,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(labels(4999L) == 4999L && labels(5000L) == 4999L)
   }
 
+  test("dd_split_leakfree: every near-dup cluster lands in exactly one split") {
+    val rows = operators.Dedup.ddSplitLeakfree(spark, sfDir).collect()
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, members) =>
+      assert(members.map(_.getAs[String]("split")).distinct.length == 1,
+        s"cluster $cid spans splits")
+    }
+    val splits = rows.map(_.getAs[String]("split")).distinct.toSet
+    assert(splits == Set("train", "val", "test"), s"got $splits")
+    // multi-member clusters exist, so the guarantee is non-vacuous
+    assert(byCluster.exists(_._2.length > 1))
+  }
+
   test("connectedComponents driver fast path matches the distributed fixpoint") {
     val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
