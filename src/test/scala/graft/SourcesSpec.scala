@@ -37,6 +37,42 @@ class SourcesSpec extends SparkTestBase {
     assert(!plan.contains("status = O"), "partition filter should prune, not scan-filter")
   }
 
+  test("sort-on-write layout: parquet row-group stats prune the scan") {
+    // The storage-layout lever at 100 TB: a selective range predicate
+    // over a column the file is SORTED by skips whole row groups via
+    // parquet min/max stats; the same data unsorted forces the reader
+    // through every group. Small row groups make the effect observable
+    // at harness scale. Measured via the scan's numOutputRows — rows
+    // the READER emitted after group pruning + predicate pushdown,
+    // before any Spark-side filter.
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val sorted = Files.createTempDirectory("graft_sorted").toString
+    val unsorted = Files.createTempDirectory("graft_unsorted").toString
+    // sf0.01 explicitly: the layout effect needs enough rows for the
+    // writer to cut multiple row groups at the reduced block size
+    // (sf0.001's 6k rows fit one group and nothing can prune)
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_quantity"), col("l_extendedprice"))
+    li.sort(col("l_orderkey")).coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", 256 * 1024)
+      .parquet(sorted)
+    // hash-scramble the order, same rows
+    li.sort(expr("xxhash64(l_orderkey, l_quantity)")).coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", 256 * 1024)
+      .parquet(unsorted)
+    val lo = 10L; val hi = 500L
+    def q(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_orderkey") >= lo && col("l_orderkey") <= hi)
+    assert(q(sorted).count() == q(unsorted).count())
+    val (s, u) = (scanRows(q(sorted)), scanRows(q(unsorted)))
+    assert(s * 5 < u,
+      s"sorted layout should skip most row groups: sorted=$s unsorted=$u")
+  }
+
   test("bucketed tables co-locate the join (no shuffle on bucketed sides)") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
