@@ -326,17 +326,22 @@ object Similarity {
     * exact ties — same order as the oracle's sim DESC, code ASC
     * window).
     */
+  /** `extra` columns (e.g. the IVF list id) are computed in the SAME
+    * projection — one scan emits code + any co-stored columns, which
+    * is the production shape (the index build writes them side by
+    * side).
+    */
   private def pqEncoded(s: SparkSession, d: String,
-      books: Seq[Seq[Seq[Float]]]): DataFrame = {
+      books: Seq[Seq[Seq[Float]]], extra: Seq[Column] = Nil): DataFrame = {
     val simsCols: Seq[Column] = (0 until pqM).map { j =>
       val subCol = slice(col("embedding"), j * pqSub + 1, pqSub)
       array(books(j).map(cw => cosineSim(subCol, typedlit(cw))): _*)
     }
     Tables.embeddings(s, d).select(
-      col("vec_id") +: simsCols.zipWithIndex.flatMap { case (sims, j) =>
+      (col("vec_id") +: simsCols.zipWithIndex.flatMap { case (sims, j) =>
         Seq(array_max(sims).as(s"m$j"),
           (array_position(sims, array_max(sims)) - 1).cast("long").as(s"c$j"))
-      }: _*)
+      }) ++ extra: _*)
   }
 
   val annPq: Q = (s, d) => {
@@ -428,10 +433,8 @@ object Similarity {
       val sims = array(centroids.map { case (_, v) => cosineSim(e, typedlit(v)) }: _*)
       element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
     }
-    val codes = pqEncoded(s, d, books)
-      .join(Tables.embeddings(s, d)
-        .select(col("vec_id"), nearestCentroid(col("embedding")).as("cent_id")),
-        Seq("vec_id"))
+    val codes = pqEncoded(s, d, books,
+      extra = Seq(nearestCentroid(col("embedding")).as("cent_id")))
     val sqlCtx = s
     import sqlCtx.implicits._
     val cents = centroids.toDF("cent_id", "c_emb")
