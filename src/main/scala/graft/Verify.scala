@@ -26,8 +26,12 @@ object Verify {
     // every outDir subdirectory as an operator result) — keyed by the
     // sf basename so a multi-SF check never reads a stale dump. The
     // `__AUX__` token in the oracle SQL is rewritten below, so the
-    // dumped oracle_sql.json is self-contained for this run.
+    // dumped oracle_sql.json is self-contained for this run. The aux
+    // dir is CLEARED first: if a dump regresses, its oracle must fail
+    // loudly on a missing file, not silently compare against the
+    // previous run's stale parquet.
     val auxBase = s"/root/repo/target/verify_aux/${new java.io.File(sfDir).getName}"
+    new scala.reflect.io.Directory(new java.io.File(auxBase)).deleteRecursively()
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$auxBase/$name")

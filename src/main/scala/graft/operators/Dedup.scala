@@ -228,27 +228,30 @@ object Dedup {
     * the generous cap FAILS LOUDLY instead of emitting wrong labels.
     */
   private[graft] def connectedComponents(pairs: DataFrame,
-      driverPathMaxEdges: Long = 5000000L): DataFrame = {
+      driverPathMaxEdges: Long = 1000000L): DataFrame = {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     // Small-graph fast path: the right tool changes with scale. Below
-    // the threshold (5M directed edges ≈ 80 MB of longs — well inside
-    // any driver) a union-find labels the graph in well under a
+    // the threshold a union-find labels the graph in well under a
     // second, where the distributed fixpoint pays a fixed ~10-job
     // overhead (hop + jump + certificate aggregates) PER ROUND —
-    // measured 9.6s vs 0.9s on a 450k-edge graph. Above it, the
-    // iterative path below is the only option — a 100 TB near-dup
-    // graph has billions of edges and never fits a driver. Labels are
-    // identical by construction: union always parents the larger root
-    // under the smaller, so every root IS its component minimum — the
-    // same labeling the min-propagation fixpoint converges to
-    // (spec-asserted equal on the corpus graph).
+    // measured 9.6s vs 0.9s on a 450k-edge graph. The budget is
+    // driver heap: the collected edge array is ~40 B/edge of boxed
+    // tuples (transient) and the LongMap keeps keys/values in
+    // primitive arrays, so 1M edges costs tens of MB — comfortably
+    // inside any driver, with the cap well clear of heap pressure.
+    // Above it, the iterative path below is the only option — a
+    // 100 TB near-dup graph has billions of edges and never fits a
+    // driver. Labels are identical by construction: union always
+    // parents the larger root under the smaller, so every root IS its
+    // component minimum — the same labeling the min-propagation
+    // fixpoint converges to (spec-asserted equal on the corpus graph).
     if (edges.count() <= driverPathMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
       val es = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
-      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
         while (parent(r) != r) r = parent(r)
@@ -257,14 +260,14 @@ object Dedup {
         r
       }
       es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
+        if (!parent.contains(a)) parent(a) = a
+        if (!parent.contains(b)) parent(b) = b
         val ra = find(a); val rb = find(b)
         if (ra != rb) {
           if (ra < rb) parent(rb) = ra else parent(ra) = rb
         }
       }
-      return parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      return parent.keys.toArray.sorted.map(n => (n, find(n))).toSeq
         .toDF("node", "label")
     }
     var labels = edges.select(col("doc_a").as("node")).distinct()
@@ -366,7 +369,7 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .withColumn("bucket",
-        pmod(pmod(col("cluster_id"), lit(1000003L)) * 2654435761L, lit(100L)))
+        graft.functions.SampleHash.bucket(col("cluster_id"), 100L))
       .select(col("doc_id"), col("cluster_id"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
@@ -411,18 +414,26 @@ object Dedup {
     * independent algorithm (transitive closure) from the Spark side's
     * pointer-jumping label propagation.
     */
+  /** The recursive-CTE connected-components block shared by every
+    * cluster-derived oracle (transitive closure over the dumped pair
+    * graph) — one copy, so a closure fix can't reach one oracle and
+    * miss the others.
+    */
+  private val ccOracleCte: String =
+    """pairs AS (
+      |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+      |edges AS (
+      |  SELECT doc_a AS a, doc_b AS b FROM pairs
+      |  UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(node, lab) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+      |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "dd_split_leakfree" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(node, lab) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $ccOracleCte
         |SELECT doc_id, cluster_id,
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val'
@@ -473,30 +484,12 @@ object Dedup {
         |   AND b.n_sh * 5 >= a.n_sh * 4 AND a.n_sh * 5 >= b.n_sh * 4) t
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dd_cluster" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(node, lab) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $ccOracleCte
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin,
     "dd_canonical" ->
-      """WITH RECURSIVE pairs AS (
-        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
-        |edges AS (
-        |  SELECT doc_a AS a, doc_b AS b FROM pairs
-        |  UNION SELECT doc_b, doc_a FROM pairs),
-        |reach(node, lab) AS (
-        |  SELECT DISTINCT a, a FROM edges
-        |  UNION
-        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+      s"""WITH RECURSIVE $ccOracleCte,
         |quality AS (
         |  SELECT doc_id,
         |    floor(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)

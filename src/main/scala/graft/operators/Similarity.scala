@@ -492,13 +492,30 @@ object Similarity {
     * DuckDB reads from the same parquet; ann_ivf_kmeans' trained
     * centroids come from the `ivf_centroids` split-oracle dump.
     */
+  /** Shared DuckDB CTE blocks for the PQ oracles — the codebook
+    * rebuild (sub/cw) and the per-subspace code assignment (codes),
+    * kept as single constants so an encode fix reaches every PQ
+    * oracle at once.
+    */
+  private val pqCwCte: String =
+    """sub AS (SELECT unnest(range(0, 8)) AS j),
+      |cw AS (
+      |  SELECT c.vec_id AS code, s.j,
+      |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
+      |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16)""".stripMargin
+
+  private val pqCodesCte: String =
+    """codes AS (
+      |  SELECT vec_id, j, code FROM (
+      |    SELECT e.vec_id, cw.j, cw.code,
+      |      row_number() OVER (PARTITION BY e.vec_id, cw.j
+      |        ORDER BY list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) DESC, cw.code) AS rn
+      |    FROM embeddings e CROSS JOIN cw) t
+      |  WHERE rn = 1)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "ann_pq" ->
-      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
-        |cw AS (
-        |  SELECT c.vec_id AS code, s.j,
-        |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
-        |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16),
+      s"""WITH $pqCwCte,
         |best AS (
         |  SELECT vec_id, j, code, sim FROM (
         |    SELECT e.vec_id, cw.j, cw.code,
@@ -513,18 +530,8 @@ object Similarity {
         |  floor(min(sim) * 10000 + 0.5) / 10000.0 AS min_sub_cos
         |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin,
     "ann_pq_topk" ->
-      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
-        |cw AS (
-        |  SELECT c.vec_id AS code, s.j,
-        |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
-        |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16),
-        |codes AS (
-        |  SELECT vec_id, j, code FROM (
-        |    SELECT e.vec_id, cw.j, cw.code,
-        |      row_number() OVER (PARTITION BY e.vec_id, cw.j
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) DESC, cw.code) AS rn
-        |    FROM embeddings e CROSS JOIN cw) t
-        |  WHERE rn = 1),
+      s"""WITH $pqCwCte,
+        |$pqCodesCte,
         |queries AS (
         |  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS q_emb
         |  FROM embeddings WHERE vec_id < 8),
@@ -551,18 +558,8 @@ object Similarity {
         |  FROM sims) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_pq" ->
-      """WITH sub AS (SELECT unnest(range(0, 8)) AS j),
-        |cw AS (
-        |  SELECT c.vec_id AS code, s.j,
-        |    CAST(c.embedding[s.j*8+1 : s.j*8+8] AS DOUBLE[]) AS w
-        |  FROM embeddings c CROSS JOIN sub s WHERE c.vec_id < 16),
-        |codes AS (
-        |  SELECT vec_id, j, code FROM (
-        |    SELECT e.vec_id, cw.j, cw.code,
-        |      row_number() OVER (PARTITION BY e.vec_id, cw.j
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding[cw.j*8+1 : cw.j*8+8] AS DOUBLE[]), cw.w) DESC, cw.code) AS rn
-        |    FROM embeddings e CROSS JOIN cw) t
-        |  WHERE rn = 1),
+      s"""WITH $pqCwCte,
+        |$pqCodesCte,
         |cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
         |  FROM embeddings WHERE vec_id < 16),

@@ -165,7 +165,7 @@ object TextAnalysis {
     */
   val txSampleStratified: Q = (s, d) =>
     Tables.documents(s, d)
-      .withColumn("bucket", pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(100L)))
+      .withColumn("bucket", graft.functions.SampleHash.bucket(col("doc_id"), 100L))
       .withColumn("rate",
         when(col("lang") === "en", 80)
           .when(col("lang").isin("de", "fr", "es"), 50)
@@ -301,7 +301,7 @@ object TextAnalysis {
       .withColumn("rate_e6", least(lit(1000000L),
         expr("coalesce(target_ppm, 0L) * total div cnt")))
       .withColumn("bucket",
-        pmod(pmod(col("doc_id"), lit(1000003L)) * 2654435761L, lit(1000000L)))
+        graft.functions.SampleHash.bucket(col("doc_id"), 1000000L))
       .filter(col("bucket") < col("rate_e6"))
       .select(col("doc_id"), col("lang"), col("bucket").cast("long").as("bucket"),
         col("rate_e6").cast("long").as("rate_e6"))

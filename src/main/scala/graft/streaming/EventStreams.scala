@@ -198,10 +198,19 @@ object EventStreams {
     * the snapshot is bucketed on the merge key, so the anti-join reads
     * it in place (output partitioning already matches the join key)
     * and only the incoming batch hashes into buckets. The rewrite is
-    * staged to a twin bucketed table and swapped in with a catalog
-    * rename, so a concurrent reader never sees a half-written
-    * snapshot. A real lakehouse table format combines this bucketing
-    * with the partition pruning of upsertToPartitionedParquet.
+    * staged to a twin bucketed table and swapped in with catalog
+    * renames. The drop→rename pair is NOT atomic in a Hive-style
+    * catalog (a table format with atomic commits is the production
+    * answer), so the swap is made CRASH-RECOVERABLE instead: a batch
+    * that finds the live table missing but staging present — the only
+    * state a crash inside the swap window leaves, and staging always
+    * holds a complete merged snapshot by that point — first promotes
+    * staging back to live, then the checkpoint replays the
+    * interrupted batch on top. Accumulated state is never the only
+    * copy in a dropped table. A concurrent reader can still catch
+    * the brief not-found window between the two renames. A real
+    * lakehouse table format combines this bucketing with the
+    * partition pruning of upsertToPartitionedParquet.
     */
   def upsertToBucketedTable(events: DataFrame, table: String,
       checkpointDir: String, nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
@@ -210,6 +219,12 @@ object EventStreams {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val spark = batch.sparkSession
         import org.apache.spark.sql.expressions.Window
+        val staging = table + "_staging"
+        // crash recovery: a prior run died between DROP(table) and
+        // RENAME(staging → table); staging holds the full merged
+        // snapshot, so promote it before merging the replayed batch
+        if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(staging))
+          spark.sql(s"ALTER TABLE $staging RENAME TO $table")
         val latest = batch
           .withColumn("rn", row_number().over(
             Window.partitionBy(col("event_id"))
@@ -222,7 +237,6 @@ object EventStreams {
                 col("event_id") === col("k"), "left_anti")
               .unionByName(latest)
           } else latest
-        val staging = table + "_staging"
         spark.sql(s"DROP TABLE IF EXISTS $staging")
         merged.write.bucketBy(nBuckets, "event_id").sortBy("event_id")
           .saveAsTable(staging)

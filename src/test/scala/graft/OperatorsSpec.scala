@@ -66,6 +66,19 @@ class OperatorsSpec extends SparkTestBase {
     assert(mismatched == 0)
   }
 
+  test("documents corpus is ASCII — precondition of the byte-level mm_* oracles") {
+    // the mm_* DuckDB oracles index CHARACTERS (string_split + ascii)
+    // where Spark indexes UTF-8 BYTES; they coincide only while the
+    // corpus is pure ASCII. If the generator ever emits non-ASCII
+    // text, this fails loudly instead of the oracles silently
+    // diverging.
+    Seq(sfDir, "/root/testdata/sf0.01").foreach { d =>
+      val nonAscii = graft.sources.Tables.documents(spark, d)
+        .filter(length(col("text")) =!= expr("octet_length(text)")).count()
+      assert(nonAscii == 0, s"$d has non-ASCII documents; byte-level mm oracles diverge")
+    }
+  }
+
   test("ann_pq_topk: ADC score is exact for codebook-row neighbors") {
     // a codebook source vector self-codes in every subspace, so its PQ
     // reconstruction is the vector itself — for those neighbors the

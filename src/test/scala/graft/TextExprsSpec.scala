@@ -49,8 +49,8 @@ class TextExprsSpec extends SparkTestBase {
     assert(graft.functions.TextKernels.bpeTokenCount(UTF8String.fromString(s)) == 5L)
   }
 
-  private def modeHofTwin(toks: org.apache.spark.sql.Column) =
-    expr("""aggregate(array_sort(toks),
+  private def modeHofTwin(toksCol: String) =
+    expr(s"""aggregate(array_sort($toksCol),
       |  named_struct('prev', '', 'run', 0L, 'best', 0L),
       |  (acc, x) -> named_struct(
       |    'prev', x,
@@ -63,7 +63,7 @@ class TextExprsSpec extends SparkTestBase {
       .withColumn("toks", split(col("text"), " "))
       .select(col("doc_id"),
         TextFunctions.tokenModeCount(col("toks")).as("native"),
-        modeHofTwin(col("toks")).as("hof"))
+        modeHofTwin("toks").as("hof"))
     assert(df.filter(col("native") =!= col("hof")).count() == 0)
     assert(df.filter(col("native") > 1).count() > 0)
   }
