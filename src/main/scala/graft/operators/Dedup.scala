@@ -352,6 +352,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-CONTAINMENT detection — the asymmetric cousin of Jaccard
+    * near-dup: a short document quoted or copied inside a longer one
+    * has low Jaccard (the union is dominated by the container) but
+    * containment |A∩B| / |A| ≈ 1. The size-ratio blocking of
+    * dd_ngram_jaccard would REJECT exactly these pairs, so candidates
+    * come from a shingle-stream equi-join instead (the decontaminate
+    * shape, corpus×corpus): explode (shingle, doc), drop shingles
+    * with document frequency above a cap first — frequent shingles
+    * carry no containment signal and are what makes a shingle
+    * self-join quadratic — then count shared shingles per pair.
+    * Shuffle volume is the df-pruned shingle stream; no doc×doc pass.
+    */
+  val ddContainment: Q = (s, d) => {
+    // df cap scales with the corpus (2% of docs, floor 10): a FIXED cap
+    // under-prunes nothing but starves the signal as the corpus grows —
+    // this synthetic vocabulary is so small that mean shingle df
+    // crosses any constant; the relative cap keeps per-shingle join
+    // groups at a bounded fraction while hot boilerplate shingles
+    // (the quadratic risk) stay excluded.
+    val nDocs = Tables.documents(s, d).count()
+    val maxDf = math.max(10L, nDocs * 2 / 100)
+    val sh = shingled(s, d)
+      .select(col("doc_id"), explode(col("sh_hashes")).as("h"))
+    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("h"))
+    val pruned = sh.join(rare, "h")
+    val sizes = shingled(s, d)
+      .select(col("doc_id"), size(col("sh_hashes")).cast("long").as("n_sh"))
+    pruned.as("a")
+      .join(pruned.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+      .withColumn("containment",
+        q4(col("n_shared").cast("double") / col("n_a")))
+      .filter(col("containment") >= 0.9)
+      .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
+        col("containment"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** LEAKAGE-FREE SPLIT ASSIGNMENT — the train/val/test split a
     * training pipeline must make AFTER near-dup analysis: hashing raw
     * doc ids would scatter near-duplicate documents across splits
@@ -378,6 +421,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "dd_containment" -> ddContainment,
     "dd_split_leakfree" -> ddSplitLeakfree,
     "dd_canonical" -> ddCanonical,
     "dd_cluster" -> ddCluster,
@@ -432,6 +476,26 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_containment" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(sh_hashes) AS h
+        |  FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
+        |rare AS (SELECT h FROM sh GROUP BY h
+        |  HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) * 2 // 100)),
+        |pruned AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare ON sh.h = rare.h),
+        |sizes AS (
+        |  SELECT doc_id, len(sh_hashes) AS n_sh
+        |  FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
+        |shared AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id <> b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_shared, n_a, containment FROM (
+        |  SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
+        |    CAST(z.n_sh AS BIGINT) AS n_a,
+        |    floor(s.n_shared / CAST(z.n_sh AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
+        |  FROM shared s JOIN sizes z ON s.doc_a = z.doc_id) t
+        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "dd_split_leakfree" ->
       s"""WITH RECURSIVE $ccOracleCte
         |SELECT doc_id, cluster_id,

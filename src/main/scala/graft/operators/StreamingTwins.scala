@@ -200,7 +200,32 @@ object StreamingTwins {
       .orderBy(col("cohort_day"), col("day_offset"))
   }
 
+  /** Windowed top-k — the "trending now" shape: top-3 event types per
+    * hourly event-time window, selected through the custom bounded-heap
+    * TopK operator so only k rows per (window, partition) reach its
+    * exchange. Ordering is by COUNT (exact integers) with the type as
+    * tie-break, so ranks are engine-stable; the rounded value total
+    * rides along as a payload column. Composes the event-time window
+    * key with the same TopK plan the ANN family uses — one aggregation
+    * shuffle on (window, type), then the bounded heap on window.
+    */
+  val stWindowedTopk: Q = (s, d) => {
+    val hourly = Tables.events(s, d)
+      .groupBy(date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+    val top = graft.plans.TopK.perKey(hourly,
+      keyCols = Seq("window_start"), orderCol = "n", tieCol = "event_type", k = 3)
+    val w = Window.partitionBy(col("window_start"))
+      .orderBy(col("n").desc, col("event_type"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("window_start"), col("rank"), col("event_type"),
+        col("n"), col("total"))
+      .orderBy(col("window_start"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_windowed_topk" -> stWindowedTopk,
     "st_tumbling_agg" -> stTumblingAgg,
     "st_sessionize" -> stSessionize,
     "st_dedup_events" -> stDedupEvents,
@@ -211,6 +236,17 @@ object StreamingTwins {
     "st_retention" -> stRetention)
 
   val oracles: Map[String, String] = Map(
+    "st_windowed_topk" ->
+      """WITH hourly AS (
+        |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    event_type, count(*) AS n, round(sum(value), 2) AS total
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, rank, event_type, n, total FROM (
+        |  SELECT window_start, event_type, CAST(n AS BIGINT) AS n, total,
+        |    row_number() OVER (PARTITION BY window_start
+        |      ORDER BY n DESC, event_type) AS rank
+        |  FROM hourly) t
+        |WHERE rank <= 3 ORDER BY window_start, rank""".stripMargin,
     "st_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
         |v AS (SELECT user_id, min(ts_us) AS v_us FROM ev
