@@ -356,37 +356,48 @@ object Dedup {
     * near-dup: a short document quoted or copied inside a longer one
     * has low Jaccard (the union is dominated by the container) but
     * containment |A∩B| / |A| ≈ 1. The size-ratio blocking of
-    * dd_ngram_jaccard would REJECT exactly these pairs, so candidates
-    * come from a shingle-stream equi-join instead (the decontaminate
-    * shape, corpus×corpus): explode (shingle, doc), drop shingles
-    * with document frequency above a cap first — frequent shingles
-    * carry no containment signal and are what makes a shingle
-    * self-join quadratic — then count shared shingles per pair.
-    * Shuffle volume is the df-pruned shingle stream; no doc×doc pass.
+    * dd_ngram_jaccard deliberately rejects exactly these pairs, and a
+    * raw shingle self-join is Σdf² — quadratic in shingle document
+    * frequency (measured 134s at 5× on this small-vocab corpus). So
+    * candidates come from PREFIX FILTERING, the production algorithm:
+    * each document probes with its 4 globally-RAREST shingles (by df,
+    * ties on the hash) against the df-capped shingle index. True
+    * containment A⊆B always collides — every shingle of A, including
+    * its rarest, is in B — and 90%-containment misses only if all 4
+    * rarest fall in the missing tail (≈0.1⁴). Join volume is
+    * Σ_probe df(rarest) — small by construction, since probes are the
+    * rare shingles. Only surviving candidates pay the exact
+    * intersect/verify against the full shingle sets.
     */
   val ddContainment: Q = (s, d) => {
-    // df cap scales with the corpus (2% of docs, floor 10): a FIXED cap
-    // under-prunes nothing but starves the signal as the corpus grows —
-    // this synthetic vocabulary is so small that mean shingle df
-    // crosses any constant; the relative cap keeps per-shingle join
-    // groups at a bounded fraction while hot boilerplate shingles
-    // (the quadratic risk) stay excluded.
     val nDocs = Tables.documents(s, d).count()
+    // index cap (2% of docs, floor 10): hot boilerplate shingles carry
+    // no containment signal and are the quadratic risk in ANY
+    // shingle-keyed index
     val maxDf = math.max(10L, nDocs * 2 / 100)
     val sh = shingled(s, d)
-      .select(col("doc_id"), explode(col("sh_hashes")).as("h"))
-    val rare = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), col("sh_hashes")).persist()
+    val exploded = sh.select(col("doc_id"), explode(col("sh_hashes")).as("h"))
+    val df = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
-      .select(col("h"))
-    val pruned = sh.join(rare, "h")
-    val sizes = shingled(s, d)
-      .select(col("doc_id"), size(col("sh_hashes")).cast("long").as("n_sh"))
-    pruned.as("a")
-      .join(pruned.as("b"),
-        col("a.h") === col("b.h") && col("a.doc_id") =!= col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_shared"))
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("n_a")), "doc_a")
+    val indexed = exploded.join(df, "h")
+    val byRarity = Window.partitionBy(col("doc_id"))
+      .orderBy(col("df"), col("h"))
+    val probes = indexed
+      .withColumn("rn", row_number().over(byRarity))
+      .filter(col("rn") <= 4)
+      .select(col("doc_id").as("doc_a"), col("h"))
+    val candidates = probes
+      .join(indexed.select(col("doc_id").as("doc_b"), col("h")), "h")
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+      .distinct()
+    candidates
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
+      .withColumn("n_shared",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("containment",
         q4(col("n_shared").cast("double") / col("n_a")))
       .filter(col("containment") >= 0.9)
@@ -478,23 +489,29 @@ object Dedup {
   val oracles: Map[String, String] = Map(
     "dd_containment" ->
       """WITH sh AS (
-        |  SELECT doc_id, unnest(sh_hashes) AS h
-        |  FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
-        |rare AS (SELECT h FROM sh GROUP BY h
+        |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
+        |ex AS (SELECT doc_id, unnest(sh_hashes) AS h FROM sh),
+        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h
         |  HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) * 2 // 100)),
-        |pruned AS (SELECT sh.doc_id, sh.h FROM sh JOIN rare ON sh.h = rare.h),
-        |sizes AS (
-        |  SELECT doc_id, len(sh_hashes) AS n_sh
-        |  FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
-        |shared AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |  FROM pruned a JOIN pruned b ON a.h = b.h AND a.doc_id <> b.doc_id
-        |  GROUP BY 1, 2)
+        |indexed AS (SELECT ex.doc_id, ex.h, df.df FROM ex JOIN df ON ex.h = df.h),
+        |probes AS (
+        |  SELECT doc_id AS doc_a, h FROM (
+        |    SELECT doc_id, h,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn
+        |    FROM indexed) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_a, i.doc_id AS doc_b
+        |  FROM probes p JOIN indexed i ON p.h = i.h AND p.doc_a <> i.doc_id)
         |SELECT doc_a, doc_b, n_shared, n_a, containment FROM (
-        |  SELECT s.doc_a, s.doc_b, CAST(s.n_shared AS BIGINT) AS n_shared,
-        |    CAST(z.n_sh AS BIGINT) AS n_a,
-        |    floor(s.n_shared / CAST(z.n_sh AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
-        |  FROM shared s JOIN sizes z ON s.doc_a = z.doc_id) t
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS BIGINT) AS n_shared,
+        |    CAST(len(a.sh_hashes) AS BIGINT) AS n_a,
+        |    floor(len(list_intersect(a.sh_hashes, b.sh_hashes))
+        |      / CAST(len(a.sh_hashes) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
+        |  FROM cand c
+        |  JOIN sh a ON c.doc_a = a.doc_id
+        |  JOIN sh b ON c.doc_b = b.doc_id) t
         |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
     "dd_split_leakfree" ->
       s"""WITH RECURSIVE $ccOracleCte
