@@ -37,5 +37,5 @@ object SparkEntry {
     * outside the driver's result dir, referenced via `__AUX__`.
     */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.auxDumps ++ Similarity.auxDumps
+    Dedup.auxDumps ++ Similarity.auxDumps ++ Relational.auxDumps
 }

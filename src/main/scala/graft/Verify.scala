@@ -15,22 +15,39 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // The byte-level mm_* oracles index CHARACTERS in DuckDB but UTF-8
+    // BYTES in Spark; they coincide only on a pure-ASCII corpus. The
+    // ScalaTest assertion covers the test SFs — this check travels with
+    // the oracle run itself, so a Verify against a NEW scale factor
+    // fails the mm_* results loudly instead of silently diverging.
+    val corpusAscii: Boolean = {
+      import org.apache.spark.sql.functions.{col, expr, length}
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(length(col("text")) =!= expr("octet_length(text)")).isEmpty
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        if (name.startsWith("mm_") && !corpusAscii)
+          sys.error("non-ASCII documents: byte-level mm oracle precondition violated")
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
     // Split-oracle aux dumps live OUTSIDE outDir (the driver treats
-    // every outDir subdirectory as an operator result) — keyed by the
+    // every outDir subdirectory as an operator result) but are DERIVED
+    // from it — a sibling `<outDir>_aux/<sf>` — so each Verify run's
+    // dumps are self-contained: a repo clone at any path works, and a
+    // later run with a different outDir can never re-point an older
+    // run's oracle_sql.json at freshly rewritten dumps. Keyed by the
     // sf basename so a multi-SF check never reads a stale dump. The
-    // `__AUX__` token in the oracle SQL is rewritten below, so the
-    // dumped oracle_sql.json is self-contained for this run. The aux
+    // `__AUX__` token in the oracle SQL is rewritten below. The aux
     // dir is CLEARED first: if a dump regresses, its oracle must fail
     // loudly on a missing file, not silently compare against the
     // previous run's stale parquet.
-    val auxBase = s"/root/repo/target/verify_aux/${new java.io.File(sfDir).getName}"
+    val auxBase = new java.io.File(
+      s"${outDir.stripSuffix("/")}_aux/${new java.io.File(sfDir).getName}").getAbsolutePath
     new scala.reflect.io.Directory(new java.io.File(auxBase)).deleteRecursively()
     SparkEntry.auxDumps.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

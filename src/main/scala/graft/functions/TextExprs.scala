@@ -50,6 +50,9 @@ object TextKernels {
   /** Max multiplicity of any element — one hashmap pass. UTF8String
     * implements equals/hashCode over the bytes, so map keys are exact
     * token identity (the same equality `array_sort` + equal-run uses).
+    * NULL elements are skipped, matching the sorted-run HOF twin
+    * (array_sort pushes nulls to a run the fold never counts) — the
+    * function is SQL-exposed, so arbitrary arrays can reach it.
     */
   def tokenModeCount(arr: org.apache.spark.sql.catalyst.util.ArrayData): Long = {
     val n = arr.numElements()
@@ -58,11 +61,13 @@ object TextKernels {
     var best = 0L
     var i = 0
     while (i < n) {
-      val t = arr.getUTF8String(i)
-      val prev = counts.get(t)
-      val c = if (prev == null) 1L else prev.longValue() + 1L
-      counts.put(t, c)
-      if (c > best) best = c
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        val prev = counts.get(t)
+        val c = if (prev == null) 1L else prev.longValue() + 1L
+        counts.put(t, c)
+        if (c > best) best = c
+      }
       i += 1
     }
     best

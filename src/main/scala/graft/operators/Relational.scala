@@ -692,7 +692,53 @@ object Relational {
     "q19_broadcast_enrich" -> q19BroadcastEnrich,
     "q20_string_funcs" -> q20StringFuncs)
 
+  /** Bound-validating split oracles for the two true sketches: Verify
+    * dumps the operator's own output (HLL estimates / percentile-sketch
+    * values next to their exact twins), DuckDB recomputes the exact
+    * values from the raw tables and re-emits Spark's approximate value
+    * ONLY where it sits within the documented error bound (±10%
+    * relative for the rsd=0.02 HLL, ±2% relative for the accuracy=1000
+    * percentile sketch — the same bounds OperatorsSpec asserts). An
+    * out-of-bound or missing estimate becomes a poisoned -1, so the
+    * hash fails loudly. The exact columns are NOT passed through: they
+    * come from DuckDB's own aggregation, keeping them independently
+    * checked as before.
+    */
+  val auxDumps: Map[String, Q] = Map(
+    "q22_sketch" -> q22ApproxDistinct,
+    "q37_sketch" -> q37ApproxPercentile)
+
   val oracles: Map[String, String] = Map(
+    "q22_approx_distinct" ->
+      """WITH sk AS (
+        |  SELECT * FROM read_parquet('__AUX__/q22_sketch/*.parquet')),
+        |exact AS (
+        |  SELECT l_returnflag,
+        |    count(DISTINCT l_partkey) AS exact_parts,
+        |    count(DISTINCT l_orderkey) AS exact_orders
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT e.l_returnflag, e.exact_parts,
+        |  CASE WHEN abs(s.approx_parts - e.exact_parts) <= 0.10 * e.exact_parts
+        |       THEN s.approx_parts ELSE CAST(-1 AS BIGINT) END AS approx_parts,
+        |  e.exact_orders
+        |FROM exact e LEFT JOIN sk s ON e.l_returnflag = s.l_returnflag
+        |ORDER BY e.l_returnflag""".stripMargin,
+    "q37_approx_percentile" ->
+      """WITH sk AS (
+        |  SELECT * FROM read_parquet('__AUX__/q37_sketch/*.parquet')),
+        |exact AS (
+        |  SELECT o_orderpriority,
+        |    floor(quantile_cont(o_totalprice, 0.5) * 10000 + 0.5) / 10000.0 AS exact_p50,
+        |    floor(quantile_cont(o_totalprice, 0.99) * 10000 + 0.5) / 10000.0 AS exact_p99
+        |  FROM orders GROUP BY o_orderpriority)
+        |SELECT e.o_orderpriority, e.exact_p50,
+        |  CASE WHEN abs(s.approx_p50 - e.exact_p50) <= 0.02 * e.exact_p50
+        |       THEN s.approx_p50 ELSE -1.0 END AS approx_p50,
+        |  e.exact_p99,
+        |  CASE WHEN abs(s.approx_p99 - e.exact_p99) <= 0.02 * e.exact_p99
+        |       THEN s.approx_p99 ELSE -1.0 END AS approx_p99
+        |FROM exact e LEFT JOIN sk s ON e.o_orderpriority = s.o_orderpriority
+        |ORDER BY e.o_orderpriority""".stripMargin,
     "q42_dist_windows" ->
       """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS balance,
         | CAST(dense_rank() OVER w AS BIGINT) AS drank,

@@ -313,10 +313,17 @@ object Similarity {
     * as in real PQ (the trained codebook IS a broadcast constant).
     */
   private def pqCodebooks(s: SparkSession, d: String): Seq[Seq[Seq[Float]]] = {
-    val rows = Tables.embeddings(s, d).filter(col("vec_id") < pqK)
+    val collected = Tables.embeddings(s, d).filter(col("vec_id") < pqK)
       .select(col("vec_id"), col("embedding")).collect()
       .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).toIndexedSeq)
+    // Spark codes are POSITIONAL indexes into these rows while the
+    // DuckDB oracle uses the raw vec_id as the code — a gap in ids
+    // would desync the engines, and a code > 15 would corrupt the
+    // 4-bit packing. Fail loudly if the generator ever changes.
+    val ids = collected.map(_.getLong(0)).toSeq
+    require(ids == (0L until pqK.toLong),
+      s"PQ codebooks need contiguous vec_ids 0..${pqK - 1}, got $ids")
+    val rows = collected.map(_.getSeq[Float](1).toIndexedSeq)
     (0 until pqM).map(j => rows.toSeq.map(v => v.slice(j * pqSub, (j + 1) * pqSub).toSeq))
   }
 

@@ -175,7 +175,11 @@ object StreamingTwins {
       .unionByName(stage(p, "3_view_click_purchase"))
       .crossJoin(broadcast(base))
       .select(col("stage"), col("n_users"),
-        (floor(col("n_users") / col("n_first") * 10000 + 0.5) / 10000.0).as("conv_from_first"))
+        // zero guard: a slice with no 'view' events must produce a
+        // defined 0.0, not Infinity/NaN (the oracle mirrors the CASE)
+        when(col("n_first") > 0,
+          floor(col("n_users") / col("n_first") * 10000 + 0.5) / 10000.0)
+          .otherwise(0.0).as("conv_from_first"))
       .orderBy(col("stage"))
   }
 
@@ -262,7 +266,9 @@ object StreamingTwins {
         |  UNION ALL SELECT '2_view_click', count(*) FROM c
         |  UNION ALL SELECT '3_view_click_purchase', count(*) FROM p)
         |SELECT stage, CAST(n_users AS BIGINT) AS n_users,
-        |  floor(n_users / (SELECT CAST(count(*) AS DOUBLE) FROM v) * 10000 + 0.5) / 10000.0 AS conv_from_first
+        |  CASE WHEN (SELECT count(*) FROM v) > 0
+        |   THEN floor(n_users / (SELECT CAST(count(*) AS DOUBLE) FROM v) * 10000 + 0.5) / 10000.0
+        |   ELSE 0.0 END AS conv_from_first
         |FROM counts ORDER BY stage""".stripMargin,
     "st_retention" ->
       """WITH ev AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),

@@ -22,17 +22,15 @@ class OperatorsSpec extends SparkTestBase {
     assert(missing.isEmpty, s"oracles without queries: $missing")
   }
 
-  test("rows-only set is exactly the intended approximate/seeded ops") {
+  test("rows-only set is empty — every operator carries a full or split oracle") {
     // a typo'd oracle key silently downgrades a query to a weak
-    // rows-only check — pin the intended set. Since round 4 the seeded
-    // dd_* / trained-IVF operators carry SPLIT oracles (Verify dumps
-    // their signature/pair/centroid tables; DuckDB re-runs the
-    // downstream logic) — only the genuinely sketch-approximate pair
-    // remains rows-only.
+    // rows-only check — pin the intended set. Since round 5 even the
+    // two true sketches (q22/q37) carry BOUND-VALIDATING split oracles
+    // (DuckDB recomputes the exact values and re-emits Spark's dumped
+    // estimate only within the documented ±bound, else a poisoned -1),
+    // so nothing is rows-only any more.
     val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
-    val intended = Set("q22_approx_distinct", "q37_approx_percentile")
-    assert(rowsOnly == intended, s"unexpected rows-only: ${rowsOnly -- intended}; " +
-      s"unexpectedly oracled: ${intended -- rowsOnly}")
+    assert(rowsOnly.isEmpty, s"unexpected rows-only: $rowsOnly")
   }
 
   test("every __AUX__ oracle reference has a matching aux dump") {

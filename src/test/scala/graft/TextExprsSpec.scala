@@ -73,7 +73,12 @@ class TextExprsSpec extends SparkTestBase {
     val cases = Seq(
       (Seq.empty[String], 0L), (Seq("a"), 1L), (Seq("a", "a", "a"), 3L),
       (Seq("a", "b", "a", "b", "a"), 3L), (Seq("", "", "x"), 2L),
-      (Seq("中", "中", "wörld"), 2L))
+      (Seq("中", "中", "wörld"), 2L),
+      // null elements are SKIPPED (graft_token_mode_count is
+      // SQL-exposed, so arbitrary arrays can reach the kernel) —
+      // 2 nulls must not beat the real mode, and all-null → 0
+      (Seq(null, "a", null, "a", "b"), 2L),
+      (Seq[String](null, null), 0L))
     cases.foreach { case (toks, want) =>
       val got = Seq(toks).toDF("toks")
         .select(TextFunctions.tokenModeCount(col("toks"))).head().getLong(0)
