@@ -77,6 +77,46 @@ object Dedup {
       .select(col("doc_id"), col("sig"))
       .persist()
 
+  /** (doc_id, sig, band_key) — the LSH band index rows for a signature
+    * table: 8 bands × 4 sig positions, one exploded row per band. This
+    * IS the stored representation of an incremental dedup index (see
+    * [[ddIncremental]] / EventStreams.dedupIndexMaintain): bucketed on
+    * band_key, new batches probe it without reshuffling the store.
+    */
+  private[graft] def bandedOf(sigs: DataFrame): DataFrame =
+    sigs.withColumn("band_key", explode(expr(
+        """transform(sequence(0, 7), b -> concat_ws(',', cast(b as string),
+          |  cast(sig[b*4] as string), cast(sig[b*4+1] as string),
+          |  cast(sig[b*4+2] as string), cast(sig[b*4+3] as string)))""".stripMargin)))
+      .select(col("doc_id"), col("sig"), col("band_key"))
+
+  /** Signature table for an arbitrary documents relation (doc_id,
+    * text) — the streaming index maintenance runs THIS code per
+    * micro-batch, so batch and incremental paths share one
+    * implementation.
+    */
+  private[graft] def minhashSigTableOf(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("sig", minhashSig(
+        graft.functions.HashFunctions.shingleHashes(split(col("norm"), " "), 3), 32))
+      .select(col("doc_id"), col("sig"))
+
+  /** The est-Jaccard pair emission shared by the full recompute and
+    * the incremental probe: canonicalize, collapse multi-band
+    * collisions in one groupBy, threshold.
+    */
+  private[graft] def pairsFromCollisions(cand: DataFrame): DataFrame =
+    cand
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        q4(expr(
+          "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
+        ) / 32.0).as("est_jaccard"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(first(col("est_jaccard")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
+
   private def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigTable(s, d)
     // Carry the signature through the band join: the estimate is
@@ -84,21 +124,49 @@ object Dedup {
     // collide in up to 8 bands) collapse in one groupBy — one shuffle
     // stage instead of a distinct + two signature re-joins, and the
     // shingling subtree is evaluated once per side instead of thrice.
-    val banded = sigs.withColumn("band_key", explode(expr(
-        """transform(sequence(0, 7), b -> concat_ws(',', cast(b as string),
-          |  cast(sig[b*4] as string), cast(sig[b*4+1] as string),
-          |  cast(sig[b*4+2] as string), cast(sig[b*4+3] as string)))""".stripMargin)))
-      .select(col("doc_id"), col("sig"), col("band_key"))
-    banded.as("a")
-      .join(banded.as("b"), col("a.band_key") === col("b.band_key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        q4(expr(
-          "aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)"
-        ) / 32.0).as("est_jaccard"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(first(col("est_jaccard")).as("est_jaccard"))
-      .filter(col("est_jaccard") >= 0.5)
+    val banded = bandedOf(sigs)
+    pairsFromCollisions(
+      banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")))
+  }
+
+  /** Full-recompute pair graph over an arbitrary documents relation —
+    * the ground truth the incremental path's per-batch deltas must sum
+    * to (spec-asserted in EventStreamsSpec).
+    */
+  private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
+    val banded = bandedOf(minhashSigTableOf(docs))
+    pairsFromCollisions(
+      banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")))
+  }
+
+  /** INCREMENTAL dedup-index maintenance — the production LLM-data
+    * shape: documents arrive in batches, and each batch's MinHash
+    * signatures band against the STORED band index instead of
+    * recomputing the full corpus — emitting exactly the pairs that
+    * involve a new document. Candidate volume per batch is
+    * batch×bands probes into a band-key hash join (store bucketed on
+    * band_key at scale → the stored side never reshuffles; see the
+    * EventStreams.dedupIndexMaintain streaming twin, where the store
+    * is a bucketed managed table maintained across micro-batches).
+    * Here the "new batch" is the deterministic doc_id % 4 == 0 slice
+    * so the DuckDB oracle can re-derive it; emitted pairs are exactly
+    * the full recompute's pairs touching the slice (spec-asserted),
+    * i.e. the delta an index maintainer appends.
+    */
+  val ddIncremental: Q = (s, d) => {
+    val banded = bandedOf(minhashSigTable(s, d))
+    val newSide = banded.filter(pmod(col("doc_id"), lit(4)) === 0)
+    // probe: new docs vs the whole index (old + this batch); both-new
+    // pairs collide twice and collapse in the canonical groupBy
+    pairsFromCollisions(
+      newSide.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") =!= col("b.doc_id")))
+      .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** 64-bit SimHash over token hashes (native codegen'd SimHash64
@@ -327,6 +395,101 @@ object Dedup {
     labels
   }
 
+  /** Connected components by ALTERNATING LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14) — the published 100 TB-scale CC algorithm. Where the
+    * pointer-jumping fixpoint above keeps the FULL edge set alive every
+    * round (its per-round shuffle never shrinks), each star operation
+    * REWRITES the edge set toward stars rooted at component minima, so
+    * the per-round data volume contracts as components collapse — the
+    * property that matters when the pair graph has billions of edges:
+    *
+    *   large-star(u): every neighbor v > u re-links to
+    *                  m(u) = min(N(u) ∪ {u})          (undirected view)
+    *   small-star(u): u and all its smaller neighbors link to the
+    *                  group min                       (directed view)
+    *
+    * Both operations preserve the connectivity partition (SoCC'14
+    * Lemmas 1-2) and monotonically lower edge endpoints, converging in
+    * O(log² n) rounds INDEPENDENT OF DIAMETER to a state where the
+    * edge set is a disjoint union of single-parent stars — checked
+    * structurally each round (no child is a root AND no child has two
+    * parents ⇔ stars ⇔ fixpoint, since L and S are identities on
+    * stars). Emits the same (node, label=component-min) relation as
+    * [[connectedComponents]]; spec-asserted equal to union-find and to
+    * the pointer-jumping fixpoint on chain / cycle / corpus graphs.
+    * Non-convergence inside the generous cap fails loudly.
+    */
+  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    // canonical directed edges: a = child (larger id), b = parent
+    // (smaller id); self-loops dropped
+    def canon(df: DataFrame): DataFrame = df
+      .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
+      .localCheckpoint()
+    // all nodes that ever appeared — label extraction must cover nodes
+    // that end as roots (they have no outgoing edge at the fixpoint)
+    val allNodes = edges.select(col("a").as("node"))
+      .unionAll(edges.select(col("b").as("node"))).distinct().localCheckpoint()
+    // large-star over the undirected view: m(u) = min(N(u) ∪ {u});
+    // emit (v, m(u)) for v ∈ N(u), v > u. Output stays canonical:
+    // m(u) ≤ u < v.
+    def largeStar(e: DataFrame): DataFrame = {
+      val bidir = e.unionAll(e.select(col("b").as("a"), col("a").as("b")))
+      val m = bidir.groupBy(col("a")).agg(min(col("b")).as("mn"))
+        .select(col("a").as("u"), least(col("mn"), col("a")).as("m"))
+      bidir.join(m, bidir("a") === m("u"))
+        .filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct()
+    }
+    // small-star over the directed view: all of u's parents plus u
+    // re-link to the group min. v ranges over parents (< u), so the
+    // output is canonical too.
+    def smallStar(e: DataFrame): DataFrame = {
+      val m = e.groupBy(col("a")).agg(min(col("b")).as("m"))
+      val vEdges = e.join(m, "a")
+        .filter(col("b") =!= col("m"))
+        .select(col("b").as("a"), col("m").as("b"))
+      val uEdges = m.select(col("a"), col("m").as("b"))
+      vEdges.unionAll(uEdges).distinct()
+    }
+    // structural fixpoint: disjoint single-parent stars. Two cheap
+    // aggregates — no child appears as a root, no child keeps two
+    // parents. (A star edge set is a fixpoint of both operations, and
+    // L/S preserve components, so stars ⇔ done.)
+    def isStars(e: DataFrame): Boolean =
+      e.select(col("a")).intersect(e.select(col("b"))).isEmpty &&
+        e.groupBy(col("a")).agg(count(lit(1)).as("np"))
+          .filter(col("np") > 1).isEmpty
+    var rounds = 0
+    val maxRounds = 60 // O(log² n) bound; hitting it means a logic bug
+    while (!isStars(edges) && rounds < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      rounds += 1
+    }
+    if (!isStars(edges))
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxRounds rounds")
+    allNodes.join(edges, allNodes("node") === edges("a"), "left")
+      .select(col("node"), coalesce(col("b"), col("node")).as("label"))
+  }
+
+  /** dd_cluster through the large-star/small-star path — same output
+    * contract as [[ddCluster]] (node, component-min label, size), same
+    * recursive-CTE split oracle; registered separately so the
+    * diameter-independent variant is a first-class, hash-checked
+    * operator rather than a test-only twin.
+    */
+  val ddClusterStar: Q = (s, d) =>
+    connectedComponentsStar(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
+      .select(col("doc_id"), col("cluster_id"), col("cluster_size").cast("long"))
+      .orderBy(col("doc_id"))
+
   /** Canonical-document selection — the last stage of near-dup
     * removal: within each near-dup cluster keep the HIGHEST-QUALITY
     * member (tie → lowest doc_id), not an arbitrary one; everything
@@ -436,8 +599,10 @@ object Dedup {
     "dd_split_leakfree" -> ddSplitLeakfree,
     "dd_canonical" -> ddCanonical,
     "dd_cluster" -> ddCluster,
+    "dd_cluster_star" -> ddClusterStar,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_incremental" -> ddIncremental,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
     "dd_embed_cosine" -> ddEmbedCosine)
@@ -536,6 +701,23 @@ object Dedup {
         |  FROM banded a JOIN banded b2
         |    ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id) t
         |WHERE est_jaccard >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental index probe = the full recompute's pairs that
+    // touch the new-batch slice (doc_id % 4 = 0) — the oracle re-runs
+    // the banding over the dumped signatures and applies the same
+    // delta restriction
+    "dd_incremental" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__AUX__/dd_minhash_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] AS band
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands)
+        |SELECT doc_a, doc_b, est_jaccard FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |    floor(len(list_filter(range(1, 33), i -> a.sig[i] = b2.sig[i])) / 32.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+        |  FROM banded a JOIN banded b2
+        |    ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id) t
+        |WHERE est_jaccard >= 0.5 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "dd_simhash" ->
       """WITH s AS (
         |  SELECT doc_id, simhash FROM read_parquet('__AUX__/dd_simhash_sigs/*.parquet')),
@@ -565,6 +747,13 @@ object Dedup {
         |   AND b.n_sh * 5 >= a.n_sh * 4 AND a.n_sh * 5 >= b.n_sh * 4) t
         |WHERE jaccard >= 0.8 ORDER BY doc_a, doc_b""".stripMargin,
     "dd_cluster" ->
+      s"""WITH RECURSIVE $ccOracleCte
+        |SELECT doc_id, cluster_id,
+        |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
+        |FROM cc ORDER BY doc_id""".stripMargin,
+    // the star variant must land on the identical labeling — the oracle
+    // is deliberately the same independent transitive closure
+    "dd_cluster_star" ->
       s"""WITH RECURSIVE $ccOracleCte
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size

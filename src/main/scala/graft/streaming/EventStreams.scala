@@ -246,6 +246,57 @@ object EventStreams {
       }
       .start()
 
+  /** INCREMENTAL dedup-index maintenance — the streaming twin of
+    * Dedup.ddIncremental: documents arrive in micro-batches; each
+    * batch's MinHash band rows (the SAME kernel + banding code as the
+    * batch path — Dedup.minhashSigTableOf / bandedOf) probe the STORED
+    * band-index table for near-dup pairs, emit only the pairs that
+    * involve a new document, and append themselves into the index.
+    * The index is a managed table BUCKETED ON band_key, so the stored
+    * side of the probe join reads in place — the only hash exchange is
+    * the incoming batch (same shuffle-free-snapshot shape as
+    * upsertToBucketedTable). Per-batch cost is batch×bands probes +
+    * one batch-sized append, NEVER a full-corpus recompute — which is
+    * what makes a continuously-arriving 100 TB corpus dedupable: the
+    * index carries the corpus, each batch pays only for itself.
+    * Batch-vs-stored and batch-vs-batch candidates are collided
+    * separately (a union before the join would destroy the stored
+    * side's bucketing and reshuffle the whole index); the two result
+    * sets collapse in one canonical groupBy. The emitted pair stream
+    * sums to exactly the full recompute's pair graph (spec-asserted
+    * per batch in EventStreamsSpec).
+    */
+  def dedupIndexMaintain(docs: DataFrame, indexTable: String, pairsDir: String,
+      checkpointDir: String, nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val banded = graft.operators.Dedup.bandedOf(
+          graft.operators.Dedup.minhashSigTableOf(batch)).persist()
+        try {
+          def collide(index: DataFrame, cond: org.apache.spark.sql.Column) =
+            graft.operators.Dedup.pairsFromCollisions(
+              banded.as("a").join(index.as("b"),
+                col("a.band_key") === col("b.band_key") && cond))
+          val vsNew = collide(banded, col("a.doc_id") < col("b.doc_id"))
+          val newPairs =
+            if (spark.catalog.tableExists(indexTable))
+              collide(spark.table(indexTable), col("a.doc_id") =!= col("b.doc_id"))
+                .unionByName(vsNew)
+                // disjoint by construction unless a replayed batch
+                // overlaps the store — collapse defensively
+                .groupBy(col("doc_a"), col("doc_b"))
+                .agg(first(col("est_jaccard")).as("est_jaccard"))
+            else vsNew
+          newPairs.write.mode("append").parquet(pairsDir)
+          banded.write.mode("append").format("parquet")
+            .bucketBy(nBuckets, "band_key")
+            .saveAsTable(indexTable)
+        } finally { banded.unpersist(); () }
+      }
+      .start()
+
   /** STREAMING CDC apply — the incremental twin of
     * FundEtl.etlCdcApply: keyed state holds the latest op per key
     * (ordered by (event time, event_id), so late rows within the

@@ -186,6 +186,61 @@ class EventStreamsSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", noBcast)
   }
 
+  test("dedup-index maintenance: per-batch pair emission equals the batch recompute delta") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tbl = "dd_band_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    new scala.reflect.io.Directory(new java.io.File(s"spark-warehouse/$tbl"))
+      .deleteRecursively()
+    val pairsDir = java.nio.file.Files.createTempDirectory("graft_ddidx_pairs").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_ddidx_ck").toString
+    // sf0.01 has a real near-dup pair graph (25 LSH pairs); stream it
+    // in three batches and require each batch to emit EXACTLY the
+    // full-recompute delta — no missed cross-batch pairs, no recompute
+    // of already-indexed ones
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val batches = Seq(
+      docs.filter(_._1 % 3 == 0), docs.filter(_._1 % 3 == 1), docs.filter(_._1 % 3 == 2))
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("est_jaccard") * 10000))).toSet
+    val input = MemoryStream[(Long, String)]
+    val q = EventStreams.dedupIndexMaintain(
+      input.toDF().toDF("doc_id", "text"), tbl, pairsDir, ck)
+    var seen = Set.empty[(Long, Long, Long)]
+    var prefix = Array.empty[(Long, String)]
+    batches.foreach { b =>
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+      val prev = prefix
+      prefix = prefix ++ b
+      val expectDelta = pairSet(operators.Dedup.minhashPairsOf(
+          prefix.toSeq.toDF("doc_id", "text"))) --
+        (if (prev.isEmpty) Set.empty
+         else pairSet(operators.Dedup.minhashPairsOf(prev.toSeq.toDF("doc_id", "text"))))
+      val cumulative = pairSet(spark.read.parquet(pairsDir))
+      val gotDelta = cumulative -- seen
+      assert(gotDelta == expectDelta,
+        s"batch delta mismatch: missing=${(expectDelta -- gotDelta).take(3)} " +
+          s"extra=${(gotDelta -- expectDelta).take(3)}")
+      seen = cumulative
+    }
+    q.stop()
+    // the summed deltas ARE the full pair graph, and it is non-trivial
+    val full = pairSet(operators.Dedup.minhashPairsOf(docs.toSeq.toDF("doc_id", "text")))
+    assert(seen == full, s"stream total ${seen.size} != batch recompute ${full.size}")
+    assert(full.nonEmpty)
+    // the index table is bucketed on the probe key, so the stored side
+    // of the band join never reshuffles
+    val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+    assert(ddl.contains("Num Buckets=8") && ddl.contains("band_key"),
+      s"index table lost its bucket spec: $ddl")
+  }
+
   test("attributeJoin matches purchases to preceding clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -233,6 +233,49 @@ class OperatorsSpec extends SparkTestBase {
     assert(byCluster.exists(_._2.length > 1))
   }
 
+  test("large-star/small-star CC converges on a 5000-hop chain, labels equal union-find") {
+    import spark.implicits._
+    // a path graph of diameter 5000 — far beyond anything one-hop
+    // propagation covers inside a round cap; large-star/small-star must
+    // land it in O(log² n) rounds regardless of diameter. Shuffled ids
+    // (reversed parity blocks) so component minima aren't at chain ends.
+    val n = 5000L
+    def scramble(i: Long): Long = if (i % 2 == 0) i else n * 2 - i
+    val chain = (0L until n).map(i => (scramble(i), scramble(i + 1)))
+    val cycle = Seq((90000L, 90001L), (90001L, 90002L), (90002L, 90000L))
+    val pairs = (chain ++ cycle).toDF("doc_a", "doc_b")
+    val labels = operators.Dedup.connectedComponentsStar(pairs).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    // union-find ground truth
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    (chain ++ cycle).foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = parent.keys.map(x => x -> find(x)).toMap
+    assert(labels == expected,
+      s"star labels diverge from union-find: ${(labels.toSet diff expected.toSet).take(5)}")
+    // every chain node carries the component minimum (0 after scramble)
+    assert(labels(scramble(0)) == 0L && labels(scramble(n)) == 0L)
+  }
+
+  test("star CC equals the pointer-jumping fixpoint on the corpus pair graph") {
+    val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir)
+      .select(col("doc_a"), col("doc_b"))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    val star = toMap(operators.Dedup.connectedComponentsStar(pairs))
+    val jump = toMap(
+      operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L))
+    assert(star == jump,
+      s"algorithms diverge: ${(star.toSet -- jump.toSet).take(3)}")
+    assert(star.nonEmpty)
+  }
+
   test("connectedComponents driver fast path matches the distributed fixpoint") {
     val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
