@@ -474,25 +474,40 @@ object FundEtl {
     * binds it to the committed corpus; scale measurements point it at
     * a generated multi-thousand-file tree.
     */
-  private[graft] def ingestFrom(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val rules = platformRules
-      .toDF("platform", "priority", "signature", "amount_label", "fee_label")
-    val files = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.txt")
+  private[graft] def ingestFrom(s: SparkSession, dir: String): DataFrame =
+    extractStatementFields(s, classifyStatements(s, loadStatements(s, dir)))
+      .orderBy(col("file_name"))
+
+  /** binaryFile scan of dated statement folders → (path, content,
+    * file_name, batch_date). At 100 TB this is the distributed
+    * object-store listing + read; nothing downstream is per-file.
+    */
+  private[graft] def loadStatements(s: SparkSession, glob: String,
+      dirs: String*): DataFrame =
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
       .option("recursiveFileLookup", "true")
-      .load(dir)
+      .load(dirs: _*)
       .select(col("path"), col("content").cast("string").as("content"))
       .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
       .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
-    // Signature classification as a rules join: priority order mirrors
-    // the reference's first-match-wins loop.
+
+  private[graft] def loadStatements(s: SparkSession, dir: String): DataFrame =
+    loadStatements(s, "*.txt", dir)
+
+  /** Signature classification as a rules join: priority order mirrors
+    * the reference's first-match-wins loop. Keeps every input column
+    * (routing flags ride through to extraction).
+    */
+  private[graft] def classifyStatements(s: SparkSession, files: DataFrame): DataFrame = {
+    import s.implicits._
+    val rules = platformRules
+      .toDF("platform", "priority", "signature", "amount_label", "fee_label")
     val byPriority = Window.partitionBy(col("file_name")).orderBy(col("priority"))
-    val classified = files
+    files
       .join(broadcast(rules), col("content").contains(col("signature")), "left")
       .withColumn("rn", row_number().over(byPriority))
       .filter(col("rn") === 1)
-    extractStatementFields(s, classified).orderBy(col("file_name"))
   }
 
   /** The map-only tail of the ingest pipeline (filename routing, field
@@ -503,7 +518,8 @@ object FundEtl {
     * Input must already carry (content, file_name, batch_date,
     * platform, amount_label, fee_label).
     */
-  private[graft] def extractStatementFields(s: SparkSession, classified: DataFrame): DataFrame = {
+  private[graft] def extractStatementFields(s: SparkSession, classified: DataFrame,
+      extra: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     val dict = productLedger.toDF("p_name", "ledger_id")
     classified
@@ -527,12 +543,66 @@ object FundEtl {
         regexp_replace(nullif(regexp_extract(col("content"), "确认日期：(.+)", 1), lit("")),
           "[^0-9]", ""))
       .join(broadcast(dict), col("product_name") === col("p_name"), "left")
-      .select(col("file_name"), col("batch_date"),
+      .select(Seq(col("file_name"), col("batch_date"),
         coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
         col("biz_type"), col("fund_code"), col("product_name"),
         coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
         col("amount"), col("shares"), col("fee"), col("trade_date"),
         (col("fund_code").isNotNull && col("platform").isNotNull).as("valid"))
+        ++ extra.map(col): _*)
+  }
+
+  private[graft] val statementsScanDir = "/root/repo/data/statements_scan"
+  private[graft] val statementsPdfDir = "/root/repo/data/statements_pdf"
+
+  /** OCR-FALLBACK ROUTING — the reference routes scanned PDFs through
+    * EasyOCR when text extraction yields nothing
+    * (`manual_dividen_extractor.py:74-96`: pdfplumber text empty →
+    * image → OCR). Same control flow here: a TEXT-CONFIDENCE GATE over
+    * the extracted text layer (a usable statement layer always carries
+    * the full-width label colon; a scanned image's text layer has
+    * none) routes low-confidence files through the stub OCR decoder —
+    * deterministic unhex of the scan payload, standing in for the OCR
+    * engine the environment doesn't have — and unions both branches
+    * back into the SAME classify → extract → enrich chain as
+    * etl_ingest_files. The route is one map-only projection: no
+    * per-branch scan, no per-branch pipeline copy; `ocr_used` rides
+    * through to the output for run accounting.
+    */
+  val etlOcrRoute: Q = (s, _) => {
+    val files = loadStatements(s, "*.txt", statementsDir, statementsScanDir)
+    val routed = files
+      .withColumn("ocr_used", !col("content").contains("："))
+      .withColumn("content",
+        when(col("ocr_used"),
+          unhex(element_at(split(col("content"), "\n"), 2)).cast("string"))
+          .otherwise(col("content")))
+    extractStatementFields(s, classifyStatements(s, routed), extra = Seq("ocr_used"))
+      .orderBy(col("file_name"))
+  }
+
+  /** PDF-SHAPED BINARY CONTAINER DECODE — the reference's native input
+    * is PDF (`conversion_extractor.py:253` pdfplumber.open). The
+    * corpus variant under data/statements_pdf wraps each statement in
+    * a minimal container (magic header, object header, text between
+    * stream/endstream markers, trailer); this stage validates the
+    * magic, extracts the embedded text stream (one codegen'd dotall
+    * regex — the stub codec, in the mm_decode_meta style: declared
+    * stub, real plumbing), and feeds the SAME rules-join + extraction
+    * chain. A corrupt container surfaces as container_ok=false /
+    * valid=false instead of failing the scan — the reference's
+    * failed-file tracking for unparseable PDFs.
+    */
+  val etlPdfDecode: Q = (s, _) => {
+    val files = loadStatements(s, "*.gpdf", statementsPdfDir)
+      .withColumnRenamed("content", "raw")
+      .withColumn("container_ok", col("raw").startsWith("%GPDF-1.0"))
+      .withColumn("content",
+        when(col("container_ok"),
+          regexp_extract(col("raw"), "(?s)stream\n(.*)\nendstream", 1))
+          .otherwise(lit("")))
+    extractStatementFields(s, classifyStatements(s, files), extra = Seq("container_ok"))
+      .orderBy(col("file_name"))
   }
 
   /** Rules-as-data classification over a LARGE table — the broadcast
@@ -594,6 +664,8 @@ object FundEtl {
   val queries: Map[String, Q] = Map(
     "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
+    "etl_ocr_route" -> etlOcrRoute,
+    "etl_pdf_decode" -> etlPdfDecode,
     "etl_rules_classify" -> etlRulesClassify,
     "etl_variant_shred" -> etlVariantShred,
     "etl_scd2" -> etlScd2,
@@ -626,6 +698,51 @@ object FundEtl {
   private def dictValuesSql: String = productLedger
     .map { case (n, l) => s"('$n', '$l')" }.mkString(", ")
 
+  /** One shared ingest-oracle body for the whole ingest family
+    * (etl_ingest_files / etl_ocr_route / etl_pdf_decode): the caller
+    * supplies the `files(file_name, batch_date, content[, extra])`
+    * CTE (plain read, OCR-routed, or container-decoded) and the tail —
+    * rules classification, field extraction, dict enrich — is one
+    * copy, so an extraction fix can't reach one oracle and miss the
+    * others.
+    */
+  private def ingestOracleSql(filesCte: String, extra: Option[String] = None): String = {
+    val extraPass = extra.map(", " + _).getOrElse("")
+    val extraSel = extra.map(c => s", e.$c").getOrElse("")
+    s"""WITH rules(platform, priority, signature, amount_label, fee_label) AS (
+       |  VALUES $rulesValuesSql),
+       |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
+       |$filesCte,
+       |classified AS (
+       |  SELECT * FROM (
+       |    SELECT f.*, r.platform, r.priority, r.amount_label, r.fee_label,
+       |      row_number() OVER (PARTITION BY f.file_name ORDER BY r.priority) AS rn
+       |    FROM files f LEFT JOIN rules r ON contains(f.content, r.signature)) t
+       |  WHERE rn = 1),
+       |extracted AS (
+       |  SELECT file_name, batch_date, platform,
+       |    CASE WHEN contains(file_name, 'shengouqueren') THEN 'CONF'
+       |         WHEN contains(file_name, 'shengou') THEN 'SUB'
+       |         WHEN contains(file_name, 'shuhui') THEN 'RED'
+       |         WHEN contains(file_name, 'fenhong') THEN 'DIV'
+       |         ELSE 'OTH' END AS biz_type,
+       |    nullif(regexp_extract(content, '基金代码：([0-9]{6})', 1), '') AS fund_code,
+       |    nullif(regexp_extract(content, '产品名称：(.+)', 1), '') AS product_name,
+       |    CAST(replace(nullif(regexp_extract(content, amount_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
+       |    CAST(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
+       |    CAST(replace(nullif(regexp_extract(content, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee,
+       |    regexp_replace(nullif(regexp_extract(content, '确认日期：(.+)', 1), ''), '[^0-9]', '', 'g') AS trade_date$extraPass
+       |  FROM classified)
+       |SELECT e.file_name, e.batch_date,
+       |  coalesce(e.platform, 'UNKNOWN') AS platform,
+       |  e.biz_type, e.fund_code, e.product_name,
+       |  coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
+       |  e.amount, e.shares, e.fee, e.trade_date,
+       |  (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid$extraSel
+       |FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name
+       |ORDER BY e.file_name""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "etl_cdc_apply" ->
       """SELECT user_id, last_op, final_value, last_ts_us, n_ops FROM (
@@ -640,43 +757,38 @@ object FundEtl {
         |  FROM events) t
         |WHERE rn = 1 AND last_op <> 'D'
         |ORDER BY user_id""".stripMargin,
-    "etl_ingest_files" ->
-      s"""WITH rules(platform, priority, signature, amount_label, fee_label) AS (
-         |  VALUES $rulesValuesSql),
-         |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
-         |files AS (
+    "etl_ingest_files" -> ingestOracleSql(
+      s"""files AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
          |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
          |    content
-         |  FROM read_text('$statementsDir/*/*.txt')),
-         |classified AS (
-         |  SELECT * FROM (
-         |    SELECT f.*, r.platform, r.priority, r.amount_label, r.fee_label,
-         |      row_number() OVER (PARTITION BY f.file_name ORDER BY r.priority) AS rn
-         |    FROM files f LEFT JOIN rules r ON contains(f.content, r.signature)) t
-         |  WHERE rn = 1),
-         |extracted AS (
-         |  SELECT file_name, batch_date, platform,
-         |    CASE WHEN contains(file_name, 'shengouqueren') THEN 'CONF'
-         |         WHEN contains(file_name, 'shengou') THEN 'SUB'
-         |         WHEN contains(file_name, 'shuhui') THEN 'RED'
-         |         WHEN contains(file_name, 'fenhong') THEN 'DIV'
-         |         ELSE 'OTH' END AS biz_type,
-         |    nullif(regexp_extract(content, '基金代码：([0-9]{6})', 1), '') AS fund_code,
-         |    nullif(regexp_extract(content, '产品名称：(.+)', 1), '') AS product_name,
-         |    CAST(replace(nullif(regexp_extract(content, amount_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
-         |    CAST(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
-         |    CAST(replace(nullif(regexp_extract(content, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee,
-         |    regexp_replace(nullif(regexp_extract(content, '确认日期：(.+)', 1), ''), '[^0-9]', '', 'g') AS trade_date
-         |  FROM classified)
-         |SELECT e.file_name, e.batch_date,
-         |  coalesce(e.platform, 'UNKNOWN') AS platform,
-         |  e.biz_type, e.fund_code, e.product_name,
-         |  coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
-         |  e.amount, e.shares, e.fee, e.trade_date,
-         |  (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid
-         |FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name
-         |ORDER BY e.file_name""".stripMargin,
+         |  FROM read_text('$statementsDir/*/*.txt'))""".stripMargin),
+    "etl_ocr_route" -> ingestOracleSql(
+      s"""raw AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+         |    content
+         |  FROM read_text(['$statementsDir/*/*.txt',
+         |                  '$statementsScanDir/*/*.txt'])),
+         |files AS (
+         |  SELECT file_name, batch_date,
+         |    NOT contains(content, '：') AS ocr_used,
+         |    CASE WHEN contains(content, '：') THEN content
+         |         ELSE decode(unhex(string_split(content, chr(10))[2])) END AS content
+         |  FROM raw)""".stripMargin, extra = Some("ocr_used")),
+    "etl_pdf_decode" -> ingestOracleSql(
+      s"""raw AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+         |    content
+         |  FROM read_text('$statementsPdfDir/*/*.gpdf')),
+         |files AS (
+         |  SELECT file_name, batch_date,
+         |    starts_with(content, '%GPDF-1.0') AS container_ok,
+         |    CASE WHEN starts_with(content, '%GPDF-1.0')
+         |         THEN regexp_extract(content, 'stream\n(.*)\nendstream', 1, 's')
+         |         ELSE '' END AS content
+         |  FROM raw)""".stripMargin, extra = Some("container_ok")),
     "etl_rules_classify" ->
       """WITH rules(priority, pattern, doc_class) AS (VALUES
         |  (1, 'stream.*window', 'streaming_stmt'),
