@@ -605,6 +605,64 @@ object FundEtl {
       .orderBy(col("file_name"))
   }
 
+  /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:
+    * every input shape (plain text statements, scanned images through
+    * the OCR-stub route, binary containers through the codec) decodes
+    * map-only, unions into the SAME rules-classify → extract →
+    * normalize → dict-enrich chain, projects to the reference's
+    * 16-column master schema, exact-dedups restated statements (the
+    * scanned/container twins decode to byte-identical text, so the
+    * dedup stage does real work, collapsing every twin onto its
+    * original), and hash-assigns train/val/test splits. The stages
+    * compose without barriers: decode/extract/enrich/master are one
+    * map-only pipeline over the scan; the only exchanges are the
+    * classification window (file_name), the dedup window (text_hash)
+    * and the presentation sort — spec-asserted in PlanHealthSpec, and
+    * the property that matters at 100 TB: adding pipeline stages adds
+    * zero shuffles.
+    */
+  val etlE2e: Q = (s, _) => {
+    val texts = loadStatements(s, "*.txt", statementsDir, statementsScanDir)
+      .withColumn("content",
+        when(!col("content").contains("："),
+          unhex(element_at(split(col("content"), "\n"), 2)).cast("string"))
+          .otherwise(col("content")))
+    val containers = loadStatements(s, "*.gpdf", statementsPdfDir)
+      .withColumn("content",
+        when(col("content").startsWith("%GPDF-1.0"),
+          regexp_extract(col("content"), "(?s)stream\n(.*)\nendstream", 1))
+          .otherwise(lit("")))
+    val extracted = extractStatementFields(s,
+      classifyStatements(s, texts.unionByName(containers)), extra = Seq("content"))
+    val byHash = Window.partitionBy(col("text_hash"))
+    extracted
+      .withColumn("text_hash", md5(col("content")))
+      .withColumn("rn", row_number().over(byHash.orderBy(col("file_name"))))
+      .withColumn("n_sources", count(lit(1)).over(byHash))
+      .filter(col("rn") === 1)
+      .withColumn("bucket",
+        (coalesce(col("fund_code").cast("long"), lit(0L)) % 1000003) * 2654435761L % 100)
+      .select(
+        col("ledger_id"), col("fund_code"), lit("OTC").as("market"),
+        col("trade_date"), col("biz_type"),
+        col("shares"), col("amount"), col("fee"),
+        money2(col("fee") * 0.15).as("commission"),
+        col("platform").as("counterparty"),
+        concat(lit("CA"), coalesce(col("fund_code"), lit("000000"))).as("cash_account"),
+        when(col("biz_type") === "RED",
+          date_format(date_add(to_date(col("trade_date"), "yyyyMMdd"), 3), "yyyyMMdd"))
+          .as("arrival_date"),
+        concat(lit("H"), coalesce(col("fund_code"), lit("000000"))).as("holder_account"),
+        substring(coalesce(col("fund_code"), lit("000000")), 3, 4).as("seat_no"),
+        col("product_name"), col("platform"),
+        col("file_name").as("src_file"),
+        col("n_sources").cast("long").as("n_sources"),
+        when(col("bucket") < 80, "train").when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"),
+        col("valid"))
+      .orderBy(col("src_file"))
+  }
+
   /** Rules-as-data classification over a LARGE table — the broadcast
     * rule relation from etl_ingest_files applied at corpus scale:
     * documents × 3 regex rules via broadcast nested-loop, first match
@@ -666,6 +724,7 @@ object FundEtl {
     "etl_ingest_files" -> etlIngestFiles,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_pdf_decode" -> etlPdfDecode,
+    "etl_e2e" -> etlE2e,
     "etl_rules_classify" -> etlRulesClassify,
     "etl_variant_shred" -> etlVariantShred,
     "etl_scd2" -> etlScd2,
@@ -706,10 +765,10 @@ object FundEtl {
     * copy, so an extraction fix can't reach one oracle and miss the
     * others.
     */
-  private def ingestOracleSql(filesCte: String, extra: Option[String] = None): String = {
+  private def ingestOracleCtes(filesCte: String, extra: Option[String]): String = {
     val extraPass = extra.map(", " + _).getOrElse("")
     val extraSel = extra.map(c => s", e.$c").getOrElse("")
-    s"""WITH rules(platform, priority, signature, amount_label, fee_label) AS (
+    s"""rules(platform, priority, signature, amount_label, fee_label) AS (
        |  VALUES $rulesValuesSql),
        |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
        |$filesCte,
@@ -732,16 +791,20 @@ object FundEtl {
        |    CAST(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
        |    CAST(replace(nullif(regexp_extract(content, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee,
        |    regexp_replace(nullif(regexp_extract(content, '确认日期：(.+)', 1), ''), '[^0-9]', '', 'g') AS trade_date$extraPass
-       |  FROM classified)
-       |SELECT e.file_name, e.batch_date,
-       |  coalesce(e.platform, 'UNKNOWN') AS platform,
-       |  e.biz_type, e.fund_code, e.product_name,
-       |  coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
-       |  e.amount, e.shares, e.fee, e.trade_date,
-       |  (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid$extraSel
-       |FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name
-       |ORDER BY e.file_name""".stripMargin
+       |  FROM classified),
+       |enriched AS (
+       |  SELECT e.file_name, e.batch_date,
+       |    coalesce(e.platform, 'UNKNOWN') AS platform,
+       |    e.biz_type, e.fund_code, e.product_name,
+       |    coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
+       |    e.amount, e.shares, e.fee, e.trade_date,
+       |    (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid$extraSel
+       |  FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name)""".stripMargin
   }
+
+  private def ingestOracleSql(filesCte: String, extra: Option[String] = None): String =
+    s"""WITH ${ingestOracleCtes(filesCte, extra)}
+       |SELECT * FROM enriched ORDER BY file_name""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "etl_cdc_apply" ->
@@ -789,6 +852,55 @@ object FundEtl {
          |         THEN regexp_extract(content, 'stream\n(.*)\nendstream', 1, 's')
          |         ELSE '' END AS content
          |  FROM raw)""".stripMargin, extra = Some("container_ok")),
+    "etl_e2e" ->
+      s"""WITH ${ingestOracleCtes(
+        s"""raw_text AS (
+           |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+           |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+           |    content
+           |  FROM read_text(['$statementsDir/*/*.txt',
+           |                  '$statementsScanDir/*/*.txt'])),
+           |raw_pdf AS (
+           |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+           |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+           |    content
+           |  FROM read_text('$statementsPdfDir/*/*.gpdf')),
+           |files AS (
+           |  SELECT file_name, batch_date,
+           |    CASE WHEN contains(content, '：') THEN content
+           |         ELSE decode(unhex(string_split(content, chr(10))[2])) END AS content
+           |  FROM raw_text
+           |  UNION ALL
+           |  SELECT file_name, batch_date,
+           |    CASE WHEN starts_with(content, '%GPDF-1.0')
+           |         THEN regexp_extract(content, 'stream\n(.*)\nendstream', 1, 's')
+           |         ELSE '' END AS content
+           |  FROM raw_pdf)""".stripMargin, Some("content"))},
+         |dedup AS (
+         |  SELECT *,
+         |    row_number() OVER (PARTITION BY md5(content) ORDER BY file_name) AS rn,
+         |    count(*) OVER (PARTITION BY md5(content)) AS n_sources
+         |  FROM enriched)
+         |SELECT ledger_id, fund_code, 'OTC' AS market, trade_date, biz_type,
+         |  shares, amount, fee,
+         |  floor(fee * 0.15 * 100 + 0.5) / 100.0 AS commission,
+         |  platform AS counterparty,
+         |  'CA' || coalesce(fund_code, '000000') AS cash_account,
+         |  CASE WHEN biz_type = 'RED' THEN
+         |    strftime(strptime(trade_date, '%Y%m%d') + INTERVAL 3 DAY, '%Y%m%d')
+         |  END AS arrival_date,
+         |  'H' || coalesce(fund_code, '000000') AS holder_account,
+         |  substr(coalesce(fund_code, '000000'), 3, 4) AS seat_no,
+         |  product_name, platform, file_name AS src_file,
+         |  CAST(n_sources AS BIGINT) AS n_sources,
+         |  CASE WHEN bucket < 80 THEN 'train' WHEN bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split,
+         |  valid
+         |FROM (SELECT *,
+         |        ((coalesce(CAST(fund_code AS BIGINT), 0) % 1000003)
+         |          * 2654435761) % 100 AS bucket
+         |      FROM dedup WHERE rn = 1) t
+         |ORDER BY src_file""".stripMargin,
     "etl_rules_classify" ->
       """WITH rules(priority, pattern, doc_class) AS (VALUES
         |  (1, 'stream.*window', 'streaming_stmt'),
