@@ -10,10 +10,23 @@ object Profile {
     val d = args.headOption.getOrElse("/root/testdata/sf0.1")
     val names = if (args.length > 1) args.drop(1).toSeq else SparkEntry.queries.keys.toSeq.sorted
     spark.range(1).count()
-    names.foreach { n =>
-      val t0 = System.nanoTime()
-      val rows = SparkEntry.queries(n)(spark, d).count()
-      println(f"[profile] $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+    names.foreach {
+      case "--containment-volume" =>
+        // the dd_containment scale diagnostic: candidate volume is what
+        // the 2%-df cap must keep bounded as the corpus grows
+        val nDocs = operators.Dedup.documentsCount(spark, d)
+        val t0 = System.nanoTime()
+        val cand = operators.Dedup.containmentCandidates(spark, d).count()
+        val t1 = System.nanoTime()
+        val verified = SparkEntry.queries("dd_containment")(spark, d).count()
+        val t2 = System.nanoTime()
+        println(f"[profile] containment-volume docs=$nDocs candidates=$cand " +
+          f"(${(t1 - t0) / 1e9}%.2f s) verified=$verified (${(t2 - t1) / 1e9}%.2f s) " +
+          f"cand_per_doc=${cand.toDouble / nDocs}%.2f")
+      case n =>
+        val t0 = System.nanoTime()
+        val rows = SparkEntry.queries(n)(spark, d).count()
+        println(f"[profile] $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
     }
     spark.stop()
   }

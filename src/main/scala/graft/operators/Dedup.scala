@@ -532,7 +532,15 @@ object Dedup {
     * rare shingles. Only surviving candidates pay the exact
     * intersect/verify against the full shingle sets.
     */
-  val ddContainment: Q = (s, d) => {
+  /** The prefix-filter candidate stage of [[ddContainment]], exposed
+    * so the candidate-volume curve can be measured directly at larger
+    * scale factors (Profile --containment-volume): candidate count is
+    * the quantity the df cap must keep bounded as the corpus grows.
+    */
+  private[graft] def documentsCount(s: SparkSession, d: String): Long =
+    Tables.documents(s, d).count()
+
+  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame = {
     val nDocs = Tables.documents(s, d).count()
     // index cap (2% of docs, floor 10): hot boilerplate shingles carry
     // no containment signal and are the quadratic risk in ANY
@@ -550,11 +558,17 @@ object Dedup {
       .withColumn("rn", row_number().over(byRarity))
       .filter(col("rn") <= 4)
       .select(col("doc_id").as("doc_a"), col("h"))
-    val candidates = probes
+    probes
       .join(indexed.select(col("doc_id").as("doc_b"), col("h")), "h")
       .filter(col("doc_a") =!= col("doc_b"))
       .select(col("doc_a"), col("doc_b"))
       .distinct()
+  }
+
+  val ddContainment: Q = (s, d) => {
+    val sh = shingled(s, d)
+      .select(col("doc_id"), col("sh_hashes")).persist()
+    val candidates = containmentCandidates(s, d)
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
