@@ -68,9 +68,16 @@ object Bench {
     // truncated the per-query map to ~40% in past rounds — persist the
     // full map to its own file so per-query times stay comparable
     // across rounds regardless of capture limits.
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      new java.io.File("BENCH_QUERIES_LATEST.json").getAbsolutePath)
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/root/repo/BENCH_QUERIES_LATEST.json"), fullJson + "\n")
-    catch { case _: Throwable => () }
+      java.nio.file.Paths.get(benchOut), fullJson + "\n")
+    catch { case t: Throwable =>
+      // never fail the bench over the fallback file, but never lose it
+      // silently either — the file exists precisely because stdout gets
+      // truncated
+      System.err.println(s"[bench] could not persist per-query map to $benchOut: $t")
+    }
     // Compact repeat on its own FINAL line: the driver's tail capture is
     // character-bounded and once truncated the leading "value" field out
     // of the long line above. This line is short enough to always survive.

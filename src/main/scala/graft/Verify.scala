@@ -20,10 +20,16 @@ object Verify {
     // ScalaTest assertion covers the test SFs — this check travels with
     // the oracle run itself, so a Verify against a NEW scale factor
     // fails the mm_* results loudly instead of silently diverging.
-    val corpusAscii: Boolean = {
+    // Lazy + caught: a corpus-less or unreadable SF dir must poison
+    // only the mm_* entries (which read documents anyway), never abort
+    // the whole run before the per-query try/catch loop can do its job.
+    lazy val corpusAscii: Boolean = try {
       import org.apache.spark.sql.functions.{col, expr, length}
       spark.read.parquet(s"$sfDir/documents.parquet")
         .filter(length(col("text")) =!= expr("octet_length(text)")).isEmpty
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] ASCII precondition unverifiable: ${e.getMessage}")
+      false
     }
     SparkEntry.queries.foreach { case (name, fn) =>
       try {

@@ -465,11 +465,13 @@ object Dedup {
           .filter(col("np") > 1).isEmpty
     var rounds = 0
     val maxRounds = 60 // O(log² n) bound; hitting it means a logic bug
-    while (!isStars(edges) && rounds < maxRounds) {
+    var stars = isStars(edges)
+    while (!stars && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
       rounds += 1
+      stars = isStars(edges)
     }
-    if (!isStars(edges))
+    if (!stars)
       throw new IllegalStateException(
         s"connectedComponentsStar did not converge in $maxRounds rounds")
     allNodes.join(edges, allNodes("node") === edges("a"), "left")

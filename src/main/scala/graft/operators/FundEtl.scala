@@ -570,16 +570,38 @@ object FundEtl {
     * through to the output for run accounting.
     */
   val etlOcrRoute: Q = (s, _) => {
-    val files = loadStatements(s, "*.txt", statementsDir, statementsScanDir)
-    val routed = files
-      .withColumn("ocr_used", !col("content").contains("："))
-      .withColumn("content",
-        when(col("ocr_used"),
-          unhex(element_at(split(col("content"), "\n"), 2)).cast("string"))
-          .otherwise(col("content")))
+    val routed = ocrRouted(loadStatements(s, "*.txt", statementsDir, statementsScanDir))
     extractStatementFields(s, classifyStatements(s, routed), extra = Seq("ocr_used"))
       .orderBy(col("file_name"))
   }
+
+  /** The OCR gate + stub decode as ONE shared projection — etl_ocr_route
+    * and etl_e2e route through the same expressions (and their oracles
+    * through the same SQL snippet), so a gate fix can never reach one
+    * pipeline and miss the other. decode_rank orders canonical-row
+    * selection downstream: an undecoded original (0) beats an OCR
+    * decode (1) beats a container decode (2).
+    */
+  private[graft] def ocrRouted(files: DataFrame): DataFrame = files
+    .withColumn("ocr_used", !col("content").contains("："))
+    .withColumn("content",
+      when(col("ocr_used"),
+        unhex(element_at(split(col("content"), "\n"), 2)).cast("string"))
+        .otherwise(col("content")))
+    .withColumn("decode_rank", when(col("ocr_used"), 1).otherwise(0))
+
+  /** Container validate + text-stream extract, shared by etl_pdf_decode
+    * and etl_e2e the same way [[ocrRouted]] is.
+    */
+  private[graft] def containerDecoded(files: DataFrame): DataFrame = files
+    .withColumnRenamed("content", "raw")
+    .withColumn("container_ok", col("raw").startsWith("%GPDF-1.0"))
+    .withColumn("content",
+      when(col("container_ok"),
+        regexp_extract(col("raw"), "(?s)stream\n(.*)\nendstream", 1))
+        .otherwise(lit("")))
+    .withColumn("decode_rank", lit(2))
+    .drop("raw")
 
   /** PDF-SHAPED BINARY CONTAINER DECODE — the reference's native input
     * is PDF (`conversion_extractor.py:253` pdfplumber.open). The
@@ -594,13 +616,7 @@ object FundEtl {
     * failed-file tracking for unparseable PDFs.
     */
   val etlPdfDecode: Q = (s, _) => {
-    val files = loadStatements(s, "*.gpdf", statementsPdfDir)
-      .withColumnRenamed("content", "raw")
-      .withColumn("container_ok", col("raw").startsWith("%GPDF-1.0"))
-      .withColumn("content",
-        when(col("container_ok"),
-          regexp_extract(col("raw"), "(?s)stream\n(.*)\nendstream", 1))
-          .otherwise(lit("")))
+    val files = containerDecoded(loadStatements(s, "*.gpdf", statementsPdfDir))
     extractStatementFields(s, classifyStatements(s, files), extra = Seq("container_ok"))
       .orderBy(col("file_name"))
   }
@@ -613,7 +629,9 @@ object FundEtl {
     * 16-column master schema, exact-dedups restated statements (the
     * scanned/container twins decode to byte-identical text, so the
     * dedup stage does real work, collapsing every twin onto its
-    * original), and hash-assigns train/val/test splits. The stages
+    * ORIGINAL — decode_rank orders the window so the undecoded plain
+    * file wins over its OCR/container re-decodes regardless of file
+    * name), and hash-assigns train/val/test splits. The stages
     * compose without barriers: decode/extract/enrich/master are one
     * map-only pipeline over the scan; the only exchanges are the
     * classification window (file_name), the dedup window (text_hash)
@@ -622,22 +640,18 @@ object FundEtl {
     * zero shuffles.
     */
   val etlE2e: Q = (s, _) => {
-    val texts = loadStatements(s, "*.txt", statementsDir, statementsScanDir)
-      .withColumn("content",
-        when(!col("content").contains("："),
-          unhex(element_at(split(col("content"), "\n"), 2)).cast("string"))
-          .otherwise(col("content")))
-    val containers = loadStatements(s, "*.gpdf", statementsPdfDir)
-      .withColumn("content",
-        when(col("content").startsWith("%GPDF-1.0"),
-          regexp_extract(col("content"), "(?s)stream\n(.*)\nendstream", 1))
-          .otherwise(lit("")))
+    val texts = ocrRouted(loadStatements(s, "*.txt", statementsDir, statementsScanDir))
+      .drop("ocr_used")
+    val containers = containerDecoded(loadStatements(s, "*.gpdf", statementsPdfDir))
+      .drop("container_ok")
     val extracted = extractStatementFields(s,
-      classifyStatements(s, texts.unionByName(containers)), extra = Seq("content"))
+      classifyStatements(s, texts.unionByName(containers)),
+      extra = Seq("content", "decode_rank"))
     val byHash = Window.partitionBy(col("text_hash"))
     extracted
       .withColumn("text_hash", md5(col("content")))
-      .withColumn("rn", row_number().over(byHash.orderBy(col("file_name"))))
+      .withColumn("rn",
+        row_number().over(byHash.orderBy(col("decode_rank"), col("file_name"))))
       .withColumn("n_sources", count(lit(1)).over(byHash))
       .filter(col("rn") === 1)
       .withColumn("bucket",
@@ -765,9 +779,9 @@ object FundEtl {
     * copy, so an extraction fix can't reach one oracle and miss the
     * others.
     */
-  private def ingestOracleCtes(filesCte: String, extra: Option[String]): String = {
-    val extraPass = extra.map(", " + _).getOrElse("")
-    val extraSel = extra.map(c => s", e.$c").getOrElse("")
+  private def ingestOracleCtes(filesCte: String, extra: Seq[String]): String = {
+    val extraPass = extra.map(", " + _).mkString
+    val extraSel = extra.map(c => s", e.$c").mkString
     s"""rules(platform, priority, signature, amount_label, fee_label) AS (
        |  VALUES $rulesValuesSql),
        |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
@@ -802,9 +816,30 @@ object FundEtl {
        |  FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name)""".stripMargin
   }
 
-  private def ingestOracleSql(filesCte: String, extra: Option[String] = None): String =
+  private def ingestOracleSql(filesCte: String, extra: Seq[String] = Nil): String =
     s"""WITH ${ingestOracleCtes(filesCte, extra)}
        |SELECT * FROM enriched ORDER BY file_name""".stripMargin
+
+  /** SQL twin of [[ocrRouted]] — one snippet feeds both the
+    * etl_ocr_route oracle and the etl_e2e oracle, mirroring the shared
+    * Scala projection. */
+  private def ocrRouteSql(from: String): String =
+    s"""SELECT file_name, batch_date,
+       |    NOT contains(content, '：') AS ocr_used,
+       |    CASE WHEN contains(content, '：') THEN content
+       |         ELSE decode(unhex(string_split(content, chr(10))[2])) END AS content,
+       |    CASE WHEN contains(content, '：') THEN 0 ELSE 1 END AS decode_rank
+       |  FROM $from""".stripMargin
+
+  /** SQL twin of [[containerDecoded]], shared the same way. */
+  private def containerDecodeSql(from: String): String =
+    s"""SELECT file_name, batch_date,
+       |    starts_with(content, '%GPDF-1.0') AS container_ok,
+       |    CASE WHEN starts_with(content, '%GPDF-1.0')
+       |         THEN regexp_extract(content, 'stream\n(.*)\nendstream', 1, 's')
+       |         ELSE '' END AS content,
+       |    2 AS decode_rank
+       |  FROM $from""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "etl_cdc_apply" ->
@@ -834,11 +869,7 @@ object FundEtl {
          |  FROM read_text(['$statementsDir/*/*.txt',
          |                  '$statementsScanDir/*/*.txt'])),
          |files AS (
-         |  SELECT file_name, batch_date,
-         |    NOT contains(content, '：') AS ocr_used,
-         |    CASE WHEN contains(content, '：') THEN content
-         |         ELSE decode(unhex(string_split(content, chr(10))[2])) END AS content
-         |  FROM raw)""".stripMargin, extra = Some("ocr_used")),
+         |  ${ocrRouteSql("raw")})""".stripMargin, extra = Seq("ocr_used")),
     "etl_pdf_decode" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
@@ -846,12 +877,7 @@ object FundEtl {
          |    content
          |  FROM read_text('$statementsPdfDir/*/*.gpdf')),
          |files AS (
-         |  SELECT file_name, batch_date,
-         |    starts_with(content, '%GPDF-1.0') AS container_ok,
-         |    CASE WHEN starts_with(content, '%GPDF-1.0')
-         |         THEN regexp_extract(content, 'stream\n(.*)\nendstream', 1, 's')
-         |         ELSE '' END AS content
-         |  FROM raw)""".stripMargin, extra = Some("container_ok")),
+         |  ${containerDecodeSql("raw")})""".stripMargin, extra = Seq("container_ok")),
     "etl_e2e" ->
       s"""WITH ${ingestOracleCtes(
         s"""raw_text AS (
@@ -866,19 +892,16 @@ object FundEtl {
            |    content
            |  FROM read_text('$statementsPdfDir/*/*.gpdf')),
            |files AS (
-           |  SELECT file_name, batch_date,
-           |    CASE WHEN contains(content, '：') THEN content
-           |         ELSE decode(unhex(string_split(content, chr(10))[2])) END AS content
-           |  FROM raw_text
+           |  SELECT file_name, batch_date, content, decode_rank
+           |  FROM (${ocrRouteSql("raw_text")})
            |  UNION ALL
-           |  SELECT file_name, batch_date,
-           |    CASE WHEN starts_with(content, '%GPDF-1.0')
-           |         THEN regexp_extract(content, 'stream\n(.*)\nendstream', 1, 's')
-           |         ELSE '' END AS content
-           |  FROM raw_pdf)""".stripMargin, Some("content"))},
+           |  SELECT file_name, batch_date, content, decode_rank
+           |  FROM (${containerDecodeSql("raw_pdf")}))""".stripMargin,
+        Seq("content", "decode_rank"))},
          |dedup AS (
          |  SELECT *,
-         |    row_number() OVER (PARTITION BY md5(content) ORDER BY file_name) AS rn,
+         |    row_number() OVER (PARTITION BY md5(content)
+         |                       ORDER BY decode_rank, file_name) AS rn,
          |    count(*) OVER (PARTITION BY md5(content)) AS n_sources
          |  FROM enriched)
          |SELECT ledger_id, fund_code, 'OTC' AS market, trade_date, biz_type,

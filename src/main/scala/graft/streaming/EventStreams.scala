@@ -270,32 +270,60 @@ object EventStreams {
       checkpointDir: String, nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val banded = graft.operators.Dedup.bandedOf(
-          graft.operators.Dedup.minhashSigTableOf(batch)).persist()
-        try {
-          def collide(index: DataFrame, cond: org.apache.spark.sql.Column) =
-            graft.operators.Dedup.pairsFromCollisions(
-              banded.as("a").join(index.as("b"),
-                col("a.band_key") === col("b.band_key") && cond))
-          val vsNew = collide(banded, col("a.doc_id") < col("b.doc_id"))
-          val newPairs =
-            if (spark.catalog.tableExists(indexTable))
-              collide(spark.table(indexTable), col("a.doc_id") =!= col("b.doc_id"))
-                .unionByName(vsNew)
-                // disjoint by construction unless a replayed batch
-                // overlaps the store — collapse defensively
-                .groupBy(col("doc_a"), col("doc_b"))
-                .agg(first(col("est_jaccard")).as("est_jaccard"))
-            else vsNew
-          newPairs.write.mode("append").parquet(pairsDir)
-          banded.write.mode("append").format("parquet")
-            .bucketBy(nBuckets, "band_key")
-            .saveAsTable(indexTable)
-        } finally { banded.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        dedupIndexApplyBatch(batch, batchId, indexTable, pairsDir, nBuckets)
       }
       .start()
+
+  /** One micro-batch of [[dedupIndexMaintain]], IDEMPOTENT under
+    * Structured Streaming's replay contract (a failed batch re-runs
+    * with the same batchId — the other foreachBatch sinks in this file
+    * are overwrite/merge upserts and get replay safety for free; this
+    * one appends, so it needs the guard). Pairs land in a BATCH-SCOPED
+    * directory rewritten whole on replay, and a marker file written
+    * LAST makes a fully-applied batch a no-op. The one remaining crash
+    * window — index appended, marker not yet durable — re-appends the
+    * batch's band rows on replay; duplicate index rows cannot corrupt
+    * output (the probe's canonical (doc_a, doc_b) collapse absorbs
+    * duplicate collisions, and the pairs directory is rewritten, not
+    * appended), they only cost their storage in the crashed batch.
+    * Factored out of the closure so the replay property is directly
+    * unit-testable (EventStreamsSpec re-applies a batch id twice).
+    * Readers take the union of the batch directories:
+    * `spark.read.option("recursiveFileLookup", "true").parquet(pairsDir)`.
+    */
+  private[graft] def dedupIndexApplyBatch(batch: DataFrame, batchId: Long,
+      indexTable: String, pairsDir: String, nBuckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    val batchDir = new org.apache.hadoop.fs.Path(s"$pairsDir/batch-$batchId")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
+    if (!fs.exists(marker)) {
+      val banded = graft.operators.Dedup.bandedOf(
+        graft.operators.Dedup.minhashSigTableOf(batch)).persist()
+      try {
+        def collide(index: DataFrame, cond: org.apache.spark.sql.Column) =
+          graft.operators.Dedup.pairsFromCollisions(
+            banded.as("a").join(index.as("b"),
+              col("a.band_key") === col("b.band_key") && cond))
+        val vsNew = collide(banded, col("a.doc_id") < col("b.doc_id"))
+        val newPairs =
+          if (spark.catalog.tableExists(indexTable))
+            collide(spark.table(indexTable), col("a.doc_id") =!= col("b.doc_id"))
+              .unionByName(vsNew)
+              // overlaps arise when a crashed replay re-probes rows the
+              // failed attempt already indexed — collapse to one pair
+              .groupBy(col("doc_a"), col("doc_b"))
+              .agg(first(col("est_jaccard")).as("est_jaccard"))
+          else vsNew
+        newPairs.write.mode("overwrite").parquet(batchDir.toString)
+        banded.write.mode("append").format("parquet")
+          .bucketBy(nBuckets, "band_key")
+          .saveAsTable(indexTable)
+        fs.create(marker, true).close()
+      } finally { banded.unpersist(); () }
+    }
+  }
 
   /** STREAMING CDC apply — the incremental twin of
     * FundEtl.etlCdcApply: keyed state holds the latest op per key

@@ -221,7 +221,8 @@ class EventStreamsSpec extends SparkTestBase {
           prefix.toSeq.toDF("doc_id", "text"))) --
         (if (prev.isEmpty) Set.empty
          else pairSet(operators.Dedup.minhashPairsOf(prev.toSeq.toDF("doc_id", "text"))))
-      val cumulative = pairSet(spark.read.parquet(pairsDir))
+      val cumulative = pairSet(
+        spark.read.option("recursiveFileLookup", "true").parquet(pairsDir))
       val gotDelta = cumulative -- seen
       assert(gotDelta == expectDelta,
         s"batch delta mismatch: missing=${(expectDelta -- gotDelta).take(3)} " +
@@ -233,6 +234,25 @@ class EventStreamsSpec extends SparkTestBase {
     val full = pairSet(operators.Dedup.minhashPairsOf(docs.toSeq.toDF("doc_id", "text")))
     assert(seen == full, s"stream total ${seen.size} != batch recompute ${full.size}")
     assert(full.nonEmpty)
+    // REPLAY idempotence (the foreachBatch contract): a fully-applied
+    // batch id re-runs as a no-op — no duplicate pairs, no duplicate
+    // index rows
+    def readPairs() = pairSet(
+      spark.read.option("recursiveFileLookup", "true").parquet(pairsDir))
+    val idxRows = spark.table(tbl).count()
+    EventStreams.dedupIndexApplyBatch(
+      batches(2).toSeq.toDF("doc_id", "text"), 2L, tbl, pairsDir)
+    assert(readPairs() == full, "marker-guarded replay changed the pairs output")
+    assert(spark.table(tbl).count() == idxRows,
+      "marker-guarded replay appended index rows")
+    // crash-window replay (index appended, marker lost): the pairs
+    // output stays exactly-once because the batch directory is
+    // rewritten whole; the index is at-least-once (duplicate band rows
+    // absorbed by the probe's canonical collapse), never corrupted
+    assert(new java.io.File(s"$pairsDir/batch-2/_APPLIED").delete())
+    EventStreams.dedupIndexApplyBatch(
+      batches(2).toSeq.toDF("doc_id", "text"), 2L, tbl, pairsDir)
+    assert(readPairs() == full, "crash-window replay changed the pairs output")
     // the index table is bucketed on the probe key, so the stored side
     // of the band join never reshuffles
     val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
