@@ -255,6 +255,42 @@ object Dedup {
       .limit(50)
   }
 
+  /** SEMANTIC dedup — the SemDeDup shape (cluster the embedding space,
+    * then drop near-identical neighbors within each cluster; Abbas et
+    * al. 2023): list assignment via the SAME deterministic coarse
+    * quantizer as ann_ivf_topk (first 16 corpus rows — DuckDB rebuilds
+    * them from the parquet, so the whole operator carries a full
+    * oracle), then a vector is DROPPED iff a lower-id cluster-mate
+    * sits at cosine ≥ τ — the greedy keep-first contract: well-defined
+    * without transitive closure, and expressible as one EXISTS
+    * self-join in SQL. Scale shape: assignment is a map-only codegen'd
+    * argmax over literal centroids (no shuffle); the only shuffle is
+    * the within-cluster self-join, so pair volume is Σ cluster², never
+    * corpus² — production scales k with corpus size (k ≈ √n holds
+    * per-cluster occupancy flat, exactly why SemDeDup clusters before
+    * comparing). τ = 0.3 aligns with dd_embed_cosine's near-dup
+    * threshold on this corpus.
+    */
+  val ddSemantic: Q = (s, d) => {
+    val tau = 0.3
+    val cents = Similarity.fixedCentroids(s, d)
+    val assigned = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        Similarity.nearestCentroidCol(col("embedding"), cents).as("cent_id"))
+    val dropped = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("b.vec_id") < col("a.vec_id") &&
+          cosineSim(col("a.embedding"), col("b.embedding")) >= tau,
+        "left_semi")
+      .select(col("vec_id"))
+    assigned
+      .join(dropped.withColumn("hit", lit(true)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cent_id"),
+        coalesce(col("hit"), lit(false)).as("is_dropped"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Near-dup CLUSTERING: connected components over the MinHash-LSH
     * pair graph via iterative min-label propagation — pairwise matches
     * become dedup groups (keep cluster_id = min doc, drop the rest).
@@ -621,7 +657,8 @@ object Dedup {
     "dd_incremental" -> ddIncremental,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
-    "dd_embed_cosine" -> ddEmbedCosine)
+    "dd_embed_cosine" -> ddEmbedCosine,
+    "dd_semantic" -> ddSemantic)
 
   /** Split-oracle auxiliary dumps: the Spark-computed seeded
     * intermediates (signature tables, the LSH pair graph) that the
@@ -668,6 +705,24 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_semantic" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |dropped AS (
+        |  SELECT DISTINCT a.vec_id
+        |  FROM assigned a JOIN assigned b
+        |    ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
+        |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3)
+        |SELECT a.vec_id, a.cent_id, (d.vec_id IS NOT NULL) AS is_dropped
+        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |ORDER BY a.vec_id""".stripMargin,
     "dd_containment" ->
       """WITH sh AS (
         |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),

@@ -149,15 +149,35 @@ object Similarity {
     * nodes.) First-position keeps the smallest cent_id on exact ties —
     * same order as a c_sim desc, cent_id asc window.
     */
+  /** The fixed coarse quantizer: the first 16 corpus vectors as
+    * centroids — deterministic, so DuckDB rebuilds them from the same
+    * parquet. Shared by the IVF family and dd_semantic.
+    */
+  private[graft] def fixedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+      .sortBy(_._1).toSeq
+
+  /** Map-only argmax list assignment over literal centroids (the
+    * linear-size expression documented at [[ivfTopkWith]]); ties keep
+    * the lowest centroid id, matching the oracle's sim DESC, id ASC
+    * window.
+    */
+  private[graft] def nearestCentroidCol(e: Column,
+      centroids: Seq[(Long, Seq[Float])]): Column = {
+    val centIds: Seq[Long] = centroids.map(_._1)
+    val sims = array(centroids.map { case (_, v) => cosineSim(e, typedlit(v)) }: _*)
+    element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
+  }
+
   private def ivfTopkWith(s: SparkSession, d: String,
       centroids: Seq[(Long, Seq[Float])], nprobe: Int, k: Int): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
-    val centIds: Seq[Long] = centroids.map(_._1)
-    def nearestCentroid(e: Column): Column = {
-      val sims = array(centroids.map { case (_, v) => cosineSim(e, typedlit(v)) }: _*)
-      element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
-    }
+    def nearestCentroid(e: Column): Column = nearestCentroidCol(e, centroids)
     val assigned = emb
       .select(col("vec_id"), col("embedding"),
         nearestCentroid(col("embedding")).as("cent_id"))
@@ -191,15 +211,8 @@ object Similarity {
     * only probed lists pay the exact cosine. At 100 TB the assignment
     * is a scan and the probe touches 4/16ths of the corpus.
     */
-  val annIvfTopk: Q = (s, d) => {
-    val centroids: Seq[(Long, Seq[Float])] = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
-    ivfTopkWith(s, d, centroids, nprobe = 4, k = 5)
-  }
+  val annIvfTopk: Q = (s, d) =>
+    ivfTopkWith(s, d, fixedCentroids(s, d), nprobe = 4, k = 5)
 
   /** Spherical k-means (Lloyd) over a driver-collected sample — fully
     * deterministic: init = the first k sample vectors (the exact

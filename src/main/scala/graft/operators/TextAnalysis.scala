@@ -221,23 +221,109 @@ object TextAnalysis {
     * (eval sets are small) — asymmetric by design, unlike the
     * symmetric dd_ngram_jaccard near-dup pass.
     */
+  /** Word-3-gram shingles, distinct per document — shared by the
+    * decontamination family (exact join and bloom-gated variants must
+    * shingle identically or their equality contract is vacuous).
+    */
+  private[graft] def contamShingles(df: DataFrame, idAs: String): DataFrame = df
+    .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+    .withColumn("toks", split(col("norm"), " "))
+    .filter(size(col("toks")) >= 3)
+    .select(col("doc_id").as(idAs), explode(expr(
+      """array_distinct(transform(sequence(0, size(toks)-3),
+        |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin))
+      .as("shingle"))
+
   val txDecontaminate: Q = (s, d) => {
-    def shingles(df: DataFrame, idAs: String): DataFrame = df
-      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
-      .withColumn("toks", split(col("norm"), " "))
-      .filter(size(col("toks")) >= 3)
-      .select(col("doc_id").as(idAs), explode(expr(
-        """array_distinct(transform(sequence(0, size(toks)-3),
-          |  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))""".stripMargin))
-        .as("shingle"))
     val docs = Tables.documents(s, d)
-    val bench = shingles(docs.filter(col("doc_id") < 20), "bench_id")
-    val corpus = shingles(docs.filter(col("doc_id") >= 20), "doc_id")
+    val bench = contamShingles(docs.filter(col("doc_id") < 20), "bench_id")
+    val corpus = contamShingles(docs.filter(col("doc_id") >= 20), "doc_id")
     corpus.join(broadcast(bench), "shingle")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 5)
       .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** BLOOM-GATED decontamination — same contract as [[txDecontaminate]]
+    * (bitwise-identical output; the oracle is the same exact-join SQL),
+    * different 100 TB shape: a bloom filter over the eval-set shingle
+    * hashes (built once, a few hundred KB, inlined as a literal the
+    * way dd_embed_cosine inlines its planes) gates the corpus shingle
+    * stream MAP-ONLY before any join. With a broadcast-size eval set
+    * the gate trims probe work; the shape it exists for is the eval
+    * side outgrowing broadcast (full held-out corpora, multi-benchmark
+    * suites) where the shingle join becomes shuffle-shuffle — then the
+    * gate is what keeps the corpus-side shuffle at ~the contaminated
+    * fraction instead of every shingle of every document. False
+    * positives cost only wasted join probes (the exact join behind the
+    * gate kills them); false negatives don't exist, so the equality
+    * contract holds by construction. The probe is Spark's own
+    * runtime-filter expression — codegen'd, sketch deserialized once
+    * per task, not per row (BloomFuncs).
+    */
+  val txDecontaminateBloom: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val bench = contamShingles(docs.filter(col("doc_id") < 20), "bench_id")
+    val corpus = contamShingles(docs.filter(col("doc_id") >= 20), "doc_id")
+    // 20 eval docs × ≤~1k shingles: 64Ki capacity / 8 bits-per-item
+    // (~2% FP) is generous headroom at every committed SF; a real
+    // deployment sizes from the eval-set count it already knows.
+    val bloomBytes = bench
+      .agg(graft.functions.BloomFuncs.bloomAgg(
+        xxhash64(col("shingle")), 65536L, 8L * 65536L))
+      .head.getAs[Array[Byte]](0)
+    corpus
+      .filter(graft.functions.BloomFuncs.bloomMightContain(
+        bloomBytes, xxhash64(col("shingle"))))
+      .join(broadcast(bench), "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
+  /** N-GRAM LM scoring — the shape behind perplexity filtering, the
+    * other standard quality gate next to the rule-based ones
+    * (tx_quality / tx_repetition): train a bigram model from corpus
+    * counts (two partial-aggregating groupBys; the unigram table
+    * derives from the bigram table, not a second corpus pass), score
+    * every document by its average bigram conditional probability
+    * C(w1,w2)/C(w1), and surface the most-surprising bigram (min p) as
+    * the outlier signal. Scoring is integer end-to-end — each
+    * probability is quantized to ppm BEFORE aggregation, so sums and
+    * integer-division averages are exact in any execution order and
+    * any engine (float log-sums are not; a real deployment swaps in a
+    * trained LM, same plan: broadcast model, map-side scoring). The
+    * model join keys on the bigram; at corpus scale the model table is
+    * df-prunable exactly like tx_df_prune's vocabulary, and a pruned
+    * model is broadcast-size — here AQE picks the broadcast side on
+    * its own.
+    */
+  val txLmScore: Q = (s, d) => {
+    val bigrams = Tables.documents(s, d)
+      .withColumn("toks",
+        split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " "))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(0, size(toks)-2),
+          |  i -> struct(toks[i] AS w1, toks[i+1] AS w2))""".stripMargin)).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("c12"))
+    val w1Counts = bgCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val model = bgCounts.join(w1Counts, "w1")
+      .withColumn("p_e6",
+        floor(col("c12") * 1000000.0 / col("c1") + 0.5).cast("long"))
+      .select(col("w1"), col("w2"), col("p_e6"))
+    bigrams.join(model, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("p_e6")).as("sum_p"),
+        min(col("p_e6")).as("min_p_e6"))
+      .select(col("doc_id"), col("n_bigrams"),
+        expr("sum_p div n_bigrams").as("avg_p_e6"), col("min_p_e6"))
+      .orderBy(col("doc_id"))
   }
 
   /** Repetition-based quality filters (the Gopher-rules family):
@@ -330,11 +416,26 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  private val decontaminateOracle: String =
+    """WITH sh AS (
+      |  SELECT doc_id, unnest(list_distinct(list_transform(
+      |    generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
+      |        FROM documents) t
+      |  WHERE len(toks) >= 3)
+      |SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
+      |FROM (SELECT * FROM sh WHERE doc_id >= 20) c
+      |JOIN (SELECT * FROM sh WHERE doc_id < 20) b USING (shingle)
+      |GROUP BY 1, 2 HAVING count(*) >= 5
+      |ORDER BY 1, 2""".stripMargin
+
   val queries: Map[String, Q] = Map(
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
     "tx_decontaminate" -> txDecontaminate,
+    "tx_decontaminate_bloom" -> txDecontaminateBloom,
+    "tx_lm_score" -> txLmScore,
     "tx_df_prune" -> txDfPrune,
     "tx_sample_stratified" -> txSampleStratified,
     "tx_redact" -> txRedact,
@@ -395,18 +496,30 @@ object TextAnalysis {
         |    floor(p.top_run / CAST(b.n_words AS DOUBLE) * 10000 + 0.5) / 10000.0 AS top_tok_frac
         |  FROM base b JOIN top p ON b.doc_id = p.doc_id) x
         |ORDER BY doc_id""".stripMargin,
-    "tx_decontaminate" ->
-      """WITH sh AS (
-        |  SELECT doc_id, unnest(list_distinct(list_transform(
-        |    generate_series(1, len(toks)-2), i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
-        |  FROM (SELECT doc_id, string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS toks
-        |        FROM documents) t
-        |  WHERE len(toks) >= 3)
-        |SELECT c.doc_id, b.doc_id AS bench_id, CAST(count(*) AS BIGINT) AS n_shared
-        |FROM (SELECT * FROM sh WHERE doc_id >= 20) c
-        |JOIN (SELECT * FROM sh WHERE doc_id < 20) b USING (shingle)
-        |GROUP BY 1, 2 HAVING count(*) >= 5
-        |ORDER BY 1, 2""".stripMargin,
+    // ONE oracle for both decontamination variants: the bloom gate is
+    // an internal prefilter with no false negatives, so the operator
+    // contract — and therefore the checked result — is identical.
+    "tx_decontaminate" -> decontaminateOracle,
+    "tx_decontaminate_bloom" -> decontaminateOracle,
+    "tx_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ') AS t
+        |  FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(t[1:len(t)-1]) AS w1, unnest(t[2:len(t)]) AS w2
+        |  FROM toks WHERE len(t) >= 2),
+        |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+        |w1c AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY 1),
+        |model AS (
+        |  SELECT b.w1, b.w2,
+        |    CAST(floor(b.c12 * 1000000.0 / w.c1 + 0.5) AS BIGINT) AS p_e6
+        |  FROM bgc b JOIN w1c w USING (w1))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6,
+        |  CAST(min(p_e6) AS BIGINT) AS min_p_e6
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_df_prune" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(split(text, ' ')) AS tok,

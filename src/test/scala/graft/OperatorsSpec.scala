@@ -316,6 +316,87 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd_semantic: drops exactly the vectors with a lower-id cluster-mate above tau") {
+    val out = operators.Dedup.ddSemantic(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    // independent brute recompute of the whole contract in plain Scala:
+    // assignment argmax (ties to lowest centroid) + greedy keep-first
+    val vecs = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
+      .sortBy(_._1)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val cents = vecs.filter(_._1 < 16)
+    val assign = vecs.map { case (id, v) =>
+      (id, cents.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1, v)
+    }
+    val byCluster = assign.groupBy(_._2)
+    val expected = assign.map { case (id, cid, v) =>
+      val hasMate = byCluster(cid).exists { case (oid, _, ov) =>
+        oid < id && cos(v, ov) >= 0.3
+      }
+      (id, cid, hasMate)
+    }.sortBy(_._1).toSeq
+    assert(out.toSeq == expected)
+    // both classes are populated — the threshold does real work here
+    assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
+  test("tx_lm_score: matches a driver-side bigram LM recompute") {
+    val out = operators.TextAnalysis.txLmScore(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val toks = docs.map { case (id, t) =>
+      (id, t.trim.replaceAll("\\s+", " ").toLowerCase.split(" ", -1).toSeq)
+    }.filter(_._2.length >= 2)
+    val bigrams = toks.flatMap { case (id, ts) =>
+      ts.sliding(2).map(p => (id, (p(0), p(1)))).toSeq
+    }
+    val c12 = bigrams.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
+    val c1 = c12.groupBy(_._1._1).map { case (w, m) => (w, m.values.sum) }
+    val p = c12.map { case ((w1, w2), c) =>
+      ((w1, w2), math.floor(c * 1000000.0 / c1(w1) + 0.5).toLong)
+    }
+    val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
+      val ps = bs.map(b => p(b._2))
+      (id, bs.size.toLong, ps.sum / bs.size, ps.min)
+    }.toSeq.sortBy(_._1)
+    assert(out.toSeq == expected)
+    assert(out.nonEmpty)
+  }
+
+  test("tx_decontaminate_bloom: equals the exact join; the gate prunes the shingle stream") {
+    // the contract the shared oracle rests on — zero false negatives
+    // means the gated result is bitwise the exact result
+    val exact = operators.TextAnalysis.txDecontaminate(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val gated = operators.TextAnalysis.txDecontaminateBloom(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(gated == exact, s"bloom gate changed the result: ${gated.size} vs ${exact.size}")
+    // and the gate is doing real work: the surviving corpus-shingle
+    // stream is a small fraction of the full stream (measured 4.7% at
+    // sf0.001; the bound leaves headroom for corpus drift + the ~2% FP
+    // rate the 8-bits/item sizing buys)
+    val docs = sources.Tables.documents(spark, sfDir)
+    val bench = operators.TextAnalysis.contamShingles(
+      docs.filter(col("doc_id") < 20), "bench_id")
+    val corpus = operators.TextAnalysis.contamShingles(
+      docs.filter(col("doc_id") >= 20), "doc_id")
+    val bytes = bench.agg(functions.BloomFuncs.bloomAgg(
+      xxhash64(col("shingle")), 65536L, 8L * 65536L)).head.getAs[Array[Byte]](0)
+    val total = corpus.count()
+    val kept = corpus.filter(functions.BloomFuncs.bloomMightContain(
+      bytes, xxhash64(col("shingle")))).count()
+    assert(total > 0 && kept < total / 5,
+      s"gate not selective: kept=$kept of $total")
+  }
+
   test("ann_ivf recall: probed lists recover most brute-force neighbors") {
     val brute = operators.Similarity.annBruteTopk(spark, sfDir).collect()
       .filter(_.getAs[Long]("rank") <= 5)
