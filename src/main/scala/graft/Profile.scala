@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Dev tool: time individual operators (or all) at a given SF.
   *
   * Usage: runMain graft.Profile <sfDir> [queryName ...]
@@ -30,6 +32,28 @@ object Profile {
         println(f"[profile] containment-volume docs=$nDocs candidates=$cand " +
           f"(${(t1 - t0) / 1e9}%.2f s) verified=$verified (${(t2 - t1) / 1e9}%.2f s) " +
           f"cand_per_doc=${cand.toDouble / nDocs}%.2f")
+      case "--cc-compare" =>
+        // head-to-head of the two DISTRIBUTED CC algorithms on the same
+        // pair graph (driver fast path disabled): pointer-jumping
+        // fixpoint vs alternating large-star/small-star. Informs which
+        // one ddCluster's >threshold route should use at a given graph
+        // shape.
+        val pairs = operators.Dedup
+          .minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+          .persist()
+        val nPairs = pairs.count()
+        val t0 = System.nanoTime()
+        val pj = operators.Dedup.connectedComponentsPointerJump(pairs)
+        val pjRows = pj.count()
+        val t1 = System.nanoTime()
+        val st = operators.Dedup.connectedComponentsStar(pairs)
+        val stRows = st.count()
+        val t2 = System.nanoTime()
+        val diff = pj.exceptAll(st).count() + st.exceptAll(pj).count()
+        pairs.unpersist()
+        println(f"[profile] cc-compare pairs=$nPairs " +
+          f"pointer_jump=${(t1 - t0) / 1e9}%.2f s ($pjRows nodes) " +
+          f"star=${(t2 - t1) / 1e9}%.2f s ($stRows nodes) label_diff=$diff")
       case n =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, d).count()

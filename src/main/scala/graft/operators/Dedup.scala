@@ -117,7 +117,7 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
 
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     val sigs = minhashSigTable(s, d)
     // Carry the signature through the band join: the estimate is
     // computed inline on band-collided rows and duplicates (a pair can
@@ -292,18 +292,11 @@ object Dedup {
   }
 
   /** Near-dup CLUSTERING: connected components over the MinHash-LSH
-    * pair graph via iterative min-label propagation — pairwise matches
-    * become dedup groups (keep cluster_id = min doc, drop the rest).
-    * Each iteration is one join + one groupBy, `localCheckpoint`ed so
-    * the logical plan stays O(1) per round instead of growing with the
-    * iteration count (the standard lineage-truncation move for
-    * iterative DataFrame algorithms — without it, round-N optimization
-    * replays all N-1 prior plans and the loop goes quadratic).
-    * Convergence is detected from the label sum: min-propagation only
-    * ever lowers labels, so an unchanged sum IS the fixpoint — one
-    * cheap aggregate per round instead of a propagated⋈labels diff
-    * join. Components here are tiny chains so the fixpoint lands in
-    * O(diameter) rounds.
+    * pair graph — pairwise matches become dedup groups (keep
+    * cluster_id = min doc, drop the rest). Routing lives in
+    * [[connectedComponents]]: driver union-find below the edge
+    * threshold, alternating large-star/small-star above it (measured
+    * faster than pointer jumping at 25× and diameter-independent).
     */
   val ddCluster: Q = (s, d) =>
     connectedComponents(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
@@ -314,47 +307,43 @@ object Dedup {
       .orderBy(col("doc_id"))
 
   /** Connected components over an undirected pair list (`doc_a`,
-    * `doc_b`) by min-label propagation with POINTER JUMPING: each round
-    * first lowers every node's label to the min over itself and its
-    * neighbors (one edge of travel), then rewrites label ← label(label)
-    * — label chains halve per round, so the fixpoint lands in
-    * O(log diameter) rounds rather than O(diameter). That is the
-    * property that matters at 100 TB: a near-dup graph with million-hop
-    * chains converges in ~20 rounds, where plain propagation would need
-    * a round per hop. The jump join is safe because labels are
-    * monotone: label(n) ≤ n always, so label(label(n)) exists and is ≤
-    * label(n) — both steps only ever lower labels, which also makes the
-    * label SUM a convergence certificate (unchanged sum ⇔ fixpoint; one
-    * cheap aggregate per round instead of a diff join). Every round is
-    * localCheckpoint'ed — the standard lineage truncation for iterative
-    * DataFrame algorithms (without it round-N optimization replays all
-    * prior rounds; measured 131s → 2s at sf0.1). Non-convergence within
-    * the generous cap FAILS LOUDLY instead of emitting wrong labels.
+    * `doc_b`) — a ROUTER, because the right algorithm changes with
+    * graph size. Small graphs take the driver union-find fast path
+    * (memory math below); larger graphs run alternating large-star/
+    * small-star ([[connectedComponentsStar]]), which measured FASTER
+    * than the pointer-jumping fixpoint head-to-head (6.1 s vs 8.7 s on
+    * the 1.66M-edge 25×-corpus pair graph, labels identical) and
+    * converges in O(log² n) rounds INDEPENDENT OF DIAMETER — the
+    * property that holds at 100 TB, where a near-dup graph can hide
+    * million-hop chains. The pointer-jumping fixpoint remains as
+    * [[connectedComponentsPointerJump]] (spec-equal on chain / cycle /
+    * corpus graphs; head-to-head re-measurable via Profile
+    * --cc-compare).
     */
   private[graft] def connectedComponents(pairs: DataFrame,
       driverPathMaxEdges: Long = 1000000L): DataFrame = {
-    val edges = pairs
-      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .localCheckpoint()
+    // materialize the (expensive, LSH-joined) pair graph once: the
+    // routing count and whichever path runs read this checkpoint
+    val p = pairs.localCheckpoint()
     // Small-graph fast path: the right tool changes with scale. Below
-    // the threshold a union-find labels the graph in well under a
-    // second, where the distributed fixpoint pays a fixed ~10-job
-    // overhead (hop + jump + certificate aggregates) PER ROUND —
-    // measured 9.6s vs 0.9s on a 450k-edge graph. The budget is
-    // driver heap: the collected edge array is ~40 B/edge of boxed
-    // tuples (transient) and the LongMap keeps keys/values in
-    // primitive arrays, so 1M edges costs tens of MB — comfortably
-    // inside any driver, with the cap well clear of heap pressure.
-    // Above it, the iterative path below is the only option — a
-    // 100 TB near-dup graph has billions of edges and never fits a
-    // driver. Labels are identical by construction: union always
-    // parents the larger root under the smaller, so every root IS its
-    // component minimum — the same labeling the min-propagation
-    // fixpoint converges to (spec-asserted equal on the corpus graph).
-    if (edges.count() <= driverPathMaxEdges) {
+    // the threshold (counted as DIRECTED edges — 2× the pair count,
+    // same budget as before the router) a union-find labels the graph
+    // in well under a second, where a distributed iteration pays a
+    // fixed multi-job overhead PER ROUND — measured 9.6s vs 0.9s on a
+    // 450k-edge graph. The budget is driver heap: the collected edge
+    // array is ~40 B/edge of boxed tuples (transient) and the LongMap
+    // keeps keys/values in primitive arrays, so 1M edges costs tens of
+    // MB — comfortably inside any driver, with the cap well clear of
+    // heap pressure. Above it, the distributed star path is the only
+    // option — a 100 TB near-dup graph has billions of edges and never
+    // fits a driver. Labels are identical by construction: union
+    // always parents the larger root under the smaller, so every root
+    // IS its component minimum — the same labeling both distributed
+    // fixpoints converge to (spec-asserted equal on the corpus graph).
+    if (2 * p.count() <= driverPathMaxEdges) {
       val spark = pairs.sparkSession
       import spark.implicits._
-      val es = edges.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
+      val es = p.select(col("doc_a"), col("doc_b")).as[(Long, Long)].collect()
       val parent = scala.collection.mutable.LongMap.empty[Long]
       def find(x: Long): Long = {
         var r = x
@@ -374,6 +363,34 @@ object Dedup {
       return parent.keys.toArray.sorted.map(n => (n, find(n))).toSeq
         .toDF("node", "label")
     }
+    connectedComponentsStar(p)
+  }
+
+  /** Min-label propagation with POINTER JUMPING — the classic
+    * alternative distributed CC fixpoint, kept first-class for
+    * cross-checking the star path (spec-equal on chain / cycle /
+    * corpus graphs) and for head-to-head measurement (Profile
+    * --cc-compare). Each round first lowers every node's label to the
+    * min over itself and its neighbors (one edge of travel), then
+    * rewrites label ← label(label) — label chains halve per round, so
+    * the fixpoint lands in O(log diameter) rounds rather than
+    * O(diameter). The jump join is safe because labels are monotone:
+    * label(n) ≤ n always, so label(label(n)) exists and is ≤ label(n)
+    * — both steps only ever lower labels, which also makes the label
+    * SUM a convergence certificate (unchanged sum ⇔ fixpoint; one
+    * cheap aggregate per round instead of a diff join). Every round is
+    * localCheckpoint'ed — the standard lineage truncation for
+    * iterative DataFrame algorithms (without it round-N optimization
+    * replays all prior rounds; measured 131s → 2s at sf0.1).
+    * Non-convergence within the cap FAILS LOUDLY instead of emitting
+    * wrong labels. Its per-round shuffle carries the FULL edge set
+    * every round — the reason the contracting star variant won the
+    * routing decision above.
+    */
+  private[graft] def connectedComponentsPointerJump(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
     var labels = edges.select(col("doc_a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
@@ -427,7 +444,7 @@ object Dedup {
     }
     if (!converged)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxRounds rounds")
+        s"connectedComponentsPointerJump did not converge in $maxRounds rounds")
     labels
   }
 

@@ -212,7 +212,7 @@ class OperatorsSpec extends SparkTestBase {
     val pairs = (chain ++ cycle ++ pair).toDF("doc_a", "doc_b")
     // threshold 0 forces the DISTRIBUTED fixpoint — this spec exists to
     // cover the pointer-jumping loop, not the driver fast path
-    val labels = operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L)
+    val labels = operators.Dedup.connectedComponentsPointerJump(pairs)
       .collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     assert((0L to 300L).forall(labels(_) == 0L), "chain not fully merged")
@@ -270,7 +270,7 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     val star = toMap(operators.Dedup.connectedComponentsStar(pairs))
     val jump = toMap(
-      operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L))
+      operators.Dedup.connectedComponentsPointerJump(pairs))
     assert(star == jump,
       s"algorithms diverge: ${(star.toSet -- jump.toSet).take(3)}")
     assert(star.nonEmpty)
@@ -283,7 +283,7 @@ class OperatorsSpec extends SparkTestBase {
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     val fast = toMap(operators.Dedup.connectedComponents(pairs))
     val distributed = toMap(
-      operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L))
+      operators.Dedup.connectedComponentsPointerJump(pairs))
     assert(fast == distributed,
       s"paths diverge: ${(fast.toSet -- distributed.toSet).take(3)}")
     assert(fast.nonEmpty)
