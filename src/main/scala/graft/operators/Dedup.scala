@@ -258,25 +258,61 @@ object Dedup {
   /** SEMANTIC dedup — the SemDeDup shape (cluster the embedding space,
     * then drop near-identical neighbors within each cluster; Abbas et
     * al. 2023): list assignment via the SAME deterministic coarse
-    * quantizer as ann_ivf_topk (first 16 corpus rows — DuckDB rebuilds
-    * them from the parquet, so the whole operator carries a full
-    * oracle), then a vector is DROPPED iff a lower-id cluster-mate
-    * sits at cosine ≥ τ — the greedy keep-first contract: well-defined
-    * without transitive closure, and expressible as one EXISTS
-    * self-join in SQL. Scale shape: assignment is a map-only codegen'd
-    * argmax over literal centroids (no shuffle); the only shuffle is
-    * the within-cluster self-join, so pair volume is Σ cluster², never
-    * corpus² — production scales k with corpus size (k ≈ √n holds
-    * per-cluster occupancy flat, exactly why SemDeDup clusters before
-    * comparing). τ = 0.3 aligns with dd_embed_cosine's near-dup
-    * threshold on this corpus.
+    * quantizer shape as ann_ivf_topk (the first [[semanticK]] corpus
+    * rows — DuckDB rebuilds them from the parquet, so the whole
+    * operator carries a full oracle), then a vector is DROPPED iff a
+    * lower-id cluster-mate sits at cosine ≥ τ — the greedy keep-first
+    * contract: well-defined without transitive closure, and
+    * expressible as one EXISTS self-join in SQL. Scale shape:
+    * assignment is a broadcast join against the centroid table with a
+    * map-side-collapsing argmax (the exchange carries one row per
+    * vector); the heavy shuffle is the within-cluster self-join, so
+    * pair volume is Σ cluster², never corpus² — and k grows with the
+    * corpus ([[semanticK]]) to hold occupancy flat, exactly why
+    * SemDeDup clusters before comparing. τ = 0.3 aligns with
+    * dd_embed_cosine's near-dup threshold on this corpus.
     */
+  /** The cluster-count lever, wired (the dd_embed_cosine planesFor
+    * move applied to SemDeDup): k = ⌈n/512⌉ with a floor of 16 keeps
+    * expected cluster occupancy ≤ ~512 as the corpus grows — the
+    * within-cluster compare is quadratic in occupancy, so fixed k
+    * would quietly reintroduce the corpus² it exists to avoid.
+    * Centroid prefixes nest, so growth only splits clusters. Exact
+    * integer arithmetic; the DuckDB oracle computes the same k from
+    * the same count.
+    */
+  private[graft] def semanticK(n: Long): Int =
+    math.max(16L, (n + 511) / 512).toInt
+
   val ddSemantic: Q = (s, d) => {
     val tau = 0.3
-    val cents = Similarity.fixedCentroids(s, d)
+    import s.implicits._
+    val cents = Similarity.fixedCentroids(s, d,
+      semanticK(Tables.embeddings(s, d).count()))
+    // Assignment as broadcast-join + partial-agg argmax rather than the
+    // k-cosine literal-array expression the IVF family uses: at k=16
+    // both are fine, but semanticK grows k with the corpus and the
+    // literal argmax degrades once the expression tree outgrows
+    // codegen (measured 35s for the k=98 assignment at 25× vs ~3s for
+    // this shape). One small codegen'd cosine per (vector, centroid)
+    // row; max(struct(sim, -cent_id)) keeps the lowest centroid on
+    // exact ties (the oracle's sim DESC, cent_id ASC window); the
+    // map-side partial agg collapses each vector's k rows before the
+    // shuffle, so the exchange carries one row per vector.
+    val centsDf = broadcast(cents.toDF("cent_id", "c_emb"))
     val assigned = Tables.embeddings(s, d)
-      .select(col("vec_id"), col("embedding"),
-        Similarity.nearestCentroidCol(col("embedding"), cents).as("cent_id"))
+      .crossJoin(centsDf)
+      .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("sim").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("embedding"), (-col("m.nc")).as("cent_id"))
+      // Persist barrier: the plan reads `assigned` three times (both
+      // self-join sides + the final flag join); without the barrier
+      // each read re-pays the full assignment. At cluster scale this
+      // is the stored assignment table an index build materializes
+      // anyway.
+      .persist()
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cent_id") === col("b.cent_id") &&
@@ -725,7 +761,9 @@ object Dedup {
     "dd_semantic" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
-        |  FROM embeddings WHERE vec_id < 16),
+        |  FROM embeddings
+        |  WHERE vec_id < (SELECT greatest(16, CAST(ceil(count(*) / 512.0) AS BIGINT))
+        |                  FROM embeddings)),
         |assigned AS (
         |  SELECT vec_id, emb, cent_id FROM (
         |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,

@@ -149,13 +149,16 @@ object Similarity {
     * nodes.) First-position keeps the smallest cent_id on exact ties —
     * same order as a c_sim desc, cent_id asc window.
     */
-  /** The fixed coarse quantizer: the first 16 corpus vectors as
+  /** The fixed coarse quantizer: the first k corpus vectors as
     * centroids — deterministic, so DuckDB rebuilds them from the same
-    * parquet. Shared by the IVF family and dd_semantic.
+    * parquet; prefixes nest (the first k1 rows are a prefix of the
+    * first k2 ≥ k1), so raising k only splits lists. Shared by the IVF
+    * family (k=16) and dd_semantic (corpus-size-adaptive k).
     */
-  private[graft] def fixedCentroids(s: SparkSession, d: String): Seq[(Long, Seq[Float])] =
+  private[graft] def fixedCentroids(s: SparkSession, d: String,
+      k: Int = 16): Seq[(Long, Seq[Float])] =
     Tables.embeddings(s, d)
-      .filter(col("vec_id") < 16)
+      .filter(col("vec_id") < k)
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))

@@ -330,10 +330,15 @@ class OperatorsSpec extends SparkTestBase {
       while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    val cents = vecs.filter(_._1 < 16)
+    val k = operators.Dedup.semanticK(vecs.length.toLong)
+    val cents = vecs.filter(_._1 < k)
     val assign = vecs.map { case (id, v) =>
       (id, cents.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1, v)
     }
+    // the cluster-count lever: fixed at the floor on the committed SFs,
+    // growing linearly past 16·512 vectors so occupancy stays bounded
+    assert(k == 16 && operators.Dedup.semanticK(50000) == 98 &&
+      operators.Dedup.semanticK(1L << 30) == (1 << 30) / 512)
     val byCluster = assign.groupBy(_._2)
     val expected = assign.map { case (id, cid, v) =>
       val hasMate = byCluster(cid).exists { case (oid, _, ov) =>
