@@ -255,6 +255,18 @@ object Dedup {
       .limit(50)
   }
 
+  /** The cluster-count lever for [[ddSemantic]], wired (the
+    * dd_embed_cosine planesFor move applied to SemDeDup): k = ⌈n/512⌉
+    * with a floor of 16 keeps expected cluster occupancy ≤ ~512 as the
+    * corpus grows — the within-cluster compare is quadratic in
+    * occupancy, so fixed k would quietly reintroduce the corpus² it
+    * exists to avoid. Centroid prefixes nest, so growth only splits
+    * clusters. Exact integer arithmetic; the DuckDB oracle computes
+    * the same k from the same count.
+    */
+  private[graft] def semanticK(n: Long): Int =
+    math.max(16L, (n + 511) / 512).toInt
+
   /** SEMANTIC dedup — the SemDeDup shape (cluster the embedding space,
     * then drop near-identical neighbors within each cluster; Abbas et
     * al. 2023): list assignment via the SAME deterministic coarse
@@ -272,18 +284,6 @@ object Dedup {
     * SemDeDup clusters before comparing. τ = 0.3 aligns with
     * dd_embed_cosine's near-dup threshold on this corpus.
     */
-  /** The cluster-count lever, wired (the dd_embed_cosine planesFor
-    * move applied to SemDeDup): k = ⌈n/512⌉ with a floor of 16 keeps
-    * expected cluster occupancy ≤ ~512 as the corpus grows — the
-    * within-cluster compare is quadratic in occupancy, so fixed k
-    * would quietly reintroduce the corpus² it exists to avoid.
-    * Centroid prefixes nest, so growth only splits clusters. Exact
-    * integer arithmetic; the DuckDB oracle computes the same k from
-    * the same count.
-    */
-  private[graft] def semanticK(n: Long): Int =
-    math.max(16L, (n + 511) / 512).toInt
-
   val ddSemantic: Q = (s, d) => {
     val tau = 0.3
     import s.implicits._

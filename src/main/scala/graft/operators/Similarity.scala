@@ -446,18 +446,9 @@ object Similarity {
     */
   val annIvfPq: Q = (s, d) => {
     val books = pqCodebooks(s, d)
-    val centroids: Seq[(Long, Seq[Float])] = Tables.embeddings(s, d)
-      .filter(col("vec_id") < 16)
-      .select(col("vec_id"), col("embedding")).collect()
-      .map(r => (r.getLong(0), r.getSeq[Float](1)))
-      .sortBy(_._1).toSeq
-    val centIds: Seq[Long] = centroids.map(_._1)
-    def nearestCentroid(e: Column): Column = {
-      val sims = array(centroids.map { case (_, v) => cosineSim(e, typedlit(v)) }: _*)
-      element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
-    }
+    val centroids = fixedCentroids(s, d)
     val codes = pqEncoded(s, d, books,
-      extra = Seq(nearestCentroid(col("embedding")).as("cent_id")))
+      extra = Seq(nearestCentroidCol(col("embedding"), centroids).as("cent_id")))
     val sqlCtx = s
     import sqlCtx.implicits._
     val cents = centroids.toDF("cent_id", "c_emb")

@@ -210,8 +210,8 @@ class OperatorsSpec extends SparkTestBase {
     val cycle = Seq((1000L, 1001L), (1001L, 1002L), (1002L, 1000L))
     val pair = Seq((5000L, 4999L))
     val pairs = (chain ++ cycle ++ pair).toDF("doc_a", "doc_b")
-    // threshold 0 forces the DISTRIBUTED fixpoint — this spec exists to
-    // cover the pointer-jumping loop, not the driver fast path
+    // this spec covers the standalone pointer-jumping loop (the router
+    // no longer reaches it; see the router-branch spec below)
     val labels = operators.Dedup.connectedComponentsPointerJump(pairs)
       .collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
@@ -276,16 +276,22 @@ class OperatorsSpec extends SparkTestBase {
     assert(star.nonEmpty)
   }
 
-  test("connectedComponents driver fast path matches the distributed fixpoint") {
+  test("connectedComponents routes correctly: fast path, star branch, pointer jump agree") {
     val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir)
       .select(col("doc_a"), col("doc_b"))
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
     val fast = toMap(operators.Dedup.connectedComponents(pairs))
-    val distributed = toMap(
-      operators.Dedup.connectedComponentsPointerJump(pairs))
-    assert(fast == distributed,
-      s"paths diverge: ${(fast.toSet -- distributed.toSet).take(3)}")
+    // threshold 0 forces the router's DISTRIBUTED branch — the
+    // star handoff production graphs >1M edges take; without this the
+    // routing line itself would have no coverage
+    val routedStar = toMap(
+      operators.Dedup.connectedComponents(pairs, driverPathMaxEdges = 0L))
+    val jump = toMap(operators.Dedup.connectedComponentsPointerJump(pairs))
+    assert(fast == routedStar,
+      s"router branches diverge: ${(fast.toSet -- routedStar.toSet).take(3)}")
+    assert(fast == jump,
+      s"paths diverge: ${(fast.toSet -- jump.toSet).take(3)}")
     assert(fast.nonEmpty)
   }
 
