@@ -317,18 +317,30 @@ object Relational {
     * the oracle carries the exact columns and the relative-error bound
     * is asserted in OperatorsSpec).
     */
-  val q22ApproxDistinct: Q = (s, d) =>
-    Tables.lineitem(s, d)
-      .groupBy(col("l_returnflag"))
+  val q22ApproxDistinct: Q = (s, d) => {
+    val li = Tables.lineitem(s, d)
+    // The sketch aggregates SEPARATELY from the exact distincts: mixing
+    // them puts the HLL inside the distinct-rewrite Expand, where the
+    // partial aggregate keys on (group, distinct-key) — hundreds of
+    // thousands of groups each dragging a multi-KB HLL buffer through
+    // two exchanges (measured 12-16s cold at sf0.1; split form ~2s).
+    // Split, the sketch pass carries 3 buffers total and the distinct
+    // pass shuffles plain longs; a 3×3 join reassembles the row.
+    val exact = li.groupBy(col("l_returnflag"))
       .agg(
         countDistinct(col("l_partkey")).as("exact_parts"),
-        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
         countDistinct(col("l_orderkey")).as("exact_orders"))
+    val approx = li.groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+    exact.join(approx, "l_returnflag")
+      .select(col("l_returnflag"), col("exact_parts"),
+        col("approx_parts"), col("exact_orders"))
       .orderBy(col("l_returnflag"))
       // HLL register-merge is order-insensitive so a re-execution would
       // agree anyway; persisted like q37 so Verify's result write and
       // q22_sketch aux dump share one execution instead of two.
       .persist()
+  }
 
   private def q4(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 10000 + 0.5) / lit(10000.0)
