@@ -228,7 +228,44 @@ object StreamingTwins {
       .orderBy(col("window_start"), col("rank"))
   }
 
+  /** Event-rate ANOMALY detection — the alerting shape next to the
+    * "trending" one (stWindowedTopk): each user's hourly event count
+    * is z-scored against that user's OWN distribution over all their
+    * hours; |z| ≥ 2 on the quantized score flags the window. Two
+    * shuffles — the (user, hour) count aggregation, then the per-user
+    * window for mean/stddev (at 100 TB both key on user_id, so AQE
+    * coalesces them into co-partitioned stages). The flag compares the
+    * QUANTIZED z so both engines threshold the same value — raw
+    * stddev doubles can differ in the last ulp across engines. Users
+    * with a single active hour have no sample stddev: z is defined 0
+    * (never anomalous), mirrored in the oracle. The true-streaming
+    * analog (graft.streaming.EventStreams.anomalyDetect) keeps
+    * per-user Welford state in flatMapGroupsWithState and scores each
+    * hour AS IT CLOSES against the history so far — the online variant
+    * of this contract (an online op cannot see the future); its spec
+    * replays the same online definition exactly.
+    */
+  val stAnomaly: Q = (s, d) => {
+    def z4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / lit(10000.0)
+    val byUser = Window.partitionBy(col("user_id"))
+    Tables.events(s, d)
+      .groupBy(col("user_id"),
+        date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
+          .as("window_start"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("mu", avg(col("n")).over(byUser))
+      .withColumn("sd", stddev_samp(col("n")).over(byUser))
+      .withColumn("z",
+        when(col("sd") > 0, z4((col("n") - col("mu")) / col("sd")))
+          .otherwise(lit(0.0)))
+      .select(col("user_id"), col("window_start"), col("n"),
+        z4(col("mu")).as("mean_n"), col("z").as("z_score"),
+        (abs(col("z")) >= 2.0).as("is_anomaly"))
+      .orderBy(col("user_id"), col("window_start"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "st_anomaly" -> stAnomaly,
     "st_windowed_topk" -> stWindowedTopk,
     "st_tumbling_agg" -> stTumblingAgg,
     "st_sessionize" -> stSessionize,
@@ -240,6 +277,27 @@ object StreamingTwins {
     "st_retention" -> stRetention)
 
   val oracles: Map[String, String] = Map(
+    "st_anomaly" ->
+      """WITH hourly AS (
+        |  SELECT user_id,
+        |    strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT user_id, window_start, CAST(n AS BIGINT) AS n,
+        |    avg(n) OVER (PARTITION BY user_id) AS mu,
+        |    stddev_samp(n) OVER (PARTITION BY user_id) AS sd
+        |  FROM hourly)
+        |SELECT user_id, window_start, n,
+        |  floor(mu * 10000 + 0.5) / 10000.0 AS mean_n,
+        |  z AS z_score,
+        |  (abs(z) >= 2.0) AS is_anomaly
+        |FROM (
+        |  SELECT *, CASE WHEN sd > 0
+        |    THEN floor((n - mu) / sd * 10000 + 0.5) / 10000.0
+        |    ELSE 0.0 END AS z
+        |  FROM scored) t
+        |ORDER BY user_id, window_start""".stripMargin,
     "st_windowed_topk" ->
       """WITH hourly AS (
         |  SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,

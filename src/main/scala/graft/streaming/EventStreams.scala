@@ -29,6 +29,18 @@ case class CdcState(lastUs: Long, lastEventId: Long, lastOp: String,
 case class CdcOut(user_id: Long, last_op: String, final_value: Double,
     last_ts_us: Long, n_ops: Long, deleted: Boolean)
 
+/** Per-user online anomaly state: the OPEN hour (start + running
+  * count) and the Welford aggregate (count / mean / M2) over every
+  * CLOSED hour so far. Welford is the numerically-stable one-pass
+  * mean/variance recurrence — exactly the state a 100 TB stream can
+  * afford: three doubles per key, independent of history length.
+  */
+case class AnomState(hourUs: Long, hourN: Long,
+    nClosed: Long, mean: Double, m2: Double)
+
+case class AnomOut(user_id: Long, window_start_us: Long, n: Long,
+    z_e4: Long, is_anomaly: Boolean)
+
 object EventStreams {
 
   /** File-based stream over an events parquet directory (the
@@ -323,6 +335,71 @@ object EventStreams {
         fs.create(marker, true).close()
       } finally { banded.unpersist(); () }
     }
+  }
+
+  /** STREAMING event-rate anomaly detection — the online variant of
+    * the batch z-score (StreamingTwins.stAnomaly): per-user
+    * flatMapGroupsWithState carries the open hour plus a WELFORD
+    * mean/variance aggregate over closed hours, and each hour is
+    * scored AS IT CLOSES against the user's history so far (the batch
+    * twin scores against the full corpus — the online op can only
+    * know the past; the spec replays the same online definition on the
+    * driver and requires exact agreement). z is quantized to e4 as an
+    * integer so the emission is engine/replay-stable; hours with <2
+    * closed predecessors or zero variance score 0. State is O(1) per
+    * key — five numbers — regardless of stream length, the property
+    * that makes per-entity anomaly detection viable on an unbounded
+    * stream. Assumes per-user event-time-ordered delivery (each batch
+    * is sorted; a production deployment fronts this with a watermark
+    * like [[tumblingCounts]] and routes stragglers like the
+    * lateness-audit twin).
+    */
+  def anomalyDetect(events: Dataset[Evt]): Dataset[AnomOut] = {
+    import events.sparkSession.implicits._
+
+    def hourUsOf(ts: Timestamp): Long = {
+      val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+      math.floorDiv(us, 3600000000L) * 3600000000L
+    }
+
+    def close(userId: Long, st: AnomState): (AnomOut, AnomState) = {
+      val z =
+        if (st.nClosed >= 2 && st.m2 > 0) {
+          val sd = math.sqrt(st.m2 / (st.nClosed - 1))
+          (st.hourN - st.mean) / sd
+        } else 0.0
+      val zE4 = math.floor(z * 10000 + 0.5).toLong
+      val out = AnomOut(userId, st.hourUs, st.hourN, zE4, math.abs(zE4) >= 20000L)
+      // Welford fold of the closed hour's count
+      val n1 = st.nClosed + 1
+      val delta = st.hourN - st.mean
+      val mean1 = st.mean + delta / n1
+      val m21 = st.m2 + delta * (st.hourN - mean1)
+      (out, AnomState(0L, 0L, n1, mean1, m21))
+    }
+
+    def fn(userId: Long, evts: Iterator[Evt],
+        state: GroupState[AnomState]): Iterator[AnomOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AnomOut]
+      var st = state.getOption
+      evts.toSeq.sortBy(e => (hourUsOf(e.ts), e.event_id)).foreach { e =>
+        val h = hourUsOf(e.ts)
+        st = Some(st match {
+          case None => AnomState(h, 1L, 0L, 0.0, 0.0)
+          case Some(s) if s.hourUs == h => s.copy(hourN = s.hourN + 1)
+          case Some(s) =>
+            val (o, folded) = close(userId, s)
+            out += o
+            folded.copy(hourUs = h, hourN = 1L)
+        })
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** STREAMING CDC apply — the incremental twin of

@@ -104,6 +104,52 @@ class EventStreamsSpec extends SparkTestBase {
       s"streamed=${streamed.size} batch=${batch.size} onlyStream=${(streamed -- batch).take(3)} onlyBatch=${(batch -- streamed).take(3)}")
   }
 
+  test("streaming anomalyDetect matches a driver replay of the online z-score") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evts = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.anomalyDetect(input.toDS())
+      .writeStream.format("memory").queryName("anom_out")
+      .outputMode("update").start()
+    val (b1, rest) = evts.splitAt(evts.length / 3)
+    val (b2, b3) = rest.splitAt(rest.length / 2)
+    Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val streamed = spark.table("anom_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("window_start_us"),
+        r.getAs[Long]("n"), r.getAs[Long]("z_e4"), r.getAs[Boolean]("is_anomaly")))
+      .toSet
+    // driver replay of the same online definition: per user, hours in
+    // order; each CLOSED hour scores against the Welford aggregate of
+    // the hours before it (the last, still-open hour never emits)
+    def hourUs(e: Evt): Long = {
+      val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
+      math.floorDiv(us, 3600000000L) * 3600000000L
+    }
+    val expected = evts.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+      val hours = es.groupBy(hourUs).toSeq.sortBy(_._1)
+        .map { case (h, hs) => (h, hs.length.toLong) }
+      var (nC, mean, m2) = (0L, 0.0, 0.0)
+      hours.dropRight(1).map { case (h, n) =>
+        val z = if (nC >= 2 && m2 > 0) (n - mean) / math.sqrt(m2 / (nC - 1)) else 0.0
+        val zE4 = math.floor(z * 10000 + 0.5).toLong
+        nC += 1
+        val delta = n - mean
+        mean += delta / nC
+        m2 += delta * (n - mean)
+        (uid, h, n, zE4, math.abs(zE4) >= 20000L)
+      }
+    }.toSet
+    assert(streamed == expected,
+      s"streamed=${streamed.size} expected=${expected.size} " +
+        s"onlyStream=${(streamed -- expected).take(3)} onlyExp=${(expected -- streamed).take(3)}")
+    // the corpus produces real flags and real state depth
+    assert(streamed.exists(_._5) && streamed.exists(!_._5))
+  }
+
   test("streaming cdcApply matches the batch etl_cdc_apply twin on real data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
