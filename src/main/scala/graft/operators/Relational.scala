@@ -332,8 +332,11 @@ object Relational {
         countDistinct(col("l_orderkey")).as("exact_orders"))
     val approx = li.groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
-    exact.join(approx, "l_returnflag")
-      .select(col("l_returnflag"), col("exact_parts"),
+    // null-SAFE key join: both sides carry identical group sets from
+    // the same source, but a plain inner join would drop a NULL-key
+    // group that the pre-split single aggregation kept
+    exact.join(approx, exact("l_returnflag") <=> approx("l_returnflag"))
+      .select(exact("l_returnflag"), col("exact_parts"),
         col("approx_parts"), col("exact_orders"))
       .orderBy(col("l_returnflag"))
       // HLL register-merge is order-insensitive so a re-execution would

@@ -20,6 +20,13 @@ import graft.sources.Tables
 object StreamingTwins {
   private type Q = (SparkSession, String) => DataFrame
 
+  /** Cross-engine-stable 4dp quantization — the repo-wide convention
+    * (see FundEtl.money2 / Relational.q4): round() on doubles is not
+    * engine-stable near boundaries.
+    */
+  private def q4(c: org.apache.spark.sql.Column) =
+    floor(c * 10000 + 0.5) / lit(10000.0)
+
   /** Event-time tumbling window aggregate — batch twin of the
     * watermarked streaming agg (same `window()` operator Structured
     * Streaming uses; keyed by (window, type), the natural shuffle key).
@@ -246,7 +253,6 @@ object StreamingTwins {
     * replays the same online definition exactly.
     */
   val stAnomaly: Q = (s, d) => {
-    def z4(c: org.apache.spark.sql.Column) = floor(c * 10000 + 0.5) / lit(10000.0)
     val byUser = Window.partitionBy(col("user_id"))
     Tables.events(s, d)
       .groupBy(col("user_id"),
@@ -256,10 +262,10 @@ object StreamingTwins {
       .withColumn("mu", avg(col("n")).over(byUser))
       .withColumn("sd", stddev_samp(col("n")).over(byUser))
       .withColumn("z",
-        when(col("sd") > 0, z4((col("n") - col("mu")) / col("sd")))
+        when(col("sd") > 0, q4((col("n") - col("mu")) / col("sd")))
           .otherwise(lit(0.0)))
       .select(col("user_id"), col("window_start"), col("n"),
-        z4(col("mu")).as("mean_n"), col("z").as("z_score"),
+        q4(col("mu")).as("mean_n"), col("z").as("z_score"),
         (abs(col("z")) >= 2.0).as("is_anomaly"))
       .orderBy(col("user_id"), col("window_start"))
   }

@@ -41,7 +41,19 @@ case class AnomState(hourUs: Long, hourN: Long,
 case class AnomOut(user_id: Long, window_start_us: Long, n: Long,
     z_e4: Long, is_anomaly: Boolean)
 
-object EventStreams {
+// Serializable: the flatMapGroupsWithState closures call the shared
+// microsOf and therefore capture this module; Spark ships the closure
+// to executors.
+object EventStreams extends Serializable {
+
+  // java.sql.Timestamp.getTime truncates to ms; recover full µs so
+  // streaming state carries the same event-time boundaries as the
+  // batch twins. ONE definition — sessionize, cdcApply, and
+  // anomalyDetect must agree on bucket/gap arithmetic or the
+  // pipelines silently diverge (the specs' driver replays stay
+  // independent copies on purpose).
+  private def microsOf(ts: Timestamp): Long =
+    math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
 
   /** File-based stream over an events parquet directory (the
     * production entry: statement drops land in a directory, the stream
@@ -349,18 +361,18 @@ object EventStreams {
     * closed predecessors or zero variance score 0. State is O(1) per
     * key — five numbers — regardless of stream length, the property
     * that makes per-entity anomaly detection viable on an unbounded
-    * stream. Assumes per-user event-time-ordered delivery (each batch
-    * is sorted; a production deployment fronts this with a watermark
-    * like [[tumblingCounts]] and routes stragglers like the
-    * lateness-audit twin).
+    * stream. Ordered delivery is ENFORCED, not assumed: each batch is
+    * sorted, and a cross-batch straggler for an already-closed hour is
+    * dropped (watermark semantics — spec-asserted) instead of
+    * corrupting the open hour; a production deployment fronts this
+    * with a watermark and routes the drops like the lateness-audit
+    * twin.
     */
   def anomalyDetect(events: Dataset[Evt]): Dataset[AnomOut] = {
     import events.sparkSession.implicits._
 
-    def hourUsOf(ts: Timestamp): Long = {
-      val us = math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-      math.floorDiv(us, 3600000000L) * 3600000000L
-    }
+    def hourUsOf(ts: Timestamp): Long =
+      math.floorDiv(microsOf(ts), 3600000000L) * 3600000000L
 
     def close(userId: Long, st: AnomState): (AnomOut, AnomState) = {
       val z =
@@ -387,6 +399,13 @@ object EventStreams {
         st = Some(st match {
           case None => AnomState(h, 1L, 0L, 0.0, 0.0)
           case Some(s) if s.hourUs == h => s.copy(hourN = s.hourN + 1)
+          // cross-batch straggler for an hour that already closed:
+          // DROP it (watermark semantics) rather than silently closing
+          // the open hour with a partial count and double-folding the
+          // Welford state — the ordered-delivery contract is enforced,
+          // not assumed. Production routes these like the
+          // lateness-audit twin.
+          case Some(s) if h < s.hourUs => s
           case Some(s) =>
             val (o, folded) = close(userId, s)
             out += o
@@ -417,9 +436,6 @@ object EventStreams {
   def cdcApply(events: Dataset[Evt]): Dataset[CdcOut] = {
     import events.sparkSession.implicits._
 
-    def micros(ts: Timestamp): Long =
-      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-
     def opOf(eventType: String): String = eventType match {
       case "signup" => "I"
       case "error" => "D"
@@ -429,7 +445,7 @@ object EventStreams {
     def fn(userId: Long, evts: Iterator[Evt], state: GroupState[CdcState]): Iterator[CdcOut] = {
       var cur = state.getOption
       evts.foreach { e =>
-        val us = micros(e.ts)
+        val us = microsOf(e.ts)
         val newer = cur.forall(s =>
           us > s.lastUs || (us == s.lastUs && e.event_id > s.lastEventId))
         cur = Some(cur match {
@@ -460,13 +476,8 @@ object EventStreams {
     import events.sparkSession.implicits._
     val gapUs = gapMinutes.toLong * 60L * 1000000L
 
-    // java.sql.Timestamp.getTime truncates to ms; recover full µs so
-    // streaming sessions carry the same boundaries as the batch twin.
-    def micros(ts: Timestamp): Long =
-      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
-
     def fn(userId: Long, evts: Iterator[Evt], state: GroupState[SessionState]): Iterator[SessionOut] = {
-      val sorted = evts.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+      val sorted = evts.toSeq.sortBy(e => (microsOf(e.ts), e.event_id))
       var closed = List.empty[SessionOut]
       var cur = state.getOption
       if (sorted.isEmpty) {
@@ -477,7 +488,7 @@ object EventStreams {
         }
       } else {
         sorted.foreach { e =>
-          val us = micros(e.ts)
+          val us = microsOf(e.ts)
           cur match {
             case Some(s) if us - s.lastUs <= gapUs =>
               cur = Some(SessionState(s.startUs, us, s.n + 1, s.total + e.value))

@@ -117,11 +117,18 @@ class EventStreamsSpec extends SparkTestBase {
     val (b1, rest) = evts.splitAt(evts.length / 3)
     val (b2, b3) = rest.splitAt(rest.length / 2)
     Seq(b1, b2, b3).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    // a cross-batch straggler for a long-closed hour must be DROPPED
+    // (watermark semantics), not close the open hour early or re-fold
+    // state — replayed duplicates/corruption would surface as extra or
+    // conflicting rows in the sorted-Seq comparison below
+    input.addData(evts.head.copy(event_id = 999999901L))
+    q.processAllAvailable()
     q.stop()
-    val streamed = spark.table("anom_out").collect()
+    def rows() = spark.table("anom_out").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("window_start_us"),
         r.getAs[Long]("n"), r.getAs[Long]("z_e4"), r.getAs[Boolean]("is_anomaly")))
-      .toSet
+      .toSeq.sorted
+    val streamed = rows()
     // driver replay of the same online definition: per user, hours in
     // order; each CLOSED hour scores against the Welford aggregate of
     // the hours before it (the last, still-open hour never emits)
@@ -142,10 +149,15 @@ class EventStreamsSpec extends SparkTestBase {
         m2 += delta * (n - mean)
         (uid, h, n, zE4, math.abs(zE4) >= 20000L)
       }
-    }.toSet
+    }.toSeq.sorted
+    // sorted-Seq equality (NOT sets): an exactly-duplicated emission —
+    // the failure mode of a replayed batch or a mishandled straggler —
+    // must fail the comparison, and exactly-once-per-closed-hour is
+    // the contract under test
     assert(streamed == expected,
       s"streamed=${streamed.size} expected=${expected.size} " +
-        s"onlyStream=${(streamed -- expected).take(3)} onlyExp=${(expected -- streamed).take(3)}")
+        s"onlyStream=${(streamed.toSet -- expected.toSet).take(3)} " +
+        s"onlyExp=${(expected.toSet -- streamed.toSet).take(3)}")
     // the corpus produces real flags and real state depth
     assert(streamed.exists(_._5) && streamed.exists(!_._5))
   }
