@@ -106,6 +106,31 @@ class SourcesSpec extends SparkTestBase {
       s"ORC scan should push the filter:\n$scan")
   }
 
+  test("schema evolution: mergeSchema unions v1/v2 parquet, null-fills old rows") {
+    // the production reality of a long-lived dataset: files written
+    // before a column existed coexist with files written after. The
+    // reader must surface the union schema with nulls for pre-schema
+    // rows — and pruning a v2-only column must not break v1 files.
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "name")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 0.5), (4L, "d", 0.9)).toDF("id", "name", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.sorted.toSeq == Seq("id", "name", "score"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.length == 4)
+    assert(rows.take(2).forall(_.isNullAt(2)), "v1 rows must null-fill score")
+    assert(rows.drop(2).forall(!_.isNullAt(2)))
+    // filtering on the evolved column still pushes down and v1 files
+    // simply contribute no rows (null never passes the predicate)
+    val filtered = merged.filter(col("score") > 0.7)
+    assert(filtered.count() == 1)
+    assert(filtered.queryExecution.executedPlan.toString.contains("PushedFilters: ["),
+      "evolved-column filter should still reach the scan")
+  }
+
   test("graft_cosine is callable from SQL via extensions") {
     Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
     val rows = spark.sql(
