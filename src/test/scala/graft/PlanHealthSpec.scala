@@ -48,6 +48,39 @@ class PlanHealthSpec extends SparkTestBase {
       s"every e2e join must broadcast (rules + dict are tiny):\n$plan")
   }
 
+  test("dd_semantic: the within-cluster self-join is an equi join, assignment broadcasts") {
+    // the Σ cluster² bound rests on the self-join keying on cent_id —
+    // if the equi component ever fell out of the condition, Spark
+    // would plan a nested-loop over vectors² and the operator's whole
+    // scale story would be silently gone
+    val plan = planOf("dd_semantic")
+    // the semi self-join must be a HASH-family join (broadcast at tiny
+    // SF, shuffled/sort-merge at scale — all key on cent_id); a nested
+    // loop here means the equi component fell out
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*LeftSemi".r
+        .findFirstIn(plan).isDefined,
+      s"dd_semantic self-join must key on cent_id (hash-family equi join):\n$plan")
+    assert(!"BroadcastNestedLoopJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
+      s"dd_semantic self-join degenerated to a nested loop:\n$plan")
+    // the centroid assignment is the one legitimate nested loop (a
+    // bounded broadcast cross against the centroid table)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"dd_semantic centroid assignment must broadcast:\n$plan")
+  }
+
+  test("tx_decontaminate_bloom: the bloom gate filters BELOW the shingle join") {
+    // the operator exists to prune the corpus stream before any join;
+    // the probe must appear as a Filter(might_contain) in the plan,
+    // not vanish into (or float above) the join
+    val plan = planOf("tx_decontaminate_bloom")
+    assert(plan.toLowerCase.contains("might_contain"),
+      s"bloom probe missing from the physical plan:\n$plan")
+    val gateIdx = plan.toLowerCase.indexOf("might_contain")
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    assert(joinIdx >= 0 && gateIdx > joinIdx,
+      s"bloom gate should sit below (print after) the join it feeds:\n$plan")
+  }
+
   test("narrow projections prune the scan schema") {
     val plan = planOf("q02_filter_project")
     // q02 reads 3 output columns + 3 filter columns; the full lineitem
