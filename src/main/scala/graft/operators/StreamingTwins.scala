@@ -185,7 +185,7 @@ object StreamingTwins {
         // zero guard: a slice with no 'view' events must produce a
         // defined 0.0, not Infinity/NaN (the oracle mirrors the CASE)
         when(col("n_first") > 0,
-          floor(col("n_users") / col("n_first") * 10000 + 0.5) / 10000.0)
+          q4(col("n_users") / col("n_first")))
           .otherwise(0.0).as("conv_from_first"))
       .orderBy(col("stage"))
   }

@@ -124,11 +124,10 @@ class EventStreamsSpec extends SparkTestBase {
     input.addData(evts.head.copy(event_id = 999999901L))
     q.processAllAvailable()
     q.stop()
-    def rows() = spark.table("anom_out").collect()
+    val streamed = spark.table("anom_out").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("window_start_us"),
         r.getAs[Long]("n"), r.getAs[Long]("z_e4"), r.getAs[Boolean]("is_anomaly")))
       .toSeq.sorted
-    val streamed = rows()
     // driver replay of the same online definition: per user, hours in
     // order; each CLOSED hour scores against the Welford aggregate of
     // the hours before it (the last, still-open hour never emits)

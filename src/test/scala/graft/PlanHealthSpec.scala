@@ -57,7 +57,7 @@ class PlanHealthSpec extends SparkTestBase {
     // the semi self-join must be a HASH-family join (broadcast at tiny
     // SF, shuffled/sort-merge at scale — all key on cent_id); a nested
     // loop here means the equi component fell out
-    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin).*LeftSemi".r
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[cent_id[^\\]]*\\].*LeftSemi".r
         .findFirstIn(plan).isDefined,
       s"dd_semantic self-join must key on cent_id (hash-family equi join):\n$plan")
     assert(!"BroadcastNestedLoopJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
