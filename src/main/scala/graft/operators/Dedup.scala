@@ -515,12 +515,16 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    var edges = canon(pairs.select(col("doc_a").as("a"), col("doc_b").as("b")))
-      .localCheckpoint()
+    val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    var edges = canon(raw).localCheckpoint()
     // all nodes that ever appeared — label extraction must cover nodes
-    // that end as roots (they have no outgoing edge at the fixpoint)
-    val allNodes = edges.select(col("a").as("node"))
-      .unionAll(edges.select(col("b").as("node"))).distinct().localCheckpoint()
+    // that end as roots (no outgoing edge at the fixpoint). Derived
+    // from the RAW pairs, before canon drops self-loops: a node that
+    // appears only as (x, x) must still be labelled x, matching the
+    // driver union-find branch — the router's "labels identical by
+    // construction" contract holds on degenerate input too.
+    val allNodes = raw.select(col("a").as("node"))
+      .unionAll(raw.select(col("b").as("node"))).distinct().localCheckpoint()
     // large-star over the undirected view: m(u) = min(N(u) ∪ {u});
     // emit (v, m(u)) for v ∈ N(u), v > u. Output stays canonical:
     // m(u) ≤ u < v.

@@ -578,12 +578,16 @@ object FundEtl {
   /** The OCR gate + stub decode as ONE shared projection — etl_ocr_route
     * and etl_e2e route through the same expressions (and their oracles
     * through the same SQL snippet), so a gate fix can never reach one
-    * pipeline and miss the other. decode_rank orders canonical-row
-    * selection downstream: an undecoded original (0) beats an OCR
-    * decode (1) beats a container decode (2).
+    * pipeline and miss the other. The gate keys on the scanner's OWN
+    * header (the generator stamps every scanned page SCANNED_IMAGE_V1)
+    * rather than a heuristic over the text layer — a legitimate plain
+    * statement that happens to lack the full-width label colon must
+    * NOT be silently unhex'd into null content. decode_rank orders
+    * canonical-row selection downstream: an undecoded original (0)
+    * beats an OCR decode (1) beats a container decode (2).
     */
   private[graft] def ocrRouted(files: DataFrame): DataFrame = files
-    .withColumn("ocr_used", !col("content").contains("："))
+    .withColumn("ocr_used", col("content").startsWith("SCANNED_IMAGE_V1"))
     .withColumn("content",
       when(col("ocr_used"),
         unhex(element_at(split(col("content"), "\n"), 2)).cast("string"))
@@ -648,8 +652,15 @@ object FundEtl {
       classifyStatements(s, texts.unionByName(containers)),
       extra = Seq("content", "decode_rank"))
     val byHash = Window.partitionBy(col("text_hash"))
+    // FAILED decodes are exempt from the dedup window: every corrupt
+    // container decodes to content='' (and an invalid scan payload to
+    // null), so hashing the content would collapse DISTINCT failed
+    // files onto one survivor — the reference tracks failed PDFs
+    // per-file. Keying those rows on file_name keeps one output row
+    // per unparseable input.
     extracted
-      .withColumn("text_hash", md5(col("content")))
+      .withColumn("text_hash",
+        md5(coalesce(nullif(col("content"), lit("")), col("file_name"))))
       .withColumn("rn",
         row_number().over(byHash.orderBy(col("decode_rank"), col("file_name"))))
       .withColumn("n_sources", count(lit(1)).over(byHash))
@@ -825,10 +836,12 @@ object FundEtl {
     * Scala projection. */
   private def ocrRouteSql(from: String): String =
     s"""SELECT file_name, batch_date,
-       |    NOT contains(content, '：') AS ocr_used,
-       |    CASE WHEN contains(content, '：') THEN content
-       |         ELSE decode(unhex(string_split(content, chr(10))[2])) END AS content,
-       |    CASE WHEN contains(content, '：') THEN 0 ELSE 1 END AS decode_rank
+       |    starts_with(content, 'SCANNED_IMAGE_V1') AS ocr_used,
+       |    CASE WHEN starts_with(content, 'SCANNED_IMAGE_V1')
+       |         THEN decode(unhex(string_split(content, chr(10))[2]))
+       |         ELSE content END AS content,
+       |    CASE WHEN starts_with(content, 'SCANNED_IMAGE_V1') THEN 1 ELSE 0
+       |    END AS decode_rank
        |  FROM $from""".stripMargin
 
   /** SQL twin of [[containerDecoded]], shared the same way. */
@@ -900,9 +913,9 @@ object FundEtl {
         Seq("content", "decode_rank"))},
          |dedup AS (
          |  SELECT *,
-         |    row_number() OVER (PARTITION BY md5(content)
+         |    row_number() OVER (PARTITION BY md5(coalesce(nullif(content, ''), file_name))
          |                       ORDER BY decode_rank, file_name) AS rn,
-         |    count(*) OVER (PARTITION BY md5(content)) AS n_sources
+         |    count(*) OVER (PARTITION BY md5(coalesce(nullif(content, ''), file_name))) AS n_sources
          |  FROM enriched)
          |SELECT ledger_id, fund_code, 'OTC' AS market, trade_date, biz_type,
          |  shares, amount, fee,
@@ -910,7 +923,7 @@ object FundEtl {
          |  platform AS counterparty,
          |  'CA' || coalesce(fund_code, '000000') AS cash_account,
          |  CASE WHEN biz_type = 'RED' THEN
-         |    strftime(strptime(trade_date, '%Y%m%d') + INTERVAL 3 DAY, '%Y%m%d')
+         |    strftime(try_strptime(trade_date, '%Y%m%d') + INTERVAL 3 DAY, '%Y%m%d')
          |  END AS arrival_date,
          |  'H' || coalesce(fund_code, '000000') AS holder_account,
          |  substr(coalesce(fund_code, '000000'), 3, 4) AS seat_no,

@@ -241,11 +241,16 @@ object StreamingTwins {
     * hours; |z| ≥ 2 on the quantized score flags the window. Two
     * shuffles — the (user, hour) count aggregation, then the per-user
     * window for mean/stddev (at 100 TB both key on user_id, so AQE
-    * coalesces them into co-partitioned stages). The flag compares the
-    * QUANTIZED z so both engines threshold the same value — raw
-    * stddev doubles can differ in the last ulp across engines. Users
-    * with a single active hour have no sample stddev: z is defined 0
-    * (never anomalous), mirrored in the oracle. The true-streaming
+    * coalesces them into co-partitioned stages). Engine stability is
+    * PROVABLE, not probable: the inputs are integer counts, so the
+    * window computes exact integer sums (N, Σn, Σn² — order-
+    * independent) and derives mean and sample stddev as single IEEE
+    * double ops over those exactly-representable integers; every
+    * engine's correctly-rounded `/` and `sqrt` then yields the SAME
+    * bits, unlike a streamed stddev_samp whose accumulation order can
+    * flip the quantized z at a floor boundary. Users with a single
+    * active hour have no sample stddev: z is defined 0 (never
+    * anomalous), mirrored in the oracle. The true-streaming
     * analog (graft.streaming.EventStreams.anomalyDetect) keeps
     * per-user Welford state in flatMapGroupsWithState and scores each
     * hour AS IT CLOSES against the history so far — the online variant
@@ -259,8 +264,15 @@ object StreamingTwins {
         date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss")
           .as("window_start"))
       .agg(count(lit(1)).as("n"))
-      .withColumn("mu", avg(col("n")).over(byUser))
-      .withColumn("sd", stddev_samp(col("n")).over(byUser))
+      .withColumn("cnt", count(lit(1)).over(byUser))
+      .withColumn("s1", sum(col("n")).over(byUser))
+      .withColumn("s2", sum(col("n") * col("n")).over(byUser))
+      .withColumn("mu", col("s1").cast("double") / col("cnt"))
+      .withColumn("sd",
+        when(col("cnt") > 1,
+          sqrt((col("cnt") * col("s2") - col("s1") * col("s1")).cast("double") /
+            (col("cnt") * (col("cnt") - 1))))
+          .otherwise(lit(0.0)))
       .withColumn("z",
         when(col("sd") > 0, q4((col("n") - col("mu")) / col("sd")))
           .otherwise(lit(0.0)))
@@ -291,9 +303,16 @@ object StreamingTwins {
         |  FROM events GROUP BY 1, 2),
         |scored AS (
         |  SELECT user_id, window_start, CAST(n AS BIGINT) AS n,
-        |    avg(n) OVER (PARTITION BY user_id) AS mu,
-        |    stddev_samp(n) OVER (PARTITION BY user_id) AS sd
-        |  FROM hourly)
+        |    count(*) OVER w AS cnt,
+        |    sum(n) OVER w AS s1,
+        |    sum(n * n) OVER w AS s2
+        |  FROM hourly WINDOW w AS (PARTITION BY user_id)),
+        |stat AS (
+        |  SELECT *, CAST(s1 AS DOUBLE) / cnt AS mu,
+        |    CASE WHEN cnt > 1
+        |      THEN sqrt(CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * (cnt - 1)))
+        |      ELSE 0.0 END AS sd
+        |  FROM scored)
         |SELECT user_id, window_start, n,
         |  floor(mu * 10000 + 0.5) / 10000.0 AS mean_n,
         |  z AS z_score,
@@ -302,7 +321,7 @@ object StreamingTwins {
         |  SELECT *, CASE WHEN sd > 0
         |    THEN floor((n - mu) / sd * 10000 + 0.5) / 10000.0
         |    ELSE 0.0 END AS z
-        |  FROM scored) t
+        |  FROM stat) t
         |ORDER BY user_id, window_start""".stripMargin,
     "st_windowed_topk" ->
       """WITH hourly AS (
