@@ -267,41 +267,74 @@ object Dedup {
   private[graft] def semanticK(n: Long): Int =
     math.max(16L, (n + 511) / 512).toInt
 
+  /** Coarse level of [[ddSemantic]]'s two-level quantizer: ⌈√k⌉
+    * coarse cells over the k fine centroids. With k ∝ n, a FLAT
+    * n·k assignment is n²/512 — the quadratic that only shows past
+    * local scale — while two levels cost n·(√k + k/√k) = 2n√k ≈
+    * n^1.5/11: each vector scores ⌈√k⌉ coarse centroids map-only,
+    * then only the ~√k fine children of its coarse cell. Only the
+    * coarse table ever reaches the driver (√(n/512) rows — ~1.4k at
+    * 10⁹ vectors, vs 2M for the flat collect); the fine table stays
+    * a DataFrame end to end.
+    */
+  private[graft] def semanticCoarseK(k: Int): Int =
+    math.ceil(math.sqrt(k.toDouble)).toInt
+
   /** SEMANTIC dedup — the SemDeDup shape (cluster the embedding space,
     * then drop near-identical neighbors within each cluster; Abbas et
-    * al. 2023): list assignment via the SAME deterministic coarse
-    * quantizer shape as ann_ivf_topk (the first [[semanticK]] corpus
-    * rows — DuckDB rebuilds them from the parquet, so the whole
+    * al. 2023): list assignment via a deterministic TWO-LEVEL
+    * quantizer (the ann_ivf_pq composition — coarse cell first, then
+    * argmax among that cell's fine children; both levels are corpus
+    * prefixes, so DuckDB rebuilds them from the parquet and the whole
     * operator carries a full oracle), then a vector is DROPPED iff a
     * lower-id cluster-mate sits at cosine ≥ τ — the greedy keep-first
     * contract: well-defined without transitive closure, and
-    * expressible as one EXISTS self-join in SQL. Scale shape:
-    * assignment is a broadcast join against the centroid table with a
-    * map-side-collapsing argmax (the exchange carries one row per
-    * vector); the heavy shuffle is the within-cluster self-join, so
-    * pair volume is Σ cluster², never corpus² — and k grows with the
-    * corpus ([[semanticK]]) to hold occupancy flat, exactly why
-    * SemDeDup clusters before comparing. τ = 0.3 aligns with
+    * expressible as one EXISTS self-join in SQL. Scale shape: with
+    * k ∝ n ([[semanticK]] holds occupancy flat so the within-cluster
+    * pair volume stays Σ cluster² ≈ 512·n), a flat n·k assignment is
+    * the quadratic that breaks at 100 TB; the two-level assignment
+    * ([[semanticCoarseK]]) is 2n√k cosines, the coarse stage is
+    * map-only against a √k-row broadcast, and the fine stage joins on
+    * coarse_id — co-partitionable at scale, broadcast at harness SF.
+    * A vector lands in its coarse cell's best fine centroid (IVF
+    * semantics: per-level greedy, not the global argmax) — the oracle
+    * mirrors the same two windows. τ = 0.3 aligns with
     * dd_embed_cosine's near-dup threshold on this corpus.
     */
   val ddSemantic: Q = (s, d) => {
     val tau = 0.3
     import s.implicits._
-    val cents = Similarity.fixedCentroids(s, d,
-      semanticK(Tables.embeddings(s, d).count()))
+    val k = semanticK(Tables.embeddings(s, d).count())
+    val kc = semanticCoarseK(k)
+    // Coarse centroids: first kc corpus vectors — the only table that
+    // reaches the driver. Fine centroids: first k corpus vectors,
+    // NEVER collected; each fine centroid joins its own coarse cell by
+    // the same argmax (a fine centroid that is also a coarse centroid
+    // lands in its own cell — cos(x,x)=1 wins every argmax).
+    val coarseDf = broadcast(
+      Similarity.fixedCentroids(s, d, kc).toDF("coarse_id", "co_emb"))
+    def toCell(df: DataFrame, idCol: String, embCol: String): DataFrame = df
+      .crossJoin(coarseDf)
+      .withColumn("sim", cosineSim(col(embCol), col("co_emb")))
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol),
+        max(struct(col("sim").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
+      .select(col(idCol), col(embCol), (-col("m.nc")).as("coarse_id"))
+    val fine = toCell(
+      Tables.embeddings(s, d).filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
+      "cent_id", "c_emb")
     // Assignment as broadcast-join + partial-agg argmax rather than the
-    // k-cosine literal-array expression the IVF family uses: at k=16
-    // both are fine, but semanticK grows k with the corpus and the
+    // k-cosine literal-array expression the IVF family uses: the
     // literal argmax degrades once the expression tree outgrows
     // codegen (measured 35s for the k=98 assignment at 25× vs ~3s for
     // this shape). One small codegen'd cosine per (vector, centroid)
-    // row; max(struct(sim, -cent_id)) keeps the lowest centroid on
-    // exact ties (the oracle's sim DESC, cent_id ASC window); the
-    // map-side partial agg collapses each vector's k rows before the
-    // shuffle, so the exchange carries one row per vector.
-    val centsDf = broadcast(cents.toDF("cent_id", "c_emb"))
-    val assigned = Tables.embeddings(s, d)
-      .crossJoin(centsDf)
+    // row; max(struct(sim, -id)) keeps the lowest id on exact ties
+    // (the oracle's sim DESC, id ASC window); the map-side partial agg
+    // collapses each vector's candidate rows before any exchange, so
+    // the shuffles carry one row per vector.
+    val assigned = toCell(Tables.embeddings(s, d), "vec_id", "embedding")
+      .join(fine, "coarse_id")
       .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
       .groupBy(col("vec_id"))
       .agg(first(col("embedding")).as("embedding"),
@@ -763,17 +796,33 @@ object Dedup {
 
   val oracles: Map[String, String] = Map(
     "dd_semantic" ->
-      """WITH cents AS (
-        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
-        |  FROM embeddings
-        |  WHERE vec_id < (SELECT greatest(16, CAST(ceil(count(*) / 512.0) AS BIGINT))
-        |                  FROM embeddings)),
+      """WITH params AS (
+        |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (
+        |    SELECT greatest(16, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS k
+        |    FROM embeddings) t),
+        |coarse AS (
+        |  SELECT vec_id AS coarse_id, CAST(embedding AS DOUBLE[]) AS co_emb
+        |  FROM embeddings WHERE vec_id < (SELECT kc FROM params)),
+        |fine AS (
+        |  SELECT cent_id, c_emb, coarse_id FROM (
+        |    SELECT f.vec_id AS cent_id, CAST(f.embedding AS DOUBLE[]) AS c_emb,
+        |      c.coarse_id,
+        |      row_number() OVER (PARTITION BY f.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(f.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM embeddings f CROSS JOIN coarse c
+        |    WHERE f.vec_id < (SELECT k FROM params)) t WHERE rn = 1),
+        |cell AS (
+        |  SELECT vec_id, emb, coarse_id FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.coarse_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM embeddings e CROSS JOIN coarse c) t WHERE rn = 1),
         |assigned AS (
         |  SELECT vec_id, emb, cent_id FROM (
-        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.cent_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
-        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |    SELECT a.vec_id, a.emb, f.cent_id,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.emb, f.c_emb) DESC, f.cent_id) AS rn
+        |    FROM cell a JOIN fine f ON a.coarse_id = f.coarse_id) t WHERE rn = 1),
         |dropped AS (
         |  SELECT DISTINCT a.vec_id
         |  FROM assigned a JOIN assigned b

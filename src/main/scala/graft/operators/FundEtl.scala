@@ -625,6 +625,42 @@ object FundEtl {
       .orderBy(col("file_name"))
   }
 
+  private[graft] val statementsRealDir = "/root/repo/data/statements_real"
+
+  /** REAL PDF ingest — etl_pdf_decode's stub codec replaced with the
+    * actual format (`conversion_extractor.py:253` pdfplumber.open):
+    * the committed corpus under data/statements_real is true minimal
+    * PDF 1.4 (xref table, catalog/page objects, FlateDecode and
+    * uncompressed content streams, literal/hex/TJ string forms) and
+    * [[graft.functions.PdfCodec]] decodes the text layer JDK-only —
+    * xref-free stream scan, `java.util.zip.Inflater`, Tj/TJ/'/" —
+    * inside whole-stage codegen, then feeds the SAME classify →
+    * extract → enrich chain as every other front door. Failure
+    * tracking mirrors the reference's per-file failed-PDF list: bad
+    * magic → pdf_ok=false, a corrupted Flate payload decodes to ""
+    * and falls out as valid=false. The decoded text rides through to
+    * the output, so the oracle (which reads the SIDECAR expected-text
+    * table the corpus generator derived from the source statements,
+    * never from this codec) pins the decode BYTE-EXACTLY, not just
+    * the fields extracted from it.
+    */
+  val etlPdfText: Q = (s, _) => {
+    val files = s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .option("recursiveFileLookup", "true")
+      .load(statementsRealDir)
+      .select(col("path"), col("content"))
+      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+      .withColumn("text", graft.functions.PdfFunctions.pdfText(col("content")))
+      .withColumn("pdf_ok", col("text").isNotNull)
+      .withColumn("content", coalesce(col("text"), lit("")))
+      .drop("text", "path")
+    extractStatementFields(s, classifyStatements(s, files),
+      extra = Seq("pdf_ok", "content"))
+      .orderBy(col("file_name"))
+  }
+
   /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:
     * every input shape (plain text statements, scanned images through
     * the OCR-stub route, binary containers through the codec) decodes
@@ -749,6 +785,7 @@ object FundEtl {
     "etl_ingest_files" -> etlIngestFiles,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_pdf_decode" -> etlPdfDecode,
+    "etl_pdf_text" -> etlPdfText,
     "etl_e2e" -> etlE2e,
     "etl_rules_classify" -> etlRulesClassify,
     "etl_variant_shred" -> etlVariantShred,
@@ -883,6 +920,11 @@ object FundEtl {
          |                  '$statementsScanDir/*/*.txt'])),
          |files AS (
          |  ${ocrRouteSql("raw")})""".stripMargin, extra = Seq("ocr_used")),
+    "etl_pdf_text" -> ingestOracleSql(
+      s"""files AS (
+         |  SELECT file_name, batch_date, content, pdf_ok
+         |  FROM read_parquet('$statementsRealDir/expected.parquet'))""".stripMargin,
+      extra = Seq("pdf_ok", "content")),
     "etl_pdf_decode" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

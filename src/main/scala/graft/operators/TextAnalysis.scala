@@ -296,11 +296,25 @@ object TextAnalysis {
     * probability is quantized to ppm BEFORE aggregation, so sums and
     * integer-division averages are exact in any execution order and
     * any engine (float log-sums are not; a real deployment swaps in a
-    * trained LM, same plan: broadcast model, map-side scoring). The
-    * model join keys on the bigram; at corpus scale the model table is
-    * df-prunable exactly like tx_df_prune's vocabulary, and a pruned
-    * model is broadcast-size — here AQE picks the broadcast side on
-    * its own.
+    * trained LM, same plan: broadcast model, map-side scoring).
+    *
+    * THE MODEL IS DF-PRUNED AND BROADCAST — the scoring join must
+    * never shuffle the exploded bigram stream: its key is Zipf-skewed
+    * ("of the"-class bigrams land on single reducers at corpus scale)
+    * and the raw model grows with the vocabulary, so a shuffled join
+    * is the plan that dies at 100 TB. The prune threshold
+    * T = max(2, Σc12 / 10⁶) bounds the model AT ≤ 10⁶ ROWS BY
+    * CONSTRUCTION (at most Σc/T types can have count ≥ T), so the
+    * model is broadcast-size at ANY corpus size and the scoring join
+    * is a map-only BroadcastHashJoin — skew vanishes because nothing
+    * shuffles on the bigram key. Bigrams outside the pruned model
+    * score the OOV floor p = 1 ppm (maximally surprising), via a left
+    * join + coalesce, so every ≥2-token document keeps exactly its
+    * n_bigrams and its output row. Probabilities stay TRUE conditional
+    * counts c12/c1 — pruning selects which rows ship, it never alters
+    * a surviving probability. Model TRAINING still shuffles, but only
+    * bigram TYPES (two partial-aggregating groupBys), never the
+    * per-document stream.
     */
   val txLmScore: Q = (s, d) => {
     val bigrams = Tables.documents(s, d)
@@ -320,15 +334,18 @@ object TextAnalysis {
     val bgCounts = bigrams.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c12"))
     val w1Counts = bgCounts.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val model = bgCounts.join(w1Counts, "w1")
+    val total = bgCounts.agg(sum(col("c12")).as("n_total"))
+    val model = bgCounts.crossJoin(broadcast(total))
+      .filter(col("c12") >= greatest(lit(2L), expr("n_total div 1000000")))
+      .join(w1Counts, "w1")
       .withColumn("p_e6",
         floor(col("c12") * 1000000.0 / col("c1") + 0.5).cast("long"))
       .select(col("w1"), col("w2"), col("p_e6"))
-    bigrams.join(model, Seq("w1", "w2"))
+    bigrams.join(broadcast(model), Seq("w1", "w2"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("p_e6")).as("sum_p"),
-        min(col("p_e6")).as("min_p_e6"))
+        sum(coalesce(col("p_e6"), lit(1L))).as("sum_p"),
+        min(coalesce(col("p_e6"), lit(1L))).as("min_p_e6"))
       .select(col("doc_id"), col("n_bigrams"),
         expr("sum_p div n_bigrams").as("avg_p_e6"), col("min_p_e6"))
       .orderBy(col("doc_id"))
@@ -519,14 +536,16 @@ object TextAnalysis {
         |  FROM toks WHERE len(t) >= 2),
         |bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
         |w1c AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY 1),
+        |tot AS (SELECT sum(c12) AS n_total FROM bgc),
         |model AS (
         |  SELECT b.w1, b.w2,
         |    CAST(floor(b.c12 * 1000000.0 / w.c1 + 0.5) AS BIGINT) AS p_e6
-        |  FROM bgc b JOIN w1c w USING (w1))
+        |  FROM bgc b JOIN w1c w USING (w1) CROSS JOIN tot
+        |  WHERE b.c12 >= greatest(2, n_total // 1000000))
         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
-        |  CAST(sum(p_e6) // count(*) AS BIGINT) AS avg_p_e6,
-        |  CAST(min(p_e6) AS BIGINT) AS min_p_e6
-        |FROM bg JOIN model USING (w1, w2)
+        |  CAST(sum(coalesce(p_e6, 1)) // count(*) AS BIGINT) AS avg_p_e6,
+        |  CAST(min(coalesce(p_e6, 1)) AS BIGINT) AS min_p_e6
+        |FROM bg LEFT JOIN model USING (w1, w2)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_df_prune" ->
       """WITH toks AS (

@@ -337,14 +337,24 @@ class OperatorsSpec extends SparkTestBase {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val k = operators.Dedup.semanticK(vecs.length.toLong)
-    val cents = vecs.filter(_._1 < k)
+    val kc = operators.Dedup.semanticCoarseK(k)
+    // two-level greedy assignment: coarse cell first, then argmax among
+    // that cell's fine children — IVF semantics, NOT the global argmax
+    val coarse = vecs.filter(_._1 < kc)
+    def argmax(cands: Seq[(Long, Array[Double])], v: Array[Double]): Long =
+      cands.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1
+    val fineByCell = vecs.filter(_._1 < k)
+      .groupBy { case (_, c) => argmax(coarse, c) }
     val assign = vecs.map { case (id, v) =>
-      (id, cents.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1, v)
+      (id, argmax(fineByCell(argmax(coarse, v)), v), v)
     }
     // the cluster-count lever: fixed at the floor on the committed SFs,
-    // growing linearly past 16·512 vectors so occupancy stays bounded
-    assert(k == 16 && operators.Dedup.semanticK(50000) == 98 &&
-      operators.Dedup.semanticK(1L << 30) == (1 << 30) / 512)
+    // growing linearly past 16·512 vectors so occupancy stays bounded —
+    // and the coarse level as its square root, so assignment work per
+    // vector is O(√k) at every corpus size
+    assert(k == 16 && kc == 4 && operators.Dedup.semanticK(50000) == 98 &&
+      operators.Dedup.semanticK(1L << 30) == (1 << 30) / 512 &&
+      operators.Dedup.semanticCoarseK((1 << 30) / 512) == 1449)
     val byCluster = assign.groupBy(_._2)
     val expected = assign.map { case (id, cid, v) =>
       val hasMate = byCluster(cid).exists { case (oid, _, ov) =>
@@ -371,15 +381,21 @@ class OperatorsSpec extends SparkTestBase {
     }
     val c12 = bigrams.groupBy(_._2).map { case (k, v) => (k, v.size.toLong) }
     val c1 = c12.groupBy(_._1._1).map { case (w, m) => (w, m.values.sum) }
-    val p = c12.map { case ((w1, w2), c) =>
+    // the df-pruned model: threshold max(2, total/1e6) caps it at 1e6
+    // rows; anything pruned scores the OOV floor p = 1 ppm
+    val threshold = math.max(2L, c12.values.sum / 1000000L)
+    val p = c12.collect { case ((w1, w2), c) if c >= threshold =>
       ((w1, w2), math.floor(c * 1000000.0 / c1(w1) + 0.5).toLong)
     }
     val expected = bigrams.groupBy(_._1).map { case (id, bs) =>
-      val ps = bs.map(b => p(b._2))
+      val ps = bs.map(b => p.getOrElse(b._2, 1L))
       (id, bs.size.toLong, ps.sum / bs.size, ps.min)
     }.toSeq.sortBy(_._1)
     assert(out.toSeq == expected)
     assert(out.nonEmpty)
+    // the prune does real work on this corpus: some bigrams are hapax
+    // (score the floor) and some survive (score their true conditional)
+    assert(p.nonEmpty && p.size < c12.size)
   }
 
   test("tx_decontaminate_bloom: equals the exact join; the gate prunes the shingle stream") {

@@ -62,10 +62,17 @@ class PlanHealthSpec extends SparkTestBase {
       s"dd_semantic self-join must key on cent_id (hash-family equi join):\n$plan")
     assert(!"BroadcastNestedLoopJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
       s"dd_semantic self-join degenerated to a nested loop:\n$plan")
-    // the centroid assignment is the one legitimate nested loop (a
-    // bounded broadcast cross against the centroid table)
+    // the coarse-level assignment is the one legitimate nested loop (a
+    // bounded broadcast cross against the √k-row coarse table)
     assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"dd_semantic centroid assignment must broadcast:\n$plan")
+      s"dd_semantic coarse assignment must broadcast:\n$plan")
+    // the fine level must join on coarse_id (hash family — broadcast
+    // at harness SF, co-partitioned at scale), never cross the full
+    // fine-centroid table: a cross here is the n·k flat assignment
+    // the two-level quantizer exists to avoid
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[coarse_id".r
+        .findFirstIn(plan).isDefined,
+      s"dd_semantic fine assignment must equi-join on coarse_id:\n$plan")
   }
 
   test("tx_decontaminate_bloom: the bloom gate filters BELOW the shingle join") {
@@ -79,6 +86,19 @@ class PlanHealthSpec extends SparkTestBase {
     val joinIdx = plan.indexOf("BroadcastHashJoin")
     assert(joinIdx >= 0 && gateIdx > joinIdx,
       s"bloom gate should sit below (print after) the join it feeds:\n$plan")
+  }
+
+  test("tx_lm_score: the scoring join broadcasts the pruned model") {
+    // the exploded bigram stream is Zipf-skewed on (w1, w2); the whole
+    // design rests on the pruned (≤1M-row by construction) model
+    // broadcasting so scoring is map-only. A SortMergeJoin against the
+    // per-document stream means the prune-or-broadcast fell out and
+    // the operator is back to the plan that dies at 100 TB.
+    val plan = planOf("tx_lm_score")
+    assert("BroadcastHashJoin \\[w1[^\\]]*w2[^\\]]*\\].*LeftOuter".r.findFirstIn(plan).isDefined,
+      s"tx_lm_score scoring join must be a broadcast left join on (w1, w2):\n$plan")
+    assert(!plan.contains("SortMergeJoin [w1"),
+      s"tx_lm_score must never shuffle the exploded bigram stream:\n$plan")
   }
 
   test("narrow projections prune the scan schema") {
