@@ -15,6 +15,17 @@ object Bench {
     "dd_exact", "dd_minhash_lsh", "ann_brute_topk",
     "tx_clean_corpus", "st_sessionize")
 
+  /** Operators whose SEMANTICS changed this round: their bench deltas
+    * vs the prior round are operator changes, not perf regressions
+    * (the q22/q37 lesson — reset each round).
+    */
+  val semanticsChanged: Seq[String] = Seq(
+    "dd_semantic",  // two-level quantizer: IVF per-level greedy assignment
+    "tx_lm_score",  // df-pruned broadcast model + 1-ppm OOV floor
+    "etl_e2e",      // failed decodes exempt from the dedup window
+    "etl_ocr_route", // gate keys on the scanner header
+    "st_anomaly")   // z derived from exact integer sums
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -61,8 +72,9 @@ object Bench {
     val headlineComplete = headline.forall(succeeded.contains)
     val allTotal = if (succeeded.nonEmpty) succeeded.values.sum else 0.0
     val hs = headline.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val sc = semanticsChanged.map("\"" + _ + "\"").mkString("[", ",", "]")
     val fullJson = s"""{"metric":"total","value":$headlineTotal,"unit":"sec","headline_complete":$headlineComplete,"queries":$qs,""" +
-      s""""errors":$es,"headline":$hs,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}"""
+      s""""errors":$es,"headline":$hs,"semantics_changed":$sc,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's stdout tail capture is character-bounded and has
     // truncated the per-query map to ~40% in past rounds — persist the

@@ -54,6 +54,23 @@ object Profile {
         println(f"[profile] cc-compare pairs=$nPairs " +
           f"pointer_jump=${(t1 - t0) / 1e9}%.2f s ($pjRows nodes) " +
           f"star=${(t2 - t1) / 1e9}%.2f s ($stRows nodes) label_diff=$diff")
+      case "--decontam-crossover" =>
+        // exact join vs bloom-gated at growing eval-set sizes, with NO
+        // broadcast hint — the planner shifts broadcast → shuffle as
+        // the eval side outgrows the threshold, and the sweep locates
+        // the crossover where the map-only gate starts winning
+        Seq(20L, 500L, 5000L, 20000L).foreach { b =>
+          def time(useBloom: Boolean): (Double, Long) = {
+            val t0 = System.nanoTime()
+            val rows = operators.TextAnalysis.decontamMeasure(spark, d, b, useBloom).count()
+            ((System.nanoTime() - t0) / 1e9, rows)
+          }
+          val (te, re) = time(false)
+          val (tb, rb) = time(true)
+          println(f"[profile] decontam-crossover bench=$b exact=$te%.2f s " +
+            f"bloom=$tb%.2f s rows=$re/$rb")
+          require(re == rb, s"bloom gate changed the output at bench=$b")
+        }
       case n =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, d).count()

@@ -542,7 +542,8 @@ object Dedup {
     * the pointer-jumping fixpoint on chain / cycle / corpus graphs.
     * Non-convergence inside the generous cap fails loudly.
     */
-  private[graft] def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+  private[graft] def connectedComponentsStar(pairs: DataFrame,
+      roundEdges: scala.collection.mutable.ArrayBuffer[Long] = null): DataFrame = {
     // canonical directed edges: a = child (larger id), b = parent
     // (smaller id); self-loops dropped
     def canon(df: DataFrame): DataFrame = df
@@ -594,6 +595,11 @@ object Dedup {
     var stars = isStars(edges)
     while (!stars && rounds < maxRounds) {
       edges = smallStar(largeStar(edges)).localCheckpoint()
+      // per-round edge telemetry (spec/Profile only): THE property that
+      // makes this algorithm the billion-edge route is that the edge
+      // set CONTRACTS as components collapse — unlike pointer jumping,
+      // whose per-round shuffle never shrinks
+      if (roundEdges != null) roundEdges += edges.count()
       rounds += 1
       stars = isStars(edges)
     }

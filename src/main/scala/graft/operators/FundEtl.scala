@@ -661,6 +661,30 @@ object FundEtl {
       .orderBy(col("file_name"))
   }
 
+  private[graft] val statementsXlsxDir = "/root/repo/data/statements_xlsx"
+
+  /** XLSX statement ingest — the reference's Excel surface
+    * (`dividend_extractor.py:1451` `pd.ExcelWriter`, and the workbook
+    * read paths) without the env-blocked spark-excel jar:
+    * [[graft.sources.XlsxCodec]] reads the OOXML parts JDK-only
+    * (ZIP + StAX sharedStrings/sheet1), the committed corpus under
+    * data/statements_xlsx was written by an INDEPENDENT generator
+    * (tools/gen_xlsx.py — no shared code with the reader), and the
+    * first-column text view feeds the same classify → extract →
+    * enrich chain as every other front door. A non-workbook file
+    * surfaces as xlsx_ok=false / valid=false, one row, never a thrown
+    * scan. The oracle reads the source-derived sidecar, pinning the
+    * decode byte-exactly like etl_pdf_text.
+    */
+  val etlXlsxIngest: Q = (s, _) => {
+    val files = graft.sources.Xlsx.text(s, statementsXlsxDir)
+      .withColumn("xlsx_ok", col("content").isNotNull)
+      .withColumn("content", coalesce(col("content"), lit("")))
+    extractStatementFields(s, classifyStatements(s, files),
+      extra = Seq("xlsx_ok", "content"))
+      .orderBy(col("file_name"))
+  }
+
   /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:
     * every input shape (plain text statements, scanned images through
     * the OCR-stub route, binary containers through the codec) decodes
@@ -786,6 +810,7 @@ object FundEtl {
     "etl_ocr_route" -> etlOcrRoute,
     "etl_pdf_decode" -> etlPdfDecode,
     "etl_pdf_text" -> etlPdfText,
+    "etl_xlsx_ingest" -> etlXlsxIngest,
     "etl_e2e" -> etlE2e,
     "etl_rules_classify" -> etlRulesClassify,
     "etl_variant_shred" -> etlVariantShred,
@@ -920,6 +945,11 @@ object FundEtl {
          |                  '$statementsScanDir/*/*.txt'])),
          |files AS (
          |  ${ocrRouteSql("raw")})""".stripMargin, extra = Seq("ocr_used")),
+    "etl_xlsx_ingest" -> ingestOracleSql(
+      s"""files AS (
+         |  SELECT file_name, batch_date, content, xlsx_ok
+         |  FROM read_parquet('$statementsXlsxDir/expected.parquet'))""".stripMargin,
+      extra = Seq("xlsx_ok", "content")),
     "etl_pdf_text" -> ingestOracleSql(
       s"""files AS (
          |  SELECT file_name, batch_date, content, pdf_ok

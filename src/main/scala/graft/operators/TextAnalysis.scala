@@ -285,6 +285,40 @@ object TextAnalysis {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** The decontamination pair PARAMETERIZED for the crossover
+    * measurement (Profile --decontam-crossover): eval set = doc_id <
+    * benchMax, and — unlike the registered harness-SF operators — the
+    * shingle join carries NO broadcast hint, so the planner does what
+    * it would at deployment: broadcast while the eval side fits,
+    * shuffle both sides once it doesn't. That unhinted large-eval
+    * regime is exactly where the bloom gate earns its keep (the
+    * map-only prune keeps the corpus side of the shuffle at ~the
+    * contaminated fraction). Bloom capacity sizes from the measured
+    * eval shingle count, clamped at 4M items / 4MB of literal — past
+    * the clamp the FP rate degrades gracefully (the exact join behind
+    * the gate keeps the output identical regardless).
+    */
+  private[graft] def decontamMeasure(s: SparkSession, d: String,
+      benchMax: Long, useBloom: Boolean): DataFrame = {
+    val docs = Tables.documents(s, d)
+    val bench = contamShingles(docs.filter(col("doc_id") < benchMax), "bench_id")
+      .persist()
+    val corpus = contamShingles(docs.filter(col("doc_id") >= benchMax), "doc_id")
+    val gated = if (useBloom) {
+      val cap = math.min(bench.count() * 2, 1L << 22)
+      val bloomBytes = bench
+        .agg(graft.functions.BloomFuncs.bloomAgg(
+          xxhash64(col("shingle")), cap, 8L * cap))
+        .head.getAs[Array[Byte]](0)
+      corpus.filter(graft.functions.BloomFuncs.bloomMightContain(
+        bloomBytes, xxhash64(col("shingle"))))
+    } else corpus
+    gated.join(bench, "shingle")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= 5)
+  }
+
   /** N-GRAM LM scoring — the shape behind perplexity filtering, the
     * other standard quality gate next to the rule-based ones
     * (tx_quality / tx_repetition): train a bigram model from corpus

@@ -244,8 +244,20 @@ class OperatorsSpec extends SparkTestBase {
     val chain = (0L until n).map(i => (scramble(i), scramble(i + 1)))
     val cycle = Seq((90000L, 90001L), (90001L, 90002L), (90002L, 90000L))
     val pairs = (chain ++ cycle).toDF("doc_a", "doc_b")
-    val labels = operators.Dedup.connectedComponentsStar(pairs).collect()
+    val roundEdges = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val labels = operators.Dedup.connectedComponentsStar(pairs, roundEdges).collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    // the billion-edge property: the per-round edge set never GROWS,
+    // and lands exactly at the information floor — (nodes − components)
+    // star edges. A path graph is already edge-minimal, so the curve is
+    // flat here by necessity (the contraction that matters shows on
+    // DENSE graphs — asserted on the clique-rich corpus pair graph in
+    // the fixpoint test below); what this chain pins is that no round
+    // of L∘S ever inflates the edge set.
+    assert(roundEdges.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+      s"star CC edge set must be monotone non-increasing: $roundEdges")
+    assert(roundEdges.last == (n + 1) + 3 - 2,
+      s"fixpoint must hold exactly (nodes - components) star edges: $roundEdges")
     // union-find ground truth
     val parent = scala.collection.mutable.Map.empty[Long, Long]
     def find(x: Long): Long = {
@@ -268,12 +280,25 @@ class OperatorsSpec extends SparkTestBase {
       .select(col("doc_a"), col("doc_b"))
     def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
-    val star = toMap(operators.Dedup.connectedComponentsStar(pairs))
+    val roundEdges = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val star = toMap(operators.Dedup.connectedComponentsStar(pairs, roundEdges))
     val jump = toMap(
       operators.Dedup.connectedComponentsPointerJump(pairs))
     assert(star == jump,
       s"algorithms diverge: ${(star.toSet -- jump.toSet).take(3)}")
     assert(star.nonEmpty)
+    // on the CLIQUE-RICH near-dup pair graph the edge set genuinely
+    // contracts: every k-clique of redundant pair edges collapses
+    // toward its k−1 star edges, so per-round counts shrink strictly
+    // from the first round and end at (nodes − components) — the
+    // property that makes this the billion-edge route
+    val nComponents = star.values.toSet.size
+    assert(roundEdges.head < pairs.count(),
+      s"round 1 must already contract the clique edges: $roundEdges")
+    assert(roundEdges.sliding(2).forall(w => w.length < 2 || w(1) <= w(0)),
+      s"star CC edge set must be monotone non-increasing: $roundEdges")
+    assert(roundEdges.last == star.size - nComponents,
+      s"fixpoint must hold exactly (nodes - components) star edges: $roundEdges")
   }
 
   test("connectedComponents routes correctly: fast path, star branch, pointer jump agree") {
@@ -365,6 +390,36 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.toSeq == expected)
     // both classes are populated — the threshold does real work here
     assert(out.exists(_._3) && out.exists(!_._3))
+  }
+
+  test("decontam bloom gate: output-equal and selective at the larger-eval regime") {
+    // the regime the bloom gate exists for: an eval set larger than
+    // the registered operator's 20 docs, joined WITHOUT a broadcast
+    // hint (decontamMeasure is what Profile --decontam-crossover
+    // sweeps). Equality must hold — false negatives don't exist — and
+    // the map-only gate must pass only a SELECTIVE fraction of the
+    // corpus shingle stream: every truly-contaminated shingle plus a
+    // bounded FP tail, never most of the stream.
+    import operators.TextAnalysis.{contamShingles, decontamMeasure}
+    val docs = sources.Tables.documents(spark, sfDir)
+    val exact = decontamMeasure(spark, sfDir, 100L, useBloom = false)
+    val bloom = decontamMeasure(spark, sfDir, 100L, useBloom = true)
+    assert(bloom.exceptAll(exact).isEmpty && exact.exceptAll(bloom).isEmpty)
+    val bench = contamShingles(docs.filter(col("doc_id") < 100), "bench_id")
+    val corpus = contamShingles(docs.filter(col("doc_id") >= 100), "doc_id")
+    val cap = bench.count() * 2
+    val bloomBytes = bench.agg(functions.BloomFuncs.bloomAgg(
+      org.apache.spark.sql.functions.xxhash64(col("shingle")), cap, 8L * cap))
+      .head.getAs[Array[Byte]](0)
+    val total = corpus.count()
+    val passed = corpus.filter(functions.BloomFuncs.bloomMightContain(
+      bloomBytes, org.apache.spark.sql.functions.xxhash64(col("shingle")))).count()
+    val contaminated = corpus.join(
+      bench.select(col("shingle")).distinct(), "shingle").count()
+    assert(passed >= contaminated, "the gate may never drop a true hit")
+    // pinned selectivity: pass-through ≤ contaminated fraction + 10% FP
+    assert(passed <= contaminated + total / 10,
+      s"gate passes $passed of $total (contaminated=$contaminated) — not selective")
   }
 
   test("tx_lm_score: matches a driver-side bigram LM recompute") {
