@@ -90,6 +90,24 @@ object Bench {
       // truncated
       System.err.println(s"[bench] could not persist per-query map to $benchOut: $t")
     }
+    // Also persist a PER-ROUND copy so medians stay comparable across
+    // rounds after LATEST is overwritten. The current round number is
+    // one past the highest BENCH_r{N}.json the driver has already
+    // written (it lands at end-of-round; during round N only N-1 and
+    // earlier exist).
+    try {
+      val dir = java.nio.file.Paths.get(benchOut).toAbsolutePath.getParent
+      val rnd = scala.jdk.CollectionConverters
+        .IteratorHasAsScala(java.nio.file.Files.list(dir).iterator()).asScala
+        .flatMap { p =>
+          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
+            .map(_.group(1).toInt)
+        }.foldLeft(0)(math.max) + 1
+      java.nio.file.Files.writeString(
+        dir.resolve(f"BENCH_QUERIES_r$rnd%02d.json"), fullJson + "\n")
+    } catch { case t: Throwable =>
+      System.err.println(s"[bench] could not persist per-round map: $t")
+    }
     // Compact repeat on its own FINAL line: the driver's tail capture is
     // character-bounded and once truncated the leading "value" field out
     // of the long line above. This line is short enough to always survive.

@@ -54,6 +54,53 @@ object Profile {
         println(f"[profile] cc-compare pairs=$nPairs " +
           f"pointer_jump=${(t1 - t0) / 1e9}%.2f s ($pjRows nodes) " +
           f"star=${(t2 - t1) / 1e9}%.2f s ($stRows nodes) label_diff=$diff")
+      case "--cc-star" =>
+        // star CC alone on the pair graph, with per-round edge
+        // telemetry — the 100×-scale measurement (pointer jumping is
+        // deliberately excluded: its non-contracting per-round shuffle
+        // is exactly why it loses at this size, and --cc-compare covers
+        // the head-to-head at sizes where both finish politely)
+        val pairs = operators.Dedup
+          .minhashPairs(spark, d).select(col("doc_a"), col("doc_b"))
+          .persist()
+        val nPairs = pairs.count()
+        val roundEdges = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val t0 = System.nanoTime()
+        val labels = operators.Dedup.connectedComponentsStar(pairs, roundEdges)
+        val nNodes = labels.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        pairs.unpersist()
+        println(f"[profile] cc-star pairs=$nPairs nodes=$nNodes " +
+          f"time=$dt%.2f s rounds=${roundEdges.size} " +
+          f"edges_per_round=${roundEdges.mkString(",")}")
+      case "--lsh-skew" =>
+        // dd_minhash_lsh's bucket join under genuinely hot bands: the
+        // jittered corpora make every copy a true near-dup, so band
+        // buckets grow with the near-dup cluster size. Two facts decide
+        // whether AQE skew-splitting is needed: the band-bucket size
+        // distribution (join output is Σ bucket² — the algorithmic
+        // cost no split changes), and whether the executed adaptive
+        // plan actually engaged a skew split (parallelism repair).
+        val banded = operators.Dedup.bandedForDiagnostics(spark, d).persist()
+        val sizes = banded.groupBy(col("band_key"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n"))
+          .select(col("n")).orderBy(col("n").desc)
+        val top = sizes.limit(5).collect().map(_.getLong(0))
+        val stats = sizes.agg(
+          org.apache.spark.sql.functions.count(col("n")),
+          org.apache.spark.sql.functions.expr("approx_percentile(n, 0.5)"),
+          org.apache.spark.sql.functions.max(col("n"))).head
+        val pairs = operators.Dedup.minhashPairs(spark, d)
+        val t0 = System.nanoTime()
+        val nPairs = pairs.count()
+        val dt = (System.nanoTime() - t0) / 1e9
+        val plan = pairs.queryExecution.executedPlan.toString
+        val skewed = plan.contains("skew=true")
+        banded.unpersist()
+        println(f"[profile] lsh-skew buckets=${stats.getLong(0)} " +
+          f"median=${stats.get(1)} max=${stats.get(2)} top5=${top.mkString(",")} " +
+          f"pairs=$nPairs join=$dt%.2f s aqe_skew_split=$skewed")
       case "--decontam-crossover" =>
         // exact join vs bloom-gated at growing eval-set sizes, with NO
         // broadcast hint — the planner shifts broadcast → shuffle as

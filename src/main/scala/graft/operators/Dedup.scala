@@ -135,6 +135,13 @@ object Dedup {
     * the ground truth the incremental path's per-batch deltas must sum
     * to (spec-asserted in EventStreamsSpec).
     */
+  /** The banded signature table alone — Profile --lsh-skew reads the
+    * band-bucket size distribution off it (Σ bucket² is the join's
+    * real cost; no AQE split changes that, only the parallelism).
+    */
+  private[graft] def bandedForDiagnostics(s: SparkSession, d: String): DataFrame =
+    bandedOf(minhashSigTable(s, d))
+
   private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     val banded = bandedOf(minhashSigTableOf(docs))
     pairsFromCollisions(

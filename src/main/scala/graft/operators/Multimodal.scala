@@ -213,6 +213,48 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  private[graft] val imagesDir = "/root/repo/data/images"
+
+  /** REAL image decode over a committed corpus of true PNG files —
+    * the non-stub sibling of mmDecodeMeta/mmPhash, closing the image
+    * half of the multimodal gap JDK-only:
+    * [[graft.functions.ImageCodec]] parses the PNG container via
+    * javax.imageio (magic-sniffed, not extension-trusted), emits
+    * all-integer channel sums and the mm_phash average-hash over the
+    * REAL luma raster (same 8×8 NN index math). The corpus was written
+    * by an independent stdlib-Python generator (tools/gen_images.py —
+    * no shared code with the reader), and the oracle reads its
+    * pixel-formula-derived sidecar, so a decoder bug cannot
+    * self-confirm. Corrupt files (bad magic, truncated stream) surface
+    * as img_ok=false rows, never a thrown scan. Plan shape: binaryFile
+    * scan (distributed listing) → per-partition decode, map-only —
+    * the 100 TB posture is one decode pass, no driver involvement,
+    * no shuffle.
+    */
+  val mmImageDecode: Q = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.png")
+      .load(imagesDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (name, bytes) =>
+          graft.functions.ImageCodec.decode(bytes) match {
+            case Some(d) =>
+              (name, true, d.width, d.height, d.width.toLong * d.height,
+                d.sumR, d.sumG, d.sumB, d.phashLo, d.phashHi, d.nBright)
+            case None =>
+              (name, false, 0, 0, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("file_name", "img_ok", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "phash_lo", "phash_hi", "n_bright")
+      .orderBy(col("file_name"))
+  }
+
   /** Content-addressed dedup over the opaque binary payload — the
     * storage layout move for media corpora: digest the raw bytes
     * (md5 here; production uses sha256), keep one canonical asset per
@@ -235,6 +277,7 @@ object Multimodal {
     "mm_phash" -> mmPhash,
     "mm_dedup_bytes" -> mmDedupBytes,
     "mm_decode_meta" -> mmDecodeMeta,
+    "mm_image_decode" -> mmImageDecode,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "mm_feature_extract" -> mmFeatureExtract)
@@ -261,6 +304,12 @@ object Multimodal {
         |   text, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
         |  FROM documents) r) t
         |ORDER BY doc_id""".stripMargin,
+    "mm_image_decode" ->
+      s"""SELECT file_name, img_ok,
+        | CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        | n_pixels, sum_r, sum_g, sum_b, phash_lo, phash_hi, n_bright
+        |FROM read_parquet('$imagesDir/expected.parquet')
+        |ORDER BY file_name""".stripMargin,
     "mm_dedup_bytes" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,
         | CAST(count(*) AS BIGINT) AS ref_count,

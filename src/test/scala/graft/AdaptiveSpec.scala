@@ -50,6 +50,60 @@ class AdaptiveSpec extends SparkTestBase {
     }
   }
 
+  test("LSH band join: bucket size is bounded by the near-dup cluster, so AQE skew split is unneeded") {
+    // The dd_minhash_lsh bucket join's skew exposure is the band-bucket
+    // size distribution: join cost is Σ bucket², and a bucket only
+    // grows with the NEAR-DUP CLUSTER behind it (a hot cluster of m
+    // docs shares band keys; unrelated docs collide at hash-collision
+    // rates). Measured at 25× on the jittered corpus (Profile
+    // --lsh-skew): 137,215 buckets, median 1, max 121 — the hottest
+    // bucket is 121² ≈ 14.6k of 1.66M pairs (<1%), and the executed
+    // adaptive plan shows no skew=true even though every copy there is
+    // a true near-dup of 24 others. This spec pins the property that
+    // makes that hold at any corpus size: max bucket tracks the
+    // planted cluster, not the corpus.
+    import spark.implicits._
+    val hot = 40
+    def corpus(tail: Int) = {
+      val base = "the quarterly fund statement reports net asset value " +
+        "management fee subscription redemption dividend distribution for unit holders"
+      val hotDocs = (0 until hot).map(i => (i.toLong, s"copy$i " + base))
+      val tailDocs = (0 until tail).map(i =>
+        ((1000 + i).toLong, s"unique doc $i " + (i * 2654435761L).toHexString +
+          s" body token${i % 97} token${i % 89} token${i % 83} content $i"))
+      (hotDocs ++ tailDocs).toDF("doc_id", "text")
+    }
+    def maxBucket(docs: org.apache.spark.sql.DataFrame): Long =
+      operators.Dedup.bandedOf(operators.Dedup.minhashSigTableOf(docs))
+        .groupBy(col("band_key")).count()
+        .agg(max(col("count"))).head().getLong(0)
+    val m1 = maxBucket(corpus(500))
+    val m2 = maxBucket(corpus(2000))
+    assert(m1 <= hot && m1 >= hot * 8 / 10,
+      s"hottest band bucket should be ~the planted cluster (hot=$hot): $m1")
+    assert(m2 == m1,
+      s"4x tail growth must not grow the hottest bucket: $m1 -> $m2")
+    // Same harness-scaled skew thresholds that DO fire on the planted
+    // sort-merge join above: the band join's partitions stay balanced
+    // (the key spreads each doc over 8 bands and buckets are
+    // cluster-bounded), so the splitter correctly stays idle.
+    withConf(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize" -> "1KB") {
+      val pairs = operators.Dedup.minhashPairsOf(corpus(2000))
+      val got = pairs.collect()
+      assert(got.length >= hot * (hot - 1) / 2,
+        s"planted cluster must survive banding: ${got.length} pairs")
+      val finalPlan = pairs.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("isFinalPlan=true"), finalPlan.take(500))
+      assert(!finalPlan.contains("skew=true"),
+        s"band join must not need a skew split:\n${finalPlan.take(2000)}")
+    }
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""Build the committed real-PNG corpus (dev-side, run once).
+
+Writes 48 small deterministic RGB images as REAL PNG files (stdlib
+zlib + struct only — no PIL in this container, and independence from
+the JVM reader is the point) at data/images/img_NNN.png, plus two
+corrupt files (bad magic / truncated stream), and the expected-stats
+sidecar parquet the DuckDB oracle reads.
+
+Pixels are pure integer formulas of (x, y, image id), so the sidecar
+stats (channel sums, integer-luma perceptual hash with the SAME 8x8
+NN index math mm_resize/mm_phash use) are derived from the FORMULA,
+never from reading the PNG back: the JVM decoder (javax.imageio in
+graft.functions.ImageCodec) must reproduce every pixel through a real
+PNG parse for the oracle to hash-match.
+
+Deterministic output (fixed zlib level, ordered writes) so the corpus
+commits cleanly.
+"""
+import os
+import struct
+import zlib
+import binascii
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(ROOT, "data", "images")
+
+
+def chunk(tag, payload):
+    return (struct.pack(">I", len(payload)) + tag + payload +
+            struct.pack(">I", binascii.crc32(tag + payload) & 0xFFFFFFFF))
+
+
+def png_bytes(w, h, raster):
+    """raster: list of rows, each row a bytes of r,g,b triples."""
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit RGB
+    raw = b"".join(b"\x00" + row for row in raster)      # filter 0 rows
+    return (sig + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def pixel(i, x, y):
+    return ((x * 7 + y * 3 + i * 11) % 256,
+            (x * 5 + y * 13 + i * 17) % 256,
+            (x * 3 + y * 11 + i * 23) % 256)
+
+
+def stats(i, w, h):
+    sum_r = sum_g = sum_b = 0
+    luma = [[0] * w for _ in range(h)]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pixel(i, x, y)
+            sum_r += r
+            sum_g += g
+            sum_b += b
+            luma[y][x] = (r * 299 + g * 587 + b * 114) // 1000
+    # 8x8 NN thumbnail over integer luma — identical index math to
+    # mm_resize / mm_phash (sy = y*h//8, sx = x*w//8), bit set iff
+    # thumb*64 > sum (mean comparison without floats)
+    thumb = [luma[y * h // 8][x * w // 8] for y in range(8) for x in range(8)]
+    tsum = sum(thumb)
+    lo = hi = n_bright = 0
+    for j, v in enumerate(thumb):
+        if v * 64 > tsum:
+            n_bright += 1
+            if j < 32:
+                lo |= 1 << j
+            else:
+                hi |= 1 << (j - 32)
+    return sum_r, sum_g, sum_b, lo, hi, n_bright
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    rows = []
+    for i in range(48):
+        w = 16 + (i % 5) * 8
+        h = 12 + (i % 7) * 4
+        raster = [bytes(v for x in range(w) for v in pixel(i, x, y))
+                  for y in range(h)]
+        name = f"img_{i:03d}.png"
+        with open(os.path.join(DST, name), "wb") as f:
+            f.write(png_bytes(w, h, raster))
+        sr, sg, sb, lo, hi, nb = stats(i, w, h)
+        rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb))
+
+    # corrupt pair: wrong magic, and a truncated stream (half the bytes
+    # of a real image — IDAT CRC can never validate)
+    good = png_bytes(24, 16, [bytes(v for x in range(24) for v in pixel(99, x, y))
+                              for y in range(16)])
+    corrupt = [("img_bad_magic.png", b"NOTAPNG" + good[8:]),
+               ("img_truncated.png", good[: len(good) // 2])]
+    for name, data in corrupt:
+        with open(os.path.join(DST, name), "wb") as f:
+            f.write(data)
+        rows.append((name, False, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+
+    rows.sort()
+    cols = list(zip(*rows))
+    table = pa.table({
+        "file_name": pa.array(cols[0], pa.string()),
+        "img_ok": pa.array(cols[1], pa.bool_()),
+        "width": pa.array(cols[2], pa.int32()),
+        "height": pa.array(cols[3], pa.int32()),
+        "n_pixels": pa.array(cols[4], pa.int64()),
+        "sum_r": pa.array(cols[5], pa.int64()),
+        "sum_g": pa.array(cols[6], pa.int64()),
+        "sum_b": pa.array(cols[7], pa.int64()),
+        "phash_lo": pa.array(cols[8], pa.int64()),
+        "phash_hi": pa.array(cols[9], pa.int64()),
+        "n_bright": pa.array(cols[10], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(DST, "expected.parquet"))
+    print(f"wrote {len(rows)} rows to {DST}")
+
+
+if __name__ == "__main__":
+    main()

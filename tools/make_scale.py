@@ -10,6 +10,13 @@ Usage: python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/sf_big 5
 import sys
 import pandas as pd
 
+# Small row groups so Spark can split the scan: pandas/pyarrow's
+# default (1Mi rows) packs a 500k-row table into ONE row group, which
+# makes every scan of it a single task — measurements then time one
+# core doing the whole map stage, not the operator. 20k-row groups
+# give local[32] full scan parallelism at every jitter factor.
+ROW_GROUP = 20_000
+
 KEY_OFFSETS = {
     "lineitem": {"l_orderkey": 10**9, "l_suppkey": 10**7, "l_partkey": 10**8},
     "orders": {"o_orderkey": 10**9, "o_custkey": 10**7},
@@ -42,7 +49,7 @@ def main(src, dst, n):
                 c["text"] = f"copy{i} " + c["text"]
             copies.append(c)
         big = pd.concat(copies, ignore_index=True)
-        big.to_parquet(f"{dst}/{t}.parquet", index=False)
+        big.to_parquet(f"{dst}/{t}.parquet", index=False, row_group_size=ROW_GROUP)
         print(f"{t}: {len(base)} -> {len(big)}")
 
 
