@@ -1,0 +1,76 @@
+package graft.functions
+
+import java.io.ByteArrayInputStream
+
+/** Real audio decode, JDK-only (`javax.sound.sampled` — the RIFF/WAV
+  * parser ships with every JRE, no jar): the audio sibling of
+  * [[ImageCodec]], closing the audio half of the multimodal decode
+  * gap. Parses the container (chunked RIFF, PCM format block), streams
+  * the sample frames, and computes ALL-INTEGER per-clip statistics
+  * (abs-sum, energy, peak, zero crossings) so results are exact across
+  * engines and execution orders — the committed-corpus oracle
+  * hash-matches against a sidecar derived from the generator's sample
+  * formulas, never from this decoder.
+  *
+  * Decode failures (bad magic, truncated header, unsupported codec)
+  * return None — surfaced as audio_ok=false rows, never a thrown scan.
+  * Only signed 16-bit PCM is accepted: that's what the corpus commits,
+  * and rejecting the rest loudly beats mis-decoding it.
+  */
+object AudioCodec {
+
+  final case class Decoded(
+      nChannels: Int, sampleRate: Int, nSamples: Long,
+      sumAbs: Long, energy: Long, peak: Long, zeroCrossings: Long)
+
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16
+        if (!ok) None
+        else {
+          val le = !fmt.isBigEndian
+          val channels = fmt.getChannels
+          var sumAbs = 0L; var energy = 0L; var peak = 0L
+          var zc = 0L; var n = 0L
+          var prevNeg = false
+          val buf = new Array[Byte](8192)
+          var carry = -1 // pending low byte when a read splits a sample
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0 && read > 0) {
+              // complete the sample split across reads
+              val s = if (le) ((buf(0) << 8) | carry).toShort
+                      else ((carry << 8) | (buf(0) & 0xff)).toShort
+              i = 1; carry = -1
+              val v = s.toLong
+              val a = math.abs(v)
+              sumAbs += a; energy += v * v; if (a > peak) peak = a
+              if (n > 0 && (v < 0) != prevNeg) zc += 1
+              prevNeg = v < 0; n += 1
+            }
+            while (i + 1 < read) {
+              val s = if (le) ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                      else ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+              val v = s.toLong
+              val a = math.abs(v)
+              sumAbs += a; energy += v * v; if (a > peak) peak = a
+              if (n > 0 && (v < 0) != prevNeg) zc += 1
+              prevNeg = v < 0; n += 1
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xff
+            read = in.read(buf)
+          }
+          Some(Decoded(channels, fmt.getSampleRate.toInt, n / channels,
+            sumAbs, energy, peak, zc))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+}

@@ -255,6 +255,42 @@ object Multimodal {
       .orderBy(col("file_name"))
   }
 
+  private[graft] val audioDir = "/root/repo/data/audio"
+
+  /** REAL audio decode over a committed corpus of true WAV files —
+    * the audio sibling of [[mmImageDecode]], same contract:
+    * [[graft.functions.AudioCodec]] parses the RIFF/PCM container via
+    * javax.sound.sampled, emits all-integer clip statistics (abs-sum,
+    * energy, peak, zero crossings); the corpus comes from an
+    * independent stdlib-Python generator (tools/gen_audio.py, `wave`
+    * module) and the oracle reads its sample-formula sidecar. Corrupt
+    * files → audio_ok=false rows. binaryFile scan + per-partition
+    * decode, map-only.
+    */
+  val mmAudioDecode: Q = (s, _) => {
+    import s.implicits._
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.wav")
+      .load(audioDir)
+      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+        col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (name, bytes) =>
+          graft.functions.AudioCodec.decode(bytes) match {
+            case Some(d) =>
+              (name, true, d.nChannels, d.sampleRate, d.nSamples,
+                d.sumAbs, d.energy, d.peak, d.zeroCrossings)
+            case None =>
+              (name, false, 0, 0, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("file_name", "audio_ok", "n_channels", "sample_rate",
+        "n_samples", "sum_abs", "energy", "peak", "zero_crossings")
+      .orderBy(col("file_name"))
+  }
+
   /** Content-addressed dedup over the opaque binary payload — the
     * storage layout move for media corpora: digest the raw bytes
     * (md5 here; production uses sha256), keep one canonical asset per
@@ -278,6 +314,7 @@ object Multimodal {
     "mm_dedup_bytes" -> mmDedupBytes,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_image_decode" -> mmImageDecode,
+    "mm_audio_decode" -> mmAudioDecode,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "mm_feature_extract" -> mmFeatureExtract)
@@ -309,6 +346,13 @@ object Multimodal {
         | CAST(width AS INT) AS width, CAST(height AS INT) AS height,
         | n_pixels, sum_r, sum_g, sum_b, phash_lo, phash_hi, n_bright
         |FROM read_parquet('$imagesDir/expected.parquet')
+        |ORDER BY file_name""".stripMargin,
+    "mm_audio_decode" ->
+      s"""SELECT file_name, audio_ok,
+        | CAST(n_channels AS INT) AS n_channels,
+        | CAST(sample_rate AS INT) AS sample_rate,
+        | n_samples, sum_abs, energy, peak, zero_crossings
+        |FROM read_parquet('$audioDir/expected.parquet')
         |ORDER BY file_name""".stripMargin,
     "mm_dedup_bytes" ->
       """SELECT md5(text) AS digest, min(doc_id) AS canonical_id,

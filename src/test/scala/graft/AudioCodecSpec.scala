@@ -1,0 +1,65 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+
+import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem, AudioFileFormat}
+
+import org.apache.spark.sql.functions.col
+
+import graft.functions.AudioCodec
+
+/** The real-WAV decode chain: the codec against JVM-encoded clips
+  * (AudioSystem.write — an encoder the stdlib-Python corpus generator
+  * shares no code with), then the whole committed corpus against the
+  * sample-formula sidecar — two independent routes to the same PCM.
+  */
+class AudioCodecSpec extends SparkTestBase {
+
+  private def wavOf(xs: Array[Short], rate: Float = 8000f): Array[Byte] = {
+    val fmt = new AudioFormat(rate, 16, 1, true, false) // PCM16 mono LE
+    val pcm = new Array[Byte](xs.length * 2)
+    xs.indices.foreach { i =>
+      pcm(i * 2) = (xs(i) & 0xff).toByte
+      pcm(i * 2 + 1) = ((xs(i) >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, xs.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("round-trip: JVM-encoded WAV decodes to exact integer stats") {
+    val xs = Array[Short](0, 100, -200, 3000, -3000, 32767, -32768, 5, -5, 0)
+    val d = AudioCodec.decode(wavOf(xs)).get
+    assert(d.nChannels == 1 && d.sampleRate == 8000 && d.nSamples == 10L)
+    assert(d.sumAbs == xs.map(v => math.abs(v.toLong)).sum)
+    assert(d.energy == xs.map(v => v.toLong * v).sum)
+    assert(d.peak == 32768L)
+    val zc = xs.sliding(2).count(w => (w(0) < 0) != (w(1) < 0))
+    assert(d.zeroCrossings == zc, s"zc: ${d.zeroCrossings} vs $zc")
+  }
+
+  test("corrupt containers decode to None, never throw") {
+    assert(AudioCodec.decode("definitely not audio".getBytes).isEmpty)
+    assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
+    val good = wavOf(Array[Short](1, 2, 3, -4))
+    assert(AudioCodec.decode(good.take(20)).isEmpty,
+      "truncated header must fail cleanly")
+  }
+
+  test("committed corpus matches the sample-formula sidecar row-for-row") {
+    val got = operators.Multimodal.mmAudioDecode(spark, sfDir).collect()
+    val want = spark.read
+      .parquet(operators.Multimodal.audioDir + "/expected.parquet")
+      .select(col("file_name"), col("audio_ok"), col("n_channels"),
+        col("sample_rate"), col("n_samples"), col("sum_abs"),
+        col("energy"), col("peak"), col("zero_crossings"))
+      .orderBy(col("file_name")).collect()
+    assert(got.length == want.length && got.length == 42,
+      s"corpus should be 42 files: got=${got.length} want=${want.length}")
+    got.zip(want).foreach { case (g, w) =>
+      assert(g == w, s"decode diverged from sidecar:\n  got  $g\n  want $w")
+    }
+  }
+}

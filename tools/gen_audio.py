@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Build the committed real-WAV corpus (dev-side, run once).
+
+Writes 40 small deterministic PCM16 mono WAV files via the stdlib
+`wave` module (independent of the JVM reader by construction) at
+data/audio/clip_NNN.wav, plus two corrupt files (bad magic /
+truncated), and the expected-stats sidecar parquet the DuckDB oracle
+reads.
+
+Samples are pure integer formulas of (t, clip id), so the sidecar
+stats (abs-sum, energy, peak, zero crossings) are derived from the
+FORMULA, never from reading the WAV back: the JVM decoder
+(javax.sound.sampled in graft.functions.AudioCodec) must reproduce
+every sample through a real RIFF/PCM parse for the oracle to
+hash-match.
+"""
+import os
+import struct
+import wave
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+DST = os.path.join(ROOT, "data", "audio")
+
+RATE = 8000
+
+
+def samples(i, n):
+    # integer sawtooth-ish with clip-keyed period and phase; spans
+    # negative and positive so zero-crossing counting is exercised
+    return [((t * (2 * i + 3) + i * 17) % 4001) - 2000 for t in range(n)]
+
+
+def stats(xs):
+    sum_abs = sum(abs(v) for v in xs)
+    energy = sum(v * v for v in xs)
+    peak = max(abs(v) for v in xs)
+    zc = sum(1 for a, b in zip(xs, xs[1:]) if (a < 0) != (b < 0))
+    return sum_abs, energy, peak, zc
+
+
+def main():
+    os.makedirs(DST, exist_ok=True)
+    rows = []
+    for i in range(40):
+        n = 500 + (i % 7) * 300
+        xs = samples(i, n)
+        name = f"clip_{i:03d}.wav"
+        with wave.open(os.path.join(DST, name), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(RATE)
+            w.writeframes(struct.pack(f"<{n}h", *xs))
+        sa, en, pk, zc = stats(xs)
+        rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
+
+    with open(os.path.join(DST, f"clip_{0:03d}.wav"), "rb") as f:
+        good = f.read()
+    corrupt = [("clip_bad_magic.wav", b"NOTRIFF!" + good[8:]),
+               ("clip_truncated.wav", good[: 20])]
+    for name, data in corrupt:
+        with open(os.path.join(DST, name), "wb") as f:
+            f.write(data)
+        rows.append((name, False, 0, 0, 0, 0, 0, 0, 0))
+
+    rows.sort()
+    cols = list(zip(*rows))
+    table = pa.table({
+        "file_name": pa.array(cols[0], pa.string()),
+        "audio_ok": pa.array(cols[1], pa.bool_()),
+        "n_channels": pa.array(cols[2], pa.int32()),
+        "sample_rate": pa.array(cols[3], pa.int32()),
+        "n_samples": pa.array(cols[4], pa.int64()),
+        "sum_abs": pa.array(cols[5], pa.int64()),
+        "energy": pa.array(cols[6], pa.int64()),
+        "peak": pa.array(cols[7], pa.int64()),
+        "zero_crossings": pa.array(cols[8], pa.int64()),
+    })
+    pq.write_table(table, os.path.join(DST, "expected.parquet"))
+    print(f"wrote {len(rows)} rows to {DST}")
+
+
+if __name__ == "__main__":
+    main()
