@@ -97,12 +97,16 @@ object Bench {
     // earlier exist).
     try {
       val dir = java.nio.file.Paths.get(benchOut).toAbsolutePath.getParent
-      val rnd = scala.jdk.CollectionConverters
-        .IteratorHasAsScala(java.nio.file.Files.list(dir).iterator()).asScala
-        .flatMap { p =>
-          "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
-            .map(_.group(1).toInt)
-        }.foldLeft(0)(math.max) + 1
+      // Files.list holds an open directory handle until closed
+      val listing = java.nio.file.Files.list(dir)
+      val rnd = try {
+        scala.jdk.CollectionConverters
+          .IteratorHasAsScala(listing.iterator()).asScala
+          .flatMap { p =>
+            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
+              .map(_.group(1).toInt)
+          }.foldLeft(0)(math.max) + 1
+      } finally listing.close()
       java.nio.file.Files.writeString(
         dir.resolve(f"BENCH_QUERIES_r$rnd%02d.json"), fullJson + "\n")
     } catch { case t: Throwable =>

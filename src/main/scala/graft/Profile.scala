@@ -93,10 +93,16 @@ object Profile {
           org.apache.spark.sql.functions.max(col("n"))).head
         val pairs = operators.Dedup.minhashPairs(spark, d)
         val t0 = System.nanoTime()
-        val nPairs = pairs.count()
+        // execute THIS DataFrame's plan (toRdd.count), not a derived
+        // agg rewrite: Dataset.count() builds its own QueryExecution
+        // and would leave pairs' adaptive plan un-finalized
+        // (isFinalPlan=false — no skew re-plan to observe)
+        val nPairs = pairs.queryExecution.toRdd.count()
         val dt = (System.nanoTime() - t0) / 1e9
         val plan = pairs.queryExecution.executedPlan.toString
         val skewed = plan.contains("skew=true")
+        require(plan.contains("isFinalPlan=true") || !plan.contains("AdaptiveSparkPlan"),
+          "adaptive plan did not finalize — the skew reading would be vacuous")
         banded.unpersist()
         println(f"[profile] lsh-skew buckets=${stats.getLong(0)} " +
           f"median=${stats.get(1)} max=${stats.get(2)} top5=${top.mkString(",")} " +
@@ -113,7 +119,9 @@ object Profile {
             ((System.nanoTime() - t0) / 1e9, rows)
           }
           val (te, re) = time(false)
+          spark.catalog.clearCache()
           val (tb, rb) = time(true)
+          spark.catalog.clearCache()
           println(f"[profile] decontam-crossover bench=$b exact=$te%.2f s " +
             f"bloom=$tb%.2f s rows=$re/$rb")
           require(re == rb, s"bloom gate changed the output at bench=$b")

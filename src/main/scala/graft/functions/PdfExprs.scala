@@ -53,9 +53,13 @@ object PdfCodec {
       if (streamKw < 0) { pos = -1 }
       else {
         // the dict governing this stream: the << … >> span that ends
-        // nearest before the keyword
+        // nearest before the keyword. The opener must be found by
+        // BALANCED backward scan, not lastIndexOf — a nested
+        // sub-dictionary (/DecodeParms << … >>) would otherwise
+        // swallow the outer dict's /Filter and /Length keys and the
+        // compressed payload would be scanned as if it were text
         val dictEnd = lastIndexOf(bytes, ">>", streamKw)
-        val dictStart = if (dictEnd < 0) -1 else lastIndexOf(bytes, "<<", dictEnd)
+        val dictStart = if (dictEnd < 0) -1 else matchingDictStart(bytes, dictEnd)
         val dict =
           if (dictStart < 0) ""
           else new String(bytes, dictStart, dictEnd + 2 - dictStart, "ISO-8859-1")
@@ -96,6 +100,23 @@ object PdfCodec {
     UTF8String.fromBytes(out.toByteArray)
   }
 
+  /** Index of the '<<' that balances the '>>' at dictEnd (nesting-
+    * aware backward scan), or -1 when unbalanced.
+    */
+  private def matchingDictStart(bytes: Array[Byte], dictEnd: Int): Int = {
+    var depth = 1
+    var i = dictEnd - 1
+    while (i >= 1) {
+      if (bytes(i) == '>' && bytes(i - 1) == '>') { depth += 1; i -= 2 }
+      else if (bytes(i) == '<' && bytes(i - 1) == '<') {
+        depth -= 1
+        if (depth == 0) return i - 1
+        i -= 2
+      } else i -= 1
+    }
+    -1
+  }
+
   private def parseLength(dict: String): Int = {
     val m = "/Length\\s+(\\d+)".r.findFirstMatchIn(dict)
     if (m.isDefined) m.get.group(1).toInt else -1
@@ -119,13 +140,22 @@ object PdfCodec {
   }
 
   /** One pass over a decoded content stream: buffer string objects,
-    * emit the buffer (+ '\n') on each text-showing operator.
+    * emit the buffer (+ '\n') on each text-showing operator — but only
+    * INSIDE a BT…ET text object (ISO 32000 §9.4: the showing operators
+    * are only valid there). The gate is what keeps non-content streams
+    * that reach this scanner (an uncompressed XMP metadata block, a
+    * ToUnicode CMap — xref-free discovery cannot tell them apart from
+    * pages) from emitting garbage: XML is full of `<`, `'` and `"`
+    * tokens that would otherwise collect-and-show. pdfplumber walks
+    * page /Contents only; BT-gating reaches the same text on files
+    * whose non-page streams carry no text objects.
     */
   private def extractShownText(data: Array[Byte],
       out: java.io.ByteArrayOutputStream): Unit = {
     val pending = new java.io.ByteArrayOutputStream()
     var i = 0
     val n = data.length
+    var inText = false
     def emit(): Unit = {
       pending.writeTo(out)
       out.write('\n')
@@ -141,11 +171,19 @@ object PdfCodec {
       } else if (c == '<') i = parseHex(data, i + 1, pending)
       else if (c == '%') { // comment runs to EOL
         while (i < n && data(i) != '\n' && data(i) != '\r') i += 1
+      } else if (c == 'B' && i + 1 < n && data(i + 1) == 'T'
+          && tokenBoundary(data, i + 2)) {
+        inText = true; pending.reset(); i += 2
+      } else if (c == 'E' && i + 1 < n && data(i + 1) == 'T'
+          && tokenBoundary(data, i + 2)) {
+        inText = false; pending.reset(); i += 2
       } else if (c == 'T' && i + 1 < n && (data(i + 1) == 'j' || data(i + 1) == 'J')
           && tokenBoundary(data, i + 2)) {
-        emit(); i += 2
+        if (inText) emit() else pending.reset()
+        i += 2
       } else if ((c == '\'' || c == '"') && tokenBoundary(data, i + 1)) {
-        emit(); i += 1
+        if (inText) emit() else pending.reset()
+        i += 1
       } else i += 1
     }
     pending.reset()

@@ -484,13 +484,9 @@ object FundEtl {
     */
   private[graft] def loadStatements(s: SparkSession, glob: String,
       dirs: String*): DataFrame =
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
-      .load(dirs: _*)
-      .select(col("path"), col("content").cast("string").as("content"))
-      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
-      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+    graft.sources.BinaryFiles.scan(s, glob, dirs: _*)
+      .select(col("path"), col("content").cast("string").as("content"),
+        col("file_name"), col("batch_date"))
 
   private[graft] def loadStatements(s: SparkSession, dir: String): DataFrame =
     loadStatements(s, "*.txt", dir)
@@ -645,13 +641,7 @@ object FundEtl {
     * the fields extracted from it.
     */
   val etlPdfText: Q = (s, _) => {
-    val files = s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.pdf")
-      .option("recursiveFileLookup", "true")
-      .load(statementsRealDir)
-      .select(col("path"), col("content"))
-      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
-      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+    val files = graft.sources.BinaryFiles.scan(s, "*.pdf", statementsRealDir)
       .withColumn("text", graft.functions.PdfFunctions.pdfText(col("content")))
       .withColumn("pdf_ok", col("text").isNotNull)
       .withColumn("content", coalesce(col("text"), lit("")))

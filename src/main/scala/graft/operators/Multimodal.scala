@@ -233,11 +233,8 @@ object Multimodal {
     */
   val mmImageDecode: Q = (s, _) => {
     import s.implicits._
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.png")
-      .load(imagesDir)
-      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
-        col("content"))
+    graft.sources.BinaryFiles.scan(s, "*.png", imagesDir)
+      .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (name, bytes) =>
@@ -269,11 +266,8 @@ object Multimodal {
     */
   val mmAudioDecode: Q = (s, _) => {
     import s.implicits._
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.wav")
-      .load(audioDir)
-      .select(regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
-        col("content"))
+    graft.sources.BinaryFiles.scan(s, "*.wav", audioDir)
+      .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>
         batch.map { case (name, bytes) =>

@@ -270,7 +270,13 @@ object StreamingTwins {
       .withColumn("mu", col("s1").cast("double") / col("cnt"))
       .withColumn("sd",
         when(col("cnt") > 1,
-          sqrt((col("cnt") * col("s2") - col("s1") * col("s1")).cast("double") /
+          // the integer numerator in 38-digit decimal: DuckDB's
+          // sum(BIGINT) window is HUGEINT (128-bit), so n·Σx² − (Σx)²
+          // stays exact there — Long here would silently wrap once
+          // Σx > ~3·10⁹ and the engines would diverge exactly where
+          // the integer-sums contract claims agreement
+          sqrt((col("cnt").cast("decimal(38,0)") * col("s2") -
+              col("s1").cast("decimal(38,0)") * col("s1")).cast("double") /
             (col("cnt") * (col("cnt") - 1))))
           .otherwise(lit(0.0)))
       .withColumn("z",

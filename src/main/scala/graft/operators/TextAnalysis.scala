@@ -301,8 +301,13 @@ object TextAnalysis {
   private[graft] def decontamMeasure(s: SparkSession, d: String,
       benchMax: Long, useBloom: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
-    val bench = contamShingles(docs.filter(col("doc_id") < benchMax), "bench_id")
-      .persist()
+    // persist only on the bloom path, where the eval shingles are read
+    // three times (count, bloom build, join); the exact path reads
+    // them once and a persist would just occupy executor storage. The
+    // sweep driver (Profile) clearCache()s between timings, so no run
+    // inherits a prior run's cached tables.
+    val bench0 = contamShingles(docs.filter(col("doc_id") < benchMax), "bench_id")
+    val bench = if (useBloom) bench0.persist() else bench0
     val corpus = contamShingles(docs.filter(col("doc_id") >= benchMax), "doc_id")
     val gated = if (useBloom) {
       val cap = math.min(bench.count() * 2, 1L << 22)

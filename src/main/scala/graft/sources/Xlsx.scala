@@ -200,6 +200,15 @@ object XlsxCodec {
       case '<' => sb.append("&lt;")
       case '>' => sb.append("&gt;")
       case '"' => sb.append("&quot;")
+      // a literal CR is normalized to LF by every conforming XML
+      // parser (XML 1.0 §2.11) — the character reference survives, so
+      // read(write(x)) == x holds for CR-bearing cells
+      case '\r' => sb.append("&#xD;")
+      case c if c < 0x20 && c != '\t' && c != '\n' =>
+        // not representable in XML 1.0 at all (even as a charref);
+        // U+FFFD keeps the writer total rather than emitting a
+        // workbook its own reader must reject
+        sb.append('�')
       case c => sb.append(c)
     }
     sb.toString
@@ -300,23 +309,19 @@ object Xlsx {
     */
   def rows(s: SparkSession, dirs: String*): DataFrame = {
     import s.implicits._
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")
-      .option("recursiveFileLookup", "true")
-      .load(dirs: _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    BinaryFiles.scan(s, "*.xlsx", dirs: _*)
+      .select(col("file_name"), col("batch_date"), col("content"))
+      .as[(String, String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.flatMap { case (path, bytes) =>
+        batch.flatMap { case (name, date, bytes) =>
           val grid = XlsxCodec.readSheet(bytes)
-          if (grid == null) Iterator((path, -1L, Array.empty[String]))
-          else grid.iterator.zipWithIndex.map { case (r, i) => (path, i.toLong, r) }
+          if (grid == null) Iterator((name, date, -1L, Array.empty[String]))
+          else grid.iterator.zipWithIndex.map { case (r, i) =>
+            (name, date, i.toLong, r)
+          }
         }
       }
-      .toDF("path", "row_num", "cells")
-      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
-      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
-      .select(col("file_name"), col("batch_date"), col("row_num"), col("cells"))
+      .toDF("file_name", "batch_date", "row_num", "cells")
   }
 
   /** (file_name, batch_date, content) — the first-column text view,
@@ -325,20 +330,14 @@ object Xlsx {
     */
   def text(s: SparkSession, dirs: String*): DataFrame = {
     import s.implicits._
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", "*.xlsx")
-      .option("recursiveFileLookup", "true")
-      .load(dirs: _*)
-      .select(col("path"), col("content"))
-      .as[(String, Array[Byte])]
+    BinaryFiles.scan(s, "*.xlsx", dirs: _*)
+      .select(col("file_name"), col("batch_date"), col("content"))
+      .as[(String, String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (path, bytes) =>
-          (path, Option(XlsxCodec.sheetText(bytes)))
+        batch.map { case (name, date, bytes) =>
+          (name, date, Option(XlsxCodec.sheetText(bytes)))
         }
       }
-      .toDF("path", "content")
-      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
-      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
-      .select(col("file_name"), col("batch_date"), col("content"))
+      .toDF("file_name", "batch_date", "content")
   }
 }

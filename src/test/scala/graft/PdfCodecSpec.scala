@@ -59,6 +59,30 @@ class PdfCodecSpec extends SparkTestBase {
       "基金代码：000162\n")
   }
 
+  test("nested sub-dictionary keeps the outer dict's /Filter (balanced scan)") {
+    // /DecodeParms carries its own << >>; lastIndexOf-style dict
+    // discovery would land on the INNER '<<' and lose /FlateDecode,
+    // feeding deflate bytes to the text scanner as if they were ops
+    val text = "BT (nested ok) Tj ET"
+    val got = decode(wrap(deflate(text),
+      filter = "/Filter /FlateDecode /DecodeParms << /Predictor 1 /Columns 4 >> "))
+    assert(got == "nested ok\n", s"got: $got")
+  }
+
+  test("non-content streams (XMP-shaped XML) emit nothing: BT-gated showing") {
+    // an uncompressed metadata stream full of XML: '<'+hex runs, and
+    // attribute quotes followed by whitespace look like ' / " showing
+    // ops — outside BT...ET nothing may emit
+    val xmp = """<?xpacket begin="" id="ab"?> <x:xmpmeta xmlns:x="adobe">
+      |<rdf:Description dc:format="application/pdf" xml:lang="x" />
+      |</x:xmpmeta> <?xpacket end="w"?>""".stripMargin
+    val doc = (s"%PDF-1.4\n1 0 obj\n<< /Type /Metadata /Length ${xmp.getBytes("UTF-8").length} >>\nstream\n"
+      .getBytes(ISO_8859_1) ++ xmp.getBytes("UTF-8")
+      ++ "\nendstream\nendobj\n".getBytes(ISO_8859_1)
+      ++ wrap("BT (real page) Tj ET".getBytes("UTF-8")).drop("%PDF-1.4\n".length))
+    assert(decode(doc) == "real page\n")
+  }
+
   test("failure contract: bad magic null, corrupt flate empty, lying Length recovers") {
     assert(decode("GIF89a nope".getBytes(ISO_8859_1)) == null)
     assert(decode(Array[Byte]()) == null)

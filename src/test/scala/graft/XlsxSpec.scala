@@ -34,6 +34,18 @@ class XlsxSpec extends SparkTestBase {
     assert(sst.contains("a&amp;b&lt;c&gt;d"))
   }
 
+  test("CR survives the round trip as a charref; XML-illegal controls go to U+FFFD") {
+    // a raw \r in character data is normalized to \n by conforming
+    // parsers — the writer must emit &#xD; for read(write(x)) == x
+    val back = XlsxCodec.readSheet(XlsxCodec.writeSheet(Seq(Seq("a\rb", "c\r\nd"))))
+    assert(back(0)(0) == "a\rb" && back(0)(1) == "c\r\nd")
+    // U+0001 has no XML 1.0 representation at all: the writer stays
+    // total (U+FFFD) instead of producing a workbook its own reader
+    // must reject
+    val ctl = XlsxCodec.readSheet(XlsxCodec.writeSheet(Seq(Seq("x\u0001y"))))
+    assert(ctl(0)(0) == "x\ufffdy")
+  }
+
   test("sparse rows fill gaps via cell references; bare sheets read empty") {
     // hand-built sheet with a missing A cell and an out-of-order ref
     val grid = XlsxCodec.readSheet(XlsxCodec.writeSheet(Seq(Seq("x"))))
