@@ -172,22 +172,37 @@ object PdfCodec {
       else if (c == '%') { // comment runs to EOL
         while (i < n && data(i) != '\n' && data(i) != '\r') i += 1
       } else if (c == 'B' && i + 1 < n && data(i + 1) == 'T'
-          && tokenBoundary(data, i + 2)) {
+          && tokenBoundary(data, i + 2) && operatorStart(data, i)) {
         inText = true; pending.reset(); i += 2
       } else if (c == 'E' && i + 1 < n && data(i + 1) == 'T'
-          && tokenBoundary(data, i + 2)) {
+          && tokenBoundary(data, i + 2) && operatorStart(data, i)) {
         inText = false; pending.reset(); i += 2
       } else if (c == 'T' && i + 1 < n && (data(i + 1) == 'j' || data(i + 1) == 'J')
-          && tokenBoundary(data, i + 2)) {
+          && tokenBoundary(data, i + 2) && operatorStart(data, i)) {
         if (inText) emit() else pending.reset()
         i += 2
-      } else if ((c == '\'' || c == '"') && tokenBoundary(data, i + 1)) {
+      } else if ((c == '\'' || c == '"') && tokenBoundary(data, i + 1)
+          && operatorStart(data, i)) {
         if (inText) emit() else pending.reset()
         i += 1
       } else i += 1
     }
     pending.reset()
   }
+
+  /** A token at i is an OPERATOR only when the preceding byte is
+    * whitespace or a (non-'/') delimiter: '/' introduces a NAME, so
+    * `/TJ` (a plausible font resource name) must not show text, and a
+    * glued run like `SUBT` must not toggle the BT gate. ')' and '>'
+    * are included so `(x)Tj` / `<AB>Tj` — legal, delimiter-separated
+    * — still show.
+    */
+  private def operatorStart(data: Array[Byte], i: Int): Boolean =
+    i <= 0 || {
+      val c = data(i - 1)
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '[' ||
+        c == ']' || c == '(' || c == ')' || c == '<' || c == '>'
+    }
 
   private def tokenBoundary(data: Array[Byte], i: Int): Boolean =
     i >= data.length || {

@@ -83,6 +83,17 @@ class PdfCodecSpec extends SparkTestBase {
     assert(decode(doc) == "real page\n")
   }
 
+  test("operators need a leading boundary: /TJ names and glued runs don't show") {
+    // /TJ here is a NAME (font resource) — the '/' introducer means the
+    // TJ token is not an operator and must not emit a spurious line
+    val named = "BT (keep) Tj /TJ 12 Tf (more) Tj ET"
+    assert(decode(wrap(named.getBytes("UTF-8"))) == "keep\nmore\n")
+    // a glued run must not toggle the BT gate…
+    assert(decode(wrap("SUBT (noise) Tj".getBytes("UTF-8"))) == "")
+    // …while delimiter-separated operators (no whitespace) still work
+    assert(decode(wrap("BT (x)Tj ET".getBytes("UTF-8"))) == "x\n")
+  }
+
   test("failure contract: bad magic null, corrupt flate empty, lying Length recovers") {
     assert(decode("GIF89a nope".getBytes(ISO_8859_1)) == null)
     assert(decode(Array[Byte]()) == null)
