@@ -233,7 +233,7 @@ object Multimodal {
     */
   val mmImageDecode: Q = (s, _) => {
     import s.implicits._
-    graft.sources.BinaryFiles.scan(s, "*.png", imagesDir)
+    graft.sources.BinaryFiles.scan(s, "*.{png,bmp}", imagesDir)
       .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>

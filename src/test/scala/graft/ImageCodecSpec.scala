@@ -48,6 +48,20 @@ class ImageCodecSpec extends SparkTestBase {
       s"half-bright should set 32 bits: ${split.nBright}")
   }
 
+  test("BMP round-trips through the same decode path (magic-sniffed)") {
+    // encode with the JVM's own BMP writer — shares no code with the
+    // stdlib-Python generator that built the committed .bmp corpus
+    val img = new BufferedImage(20, 12, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 12; x <- 0 until 20)
+      img.setRGB(x, y, ((x * 9 + y) % 256 << 16) | ((y * 7) % 256 << 8) | (x + y * 3) % 256)
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", bos)
+    val d = ImageCodec.decode(bos.toByteArray).get
+    val png = ImageCodec.decode(
+      pngOf(20, 12, (x, y) => ((x * 9 + y) % 256, (y * 7) % 256, (x + y * 3) % 256))).get
+    assert(d == png, "identical pixels through BMP and PNG must give identical stats")
+  }
+
   test("corrupt containers decode to None, never throw") {
     assert(ImageCodec.decode("not an image at all".getBytes).isEmpty)
     assert(ImageCodec.decode(Array.empty[Byte]).isEmpty)
@@ -64,8 +78,9 @@ class ImageCodecSpec extends SparkTestBase {
         col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"),
         col("phash_lo"), col("phash_hi"), col("n_bright"))
       .orderBy(col("file_name")).collect()
-    assert(got.length == want.length && got.length == 50,
-      s"corpus should be 50 files: got=${got.length} want=${want.length}")
+    assert(got.length == want.length && got.length == 67,
+      s"corpus should be 67 files (50 PNG leg + 17 BMP leg): " +
+        s"got=${got.length} want=${want.length}")
     got.zip(want).foreach { case (g, w) =>
       assert(g == w, s"decode diverged from sidecar:\n  got  $g\n  want $w")
     }

@@ -43,6 +43,22 @@ def png_bytes(w, h, raster):
             chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
 
 
+def bmp_bytes(w, h, raster):
+    """raster: list of rows (top-down), each a bytes of r,g,b triples.
+    24-bit uncompressed BITMAPINFOHEADER BMP: bottom-up rows, BGR
+    order, each row padded to a 4-byte multiple."""
+    pad = (-(w * 3)) % 4
+    body = b"".join(
+        bytes(v for x in range(w)
+              for v in (row[x * 3 + 2], row[x * 3 + 1], row[x * 3]))
+        + b"\x00" * pad
+        for row in reversed(raster))
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                       2835, 2835, 0, 0)
+    head = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return head + info + body
+
+
 def pixel(i, x, y):
     return ((x * 7 + y * 3 + i * 11) % 256,
             (x * 5 + y * 13 + i * 17) % 256,
@@ -88,6 +104,30 @@ def main():
             f.write(png_bytes(w, h, raster))
         sr, sg, sb, lo, hi, nb = stats(i, w, h)
         rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb))
+
+    # BMP leg: same pixel formulas through a SECOND real container
+    # (ids 48-63, so no stats row collides with a PNG row) — the JVM
+    # reader must route by magic sniffing, not extension trust
+    for i in range(48, 64):
+        w = 16 + (i % 5) * 8
+        h = 12 + (i % 7) * 4
+        raster = [bytes(v for x in range(w) for v in pixel(i, x, y))
+                  for y in range(h)]
+        name = f"img_{i:03d}.bmp"
+        with open(os.path.join(DST, name), "wb") as f:
+            f.write(bmp_bytes(w, h, raster))
+        sr, sg, sb, lo, hi, nb = stats(i, w, h)
+        rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb))
+
+    # corrupt BMP: header-level truncation (20 bytes keeps the 'BM'
+    # magic but cuts BITMAPINFOHEADER, so no partial-raster decode is
+    # possible — the reader must fail, not return garbage pixels)
+    bmp_good = bmp_bytes(24, 16, [bytes(v for x in range(24)
+                                        for v in pixel(98, x, y))
+                                  for y in range(16)])
+    with open(os.path.join(DST, "img_cut_header.bmp"), "wb") as f:
+        f.write(bmp_good[:20])
+    rows.append(("img_cut_header.bmp", False, 0, 0, 0, 0, 0, 0, 0, 0, 0))
 
     # corrupt pair: wrong magic, and a truncated stream (half the bytes
     # of a real image — IDAT CRC can never validate)
