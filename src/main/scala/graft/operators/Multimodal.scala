@@ -266,7 +266,7 @@ object Multimodal {
     */
   val mmAudioDecode: Q = (s, _) => {
     import s.implicits._
-    graft.sources.BinaryFiles.scan(s, "*.wav", audioDir)
+    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
       .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>

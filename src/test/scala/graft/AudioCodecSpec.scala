@@ -40,6 +40,26 @@ class AudioCodecSpec extends SparkTestBase {
     assert(d.zeroCrossings == zc, s"zc: ${d.zeroCrossings} vs $zc")
   }
 
+  test("AU round-trips through the same decode path (big-endian PCM16)") {
+    // encode with the JVM's own AU writer — shares no code with the
+    // stdlib-Python generator that built the committed .au corpus;
+    // identical samples through AU and WAV must give identical stats
+    val xs = Array[Short](0, 100, -200, 3000, -3000, 32767, -32768, 5, -5, 0)
+    val fmt = new AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](xs.length * 2)
+    xs.indices.foreach { i =>
+      pcm(i * 2) = (xs(i) & 0xff).toByte
+      pcm(i * 2 + 1) = ((xs(i) >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, xs.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.AU, bos)
+    val au = AudioCodec.decode(bos.toByteArray).get
+    val wav = AudioCodec.decode(wavOf(xs)).get
+    assert(au == wav, s"AU vs WAV stat divergence:\n  au  $au\n  wav $wav")
+  }
+
   test("corrupt containers decode to None, never throw") {
     assert(AudioCodec.decode("definitely not audio".getBytes).isEmpty)
     assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)
@@ -56,8 +76,9 @@ class AudioCodecSpec extends SparkTestBase {
         col("sample_rate"), col("n_samples"), col("sum_abs"),
         col("energy"), col("peak"), col("zero_crossings"))
       .orderBy(col("file_name")).collect()
-    assert(got.length == want.length && got.length == 42,
-      s"corpus should be 42 files: got=${got.length} want=${want.length}")
+    assert(got.length == want.length && got.length == 55,
+      s"corpus should be 55 files (42 WAV leg + 13 AU leg): " +
+        s"got=${got.length} want=${want.length}")
     got.zip(want).foreach { case (g, w) =>
       assert(g == w, s"decode diverged from sidecar:\n  got  $g\n  want $w")
     }

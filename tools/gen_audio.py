@@ -56,6 +56,26 @@ def main():
         sa, en, pk, zc = stats(xs)
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
 
+    # AU leg: same sample formulas through a SECOND real container
+    # (Sun AU — 24-byte big-endian header, PCM16 big-endian data;
+    # struct-packed here so the writer shares no code with the JVM
+    # reader). Ids 40-51 so no stats row collides with a WAV row.
+    for i in range(40, 52):
+        n = 500 + (i % 7) * 300
+        xs = samples(i, n)
+        name = f"clip_{i:03d}.au"
+        hdr = struct.pack(">4sIIIII", b".snd", 24, n * 2, 3, RATE, 1)
+        with open(os.path.join(DST, name), "wb") as f:
+            f.write(hdr + struct.pack(f">{n}h", *xs))
+        sa, en, pk, zc = stats(xs)
+        rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
+
+    # corrupt AU: header-level truncation (12 bytes keeps the '.snd'
+    # magic but cuts the format fields — must fail, not mis-decode)
+    with open(os.path.join(DST, "clip_cut_header.au"), "wb") as f:
+        f.write(struct.pack(">4sII", b".snd", 24, 0))
+    rows.append(("clip_cut_header.au", False, 0, 0, 0, 0, 0, 0, 0))
+
     with open(os.path.join(DST, f"clip_{0:03d}.wav"), "rb") as f:
         good = f.read()
     corrupt = [("clip_bad_magic.wav", b"NOTRIFF!" + good[8:]),
