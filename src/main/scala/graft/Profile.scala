@@ -91,6 +91,12 @@ object Profile {
           org.apache.spark.sql.functions.count(col("n")),
           org.apache.spark.sql.functions.expr("approx_percentile(n, 0.5)"),
           org.apache.spark.sql.functions.max(col("n"))).head
+        // unpersist BEFORE the timing: minhashPairs' band subtree is
+        // plan-identical to the cached diagnostics table, so Spark's
+        // cache manager would substitute InMemoryRelation and the
+        // timed join would read cache-fed input, not the
+        // deployment-shaped scan the telemetry claims to describe
+        banded.unpersist(blocking = true)
         val pairs = operators.Dedup.minhashPairs(spark, d)
         val t0 = System.nanoTime()
         // execute THIS DataFrame's plan (toRdd.count), not a derived
@@ -103,7 +109,6 @@ object Profile {
         val skewed = plan.contains("skew=true")
         require(plan.contains("isFinalPlan=true") || !plan.contains("AdaptiveSparkPlan"),
           "adaptive plan did not finalize — the skew reading would be vacuous")
-        banded.unpersist()
         println(f"[profile] lsh-skew buckets=${stats.getLong(0)} " +
           f"median=${stats.get(1)} max=${stats.get(2)} top5=${top.mkString(",")} " +
           f"pairs=$nPairs join=$dt%.2f s aqe_skew_split=$skewed")

@@ -14,8 +14,9 @@ import java.io.ByteArrayInputStream
   *
   * Decode failures (bad magic, truncated header, unsupported codec)
   * return None — surfaced as audio_ok=false rows, never a thrown scan.
-  * Only signed 16-bit PCM is accepted: that's what the corpus commits,
-  * and rejecting the rest loudly beats mis-decoding it.
+  * Only MONO signed 16-bit PCM is accepted: that's what the corpus
+  * commits, and rejecting the rest loudly beats mis-decoding it (the
+  * zero-crossing statistic is only meaningful per channel).
   */
 object AudioCodec {
 
@@ -29,9 +30,14 @@ object AudioCodec {
         .getAudioInputStream(new ByteArrayInputStream(bytes))
       try {
         val fmt = in.getFormat
+        // mono only: the zero-crossing state below runs sample-to-
+        // sample, so interleaved stereo frames would count meaningless
+        // inter-channel sign flips — reject loudly rather than emit a
+        // wrong statistic (the per-channel variant is a deliberate
+        // non-goal until a corpus needs it)
         val ok = fmt.getEncoding ==
           javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
-          fmt.getSampleSizeInBits == 16
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
         if (!ok) None
         else {
           val le = !fmt.isBigEndian

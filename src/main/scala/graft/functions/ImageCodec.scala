@@ -41,29 +41,29 @@ object ImageCodec {
         if (w <= 0 || h <= 0) None
         else {
           var sumR = 0L; var sumG = 0L; var sumB = 0L
+          // one bulk getRGB into an int[] — same sRGB conversion as
+          // the per-pixel call, minus a ColorModel virtual call per
+          // pixel on this per-partition hot path
+          val argbs = img.getRGB(0, 0, w, h, null, 0, w)
           // integer luma raster: (299r + 587g + 114b) / 1000 — exact
           // on 8-bit sRGB channels, which getRGB returns losslessly
-          // for the 8-bit truecolor PNGs under test
+          // for the 8-bit truecolor PNGs/BMPs under test
           val luma = new Array[Int](w * h)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val argb = img.getRGB(x, y)
-              val r = (argb >> 16) & 0xff
-              val g = (argb >> 8) & 0xff
-              val b = argb & 0xff
-              sumR += r; sumG += g; sumB += b
-              luma(y * w + x) = (r * 299 + g * 587 + b * 114) / 1000
-              x += 1
-            }
-            y += 1
+          var p = 0
+          while (p < argbs.length) {
+            val argb = argbs(p)
+            val r = (argb >> 16) & 0xff
+            val g = (argb >> 8) & 0xff
+            val b = argb & 0xff
+            sumR += r; sumG += g; sumB += b
+            luma(p) = (r * 299 + g * 587 + b * 114) / 1000
+            p += 1
           }
           // 8×8 NN thumbnail + average-hash, the mm_phash math over
           // real pixels (bit i set iff thumb(i)·64 > Σthumb)
           val thumb = new Array[Long](out * out)
           var tsum = 0L
-          y = 0
+          var y = 0
           while (y < out) {
             val sy = y * h / out
             var x = 0

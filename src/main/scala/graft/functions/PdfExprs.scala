@@ -49,7 +49,12 @@ object PdfCodec {
     val out = new java.io.ByteArrayOutputStream()
     var pos = 0
     while (pos >= 0 && pos < bytes.length) {
-      val streamKw = indexOf(bytes, "stream", pos)
+      val streamKw = {
+        var k = indexOf(bytes, "stream", pos)
+        while (k >= 0 && !streamKeyword(bytes, k))
+          k = indexOf(bytes, "stream", k + 1)
+        k
+      }
       if (streamKw < 0) { pos = -1 }
       else {
         // the dict governing this stream: the << … >> span that ends
@@ -98,6 +103,27 @@ object PdfCodec {
       }
     }
     UTF8String.fromBytes(out.toByteArray)
+  }
+
+  /** True when the "stream" match at k is the KEYWORD: preceded by
+    * whitespace or a closing delimiter, and followed by CRLF or LF
+    * (ISO 32000 §7.3.8.1 — never a bare CR). Rejects the word
+    * "stream" inside a literal string or name (an Info /Title like
+    * `(Quarterly income stream)`) which would otherwise pair with the
+    * wrong dictionary, feed compressed bytes to the text scanner, and
+    * skip past the real page stream. "endstream" matches are rejected
+    * by the leading-boundary test ('d' precedes its "stream").
+    */
+  private def streamKeyword(bytes: Array[Byte], k: Int): Boolean = {
+    val before = k == 0 || {
+      val c = bytes(k - 1)
+      c == ' ' || c == '\n' || c == '\r' || c == '\t' ||
+        c == '>' || c == ']' || c == ')'
+    }
+    val e = k + "stream".length
+    before && e < bytes.length &&
+      (bytes(e) == '\n' ||
+        (bytes(e) == '\r' && e + 1 < bytes.length && bytes(e + 1) == '\n'))
   }
 
   /** Index of the '<<' that balances the '>>' at dictEnd (nesting-

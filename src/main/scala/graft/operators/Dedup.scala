@@ -131,10 +131,6 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id")))
   }
 
-  /** Full-recompute pair graph over an arbitrary documents relation —
-    * the ground truth the incremental path's per-batch deltas must sum
-    * to (spec-asserted in EventStreamsSpec).
-    */
   /** The banded signature table alone — Profile --lsh-skew reads the
     * band-bucket size distribution off it (Σ bucket² is the join's
     * real cost; no AQE split changes that, only the parallelism).
@@ -142,6 +138,10 @@ object Dedup {
   private[graft] def bandedForDiagnostics(s: SparkSession, d: String): DataFrame =
     bandedOf(minhashSigTable(s, d))
 
+  /** Full-recompute pair graph over an arbitrary documents relation —
+    * the ground truth the incremental path's per-batch deltas must sum
+    * to (spec-asserted in EventStreamsSpec).
+    */
   private[graft] def minhashPairsOf(docs: DataFrame): DataFrame = {
     val banded = bandedOf(minhashSigTableOf(docs))
     pairsFromCollisions(

@@ -710,7 +710,11 @@ object FundEtl {
     // per unparseable input.
     extracted
       .withColumn("text_hash",
-        md5(coalesce(nullif(col("content"), lit("")), col("file_name"))))
+        // 'FAILED:' salt keeps the fallback in its own key domain: a
+        // document whose entire text happens to equal another file's
+        // NAME must not collapse with that file's failure row
+        md5(coalesce(nullif(col("content"), lit("")),
+          concat(lit("FAILED:"), col("file_name")))))
       .withColumn("rn",
         row_number().over(byHash.orderBy(col("decode_rank"), col("file_name"))))
       .withColumn("n_sources", count(lit(1)).over(byHash))
@@ -975,9 +979,9 @@ object FundEtl {
         Seq("content", "decode_rank"))},
          |dedup AS (
          |  SELECT *,
-         |    row_number() OVER (PARTITION BY md5(coalesce(nullif(content, ''), file_name))
+         |    row_number() OVER (PARTITION BY md5(coalesce(nullif(content, ''), concat('FAILED:', file_name)))
          |                       ORDER BY decode_rank, file_name) AS rn,
-         |    count(*) OVER (PARTITION BY md5(coalesce(nullif(content, ''), file_name))) AS n_sources
+         |    count(*) OVER (PARTITION BY md5(coalesce(nullif(content, ''), concat('FAILED:', file_name)))) AS n_sources
          |  FROM enriched)
          |SELECT ledger_id, fund_code, 'OTC' AS market, trade_date, biz_type,
          |  shares, amount, fee,

@@ -34,12 +34,19 @@ import org.apache.spark.sql.functions._
   */
 object XlsxCodec {
 
-  private def staxFactory: javax.xml.stream.XMLInputFactory = {
-    val f = javax.xml.stream.XMLInputFactory.newInstance()
-    f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
-    f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
-    f
-  }
+  // one factory per executor thread, not per parse call: newInstance()
+  // is a ServiceLoader provider lookup, and the decode loop calls two
+  // parses per workbook over many-small-files corpora. ThreadLocal
+  // because XMLInputFactory makes no thread-safety promise.
+  private val staxFactory =
+    new ThreadLocal[javax.xml.stream.XMLInputFactory] {
+      override def initialValue(): javax.xml.stream.XMLInputFactory = {
+        val f = javax.xml.stream.XMLInputFactory.newInstance()
+        f.setProperty(javax.xml.stream.XMLInputFactory.SUPPORT_DTD, false)
+        f.setProperty("javax.xml.stream.isSupportingExternalEntities", false)
+        f
+      }
+    }
 
   /** Sheet1 as a dense row-major grid, or null if the bytes are not a
     * readable workbook.
@@ -57,8 +64,10 @@ object XlsxCodec {
           val name = e.getName
           if (name == "xl/sharedStrings.xml") sharedRaw = readAll(zin)
           else if (name == "xl/worksheets/sheet1.xml") sheet = readAll(zin)
-          else if (name.startsWith("xl/worksheets/") && name.endsWith(".xml") &&
-              (firstSheet == null || name < firstSheet._1))
+          else if (sheet == null && // fallback candidates are moot once sheet1 is seen
+              name.startsWith("xl/worksheets/") && name.endsWith(".xml") &&
+              (firstSheet == null ||
+                Ordering[(Int, String)].lt(sheetOrder(name), sheetOrder(firstSheet._1))))
             firstSheet = (name, readAll(zin))
           e = zin.getNextEntry
         }
@@ -88,6 +97,14 @@ object XlsxCodec {
     }
   }
 
+  /** Numeric-suffix ordering for the no-sheet1 fallback: sheet2.xml
+    * must beat sheet10.xml (lexicographic order would not).
+    */
+  private def sheetOrder(name: String): (Int, String) = {
+    val m = "sheet(\\d+)\\.xml$".r.findFirstMatchIn(name)
+    (m.map(_.group(1).toInt).getOrElse(Int.MaxValue), name)
+  }
+
   private def readAll(in: java.io.InputStream): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
@@ -98,7 +115,7 @@ object XlsxCodec {
 
   private def parseSharedStrings(xml: Array[Byte]): Array[String] = {
     val out = ArrayBuffer.empty[String]
-    val r = staxFactory.createXMLStreamReader(new ByteArrayInputStream(xml), "UTF-8")
+    val r = staxFactory.get().createXMLStreamReader(new ByteArrayInputStream(xml), "UTF-8")
     var cur: java.lang.StringBuilder = null
     var inT = false
     while (r.hasNext) {
@@ -136,11 +153,16 @@ object XlsxCodec {
 
   private def parseSheet(xml: Array[Byte], shared: Array[String]): Array[Array[String]] = {
     val rows = ArrayBuffer.empty[Array[String]]
-    val r = staxFactory.createXMLStreamReader(new ByteArrayInputStream(xml), "UTF-8")
+    val r = staxFactory.get().createXMLStreamReader(new ByteArrayInputStream(xml), "UTF-8")
     var cells: ArrayBuffer[(Int, String)] = null
     var nextCol = 0
     var cellCol = 0
     var cellType = ""
+    // accumulated across EVERY <v>/<t> in the cell: a rich-text
+    // inlineStr carries one <t> per formatting run and the cell value
+    // is their concatenation — one entry per run would make flushRow's
+    // last-write-wins keep only the final run
+    var cellBuf: java.lang.StringBuilder = null
     var text: java.lang.StringBuilder = null
     var collecting = false
     def flushRow(): Unit = if (cells != null) {
@@ -160,6 +182,7 @@ object XlsxCodec {
               cellCol = if (ref != null) colIndex(ref) else nextCol
               val t = r.getAttributeValue(null, "t")
               cellType = if (t == null) "" else t
+              cellBuf = null
             case "v" | "t" if cells != null =>
               text = new java.lang.StringBuilder(); collecting = true
             case _ =>
@@ -169,7 +192,10 @@ object XlsxCodec {
         case javax.xml.stream.XMLStreamConstants.END_ELEMENT =>
           r.getLocalName match {
             case "row" => flushRow()
-            case "c" if cells != null => nextCol = cellCol + 1
+            case "c" if cells != null =>
+              if (cellBuf != null) cells += ((cellCol, cellBuf.toString))
+              cellBuf = null
+              nextCol = cellCol + 1
             case "v" | "t" if collecting =>
               collecting = false
               val raw = text.toString
@@ -180,7 +206,8 @@ object XlsxCodec {
                 case "b" => if (raw.trim == "1") "TRUE" else "FALSE"
                 case _ => raw // inlineStr/str `t` bodies and numeric `v` text
               }
-              cells += ((cellCol, value))
+              if (cellBuf == null) cellBuf = new java.lang.StringBuilder()
+              cellBuf.append(value)
             case _ =>
           }
         case _ =>

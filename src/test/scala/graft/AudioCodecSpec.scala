@@ -60,6 +60,23 @@ class AudioCodecSpec extends SparkTestBase {
     assert(au == wav, s"AU vs WAV stat divergence:\n  au  $au\n  wav $wav")
   }
 
+  test("stereo is rejected: inter-channel zero crossings would be meaningless") {
+    val fmt = new AudioFormat(8000f, 16, 2, true, false)
+    // L=+1000 / R=-1000 per frame: per-channel zc is 0, but a naive
+    // interleaved count would see a sign flip at every sample
+    val pcm = new Array[Byte](8 * 4)
+    (0 until 8).foreach { f =>
+      pcm(f * 4) = (1000 & 0xff).toByte; pcm(f * 4 + 1) = (1000 >> 8).toByte
+      pcm(f * 4 + 2) = (-1000 & 0xff).toByte; pcm(f * 4 + 3) = ((-1000 >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, 8L)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    assert(AudioCodec.decode(bos.toByteArray).isEmpty,
+      "multi-channel PCM must be rejected, not mis-summarized")
+  }
+
   test("corrupt containers decode to None, never throw") {
     assert(AudioCodec.decode("definitely not audio".getBytes).isEmpty)
     assert(AudioCodec.decode(Array.empty[Byte]).isEmpty)

@@ -83,6 +83,18 @@ class PdfCodecSpec extends SparkTestBase {
     assert(decode(doc) == "real page\n")
   }
 
+  test("the word 'stream' inside a string object cannot derail extraction") {
+    // an Info-style object whose /Title contains the bare word: the
+    // match has no following EOL, so it is not the stream keyword —
+    // pairing it with the wrong dict would skip the real page stream
+    val title = "1 0 obj\n<< /Title (Quarterly income stream) >>\nendobj\n"
+      .getBytes(ISO_8859_1)
+    val doc = "%PDF-1.4\n".getBytes(ISO_8859_1) ++ title ++
+      wrap(deflate("BT (page text) Tj ET"), filter = "/Filter /FlateDecode ")
+        .drop("%PDF-1.4\n".length)
+    assert(decode(doc) == "page text\n")
+  }
+
   test("operators need a leading boundary: /TJ names and glued runs don't show") {
     // /TJ here is a NAME (font resource) — the '/' introducer means the
     // TJ token is not an operator and must not emit a spurious line

@@ -54,6 +54,24 @@ class XlsxSpec extends SparkTestBase {
     assert(XlsxCodec.sheetText("junk".getBytes("UTF-8")) == null)
   }
 
+  test("rich-text inlineStr runs concatenate into one cell value") {
+    // what Excel writes for mixed formatting: one <t> per run inside
+    // <is> — the cell value is their concatenation, not the last run
+    val sheet =
+      """<?xml version="1.0" encoding="UTF-8"?><worksheet><sheetData>
+        |<row r="1"><c r="A1" t="inlineStr"><is><r><t>Hello </t></r>
+        |<r><t>Wor</t></r><r><t>ld</t></r></is></c>
+        |<c r="B1"><v>42</v></c></row>
+        |</sheetData></worksheet>""".stripMargin
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    z.putNextEntry(new java.util.zip.ZipEntry("xl/worksheets/sheet1.xml"))
+    z.write(sheet.getBytes("UTF-8")); z.closeEntry(); z.close()
+    val grid = XlsxCodec.readSheet(bos.toByteArray)
+    assert(grid.map(_.toSeq).toSeq == Seq(Seq("Hello World", "42")),
+      s"got: ${grid.map(_.toSeq).toSeq}")
+  }
+
   test("committed corpus: every workbook decodes to the sidecar text") {
     val expected = spark.read
       .parquet(operators.FundEtl.statementsXlsxDir + "/expected.parquet")
