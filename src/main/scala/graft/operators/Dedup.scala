@@ -556,13 +556,16 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    // checkpoint the RAW pairs once: both edge canonicalization and
-    // node extraction read it, and without the barrier the second
-    // consumer re-executes the entire upstream pair-generation plan
-    // (band join and all — measured 1.5s → 2.6s on the corpus graph
-    // when allNodes was re-derived from the live plan)
+    // CALLER CONTRACT: pairs must be materialized (persist or
+    // localCheckpoint) — edge canonicalization and node extraction
+    // both read it, and a live plan would re-execute its entire
+    // upstream (band join and all) for the second consumer, measured
+    // 1.5s → 2.6s on the corpus graph. The router, the dd_cluster_star
+    // operator and both Profile harnesses all pass a materialized
+    // input; a second barrier here would re-copy a graph that at 100×
+    // is 27M rows (measured as tens of seconds of pure double
+    // materialization).
     val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .localCheckpoint()
     var edges = canon(raw).localCheckpoint()
     // all nodes that ever appeared — label extraction must cover nodes
     // that end as roots (no outgoing edge at the fixpoint). Derived
@@ -630,7 +633,10 @@ object Dedup {
     * operator rather than a test-only twin.
     */
   val ddClusterStar: Q = (s, d) =>
-    connectedComponentsStar(minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    // localCheckpoint fulfils connectedComponentsStar's materialized-
+    // input contract: the pair join runs once, not once per consumer
+    connectedComponentsStar(
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint())
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
       .withColumn("cluster_size",
         count(lit(1)).over(Window.partitionBy(col("cluster_id"))))
