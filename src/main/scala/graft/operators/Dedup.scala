@@ -556,15 +556,15 @@ object Dedup {
     def canon(df: DataFrame): DataFrame = df
       .select(greatest(col("a"), col("b")).as("a"), least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b")).distinct()
-    // CALLER CONTRACT: pairs must be materialized (persist or
-    // localCheckpoint) — edge canonicalization and node extraction
-    // both read it, and a live plan would re-execute its entire
+    // CALLER CONTRACT: an EXPENSIVE pairs plan must be materialized
+    // (persist or localCheckpoint) — edge canonicalization and node
+    // extraction both read it, and a live plan re-executes its entire
     // upstream (band join and all) for the second consumer, measured
     // 1.5s → 2.6s on the corpus graph. The router, the dd_cluster_star
-    // operator and both Profile harnesses all pass a materialized
-    // input; a second barrier here would re-copy a graph that at 100×
-    // is 27M rows (measured as tens of seconds of pure double
-    // materialization).
+    // operator and both Profile harnesses pass materialized input;
+    // spec callers pass literal in-memory graphs, where re-reading is
+    // free. No barrier here: it would re-copy a graph that at 100× is
+    // 27M rows (measured as tens of seconds of pure duplication).
     val raw = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
     var edges = canon(raw).localCheckpoint()
     // all nodes that ever appeared — label extraction must cover nodes
