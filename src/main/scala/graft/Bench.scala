@@ -91,22 +91,25 @@ object Bench {
       System.err.println(s"[bench] could not persist per-query map to $benchOut: $t")
     }
     // Also persist a PER-ROUND copy so medians stay comparable across
-    // rounds after LATEST is overwritten. The current round number is
-    // one past the highest BENCH_r{N}.json the driver has already
-    // written (it lands at end-of-round; during round N only N-1 and
-    // earlier exist).
+    // rounds after LATEST is overwritten. SPARK_GRAFT_ROUND pins the
+    // label explicitly (a same-round re-run after the driver already
+    // wrote BENCH_r{N}.json would otherwise infer N+1); the fallback
+    // infers one past the highest BENCH_r{N}.json already on disk.
     try {
       val dir = java.nio.file.Paths.get(benchOut).toAbsolutePath.getParent
-      // Files.list holds an open directory handle until closed
-      val listing = java.nio.file.Files.list(dir)
-      val rnd = try {
-        scala.jdk.CollectionConverters
-          .IteratorHasAsScala(listing.iterator()).asScala
-          .flatMap { p =>
-            "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
-              .map(_.group(1).toInt)
-          }.foldLeft(0)(math.max) + 1
-      } finally listing.close()
+      val rnd = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
+        .getOrElse {
+          // Files.list holds an open directory handle until closed
+          val listing = java.nio.file.Files.list(dir)
+          try {
+            scala.jdk.CollectionConverters
+              .IteratorHasAsScala(listing.iterator()).asScala
+              .flatMap { p =>
+                "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
+                  .map(_.group(1).toInt)
+              }.foldLeft(0)(math.max) + 1
+          } finally listing.close()
+        }
       java.nio.file.Files.writeString(
         dir.resolve(f"BENCH_QUERIES_r$rnd%02d.json"), fullJson + "\n")
     } catch { case t: Throwable =>

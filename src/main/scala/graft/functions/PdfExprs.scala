@@ -102,7 +102,12 @@ object PdfCodec {
         pos = if (after < 0) -1 else after + "endstream".length
       }
     }
-    UTF8String.fromBytes(out.toByteArray)
+    // The text layer is assumed UTF-8 (the corpus generator writes
+    // ASCII); real-world PDFDocEncoding/UTF-16BE strings must not leak
+    // invalid byte sequences into an UTF8String, so round-trip through
+    // the JDK decoder, which substitutes U+FFFD for anything malformed
+    UTF8String.fromString(
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8))
   }
 
   /** True when the "stream" match at k is the KEYWORD: preceded by

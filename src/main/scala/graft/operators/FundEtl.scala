@@ -675,6 +675,62 @@ object FundEtl {
       .orderBy(col("file_name"))
   }
 
+  private[graft] val statementsOcrDir = "/root/repo/data/statements_ocr"
+
+  /** REAL OCR ingest — etl_ocr_route's stub unhex replaced with actual
+    * text RECOGNITION over scanned statement images
+    * (`manual_purchase_confirm_extractor.py:38-58` — the reference's
+    * `extract_text_with_easyocr` in all four manual_* extractors; the
+    * neural engine is env-blocked, so the recognizer is its classic
+    * fixed-font ancestor): [[graft.functions.OcrCodec]] template-
+    * matches each 16x16 glyph cell of the committed scanned-PNG corpus
+    * (data/statements_ocr, rendered by the independent generator
+    * tools/gen_scans.py) against the committed font atlas — exact hash
+    * hit on clean cells, Hamming nearest-neighbor on the noisy leg,
+    * deterministic REJECTION ('?', score 0) on cells beyond 64 bits
+    * from every template — and the recognized text feeds the SAME
+    * classify → extract → enrich chain as every other front door.
+    *
+    * The reference's confidence gate (OCR only when the text layer
+    * yields nothing) is the routing here too: plain-text statements
+    * pass through with ocr_used=false and full confidence; scans carry
+    * the matcher's ALL-INTEGER confidence (ppm of matched template
+    * bits), and a corrupt scan (bad magic / truncated / corrupt IDAT)
+    * surfaces as ocr_ok=false, valid=false — one row, never a thrown
+    * scan. The oracle reads the generator's formula-derived sidecar
+    * (expected text with '?' at destroyed cells, confidence from the
+    * flipped-bit count), so the recognition is pinned character-exact
+    * AND confidence-exact — a matcher bug cannot self-confirm.
+    * Map-only decode over a binaryFile scan; one broadcast rules join.
+    */
+  val etlOcrReal: Q = (s, _) => {
+    import s.implicits._
+    val scans = graft.sources.BinaryFiles.scan(s, "*.png", statementsOcrDir)
+      // the committed font atlas lives under font/ next to the corpus;
+      // it is the matcher's model, not an input document
+      .filter(!col("path").contains("/font/"))
+      .select(col("file_name"), col("batch_date"), col("content"))
+      .as[(String, String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (name, date, bytes) =>
+          graft.functions.OcrCodec.recognize(bytes) match {
+            case Some(r) => (name, date, true, true, r.text, r.confPpm)
+            case None    => (name, date, true, false, "", 0L)
+          }
+        }
+      }
+      .toDF("file_name", "batch_date", "ocr_used", "ocr_ok", "content",
+        "ocr_conf_ppm")
+    val texts = loadStatements(s, "*.txt", statementsDir)
+      .select(col("file_name"), col("batch_date"),
+        lit(false).as("ocr_used"), lit(true).as("ocr_ok"), col("content"),
+        lit(1000000L).as("ocr_conf_ppm"))
+    val routed = texts.unionByName(scans)
+    extractStatementFields(s, classifyStatements(s, routed),
+      extra = Seq("ocr_used", "ocr_ok", "ocr_conf_ppm", "content"))
+      .orderBy(col("file_name"))
+  }
+
   /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:
     * every input shape (plain text statements, scanned images through
     * the OCR-stub route, binary containers through the codec) decodes
@@ -802,6 +858,7 @@ object FundEtl {
     "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
     "etl_ocr_route" -> etlOcrRoute,
+    "etl_ocr_real" -> etlOcrReal,
     "etl_pdf_decode" -> etlPdfDecode,
     "etl_pdf_text" -> etlPdfText,
     "etl_xlsx_ingest" -> etlXlsxIngest,
@@ -939,6 +996,18 @@ object FundEtl {
          |                  '$statementsScanDir/*/*.txt'])),
          |files AS (
          |  ${ocrRouteSql("raw")})""".stripMargin, extra = Seq("ocr_used")),
+    "etl_ocr_real" -> ingestOracleSql(
+      s"""files AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+         |    false AS ocr_used, true AS ocr_ok, content,
+         |    CAST(1000000 AS BIGINT) AS ocr_conf_ppm
+         |  FROM read_text('$statementsDir/*/*.txt')
+         |  UNION ALL
+         |  SELECT file_name, batch_date, true AS ocr_used, ocr_ok,
+         |    content, ocr_conf_ppm
+         |  FROM read_parquet('$statementsOcrDir/expected.parquet'))""".stripMargin,
+      extra = Seq("ocr_used", "ocr_ok", "ocr_conf_ppm", "content")),
     "etl_xlsx_ingest" -> ingestOracleSql(
       s"""files AS (
          |  SELECT file_name, batch_date, content, xlsx_ok

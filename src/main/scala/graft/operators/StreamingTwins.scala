@@ -266,7 +266,11 @@ object StreamingTwins {
       .agg(count(lit(1)).as("n"))
       .withColumn("cnt", count(lit(1)).over(byUser))
       .withColumn("s1", sum(col("n")).over(byUser))
-      .withColumn("s2", sum(col("n") * col("n")).over(byUser))
+      // Σn² accumulates in decimal(38,0), not Long: DuckDB's window
+      // sum over BIGINT is HUGEINT, so a LongType accumulation here
+      // would silently wrap past 2^63 while the oracle stays exact —
+      // the decimal guard below must start at the sum, not after it
+      .withColumn("s2", sum(col("n").cast("decimal(38,0)") * col("n")).over(byUser))
       .withColumn("mu", col("s1").cast("double") / col("cnt"))
       .withColumn("sd",
         when(col("cnt") > 1,

@@ -301,24 +301,27 @@ object TextAnalysis {
   private[graft] def decontamMeasure(s: SparkSession, d: String,
       benchMax: Long, useBloom: Boolean): DataFrame = {
     val docs = Tables.documents(s, d)
-    // persist only on the bloom path, where the eval shingles are read
-    // three times (count, bloom build, join); the exact path reads
-    // them once and a persist would just occupy executor storage. The
-    // sweep driver (Profile) clearCache()s between timings, so no run
-    // inherits a prior run's cached tables.
+    // persist only on the bloom path, where the eval shingles feed two
+    // driver-materialized reads (count, bloom build) before the join;
+    // the persist lifetime stays INSIDE this function — unpersisted as
+    // soon as the bloom literal is collected, so no caller (Profile
+    // clearCache()s, the spec does not) inherits executor storage. The
+    // returned join recomputes the small eval side once, exactly like
+    // the exact path does.
     val bench0 = contamShingles(docs.filter(col("doc_id") < benchMax), "bench_id")
-    val bench = if (useBloom) bench0.persist() else bench0
     val corpus = contamShingles(docs.filter(col("doc_id") >= benchMax), "doc_id")
     val gated = if (useBloom) {
+      val bench = bench0.persist()
       val cap = math.min(bench.count() * 2, 1L << 22)
       val bloomBytes = bench
         .agg(graft.functions.BloomFuncs.bloomAgg(
           xxhash64(col("shingle")), cap, 8L * cap))
         .head.getAs[Array[Byte]](0)
+      bench.unpersist(blocking = true)
       corpus.filter(graft.functions.BloomFuncs.bloomMightContain(
         bloomBytes, xxhash64(col("shingle"))))
     } else corpus
-    gated.join(bench, "shingle")
+    gated.join(bench0, "shingle")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= 5)

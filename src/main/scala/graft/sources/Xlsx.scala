@@ -302,11 +302,13 @@ object XlsxCodec {
 
     val out = new java.io.ByteArrayOutputStream()
     val z = new java.util.zip.ZipOutputStream(out)
+    // setTimeLocal writes the DOS timestamp field directly from the
+    // LocalDateTime — setTime(epochMillis) would route through the
+    // machine's zone and make the emitted bytes timezone-dependent
     val fixedTime = java.time.LocalDateTime.of(1980, 1, 1, 0, 0)
-      .atZone(java.time.ZoneId.systemDefault()).toInstant.toEpochMilli
     def put(name: String, body: String): Unit = {
       val e = new java.util.zip.ZipEntry(name)
-      e.setTime(fixedTime)
+      e.setTimeLocal(fixedTime)
       z.putNextEntry(e)
       z.write(body.getBytes(UTF_8))
       z.closeEntry()
