@@ -20,11 +20,8 @@ object Bench {
     * (the q22/q37 lesson — reset each round).
     */
   val semanticsChanged: Seq[String] = Seq(
-    "dd_semantic",  // two-level quantizer: IVF per-level greedy assignment
-    "tx_lm_score",  // df-pruned broadcast model + 1-ppm OOV floor
-    "etl_e2e",      // failed decodes exempt from the dedup window
-    "etl_ocr_route", // gate keys on the scanner header
-    "st_anomaly")   // z derived from exact integer sums
+    "mm_resize",       // real NN resize over decoded corpus luma (was stub text bytes)
+    "mm_frame_sample") // real animated-GIF frame sampling (was stub fixed-size slices)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -761,7 +761,86 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** dd_pipeline — THE COMPOSED PRODUCTION CHAIN, one DAG: exact dedup
+    * → MinHash-LSH pair graph (over exact survivors, computed ONCE) →
+    * connected components → canonical selection → leak-free split.
+    * This is the shape a real 100 TB dedup deployment runs nightly;
+    * the standalone dd_* operators above are its stages taken apart
+    * for independent oracles, and each of those recomputes the pair
+    * graph because each registry entry must stand alone — here the
+    * graph is built once and every downstream stage reads the same
+    * labels.
+    *
+    * Stage order is the production order: the exact pass is a plain
+    * hash-groupBy (cheapest possible filter) and every survivor it
+    * removes shrinks the LSH input — signatures are only ever computed
+    * for exact survivors. The pair graph crosses one materialization
+    * barrier (inside [[connectedComponents]], which the canonical and
+    * split stages then reuse through the label table rather than
+    * re-deriving. Output is one row per ORIGINAL document with full
+    * decision provenance: its exact-stage representative, its near-dup
+    * cluster, whether it is the cluster's quality-canonical survivor,
+    * and the cluster-hashed split — the columns a training-data build
+    * filters on (`is_canonical`) and routes by (`split`).
+    *
+    * Reference anchor: the reference pipeline dedups fund records
+    * before building the master table (reference
+    * `fund_data_etl.py` dedup-then-aggregate flow); this is the same
+    * retain-one-then-route contract at corpus scale.
+    */
+  val ddPipeline: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val hashed = docs.withColumn("text_hash",
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+    // exact stage: one partial-aggregating shuffle on the digest; the
+    // keeper (min doc_id per digest) is the survivor set. Persisted:
+    // read by the fan-back join AND as the root of the survivor chain.
+    val keepers = hashed.groupBy(col("text_hash"))
+      .agg(min(col("doc_id")).as("keeper_id"))
+      .persist()
+    val withKeeper = hashed.select(col("doc_id"), col("text_hash"))
+      .join(keepers, "text_hash")
+      .select(col("doc_id"), col("keeper_id"))
+    val survivors = keepers.select(col("keeper_id").as("doc_id"))
+    // the pair graph — computed ONCE; connectedComponents materializes
+    // it (localCheckpoint) before its iterative consumption, and both
+    // the canonical and split stages consume the RESULTING labels, not
+    // the graph
+    val pairs = minhashPairsOf(
+      docs.select(col("doc_id"), col("text"))
+        .join(survivors, Seq("doc_id"), "left_semi"))
+      .select(col("doc_a"), col("doc_b"))
+    val labels = connectedComponents(pairs)
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    val quality = TextAnalysis.txQuality(s, d)
+      .select(col("doc_id"), col("quality_score"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    // canonical + split computed on the SURVIVOR level (one row per
+    // keeper), then fanned back to all original docs by keeper_id —
+    // exact dups inherit their keeper's cluster and split but are
+    // never canonical themselves.
+    val canon = survivors
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
+      .join(quality, "doc_id")
+      .withColumn("is_can", row_number().over(w) === 1)
+      .withColumn("bucket",
+        graft.functions.SampleHash.bucket(col("cluster_id"), 100L))
+      .select(col("doc_id").as("keeper_id"), col("cluster_id"), col("is_can"),
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test").as("split"))
+    withKeeper
+      .join(canon, "keeper_id")
+      .select(col("doc_id"), col("keeper_id"), col("cluster_id"),
+        (col("is_can") && col("doc_id") === col("keeper_id")).as("is_canonical"),
+        col("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_pipeline" -> ddPipeline,
     "dd_containment" -> ddContainment,
     "dd_split_leakfree" -> ddSplitLeakfree,
     "dd_canonical" -> ddCanonical,
@@ -820,6 +899,64 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the full composed chain re-derived independently: exact keepers
+    // from md5 in SQL, banding/threshold over the dumped signature
+    // table RESTRICTED to keepers (a signature depends only on its own
+    // document, so the full-corpus dump restricted to survivors IS the
+    // survivor signature table), transitive-closure CC, quality argmax,
+    // cluster-hash split — none of it reuses the Spark operators.
+    "dd_pipeline" ->
+      """WITH RECURSIVE
+        |hashed AS (
+        |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash
+        |  FROM documents),
+        |keepers AS (SELECT text_hash, min(doc_id) AS keeper_id FROM hashed GROUP BY 1),
+        |wk AS (SELECT h.doc_id, k.keeper_id FROM hashed h JOIN keepers k USING (text_hash)),
+        |sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__AUX__/dd_minhash_sigs/*.parquet')
+        |  WHERE doc_id IN (SELECT keeper_id FROM keepers)),
+        |banded AS (
+        |  SELECT doc_id, sig, b, sig[b*4+1 : b*4+4] AS band
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM (
+        |    SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+        |      floor(len(list_filter(range(1, 33), i -> a.sig[i] = b2.sig[i])) / 32.0 * 10000 + 0.5) / 10000.0 AS est_jaccard
+        |    FROM banded a JOIN banded b2
+        |      ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id) t
+        |  WHERE est_jaccard >= 0.5),
+        |edges AS (
+        |  SELECT doc_a AS a, doc_b AS b FROM pairs
+        |  UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(node, lab) AS (
+        |  SELECT DISTINCT a, a FROM edges
+        |  UNION
+        |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
+        |quality AS (
+        |  SELECT doc_id,
+        |    floor(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+        |      * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text))
+        |      * 10000 + 0.5) / 10000.0 AS quality_score
+        |  FROM documents),
+        |surv AS (
+        |  SELECT k.keeper_id AS doc_id, coalesce(cc.cluster_id, k.keeper_id) AS cluster_id
+        |  FROM keepers k LEFT JOIN cc ON k.keeper_id = cc.doc_id),
+        |canon AS (
+        |  SELECT s.doc_id, s.cluster_id,
+        |    row_number() OVER (PARTITION BY s.cluster_id
+        |      ORDER BY q.quality_score DESC, s.doc_id) = 1 AS is_can
+        |  FROM surv s JOIN quality q USING (doc_id))
+        |SELECT doc_id, keeper_id, cluster_id, is_canonical,
+        |  CASE WHEN bucket < 80 THEN 'train'
+        |       WHEN bucket < 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM (
+        |  SELECT w.doc_id, w.keeper_id, c.cluster_id,
+        |    (c.is_can AND w.doc_id = w.keeper_id) AS is_canonical,
+        |    ((c.cluster_id % 1000003) * 2654435761) % 100 AS bucket
+        |  FROM wk w JOIN canon c ON w.keeper_id = c.doc_id) t
+        |ORDER BY doc_id""".stripMargin,
     "dd_semantic" ->
       """WITH params AS (
         |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (

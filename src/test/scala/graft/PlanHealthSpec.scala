@@ -48,6 +48,34 @@ class PlanHealthSpec extends SparkTestBase {
       s"every e2e join must broadcast (rules + dict are tiny):\n$plan")
   }
 
+  test("dd_pipeline composes its stages without redundant shuffles") {
+    // exact → pairs → CC → canonical → split as ONE DAG: the final
+    // composed plan (everything downstream of the CC labels, which
+    // cross a materialization barrier) may exchange only for the
+    // exact-stage digest groupBy, the canonical window (cluster_id),
+    // the fan-back join keying (keeper_id, both sides) and the
+    // presentation sort. A sixth exchange means a stage stopped
+    // composing — e.g. the split stage re-deriving labels instead of
+    // reading the canonical stage's output.
+    // AQE's INITIAL plan keys the label/quality joins as SMJ (their
+    // subtree sizes aren't statically known below the broadcast
+    // threshold); the runtime-finalized plan is the one the guard is
+    // about, so execute first and read the adaptive plan's final form.
+    val df = SparkEntry.queries("dd_pipeline")(spark, sfDir)
+    df.collect()
+    // the finalized AdaptiveSparkPlan prints "final plan == Initial
+    // Plan ==" — count only the final section
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 5,
+      s"dd_pipeline plans ${exchanges.size} exchanges (${exchanges.mkString(", ")}):\n$plan")
+    // label + quality joins stay hash-family (broadcast at harness SF);
+    // a nested loop here means an equi key fell out
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"dd_pipeline joins must all be equi joins:\n$plan")
+  }
+
   test("dd_semantic: the within-cluster self-join is an equi join, assignment broadcasts") {
     // the Σ cluster² bound rests on the self-join keying on cent_id —
     // if the equi component ever fell out of the condition, Spark

@@ -189,14 +189,20 @@ def main():
         text = texts[p]
         w, h, ras = render(text, font)
         lines = text.split("\n")
-        n_glyphs = sum(len(l) for l in lines)
+        # glyph cells = INK cells: a space renders blank and the
+        # matcher neither counts nor scores it, so the denominator
+        # (and the noisy-cell candidates below) must skip spaces.
+        # No committed statement contains one, so this is behavior-
+        # preserving on the committed corpus.
+        n_glyphs = sum(1 for l in lines for ch in l if ch != " ")
         score = 256 * n_glyphs
         expected = [list(l) for l in lines]
 
         rng = random.Random(f"graft-ocr-noise:{name}")
+        flipped = {}  # (r, c) -> flips, for destroy-overlap correction
         if i % 2 == 1:  # NOISY leg: half the corpus
             cells = [(r, c) for r, l in enumerate(lines)
-                     for c in range(len(l))]
+                     for c in range(len(l)) if l[c] != " "]
             for (r, c) in rng.sample(cells, min(5, len(cells))):
                 nflips = rng.randrange(1, 7)
                 ks = rng.sample(range(256), nflips)
@@ -212,15 +218,26 @@ def main():
                 assert all(hamming(v, t) > d_true
                            for t in templates if t != true_g)
                 score -= d_true
+                flipped[(r, c)] = d_true
         if i % 10 == 7:  # DESTROYED leg: one unrecognizable cell
-            r = 1
+            # first line (from line 1, falling back to 0) with any
+            # non-space glyph; within it, prefer column 2 but never a
+            # space (a destroyed blank cell would gain ink the matcher
+            # counts but the n_glyphs denominator above does not)
+            r = next(ri for ri in list(range(1, len(lines))) + [0]
+                     if lines[ri].strip())
             c = min(2, len(lines[r]) - 1)
+            if lines[r][c] == " ":
+                c = next(ci for ci, ch in enumerate(lines[r]) if ch != " ")
             v = scribble_bits(name, r, c, templates)
             for k in range(256):
                 y = r * CELL + k // CELL
                 x = c * CELL + k % CELL
                 ras[y * w + x] = 0 if (v >> (255 - k)) & 1 else 255
-            score -= 256  # rejected cell scores 0
+            # the matcher scores a rejected cell exactly 0: back out any
+            # noisy-leg deduction already taken on this cell before
+            # charging the full 256 (destruction overwrote those flips)
+            score -= 256 - flipped.get((r, c), 0)
             expected[r][c] = "?"
 
         rows = [bytes(ras[y * w:(y + 1) * w]) for y in range(h)]
