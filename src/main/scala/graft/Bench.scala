@@ -20,8 +20,8 @@ object Bench {
     * (the q22/q37 lesson — reset each round).
     */
   val semanticsChanged: Seq[String] = Seq(
-    "mm_resize",       // real NN resize over decoded corpus luma (was stub text bytes)
-    "mm_frame_sample") // real animated-GIF frame sampling (was stub fixed-size slices)
+    "mm_resize",       // real NN resize over ImageCodec-decoded corpus luma (was stub text bytes)
+    "mm_frame_sample") // real WAV/AU block-frame sampling over AudioCodec samples (was stub fixed-size text slices)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

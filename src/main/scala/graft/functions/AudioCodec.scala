@@ -24,6 +24,53 @@ object AudioCodec {
       nChannels: Int, sampleRate: Int, nSamples: Long,
       sumAbs: Long, energy: Long, peak: Long, zeroCrossings: Long)
 
+  final case class Samples(nChannels: Int, sampleRate: Int, samples: Array[Int])
+
+  /** Decode the full PCM sample sequence (mono signed 16-bit only,
+    * same acceptance contract as [[decode]]) — for consumers that need
+    * the waveform itself, like block-frame sampling
+    * (Multimodal.mmFrameSample). The clip corpus is small per file;
+    * a huge-file deployment would stream frames instead of
+    * materializing, which is what [[decode]] does for its statistics.
+    */
+  def decodeSamples(bytes: Array[Byte]): Option[Samples] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val ok = fmt.getEncoding ==
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED &&
+          fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1
+        if (!ok) None
+        else {
+          val le = !fmt.isBigEndian
+          val outBuf = scala.collection.mutable.ArrayBuilder.make[Int]
+          val buf = new Array[Byte](8192)
+          var carry = -1
+          var read = in.read(buf)
+          while (read > 0) {
+            var i = 0
+            if (carry >= 0) {
+              val s = if (le) ((buf(0) << 8) | carry).toShort
+                      else ((carry << 8) | (buf(0) & 0xff)).toShort
+              outBuf += s.toInt
+              i = 1; carry = -1
+            }
+            while (i + 1 < read) {
+              val s = if (le) ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
+                      else ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
+              outBuf += s.toInt
+              i += 2
+            }
+            if (i < read) carry = buf(i) & 0xff
+            read = in.read(buf)
+          }
+          Some(Samples(fmt.getChannels, fmt.getSampleRate.toInt, outBuf.result()))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   def decode(bytes: Array[Byte]): Option[Decoded] =
     try {
       val in = javax.sound.sampled.AudioSystem

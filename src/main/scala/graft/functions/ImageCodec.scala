@@ -27,9 +27,18 @@ object ImageCodec {
       sumR: Long, sumG: Long, sumB: Long,
       phashLo: Long, phashHi: Long, nBright: Long)
 
+  /** Decoded luma raster plus channel sums: the shared decode step
+    * behind both the stats summary ([[decode]]) and raster consumers
+    * like the real NN resize (Multimodal.mmResize), which needs the
+    * pixels themselves, not their aggregates.
+    */
+  final case class Raster(
+      width: Int, height: Int, luma: Array[Int],
+      sumR: Long, sumG: Long, sumB: Long)
+
   private val out = 8
 
-  def decode(bytes: Array[Byte]): Option[Decoded] =
+  def decodeRaster(bytes: Array[Byte]): Option[Raster] =
     try {
       // ImageIO sniffs the container by magic, not file name; a
       // headless JVM decodes PNG fine (no display pipeline involved)
@@ -59,33 +68,47 @@ object ImageCodec {
             luma(p) = (r * 299 + g * 587 + b * 114) / 1000
             p += 1
           }
-          // 8×8 NN thumbnail + average-hash, the mm_phash math over
-          // real pixels (bit i set iff thumb(i)·64 > Σthumb)
-          val thumb = new Array[Long](out * out)
-          var tsum = 0L
-          var y = 0
-          while (y < out) {
-            val sy = y * h / out
-            var x = 0
-            while (x < out) {
-              val v = luma(sy * w + x * w / out).toLong
-              thumb(y * out + x) = v
-              tsum += v
-              x += 1
-            }
-            y += 1
-          }
-          var lo = 0L; var hi = 0L; var nBright = 0L
-          var i = 0
-          while (i < 64) {
-            if (thumb(i) * 64 > tsum) {
-              nBright += 1
-              if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
-            }
-            i += 1
-          }
-          Some(Decoded(w, h, sumR, sumG, sumB, lo, hi, nBright))
+          Some(Raster(w, h, luma, sumR, sumG, sumB))
         }
       }
     } catch { case _: Exception => None }
+
+  /** Nearest-neighbor resize of a luma raster to outW×outH: output
+    * pixel (y, x) samples source (y·h/outH, x·w/outW) — all-integer,
+    * so cross-engine exact.
+    */
+  def resizeLuma(r: Raster, outW: Int, outH: Int): Array[Int] = {
+    val t = new Array[Int](outW * outH)
+    var y = 0
+    while (y < outH) {
+      val sy = y * r.height / outH
+      var x = 0
+      while (x < outW) {
+        t(y * outW + x) = r.luma(sy * r.width + x * r.width / outW)
+        x += 1
+      }
+      y += 1
+    }
+    t
+  }
+
+  def decode(bytes: Array[Byte]): Option[Decoded] =
+    decodeRaster(bytes).map { r =>
+      // 8×8 NN thumbnail + average-hash, the mm_phash math over
+      // real pixels (bit i set iff thumb(i)·64 > Σthumb)
+      val thumb = resizeLuma(r, out, out)
+      var tsum = 0L
+      var i = 0
+      while (i < 64) { tsum += thumb(i); i += 1 }
+      var lo = 0L; var hi = 0L; var nBright = 0L
+      i = 0
+      while (i < 64) {
+        if (thumb(i).toLong * 64 > tsum) {
+          nBright += 1
+          if (i < 32) lo |= 1L << i else hi |= 1L << (i - 32)
+        }
+        i += 1
+      }
+      Decoded(r.width, r.height, r.sumR, r.sumG, r.sumB, lo, hi, nBright)
+    }
 }

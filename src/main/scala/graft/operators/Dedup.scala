@@ -693,14 +693,21 @@ object Dedup {
   private[graft] def documentsCount(s: SparkSession, d: String): Long =
     Tables.documents(s, d).count()
 
-  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame = {
+  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame =
+    containmentCandidates(s, d,
+      shingled(s, d).select(col("doc_id"), col("sh_hashes")).persist())
+
+  /** Candidate stage over a CALLER-persisted shingle frame — ddContainment
+    * passes the same persisted frame it verifies against, so the shingle
+    * table is materialized (and held in memory) exactly once.
+    */
+  private def containmentCandidates(
+      s: SparkSession, d: String, sh: DataFrame): DataFrame = {
     val nDocs = Tables.documents(s, d).count()
     // index cap (2% of docs, floor 10): hot boilerplate shingles carry
     // no containment signal and are the quadratic risk in ANY
     // shingle-keyed index
     val maxDf = math.max(10L, nDocs * 2 / 100)
-    val sh = shingled(s, d)
-      .select(col("doc_id"), col("sh_hashes")).persist()
     val exploded = sh.select(col("doc_id"), explode(col("sh_hashes")).as("h"))
     val df = exploded.groupBy(col("h")).agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
@@ -721,7 +728,7 @@ object Dedup {
   val ddContainment: Q = (s, d) => {
     val sh = shingled(s, d)
       .select(col("doc_id"), col("sh_hashes")).persist()
-    val candidates = containmentCandidates(s, d)
+    val candidates = containmentCandidates(s, d, sh)
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")

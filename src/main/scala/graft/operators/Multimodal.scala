@@ -48,75 +48,100 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
-  /** Frame sampling: treat the payload as fixed-size frames (a video
-    * column's shape), keep every 4th frame, emit one row per sampled
-    * frame with a per-frame checksum — an iterator-EXPANDING
-    * mapPartitions (one input row → many frame rows), the batch shape
-    * a real frame-decoder pipeline uses.
+  /** REAL frame sampling over a multi-frame container: decode the
+    * committed WAV/AU corpus ([[graft.functions.AudioCodec]], real
+    * RIFF/AU PCM parse), split the waveform into fixed 128-sample
+    * block frames, keep every 2nd frame, and emit one row per sampled
+    * frame with all-integer per-frame statistics (signed sum, abs
+    * peak) — an iterator-EXPANDING mapPartitions (one clip in → many
+    * frame rows out), the batch shape a real frame-decoder pipeline
+    * uses. The oracle reads a sidecar derived from the generator's
+    * sample formulas (tools/gen_audio.py), so a decoder bug cannot
+    * self-confirm. Corrupt/undecodable files yield no frames (their
+    * clip-level failure rows live in mm_audio_decode). Map-only:
+    * binaryFile scan → per-partition decode, no shuffle before the
+    * final presentation sort.
     */
-  val mmFrameSample: Q = (s, d) => {
+  val mmFrameSample: Q = (s, _) => {
     import s.implicits._
-    val frameSize = 16
-    val stride = 4
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
+    val frameSize = 128
+    val stride = 2
+    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
+      .select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.flatMap { case (id, bytes) =>
-          val nFrames = bytes.length / frameSize
-          (0 until nFrames by stride).iterator.map { f =>
-            var sum = 0L
-            var i = f * frameSize
-            val end = i + frameSize
-            while (i < end) { sum += bytes(i) & 0xff; i += 1 }
-            (id, f.toLong, sum)
+        batch.flatMap { case (name, bytes) =>
+          graft.functions.AudioCodec.decodeSamples(bytes) match {
+            case Some(clip) =>
+              val xs = clip.samples
+              val nFrames = xs.length / frameSize
+              (0 until nFrames by stride).iterator.map { f =>
+                var sum = 0L
+                var peak = 0L
+                var i = f * frameSize
+                val end = i + frameSize
+                while (i < end) {
+                  val v = xs(i).toLong
+                  sum += v
+                  val a = math.abs(v)
+                  if (a > peak) peak = a
+                  i += 1
+                }
+                (name, f.toLong, sum, peak)
+              }
+            case None => Iterator.empty
           }
         }
       }
-      .toDF("doc_id", "frame_idx", "frame_checksum")
-      .orderBy(col("doc_id"), col("frame_idx"))
+      .toDF("file_name", "frame_idx", "frame_sum", "frame_peak")
+      .orderBy(col("file_name"), col("frame_idx"))
   }
 
-  /** Nearest-neighbor resize to a fixed 8×8 thumbnail: the payload is
-    * read as a width×height single-channel raster (out-of-range pixels
-    * are 0), each output pixel samples src (⌊y·h/8⌋, ⌊x·w/8⌋) — the
-    * real index arithmetic of a NN resize; only the "pixels" are stub
-    * (text bytes). One row in → one thumbnail row out, partition-
-    * batched like a vectorized image-transform stage.
+  /** REAL nearest-neighbor resize over decoded corpus luma: decode the
+    * committed PNG/BMP corpus ([[graft.functions.ImageCodec]], real
+    * container parse via javax.imageio), NN-resize the integer luma
+    * raster to a 10×10 thumbnail (output pixel (y,x) samples source
+    * (⌊y·h/10⌋, ⌊x·w/10⌋)), and emit all-integer thumbnail statistics
+    * — sum, min, max, plus a position-weighted sum Σ thumb(i)·(i+1)
+    * that pins EVERY output pixel's value and position, not just the
+    * aggregate. The oracle reads a sidecar computed from the
+    * generator's pixel formulas (tools/gen_images.py), never from this
+    * decoder. Corrupt files surface as img_ok=false rows. One file in
+    * → one thumbnail row out, map-only partition-batched decode.
     */
-  val mmResize: Q = (s, d) => {
+  val mmResize: Q = (s, _) => {
     import s.implicits._
-    val out = 8
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"),
-        ((col("doc_id") % 32) + 16).cast("int").as("width"),
-        ((col("doc_id") % 24) + 12).cast("int").as("height"))
-      .as[(Long, Array[Byte], Int, Int)]
+    val outW = 10
+    val outH = 10
+    graft.sources.BinaryFiles.scan(s, "*.{png,bmp}", imagesDir)
+      .select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes, w, h) =>
-          var sum = 0L
-          var mn = 255L
-          var mx = 0L
-          var y = 0
-          while (y < out) {
-            val sy = y * h / out
-            var x = 0
-            while (x < out) {
-              val sx = x * w / out
-              val idx = sy * w + sx
-              val v: Long = if (idx < bytes.length) (bytes(idx) & 0xff).toLong else 0L
-              sum += v
-              if (v < mn) mn = v
-              if (v > mx) mx = v
-              x += 1
-            }
-            y += 1
+        batch.map { case (name, bytes) =>
+          graft.functions.ImageCodec.decodeRaster(bytes) match {
+            case Some(r) =>
+              val t = graft.functions.ImageCodec.resizeLuma(r, outW, outH)
+              var sum = 0L
+              var wsum = 0L
+              var mn = Long.MaxValue
+              var mx = Long.MinValue
+              var i = 0
+              while (i < t.length) {
+                val v = t(i).toLong
+                sum += v
+                wsum += v * (i + 1)
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              (name, true, outW, outH, sum, mn, mx, wsum)
+            case None => (name, false, 0, 0, 0L, 0L, 0L, 0L)
           }
-          (id, out, out, sum, mn, mx)
         }
       }
-      .toDF("doc_id", "out_w", "out_h", "thumb_sum", "thumb_min", "thumb_max")
-      .orderBy(col("doc_id"))
+      .toDF("file_name", "img_ok", "out_w", "out_h",
+        "thumb_sum", "thumb_min", "thumb_max", "thumb_wsum")
+      .orderBy(col("file_name"))
   }
 
   /** Per-payload feature extraction — the byte-level statistics a
@@ -366,30 +391,16 @@ object Multimodal {
         | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 3)) AS h3
         |FROM documents ORDER BY doc_id""".stripMargin,
     "mm_frame_sample" ->
-      """SELECT doc_id, CAST(f AS BIGINT) AS frame_idx,
-        | CAST(list_sum(bytes[(f*16+1):(f*16+16)]) AS BIGINT) AS frame_checksum
-        |FROM (
-        | SELECT doc_id, unnest(range(0, strlen(text) // 16, 4)) AS f,
-        |  list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
-        | FROM documents) t
-        |ORDER BY doc_id, frame_idx""".stripMargin,
+      s"""SELECT file_name, frame_idx, frame_sum, frame_peak
+        |FROM read_parquet('$audioDir/expected_frames.parquet')
+        |ORDER BY file_name, frame_idx""".stripMargin,
     "mm_resize" ->
-      """SELECT doc_id,
-        | CAST(8 AS INT) AS out_w, CAST(8 AS INT) AS out_h,
-        | CAST(list_sum(thumb) AS BIGINT) AS thumb_sum,
-        | CAST(list_min(thumb) AS BIGINT) AS thumb_min,
-        | CAST(list_max(thumb) AS BIGINT) AS thumb_max
-        |FROM (
-        | SELECT doc_id,
-        |  list_transform(range(0, 64), i ->
-        |    CASE WHEN ((i // 8) * h // 8) * w + ((i % 8) * w // 8) < strlen(text)
-        |         THEN bytes[((i // 8) * h // 8) * w + ((i % 8) * w // 8) + 1]
-        |         ELSE 0 END) AS thumb
-        | FROM (
-        |  SELECT doc_id, doc_id % 32 + 16 AS w, doc_id % 24 + 12 AS h,
-        |   text, list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
-        |  FROM documents) r) t
-        |ORDER BY doc_id""".stripMargin,
+      s"""SELECT file_name, img_ok,
+        | CAST(r10_w AS INT) AS out_w, CAST(r10_h AS INT) AS out_h,
+        | r10_sum AS thumb_sum, r10_min AS thumb_min,
+        | r10_max AS thumb_max, r10_wsum AS thumb_wsum
+        |FROM read_parquet('$imagesDir/expected.parquet')
+        |ORDER BY file_name""".stripMargin,
     "mm_feature_extract" ->
       """SELECT doc_id,
         | CAST(strlen(text) AS BIGINT) AS n_bytes,

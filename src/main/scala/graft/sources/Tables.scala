@@ -20,16 +20,24 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS), which Spark's vectorized
-    * parquet reader rejects. Read nanos as long and truncate to
-    * microsecond timestamps — the same truncation DuckDB applies when
-    * casting TIMESTAMP_NS to TIMESTAMP, so oracle comparisons agree.
+  /** Schema-adaptive events reader. Generator versions have stored `ts`
+    * as TIMESTAMP(NANOS) (which Spark's vectorized parquet reader
+    * rejects — readable only via `nanosAsLong` as int64) and as plain
+    * TIMESTAMP(MICROS). Branch on the type `ts` actually loads as:
+    * LongType means the nanos fallback kicked in, so truncate
+    * nanos→micros (the same truncation DuckDB applies casting
+    * TIMESTAMP_NS to TIMESTAMP, keeping oracle comparisons aligned);
+    * any timestamp type passes through untouched.
     */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -586,11 +586,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("mm_resize thumbnail stats are consistent") {
-    operators.Multimodal.mmResize(spark, sfDir).collect().foreach { r =>
-      val (sum, mn, mx) = (r.getAs[Long]("thumb_sum"),
-        r.getAs[Long]("thumb_min"), r.getAs[Long]("thumb_max"))
-      assert(mn <= mx && sum >= 64 * mn && sum <= 64 * mx)
+  test("mm_resize decodes the real corpus: ok rows bound-consistent, corrupt rows flagged") {
+    val rows = operators.Multimodal.mmResize(spark, sfDir).collect()
+    assert(rows.length == 67) // 48 PNG + 16 BMP + 3 corrupt
+    val (ok, bad) = rows.partition(_.getAs[Boolean]("img_ok"))
+    assert(bad.length == 3)
+    ok.foreach { r =>
+      val (sum, mn, mx, wsum) = (r.getAs[Long]("thumb_sum"),
+        r.getAs[Long]("thumb_min"), r.getAs[Long]("thumb_max"),
+        r.getAs[Long]("thumb_wsum"))
+      assert(r.getAs[Int]("out_w") == 10 && r.getAs[Int]("out_h") == 10)
+      assert(mn <= mx && sum >= 100 * mn && sum <= 100 * mx)
+      // Σ v·(i+1) is bounded by the plain sum times the extreme weights
+      assert(wsum >= sum && wsum <= sum * 100)
+    }
+  }
+
+  test("mm_frame_sample emits only full frames from decodable clips, peaks within PCM16") {
+    val rows = operators.Multimodal.mmFrameSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // corrupt clips contribute no frames
+    val names = rows.map(_.getAs[String]("file_name")).toSet
+    assert(!names.exists(n => n.contains("bad_magic") || n.contains("truncated") || n.contains("cut_header")))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") % 2 == 0) // stride 2
+      val peak = r.getAs[Long]("frame_peak")
+      assert(peak >= 0 && peak <= 32768)
+      assert(math.abs(r.getAs[Long]("frame_sum")) <= 128L * 32768)
     }
   }
 

@@ -41,9 +41,25 @@ def stats(xs):
     return sum_abs, energy, peak, zc
 
 
+FRAME = 128
+STRIDE = 2
+
+
+def frame_rows(name, xs):
+    # block-frame sampling oracle for mm_frame_sample: fixed 128-sample
+    # frames, every 2nd frame kept, per-frame signed sum + abs peak —
+    # derived from the sample FORMULA, never from reading the file back
+    out = []
+    for f in range(0, len(xs) // FRAME, STRIDE):
+        blk = xs[f * FRAME:(f + 1) * FRAME]
+        out.append((name, f, sum(blk), max(abs(v) for v in blk)))
+    return out
+
+
 def main():
     os.makedirs(DST, exist_ok=True)
     rows = []
+    frames = []
     for i in range(40):
         n = 500 + (i % 7) * 300
         xs = samples(i, n)
@@ -55,6 +71,7 @@ def main():
             w.writeframes(struct.pack(f"<{n}h", *xs))
         sa, en, pk, zc = stats(xs)
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
+        frames.extend(frame_rows(name, xs))
 
     # AU leg: same sample formulas through a SECOND real container
     # (Sun AU — 24-byte big-endian header, PCM16 big-endian data;
@@ -69,6 +86,7 @@ def main():
             f.write(hdr + struct.pack(f">{n}h", *xs))
         sa, en, pk, zc = stats(xs)
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
+        frames.extend(frame_rows(name, xs))
 
     # corrupt AU: header-level truncation (12 bytes keeps the '.snd'
     # magic but cuts the format fields — must fail, not mis-decode)
@@ -99,7 +117,17 @@ def main():
         "zero_crossings": pa.array(cols[8], pa.int64()),
     })
     pq.write_table(table, os.path.join(DST, "expected.parquet"))
-    print(f"wrote {len(rows)} rows to {DST}")
+
+    frames.sort()
+    fcols = list(zip(*frames))
+    ftable = pa.table({
+        "file_name": pa.array(fcols[0], pa.string()),
+        "frame_idx": pa.array(fcols[1], pa.int64()),
+        "frame_sum": pa.array(fcols[2], pa.int64()),
+        "frame_peak": pa.array(fcols[3], pa.int64()),
+    })
+    pq.write_table(ftable, os.path.join(DST, "expected_frames.parquet"))
+    print(f"wrote {len(rows)} rows + {len(frames)} frame rows to {DST}")
 
 
 if __name__ == "__main__":

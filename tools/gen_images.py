@@ -76,7 +76,7 @@ def stats(i, w, h):
             sum_b += b
             luma[y][x] = (r * 299 + g * 587 + b * 114) // 1000
     # 8x8 NN thumbnail over integer luma — identical index math to
-    # mm_resize / mm_phash (sy = y*h//8, sx = x*w//8), bit set iff
+    # mm_phash (sy = y*h//8, sx = x*w//8), bit set iff
     # thumb*64 > sum (mean comparison without floats)
     thumb = [luma[y * h // 8][x * w // 8] for y in range(8) for x in range(8)]
     tsum = sum(thumb)
@@ -88,7 +88,14 @@ def stats(i, w, h):
                 lo |= 1 << j
             else:
                 hi |= 1 << (j - 32)
-    return sum_r, sum_g, sum_b, lo, hi, n_bright
+    # 10x10 NN thumbnail — the REAL mm_resize oracle: sum / min / max
+    # plus a position-weighted sum (v * (idx+1)) that pins every output
+    # pixel's value AND position, derived from the pixel formula, never
+    # from reading the file back
+    t10 = [luma[y * h // 10][x * w // 10] for y in range(10) for x in range(10)]
+    r10 = (sum(t10), min(t10), max(t10),
+           sum(v * (j + 1) for j, v in enumerate(t10)))
+    return sum_r, sum_g, sum_b, lo, hi, n_bright, r10
 
 
 def main():
@@ -102,8 +109,9 @@ def main():
         name = f"img_{i:03d}.png"
         with open(os.path.join(DST, name), "wb") as f:
             f.write(png_bytes(w, h, raster))
-        sr, sg, sb, lo, hi, nb = stats(i, w, h)
-        rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb))
+        sr, sg, sb, lo, hi, nb, r10 = stats(i, w, h)
+        rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb,
+                     10, 10, *r10))
 
     # BMP leg: same pixel formulas through a SECOND real container
     # (ids 48-63, so no stats row collides with a PNG row) — the JVM
@@ -116,8 +124,9 @@ def main():
         name = f"img_{i:03d}.bmp"
         with open(os.path.join(DST, name), "wb") as f:
             f.write(bmp_bytes(w, h, raster))
-        sr, sg, sb, lo, hi, nb = stats(i, w, h)
-        rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb))
+        sr, sg, sb, lo, hi, nb, r10 = stats(i, w, h)
+        rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb,
+                     10, 10, *r10))
 
     # corrupt BMP: header-level truncation (20 bytes keeps the 'BM'
     # magic but cuts BITMAPINFOHEADER, so no partial-raster decode is
@@ -127,7 +136,8 @@ def main():
                                   for y in range(16)])
     with open(os.path.join(DST, "img_cut_header.bmp"), "wb") as f:
         f.write(bmp_good[:20])
-    rows.append(("img_cut_header.bmp", False, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+    rows.append(("img_cut_header.bmp", False, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+                 0, 0, 0, 0, 0, 0))
 
     # corrupt pair: wrong magic, and a truncated stream (half the bytes
     # of a real image — IDAT CRC can never validate)
@@ -138,7 +148,7 @@ def main():
     for name, data in corrupt:
         with open(os.path.join(DST, name), "wb") as f:
             f.write(data)
-        rows.append((name, False, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+        rows.append((name, False, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
 
     rows.sort()
     cols = list(zip(*rows))
@@ -154,6 +164,12 @@ def main():
         "phash_lo": pa.array(cols[8], pa.int64()),
         "phash_hi": pa.array(cols[9], pa.int64()),
         "n_bright": pa.array(cols[10], pa.int64()),
+        "r10_w": pa.array(cols[11], pa.int32()),
+        "r10_h": pa.array(cols[12], pa.int32()),
+        "r10_sum": pa.array(cols[13], pa.int64()),
+        "r10_min": pa.array(cols[14], pa.int64()),
+        "r10_max": pa.array(cols[15], pa.int64()),
+        "r10_wsum": pa.array(cols[16], pa.int64()),
     })
     pq.write_table(table, os.path.join(DST, "expected.parquet"))
     print(f"wrote {len(rows)} rows to {DST}")
