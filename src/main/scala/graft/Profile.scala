@@ -112,6 +112,32 @@ object Profile {
         println(f"[profile] lsh-skew buckets=${stats.getLong(0)} " +
           f"median=${stats.get(1)} max=${stats.get(2)} top5=${top.mkString(",")} " +
           f"pairs=$nPairs join=$dt%.2f s aqe_skew_split=$skewed")
+      case "--codec-scale" =>
+        // real-decoder listing/decode amortization: time the SAME
+        // decode passes over the committed corpora (67 images / 55
+        // clips) and factor-scaled generated corpora (gen_images.py /
+        // gen_audio.py with a dst+factor argv; dirs via env). A
+        // binaryFile source that amortizes listing shows far-sublinear
+        // growth in file count; a per-file-overhead one shows linear.
+        val imgBig = sys.env.getOrElse("SPARK_GRAFT_IMAGES_DIR", "/tmp/images10x")
+        val audBig = sys.env.getOrElse("SPARK_GRAFT_AUDIO_DIR", "/tmp/audio10x")
+        def time(label: String, mk: () => org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val n = mk().count()
+          println(f"[profile] codec-scale $label rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        // committed first (warm pays codegen), then scaled
+        Seq(1, 2).foreach { round =>
+          time(s"image_decode_1x r$round",
+            () => operators.Multimodal.imageDecode(spark, operators.Multimodal.imagesDir))
+          time(s"image_decode_big r$round", () => operators.Multimodal.imageDecode(spark, imgBig))
+          time(s"audio_decode_1x r$round",
+            () => operators.Multimodal.audioDecode(spark, operators.Multimodal.audioDir))
+          time(s"audio_decode_big r$round", () => operators.Multimodal.audioDecode(spark, audBig))
+          time(s"frame_sample_1x r$round",
+            () => operators.Multimodal.frameSample(spark, operators.Multimodal.audioDir))
+          time(s"frame_sample_big r$round", () => operators.Multimodal.frameSample(spark, audBig))
+        }
       case "--decontam-crossover" =>
         // exact join vs bloom-gated at growing eval-set sizes, with NO
         // broadcast hint — the planner shifts broadcast → shuffle as

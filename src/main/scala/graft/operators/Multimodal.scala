@@ -62,11 +62,16 @@ object Multimodal {
     * binaryFile scan → per-partition decode, no shuffle before the
     * final presentation sort.
     */
-  val mmFrameSample: Q = (s, _) => {
+  val mmFrameSample: Q = (s, _) => frameSample(s, audioDir)
+
+  /** Dir-parameterized frame-sampling pass behind [[mmFrameSample]] —
+    * Profile --codec-scale points it at a factor-scaled corpus.
+    */
+  private[graft] def frameSample(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val frameSize = 128
     val stride = 2
-    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
+    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", dir)
       .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>
@@ -256,9 +261,15 @@ object Multimodal {
     * the 100 TB posture is one decode pass, no driver involvement,
     * no shuffle.
     */
-  val mmImageDecode: Q = (s, _) => {
+  val mmImageDecode: Q = (s, _) => imageDecode(s, imagesDir)
+
+  /** Dir-parameterized decode pass behind [[mmImageDecode]] — Profile
+    * --codec-scale points it at a factor-scaled generated corpus to
+    * measure binaryFile listing amortization.
+    */
+  private[graft] def imageDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.sources.BinaryFiles.scan(s, "*.{png,bmp}", imagesDir)
+    graft.sources.BinaryFiles.scan(s, "*.{png,bmp}", dir)
       .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>
@@ -289,9 +300,14 @@ object Multimodal {
     * files → audio_ok=false rows. binaryFile scan + per-partition
     * decode, map-only.
     */
-  val mmAudioDecode: Q = (s, _) => {
+  val mmAudioDecode: Q = (s, _) => audioDecode(s, audioDir)
+
+  /** Dir-parameterized decode pass behind [[mmAudioDecode]] — Profile
+    * --codec-scale points it at a factor-scaled corpus.
+    */
+  private[graft] def audioDecode(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
+    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", dir)
       .select(col("file_name"), col("content"))
       .as[(String, Array[Byte])]
       .mapPartitions { batch =>

@@ -123,6 +123,16 @@ class EventStreamsSpec extends SparkTestBase {
     // conflicting rows in the sorted-Seq comparison below
     input.addData(evts.head.copy(event_id = 999999901L))
     q.processAllAvailable()
+    // then CLOSE the straggler user's open hour with a fresh event two
+    // hours past the stream end: the open hour's count now EMITS, so a
+    // straggler that had silently polluted the open-hour count (which
+    // the drop-only check above cannot see — an unclosed hour never
+    // emits) would surface as a wrong n in that row
+    val closer = Evt(999999902L,
+      new Timestamp(evts.map(_.ts.getTime).max + 7200000L),
+      evts.head.user_id, "noop", 0.0)
+    input.addData(closer)
+    q.processAllAvailable()
     q.stop()
     val streamed = spark.table("anom_out").collect()
       .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("window_start_us"),
@@ -135,7 +145,9 @@ class EventStreamsSpec extends SparkTestBase {
       val us = math.floorDiv(e.ts.getTime, 1000L) * 1000000L + e.ts.getNanos / 1000L
       math.floorDiv(us, 3600000000L) * 3600000000L
     }
-    val expected = evts.groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
+    // replay over the true event sequence including the closer, but
+    // NEVER the straggler — its correct fate is the drop
+    val expected = (evts :+ closer).groupBy(_.user_id).toSeq.flatMap { case (uid, es) =>
       val hours = es.groupBy(hourUs).toSeq.sortBy(_._1)
         .map { case (h, hs) => (h, hs.length.toLong) }
       var (nC, mean, m2) = (0L, 0.0, 0.0)

@@ -16,6 +16,7 @@ hash-match.
 """
 import os
 import struct
+import sys
 import wave
 
 import pyarrow as pa
@@ -57,14 +58,19 @@ def frame_rows(name, xs):
 
 
 def main():
-    os.makedirs(DST, exist_ok=True)
+    # optional: [dst_dir] [factor] — a FACTOR-scaled corpus (same sample
+    # formulas, more ids) for the binaryFile listing-amortization
+    # measurement; the default invocation stays byte-identical
+    dst = sys.argv[1] if len(sys.argv) > 1 else DST
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    os.makedirs(dst, exist_ok=True)
     rows = []
     frames = []
-    for i in range(40):
+    for i in range(40 * factor):
         n = 500 + (i % 7) * 300
         xs = samples(i, n)
         name = f"clip_{i:03d}.wav"
-        with wave.open(os.path.join(DST, name), "wb") as w:
+        with wave.open(os.path.join(dst, name), "wb") as w:
             w.setnchannels(1)
             w.setsampwidth(2)
             w.setframerate(RATE)
@@ -77,12 +83,12 @@ def main():
     # (Sun AU — 24-byte big-endian header, PCM16 big-endian data;
     # struct-packed here so the writer shares no code with the JVM
     # reader). Ids 40-51 so no stats row collides with a WAV row.
-    for i in range(40, 52):
+    for i in range(40 * factor, 40 * factor + 12 * factor):
         n = 500 + (i % 7) * 300
         xs = samples(i, n)
         name = f"clip_{i:03d}.au"
         hdr = struct.pack(">4sIIIII", b".snd", 24, n * 2, 3, RATE, 1)
-        with open(os.path.join(DST, name), "wb") as f:
+        with open(os.path.join(dst, name), "wb") as f:
             f.write(hdr + struct.pack(f">{n}h", *xs))
         sa, en, pk, zc = stats(xs)
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
@@ -90,16 +96,16 @@ def main():
 
     # corrupt AU: header-level truncation (12 bytes keeps the '.snd'
     # magic but cuts the format fields — must fail, not mis-decode)
-    with open(os.path.join(DST, "clip_cut_header.au"), "wb") as f:
+    with open(os.path.join(dst, "clip_cut_header.au"), "wb") as f:
         f.write(struct.pack(">4sII", b".snd", 24, 0))
     rows.append(("clip_cut_header.au", False, 0, 0, 0, 0, 0, 0, 0))
 
-    with open(os.path.join(DST, f"clip_{0:03d}.wav"), "rb") as f:
+    with open(os.path.join(dst, f"clip_{0:03d}.wav"), "rb") as f:
         good = f.read()
     corrupt = [("clip_bad_magic.wav", b"NOTRIFF!" + good[8:]),
                ("clip_truncated.wav", good[: 20])]
     for name, data in corrupt:
-        with open(os.path.join(DST, name), "wb") as f:
+        with open(os.path.join(dst, name), "wb") as f:
             f.write(data)
         rows.append((name, False, 0, 0, 0, 0, 0, 0, 0))
 
@@ -116,7 +122,7 @@ def main():
         "peak": pa.array(cols[7], pa.int64()),
         "zero_crossings": pa.array(cols[8], pa.int64()),
     })
-    pq.write_table(table, os.path.join(DST, "expected.parquet"))
+    pq.write_table(table, os.path.join(dst, "expected.parquet"))
 
     frames.sort()
     fcols = list(zip(*frames))
@@ -126,8 +132,8 @@ def main():
         "frame_sum": pa.array(fcols[2], pa.int64()),
         "frame_peak": pa.array(fcols[3], pa.int64()),
     })
-    pq.write_table(ftable, os.path.join(DST, "expected_frames.parquet"))
-    print(f"wrote {len(rows)} rows + {len(frames)} frame rows to {DST}")
+    pq.write_table(ftable, os.path.join(dst, "expected_frames.parquet"))
+    print(f"wrote {len(rows)} rows + {len(frames)} frame rows to {dst}")
 
 
 if __name__ == "__main__":

@@ -19,6 +19,7 @@ commits cleanly.
 """
 import os
 import struct
+import sys
 import zlib
 import binascii
 
@@ -99,15 +100,20 @@ def stats(i, w, h):
 
 
 def main():
-    os.makedirs(DST, exist_ok=True)
+    # optional: [dst_dir] [factor] — a FACTOR-scaled corpus (same pixel
+    # formulas, more ids) for the binaryFile listing-amortization
+    # measurement; the default invocation stays byte-identical
+    dst = sys.argv[1] if len(sys.argv) > 1 else DST
+    factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    os.makedirs(dst, exist_ok=True)
     rows = []
-    for i in range(48):
+    for i in range(48 * factor):
         w = 16 + (i % 5) * 8
         h = 12 + (i % 7) * 4
         raster = [bytes(v for x in range(w) for v in pixel(i, x, y))
                   for y in range(h)]
         name = f"img_{i:03d}.png"
-        with open(os.path.join(DST, name), "wb") as f:
+        with open(os.path.join(dst, name), "wb") as f:
             f.write(png_bytes(w, h, raster))
         sr, sg, sb, lo, hi, nb, r10 = stats(i, w, h)
         rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb,
@@ -116,13 +122,13 @@ def main():
     # BMP leg: same pixel formulas through a SECOND real container
     # (ids 48-63, so no stats row collides with a PNG row) — the JVM
     # reader must route by magic sniffing, not extension trust
-    for i in range(48, 64):
+    for i in range(48 * factor, 48 * factor + 16 * factor):
         w = 16 + (i % 5) * 8
         h = 12 + (i % 7) * 4
         raster = [bytes(v for x in range(w) for v in pixel(i, x, y))
                   for y in range(h)]
         name = f"img_{i:03d}.bmp"
-        with open(os.path.join(DST, name), "wb") as f:
+        with open(os.path.join(dst, name), "wb") as f:
             f.write(bmp_bytes(w, h, raster))
         sr, sg, sb, lo, hi, nb, r10 = stats(i, w, h)
         rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb,
@@ -134,7 +140,7 @@ def main():
     bmp_good = bmp_bytes(24, 16, [bytes(v for x in range(24)
                                         for v in pixel(98, x, y))
                                   for y in range(16)])
-    with open(os.path.join(DST, "img_cut_header.bmp"), "wb") as f:
+    with open(os.path.join(dst, "img_cut_header.bmp"), "wb") as f:
         f.write(bmp_good[:20])
     rows.append(("img_cut_header.bmp", False, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                  0, 0, 0, 0, 0, 0))
@@ -146,7 +152,7 @@ def main():
     corrupt = [("img_bad_magic.png", b"NOTAPNG" + good[8:]),
                ("img_truncated.png", good[: len(good) // 2])]
     for name, data in corrupt:
-        with open(os.path.join(DST, name), "wb") as f:
+        with open(os.path.join(dst, name), "wb") as f:
             f.write(data)
         rows.append((name, False, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
 
@@ -171,8 +177,8 @@ def main():
         "r10_max": pa.array(cols[15], pa.int64()),
         "r10_wsum": pa.array(cols[16], pa.int64()),
     })
-    pq.write_table(table, os.path.join(DST, "expected.parquet"))
-    print(f"wrote {len(rows)} rows to {DST}")
+    pq.write_table(table, os.path.join(dst, "expected.parquet"))
+    print(f"wrote {len(rows)} rows to {dst}")
 
 
 if __name__ == "__main__":
