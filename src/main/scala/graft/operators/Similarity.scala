@@ -217,6 +217,54 @@ object Similarity {
   val annIvfTopk: Q = (s, d) =>
     ivfTopkWith(s, d, fixedCentroids(s, d), nprobe = 4, k = 5)
 
+  /** INCREMENTAL ANN-index maintenance — the ANN mirror of
+    * dd_incremental: vectors arrive in batches, and each batch probes
+    * the STORED IVF index (old vectors already assigned to centroid
+    * lists) for its top-k existing neighbors instead of recomputing
+    * anything over the old corpus. Per-batch work is batch×nprobe list
+    * probes; the stored assignment is written once and — bucketed on
+    * cent_id at scale, like the dd band index on band_key — never
+    * reshuffles at probe time. The "new batch" is the deterministic
+    * vec_id % 5 == 0 slice so the DuckDB oracle re-derives it; the
+    * quantizer is the shared fixed first-16 coarse quantizer, and new
+    * vectors score ONLY against stored (old) vectors — the both-new
+    * pairs belong to the batch's own intra-batch pass, not the index
+    * probe (asserted by the oracle's old-side restriction).
+    */
+  val annIncremental: Q = (s, d) => {
+    import s.implicits._
+    val centroids = fixedCentroids(s, d)
+    val emb = Tables.embeddings(s, d)
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    val stored = emb.filter(!isNew)
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+    val cents = centroids.toDF("cent_id", "c_emb")
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("c_sim").desc, col("cent_id"))
+    val probes = emb.filter(isNew)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .crossJoin(broadcast(cents))
+      .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(byQuery))
+      .filter(col("c_rank") <= 4)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    // plain equi-join on cent_id (NOT a forced broadcast): the batch is
+    // a corpus-fraction here, and at scale the stored side's bucketing
+    // keeps it shuffle-free while AQE broadcasts genuinely small batches
+    val scored = stored.join(probes, Seq("cent_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"), orderCol = "raw_sim", tieCol = "vec_id", k = 5)
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    top.withColumn("rank", row_number().over(byQ).cast("long"))
+      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
+        q4(col("raw_sim")).as("sim"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Spherical k-means (Lloyd) over a driver-collected sample — fully
     * deterministic: init = the first k sample vectors (the exact
     * quantizer annIvfTopk uses, so any recall gain is attributable to
@@ -483,6 +531,7 @@ object Similarity {
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_kmeans" -> annIvfKmeans,
+    "ann_incremental" -> annIncremental,
     "ann_quantize_int8" -> annQuantizeInt8)
 
   /** Split-oracle aux dump: the k-means-trained centroids. Training is
@@ -657,6 +706,29 @@ object Similarity {
          |   ON bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
          |  AND e.vec_id <> q.vec_id) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_incremental" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |stored AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id % 5 <> 0) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 5 = 0) t WHERE rn <= 4)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
+        |  FROM stored a JOIN probes p ON a.cent_id = p.cent_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_topk" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb

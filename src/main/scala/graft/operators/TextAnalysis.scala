@@ -496,7 +496,42 @@ object TextAnalysis {
       |GROUP BY 1, 2 HAVING count(*) >= 5
       |ORDER BY 1, 2""".stripMargin
 
+  /** Cross-document REPEATED-PASSAGE detection — the finding behind
+    * substring-level training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better"):
+    * boilerplate passages repeat across otherwise-distinct documents
+    * and near-dup detection at document granularity cannot see them.
+    * Windows of 8 words at stride 4 (half-overlap, so any repeated
+    * run ≥ 11 words is guaranteed to land a shared window in BOTH
+    * documents regardless of alignment) are grouped; a passage
+    * appearing in ≥2 distinct documents is emitted with its spread.
+    * Map-side explode is declarative (split → sequence → transform →
+    * explode, all codegen'd); partial aggregation collapses
+    * within-partition repeats before the shuffle, so shuffle volume
+    * is per-partition-DISTINCT passages, not raw windows. At 100 TB
+    * the group key becomes xxhash64(passage) with the text carried
+    * via first() — same plan shape, fixed-width shuffle key; the
+    * text key here keeps the oracle exact end-to-end.
+    */
+  val txRepeatedPassages: Q = (s, d) => {
+    val win = 8
+    val stride = 4
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= win)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $win, $stride), i -> array_join(slice(w, i + 1, $win), ' '))"))
+        .as("passage"))
+      .groupBy(col("passage"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("doc_id")).as("min_doc_id"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("passage"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_repeated_passages" -> txRepeatedPassages,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
@@ -514,6 +549,19 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_repeated_passages" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, array_to_string(list_slice(w, i, i + 7), ' ') AS passage
+        |  FROM words, unnest(range(1, greatest(len(w) - 7, 0) + 1, 4)) AS t(i))
+        |SELECT passage,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(count(*) AS BIGINT) AS n_occurrences,
+        |  min(doc_id) AS min_doc_id
+        |FROM wins GROUP BY passage
+        |HAVING count(DISTINCT doc_id) >= 2
+        |ORDER BY passage""".stripMargin,
     "tx_mix_rebalance" ->
       """WITH targets(lang, target_ppm) AS (
         |  VALUES ('en', 300000), ('es', 200000), ('de', 200000),

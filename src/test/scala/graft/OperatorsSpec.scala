@@ -579,6 +579,27 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ann_incremental probes only the stored (old) side") {
+    val rows = operators.Similarity.annIncremental(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("query_id") % 5 == 0)      // queries are the new batch
+      assert(r.getAs[Long]("neighbor_id") % 5 != 0)   // neighbors are stored vectors
+      val rank = r.getAs[Long]("rank")
+      assert(rank >= 1 && rank <= 5)
+    }
+  }
+
+  test("tx_repeated_passages emits 8-word windows spread across >=2 docs") {
+    val rows = operators.TextAnalysis.txRepeatedPassages(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("passage").split(" ").length == 8)
+      val (nd, no) = (r.getAs[Long]("n_docs"), r.getAs[Long]("n_occurrences"))
+      assert(nd >= 2 && no >= nd)
+    }
+  }
+
   test("mm_decode_meta histogram sums to payload size") {
     operators.Multimodal.mmDecodeMeta(spark, sfDir).collect().foreach { r =>
       val sum = Seq("h0", "h1", "h2", "h3").map(r.getAs[Long]).sum
