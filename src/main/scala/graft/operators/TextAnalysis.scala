@@ -530,7 +530,65 @@ object TextAnalysis {
       .orderBy(col("passage"))
   }
 
+  /** BM25 relevance scoring — the full-text-search ranking an
+    * analytics engine needs next to embedding retrieval: a literal
+    * query relation (4 queries, 2-3 terms) scores every document via
+    * the BM25 shape Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)),
+    * k1=1.2 b=0.75. Engine-stability contract: idf is the integer
+    * surrogate ⌊N·10⁶/df⌋ (documented deviation from the textbook log
+    * — a monotone transform, so rankings behave BM25-like while
+    * staying exactly reproducible), and each term's contribution is
+    * floored to an e6 integer BEFORE the per-document sum, so the
+    * aggregate is order-free (float Σ is not associative; integer Σ
+    * is). Plan: df from one corpus aggregate over the broadcast-
+    * filtered term stream (only query terms survive the explode
+    * filter), avgdl a 1-row broadcast, scoring a broadcast join, then
+    * the bounded-heap TopK — per-query work never shuffles the corpus.
+    */
+  val txBm25: Q = (s, d) => {
+    import s.implicits._
+    val terms: Seq[(Long, String)] = Seq(
+      1L -> "spark", 1L -> "join",
+      2L -> "window", 2L -> "agg",
+      3L -> "customer", 3L -> "order", 3L -> "query",
+      4L -> "hash", 4L -> "table")
+    val termsDf = terms.toDF("query_id", "term")
+    val vocab = terms.map(_._2).distinct
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .withColumn("dl", size(col("w")).cast("long"))
+    val stats = docs.agg(
+      count(lit(1)).as("n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val tf = docs
+      .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
+      .filter(col("term").isInCollection(vocab))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf
+      .join(broadcast(df), "term")
+      .join(broadcast(termsDf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_ppm", expr("n_docs * 1000000 div df"))
+      .withColumn("tfnorm",
+        col("tf") * lit(2.2) /
+          (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .withColumn("contrib_e6",
+        floor(col("idf_ppm") * col("tfnorm") + 0.5).cast("long"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_e6")).as("score_e6"))
+    val top = graft.plans.TopK.perKey(scored,
+      keyCols = Seq("query_id"), orderCol = "score_e6", tieCol = "doc_id", k = 10)
+    val byQ = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+    top.withColumn("rank", row_number().over(byQ).cast("long"))
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_e6"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_bm25" -> txBm25,
     "tx_repeated_passages" -> txRepeatedPassages,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
@@ -549,6 +607,43 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_bm25" ->
+      """WITH terms AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
+        |    (CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'agg'),
+        |    (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'order'),
+        |    (CAST(3 AS BIGINT), 'query'),
+        |    (CAST(4 AS BIGINT), 'hash'), (CAST(4 AS BIGINT), 'table')
+        |  ) AS t(query_id, term)),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM docs) k
+        |  WHERE term IN (SELECT DISTINCT term FROM terms)
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.query_id, f.doc_id,
+        |    CAST(sum(CAST(floor((s.n_docs * 1000000 // d.df) *
+        |      (f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
+        |  FROM tf f
+        |  JOIN dfs d ON f.term = d.term
+        |  JOIN terms t ON f.term = t.term
+        |  JOIN dls l ON f.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2)
+        |SELECT query_id, rank, doc_id, score_e6 FROM (
+        |  SELECT query_id, doc_id, score_e6,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_e6 DESC, doc_id) AS rank
+        |  FROM scored) x
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "tx_repeated_passages" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -579,6 +579,18 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx_bm25 ranks are dense per query and scores non-increasing") {
+    val rows = operators.TextAnalysis.txBm25(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rank"))
+      assert(sorted.map(_.getAs[Long]("rank")).toSeq == (1L to sorted.length))
+      val scores = sorted.map(_.getAs[Long]("score_e6")).toSeq
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ > 0))
+    }
+  }
+
   test("ann_incremental probes only the stored (old) side") {
     val rows = operators.Similarity.annIncremental(spark, sfDir).collect()
     assert(rows.nonEmpty)

@@ -129,6 +129,34 @@ class PlanHealthSpec extends SparkTestBase {
       s"tx_lm_score must never shuffle the exploded bigram stream:\n$plan")
   }
 
+  test("tx_repeated_passages: only the distinct-agg exchanges plus the presentation sort") {
+    // explode stays map-side; the aggregation is an EXACT
+    // count(distinct doc_id), whose distributed shape is inherently
+    // two-phase (partial distinct on (passage, doc_id), then the final
+    // passage aggregate) — so exactly TWO hash exchanges, both on
+    // passage-derived keys. A third means the explode or a join snuck a
+    // shuffle in.
+    val plan = planOf("tx_repeated_passages")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).toList
+    assert(hashEx.size <= 2,
+      s"tx_repeated_passages plans ${hashEx.size} hash exchanges:\n$plan")
+    assert(plan.contains("Generate explode"), s"expected a declarative explode in:\n$plan")
+  }
+
+  test("ann_incremental: the store side never pays a nested-loop join") {
+    // centroid assignment is a map-only literal fold; the only
+    // nested-loop join allowed is the tiny broadcast centroid cross
+    // (16 rows). The store-probe join must be an equi join on cent_id —
+    // a nested-loop there would score every (stored, probe) pair and
+    // the probe would stop being an index probe.
+    val plan = planOf("ann_incremental")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 1, s"ann_incremental plans $nlj nested-loop joins (only the 16-row centroid cross may):\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"the store-probe join must hash on cent_id:\n$plan")
+  }
+
   test("narrow projections prune the scan schema") {
     val plan = planOf("q02_filter_project")
     // q02 reads 3 output columns + 3 filter columns; the full lineitem
