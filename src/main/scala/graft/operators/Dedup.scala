@@ -382,6 +382,71 @@ object Dedup {
       .select(col("doc_id"), col("cluster_id"), col("cluster_size").cast("long"))
       .orderBy(col("doc_id"))
 
+  /** Graph AUTHORITY scoring over the near-dup pair graph — the
+    * PageRank shape a web-corpus pipeline uses as a document-quality
+    * signal (link-graph importance feeding quality filters). Five
+    * fixed power iterations, damping 0.85, over the mirrored
+    * undirected pair graph; isolated documents are dangling nodes
+    * whose mass redistributes uniformly each round.
+    *
+    * ALL-INTEGER arithmetic (scores are e9-scaled longs; every
+    * division is integer division; per-neighbor contributions are
+    * integers BEFORE the inflow sum, so the aggregate is order-free) —
+    * float PageRank sums neighbor contributions in nondeterministic
+    * order and can never hash-match across engines. Per iteration:
+    * one shuffle (inflow groupBy) + one doc_id join; the edge list is
+    * persisted once and each round localCheckpoints, the same
+    * lineage-truncation contract as [[connectedComponents]] (without
+    * it round N replays rounds 1..N-1 and the loop goes quadratic).
+    * The dangling mass and N are driver SCALARS per round, like the
+    * CC convergence read — never a collected table.
+    */
+  val ddGraphRank: Q = (s, d) => {
+    val iters = 5
+    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val edges = pairs
+      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .persist()
+    val deg = edges.groupBy(col("doc_a").as("doc_id"))
+      .agg(count(lit(1)).as("deg"))
+    val nodes = Tables.documents(s, d).select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .persist()
+    val n = nodes.count()
+    val teleport = 150000000L / n
+    // In an undirected pair graph every non-isolated node has deg ≥ 1,
+    // so the dangling set IS the isolated set — and isolated nodes all
+    // carry the identical score each round (teleport + dangling share,
+    // inflow 0). The dangling mass is therefore nIso·isoScore, a pure
+    // driver recurrence: no per-round aggregation job, just the
+    // inflow round itself. The oracle computes the same mass by
+    // summing s_{k-1} WHERE deg = 0 — equal because uniform.
+    val nIso = nodes.filter(col("deg") === 0).count()
+    var isoScore = 1000000000L / n
+    var scores = nodes
+      .withColumn("score_e9", lit(1000000000L / n)).localCheckpoint()
+    (1 to iters).foreach { _ =>
+      val perNodeDangling = (nIso * isoScore) / n
+      val inflow = scores.filter(col("deg") > 0)
+        .select(col("doc_id").as("doc_a"), expr("score_e9 div deg").as("contrib"))
+        .join(edges, "doc_a")
+        .groupBy(col("doc_b").as("doc_id"))
+        .agg(sum(col("contrib")).as("inflow"))
+      scores = nodes.join(inflow, Seq("doc_id"), "left")
+        .withColumn("score_e9",
+          lit(teleport) +
+            expr(s"(85 * (coalesce(inflow, 0L) + $perNodeDangling)) div 100"))
+        .select(col("doc_id"), col("deg"), col("score_e9"))
+        .localCheckpoint()
+      isoScore = teleport + (85L * perNodeDangling) / 100
+    }
+    edges.unpersist()
+    nodes.unpersist()
+    scores.orderBy(col("doc_id"))
+  }
+
   /** Connected components over an undirected pair list (`doc_a`,
     * `doc_b`) — a ROUTER, because the right algorithm changes with
     * graph size. Small graphs take the driver union-find fast path
@@ -846,7 +911,47 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** The dd_graph_rank oracle: the same five integer power iterations,
+    * generated as unrolled CTEs over the dumped pair graph — every
+    * round's dangling scalar, integer contributions, and inflow join
+    * re-derived independently in SQL.
+    */
+  private val graphRankOracle: String = {
+    val base =
+      """WITH pairs AS (
+        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        |deg AS (
+        |  SELECT d.doc_id, CAST(coalesce(e.c, 0) AS BIGINT) AS deg
+        |  FROM documents d LEFT JOIN (
+        |    SELECT doc_a AS doc_id, count(*) AS c FROM edges GROUP BY 1) e USING (doc_id)),
+        |s0 AS (
+        |  SELECT doc_id, deg, CAST(1000000000 // nn.n AS BIGINT) AS score_e9
+        |  FROM deg CROSS JOIN nn)""".stripMargin
+    val iterations = (1 to 5).map { k =>
+      val p = s"s${k - 1}"
+      s"""s$k AS (
+         |  SELECT d.doc_id, d.deg,
+         |    CAST(150000000 // nn.n
+         |      + (85 * (coalesce(inf.inflow, 0) + dang.dang // nn.n)) // 100 AS BIGINT) AS score_e9
+         |  FROM deg d
+         |  CROSS JOIN nn
+         |  CROSS JOIN (
+         |    SELECT CAST(coalesce(sum(score_e9), 0) AS BIGINT) AS dang
+         |    FROM $p WHERE deg = 0) dang
+         |  LEFT JOIN (
+         |    SELECT e.doc_b AS doc_id, CAST(sum(p.score_e9 // p.deg) AS BIGINT) AS inflow
+         |    FROM $p p JOIN edges e ON p.doc_id = e.doc_a
+         |    WHERE p.deg > 0 GROUP BY 1) inf USING (doc_id))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + iterations + "\nSELECT doc_id, deg, score_e9 FROM s5 ORDER BY doc_id"
+  }
+
   val queries: Map[String, Q] = Map(
+    "dd_graph_rank" -> ddGraphRank,
     "dd_pipeline" -> ddPipeline,
     "dd_containment" -> ddContainment,
     "dd_split_leakfree" -> ddSplitLeakfree,
@@ -906,6 +1011,7 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "dd_graph_rank" -> graphRankOracle,
     // the full composed chain re-derived independently: exact keepers
     // from md5 in SQL, banding/threshold over the dumped signature
     // table RESTRICTED to keepers (a signature depends only on its own

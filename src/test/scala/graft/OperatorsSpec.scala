@@ -579,6 +579,21 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd_graph_rank conserves mass modulo truncation and ranks hubs above isolates") {
+    val rows = operators.Dedup.ddGraphRank(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("score_e9")).sum
+    // each integer division truncates, so total mass only leaks DOWN
+    assert(total <= 1000000000L && total > 900000000L, s"mass=$total")
+    val (iso, conn) = rows.partition(_.getAs[Long]("deg") == 0)
+    // isolated nodes all carry the identical teleport+dangling score
+    assert(iso.map(_.getAs[Long]("score_e9")).distinct.length <= 1)
+    if (iso.nonEmpty && conn.nonEmpty) {
+      val maxConn = conn.map(_.getAs[Long]("score_e9")).max
+      assert(maxConn > iso.head.getAs[Long]("score_e9"),
+        "some connected node must out-rank the isolated baseline")
+    }
+  }
+
   test("tx_bm25 ranks are dense per query and scores non-increasing") {
     val rows = operators.TextAnalysis.txBm25(spark, sfDir).collect()
     assert(rows.nonEmpty)
