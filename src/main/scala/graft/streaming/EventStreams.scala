@@ -349,6 +349,98 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** INCREMENTAL ANN-index maintenance — the streaming twin of
+    * Similarity.annIncremental, structured like [[dedupIndexMaintain]]:
+    * vectors arrive in micro-batches; each batch assigns itself to IVF
+    * lists map-only (the literal-broadcast quantizer, trained once and
+    * passed in), probes the STORED index table for its top-k existing
+    * neighbors, writes the results to a batch-scoped directory, and
+    * appends its own assigned rows into the index. The index is a
+    * managed table BUCKETED ON cent_id, so the stored side of the
+    * probe join reads in place — per-batch cost is batch×nprobe list
+    * probes + a batch-sized append, never a recompute over the stored
+    * corpus. The first batch finds an empty index and emits no
+    * neighbors (there is nothing stored to neighbor against); batch
+    * vectors never score against their own batch — intra-batch pairs
+    * belong to a dedup pass, not an index probe.
+    */
+  def annIndexMaintain(vectors: DataFrame,
+      centroids: Seq[(Long, Seq[Float])], indexTable: String,
+      topkDir: String, checkpointDir: String, nprobe: Int = 4, k: Int = 5,
+      nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        annIndexApplyBatch(batch, batchId, centroids, indexTable, topkDir,
+          nprobe, k, nBuckets)
+      }
+      .start()
+
+  /** One micro-batch of [[annIndexMaintain]], IDEMPOTENT under the
+    * replay contract exactly like [[dedupIndexApplyBatch]]: results
+    * land in a batch-scoped directory rewritten whole on replay, and
+    * the _APPLIED marker written LAST makes a fully-applied batch a
+    * no-op. The crash window between index append and marker re-probes
+    * on replay; duplicate index rows would surface as duplicate
+    * neighbor candidates, which the per-(query, neighbor) distinct
+    * collapse absorbs before the top-k.
+    */
+  private[graft] def annIndexApplyBatch(batch: DataFrame, batchId: Long,
+      centroids: Seq[(Long, Seq[Float])], indexTable: String,
+      topkDir: String, nprobe: Int, k: Int, nBuckets: Int): Unit = {
+    import graft.functions.VectorFunctions.cosineSim
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchDir = new org.apache.hadoop.fs.Path(s"$topkDir/batch-$batchId")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
+    if (!fs.exists(marker)) {
+      val assigned = batch
+        .select(col("vec_id"), col("embedding"),
+          graft.operators.Similarity.nearestCentroidCol(
+            col("embedding"), centroids).as("cent_id"))
+        .persist()
+      try {
+        val result =
+          if (spark.catalog.tableExists(indexTable)) {
+            val cents = centroids.toDF("cent_id", "c_emb")
+            val byQuery = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("c_sim").desc, col("cent_id"))
+            val probes = assigned
+              .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+              .crossJoin(broadcast(cents))
+              .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
+              .withColumn("c_rank", row_number().over(byQuery))
+              .filter(col("c_rank") <= nprobe)
+              .select(col("query_id"), col("q_emb"), col("cent_id"))
+            val scored = spark.table(indexTable).join(probes, Seq("cent_id"))
+              .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+              // crashed-replay duplicates in the index collapse here
+              .groupBy(col("query_id"), col("vec_id"))
+              .agg(first(col("raw_sim")).as("raw_sim"))
+            val top = graft.plans.TopK.perKey(scored,
+              keyCols = Seq("query_id"), orderCol = "raw_sim",
+              tieCol = "vec_id", k = k)
+            val byQ = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("query_id"))
+              .orderBy(col("raw_sim").desc, col("vec_id"))
+            top.withColumn("rank", row_number().over(byQ).cast("long"))
+              .select(col("query_id"), col("rank"),
+                col("vec_id").as("neighbor_id"),
+                (floor(col("raw_sim") * 10000 + 0.5) / 10000.0).as("sim"))
+          } else
+            Seq.empty[(Long, Long, Long, Double)]
+              .toDF("query_id", "rank", "neighbor_id", "sim")
+        result.write.mode("overwrite").parquet(batchDir.toString)
+        assigned.write.mode("append").format("parquet")
+          .bucketBy(nBuckets, "cent_id")
+          .saveAsTable(indexTable)
+        fs.create(marker, true).close()
+      } finally { assigned.unpersist(); () }
+    }
+  }
+
   /** STREAMING event-rate anomaly detection — the online variant of
     * the batch z-score (StreamingTwins.stAnomaly): per-user
     * flatMapGroupsWithState carries the open hour plus a WELFORD

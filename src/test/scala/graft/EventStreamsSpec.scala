@@ -330,6 +330,83 @@ class EventStreamsSpec extends SparkTestBase {
       s"index table lost its bucket spec: $ddl")
   }
 
+  test("ann-index maintenance: per-batch top-k equals a driver replay of the IVF probe") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tbl = "ann_ivf_index"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    new scala.reflect.io.Directory(new java.io.File(s"spark-warehouse/$tbl"))
+      .deleteRecursively()
+    val topkDir = java.nio.file.Files.createTempDirectory("graft_annidx_topk").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_annidx_ck").toString
+    val vecs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val centroids: Seq[(Long, Seq[Float])] =
+      vecs.take(8).map { case (id, e) => (id, e.toSeq) }.toSeq
+    val batches = Seq(
+      vecs.filter(_._1 % 3 == 0), vecs.filter(_._1 % 3 == 1), vecs.filter(_._1 % 3 == 2))
+    // the SAME sequential double recurrence as the native CosineSimilarity
+    // expression, so the replay is bit-identical, not approximately equal
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    def assign(e: Array[Float]): Long =
+      centroids.map { case (id, c) => (cos(e, c.toArray), id) }
+        .maxBy { case (s, id) => (s, -id) }._2
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = EventStreams.annIndexMaintain(
+      input.toDF().toDF("vec_id", "embedding"), centroids, tbl, topkDir, ck)
+    var stored = Array.empty[(Long, Array[Float])]
+    batches.zipWithIndex.foreach { case (b, bi) =>
+      input.addData(b.toSeq)
+      q.processAllAvailable()
+      // driver replay: probes = 4 nearest centroids per new vector,
+      // candidates = stored vectors in probed lists, exact top-5
+      val expected = (if (stored.isEmpty) Seq.empty else b.toSeq.flatMap { case (qid, qe) =>
+        val probed = centroids
+          .map { case (cid, c) => (cos(qe, c.toArray), cid) }
+          .sortBy { case (s, cid) => (-s, cid) }.take(4).map(_._2).toSet
+        val cands = stored.filter { case (_, se) => probed.contains(assign(se)) }
+        cands.map { case (sid, se) => (sid, cos(qe, se)) }
+          .sortBy { case (sid, s) => (-s, sid) }.take(5).zipWithIndex
+          .map { case ((sid, s), r) => (qid, (r + 1).toLong, sid, q4(s)) }
+      }).toSet
+      val got = spark.read.parquet(s"$topkDir/batch-$bi").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+      assert(got == expected,
+        s"batch $bi: missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+      stored = stored ++ b
+    }
+    q.stop()
+    // REPLAY idempotence: a fully-applied batch id re-runs as a no-op
+    val idxRows = spark.table(tbl).count()
+    val before = spark.read.option("recursiveFileLookup", "true")
+      .parquet(topkDir).count()
+    EventStreams.annIndexApplyBatch(
+      batches(2).toSeq.toDF("vec_id", "embedding"), 2L, centroids, tbl,
+      topkDir, 4, 5, 8)
+    assert(spark.table(tbl).count() == idxRows,
+      "marker-guarded replay appended index rows")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(topkDir).count() == before,
+      "marker-guarded replay changed the top-k output")
+    // the index table is bucketed on the probe key
+    val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
+      .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
+    assert(ddl.contains("Num Buckets=8") && ddl.contains("cent_id"),
+      s"index table lost its bucket spec: $ddl")
+  }
+
   test("attributeJoin matches purchases to preceding clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
