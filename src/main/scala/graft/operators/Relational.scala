@@ -674,7 +674,68 @@ object Relational {
         "metric", "value")
       .orderBy(col("l_returnflag"), col("metric"))
 
+  /** The 8→16-bit Morton spread — x with a zero bit interleaved before
+    * each original bit — as a SQL-string expression template, so the
+    * Spark plan and the DuckDB oracle run the IDENTICAL integer
+    * bit-twiddling (the classic mask ladder; & | << are exact on
+    * BIGINT in both engines).
+    */
+  private def mortonSpreadSql(x: String): String = {
+    val s1 = s"((($x) | (($x) << 4)) & 3855)"   // 0x0F0F
+    val s2 = s"((($s1) | (($s1) << 2)) & 13107)" // 0x3333
+    s"((($s2) | (($s2) << 1)) & 21845)"          // 0x5555
+  }
+
+  /** Min-max normalization of a key to the 8-bit Morton domain —
+    * integer arithmetic only, so both engines agree exactly; the
+    * corpus min/max ride in as a broadcast 1-row aggregate (the same
+    * stats a table format keeps in metadata at scale).
+    */
+  private def norm8Sql(x: String, mn: String, mx: String): String =
+    s"((($x) - ($mn)) * 255 div (CASE WHEN ($mx) > ($mn) THEN ($mx) - ($mn) ELSE 1 END))"
+
+  /** Z-ORDER layout audit — the multi-dimensional clustering lever a
+    * 100 TB table needs when queries filter on TWO columns (a single
+    * sort column only bounds one dimension's row-group min/max): the
+    * Morton z-value interleaves the bits of min-max-normalized
+    * (l_partkey, l_suppkey), so sorting by it tiles the 2-D key space
+    * into locality rectangles. The operator computes the z-value
+    * declaratively (pure integer bit-twiddling over a broadcast 1-row
+    * stats aggregate, codegen'd) and audits the layout it would
+    * produce: rows bucketed by z-prefix (64 file-sized buckets),
+    * per-bucket min/max of BOTH dimensions — each bucket bounding a
+    * small rectangle instead of one dimension is exactly why a
+    * z-sorted rewrite lets parquet row-group stats prune 2-D range
+    * scans (physically demonstrated in SourcesSpec). One
+    * partial-aggregating groupBy; at 100 TB the same z-expression
+    * feeds a sortBy rewrite.
+    */
+  /** The full z-value expression over broadcast stats columns
+    * (p_min/p_max/s_min/s_max) — shared by the operator and the
+    * SourcesSpec physical-layout demonstration.
+    */
+  private[graft] def zvalSqlFor(partCol: String, suppCol: String): String =
+    s"(${mortonSpreadSql(norm8Sql(suppCol, "s_min", "s_max"))} << 1)" +
+      s" | ${mortonSpreadSql(norm8Sql(partCol, "p_min", "p_max"))}"
+
+  val q44ZorderLayout: Q = (s, d) => {
+    val stats = Tables.lineitem(s, d).agg(
+      min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+      min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+    val zSql = zvalSqlFor("l_partkey", "l_suppkey")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .crossJoin(broadcast(stats))
+      .select(col("l_partkey"), col("l_suppkey"), expr(zSql).as("zval"))
+      .groupBy(expr("zval div 1024").as("z_bucket")) // 2^16 / 64
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("l_partkey")).as("min_part"), max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"), max(col("l_suppkey")).as("max_supp"))
+      .orderBy(col("z_bucket"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
     "q43_unpivot" -> q43Unpivot,
     "q41_filter_agg" -> q41FilterAgg,
@@ -735,7 +796,24 @@ object Relational {
     "q22_sketch" -> q22ApproxDistinct,
     "q37_sketch" -> q37ApproxPercentile)
 
+  private val zorderOracle: String = {
+    val z = s"(${mortonSpreadSql(norm8Sql("l_suppkey", "s_min", "s_max").replace(" div ", " // "))} << 1)" +
+      s" | ${mortonSpreadSql(norm8Sql("l_partkey", "p_min", "p_max").replace(" div ", " // "))}"
+    s"""WITH stats AS (
+       |  SELECT min(l_partkey) AS p_min, max(l_partkey) AS p_max,
+       |         min(l_suppkey) AS s_min, max(l_suppkey) AS s_max
+       |  FROM lineitem)
+       |SELECT zval // 1024 AS z_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+       |  min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp
+       |FROM (SELECT l_partkey, l_suppkey, $z AS zval
+       |      FROM lineitem CROSS JOIN stats) t
+       |GROUP BY 1 ORDER BY z_bucket""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q44_zorder_layout" -> zorderOracle,
     "q22_approx_distinct" ->
       """WITH sk AS (
         |  SELECT * FROM read_parquet('__AUX__/q22_sketch/*.parquet')),

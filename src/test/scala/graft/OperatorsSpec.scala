@@ -579,6 +579,20 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q44_zorder_layout buckets bound small rectangles in BOTH dimensions") {
+    val rows = operators.Relational.q44ZorderLayout(spark, sfDir).collect()
+    assert(rows.length > 8, "expected a real bucket spread")
+    val gPart = rows.map(_.getAs[Long]("max_part")).max - rows.map(_.getAs[Long]("min_part")).min
+    val gSupp = rows.map(_.getAs[Long]("max_supp")).max - rows.map(_.getAs[Long]("min_supp")).min
+    def avgExtent(lo: String, hi: String): Double =
+      rows.map(r => (r.getAs[Long](hi) - r.getAs[Long](lo)).toDouble).sum / rows.length
+    // 64 z-buckets = 8x8 quadrant tiles: each bucket's extent should be
+    // far below the global extent in BOTH dims (1-D sort achieves this
+    // in only one)
+    assert(avgExtent("min_part", "max_part") * 2 < gPart)
+    assert(avgExtent("min_supp", "max_supp") * 2 < gSupp)
+  }
+
   test("dd_graph_rank conserves mass modulo truncation and ranks hubs above isolates") {
     val rows = operators.Dedup.ddGraphRank(spark, sfDir).collect()
     val total = rows.map(_.getAs[Long]("score_e9")).sum

@@ -73,6 +73,66 @@ class SourcesSpec extends SparkTestBase {
       s"sorted layout should skip most row groups: sorted=$s unsorted=$u")
   }
 
+  test("z-order-on-write layout: row-group stats prune a TWO-dimensional range scan") {
+    // The 2-D extension of the sort-layout lever: a single-column sort
+    // bounds only that column's min/max per row group, so a predicate
+    // on BOTH (l_partkey, l_suppkey) still reads most groups. Sorting
+    // by the Morton z-value (Relational.q44ZorderLayout's expression)
+    // tiles the key plane into rectangles, so each row group bounds
+    // BOTH dimensions and a 2-D range predicate prunes.
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val zdir = Files.createTempDirectory("graft_zorder").toString
+    val sdir = Files.createTempDirectory("graft_1dsort").toString
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val stats = li.agg(
+      min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+      min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+    val withZ = li.crossJoin(broadcast(stats))
+      .withColumn("zval", expr(operators.Relational.zvalSqlFor("l_partkey", "l_suppkey")))
+    // 16 KB groups → ~90 groups for 60k rows: the z-curve needs enough
+    // tiles for rectangle locality to beat a 1-D sort at harness scale
+    // (at 100 TB the "tiles" are 128 MB row groups across many files)
+    withZ.sort(col("zval")).select(li.columns.map(col): _*).coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+      .parquet(zdir)
+    // the 1-D baseline: sorted by partkey only — suppkey min/max stays
+    // full-range in every row group
+    li.sort(col("l_partkey")).coalesce(1)
+      .write.mode("overwrite").option("parquet.block.size", 16 * 1024)
+      .parquet(sdir)
+    // The z-order value proposition is WORKLOAD robustness, not beating
+    // a 1-D sort at its own column: partkey-sorted prunes a partkey
+    // range brilliantly but reads the ENTIRE file for a suppkey range
+    // (suppkey min/max is full-range in every group). Z-order bounds
+    // both dimensions, so each query reads a fraction. Assert both
+    // halves: (a) on the suppkey query the z layout out-prunes the 1-D
+    // layout by a wide margin, (b) over the two-query workload the z
+    // layout reads less than half what the 1-D layout reads.
+    def qPart(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_partkey").between(100, 300))
+    def qSupp(dir: String) = spark.read.parquet(dir)
+      .filter(col("l_suppkey").between(10, 30))
+    assert(qPart(zdir).count() == qPart(sdir).count())
+    assert(qSupp(zdir).count() == qSupp(sdir).count())
+    val (zP, zS) = (scanRows(qPart(zdir)), scanRows(qSupp(zdir)))
+    val (sP, sS) = (scanRows(qPart(sdir)), scanRows(qSupp(sdir)))
+    assert(zS * 2 < sS,
+      s"z-order should out-prune the 1-D sort on the unsorted dimension: z=$zS sorted1d=$sS")
+    // worst-case robustness — the metric that matters when one table
+    // serves both query shapes: the 1-D layout's worst query is a FULL
+    // scan; the z layout's worst query reads less than half of one
+    assert(math.max(zP, zS) * 2 < math.max(sP, sS),
+      s"z-order worst query should read < half the 1-D layout's worst: " +
+        s"z=${math.max(zP, zS)} sorted1d=${math.max(sP, sS)}")
+    assert((zP + zS) * 4 < (sP + sS) * 3,
+      s"z-order should read < 3/4 of the two-query workload: z=${zP + zS} sorted1d=${sP + sS}")
+  }
+
   test("bucketed tables co-locate the join (no shuffle on bucketed sides)") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
