@@ -157,6 +157,27 @@ class PlanHealthSpec extends SparkTestBase {
       s"the store-probe join must hash on cent_id:\n$plan")
   }
 
+  test("tx_bm25: every scoring join broadcasts, nothing sort-merges the corpus") {
+    // df and the term relation are tiny, avgdl is one row: if any of
+    // them sort-merge joins, the corpus token stream shuffles on a
+    // Zipf-skewed key — the tx_lm_score lesson.
+    val plan = planOf("tx_bm25")
+    assert(!plan.contains("SortMergeJoin"),
+      s"tx_bm25 should broadcast its model-side joins:\n$plan")
+  }
+
+  test("q44_zorder_layout: one stats broadcast + one aggregation exchange") {
+    // the min/max stats ride in as a broadcast 1-row aggregate, the
+    // z-bucket groupBy is the only hash exchange; a second means the
+    // stats stopped broadcasting and the corpus shuffled for them
+    val plan = planOf("q44_zorder_layout")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).toList
+    assert(hashEx.size <= 1,
+      s"q44_zorder_layout plans ${hashEx.size} hash exchanges:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"the stats row must broadcast:\n$plan")
+  }
+
   test("narrow projections prune the scan schema") {
     val plan = planOf("q02_filter_project")
     // q02 reads 3 output columns + 3 filter columns; the full lineitem
