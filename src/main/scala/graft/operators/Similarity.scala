@@ -176,28 +176,32 @@ object Similarity {
     element_at(typedlit(centIds), array_position(sims, array_max(sims)).cast("int"))
   }
 
-  private def ivfTopkWith(s: SparkSession, d: String,
-      centroids: Seq[(Long, Seq[Float])], nprobe: Int, k: Int): DataFrame = {
+  /** The IVF probe side — each query's nprobe nearest centroid lists —
+    * shared by [[ivfTopkWith]], [[annIncremental]], and the streaming
+    * index maintainer (EventStreams.annIndexApplyBatch), so the probe
+    * tie-breaking can never silently diverge between the three.
+    * Expects (query_id, q_emb) columns.
+    */
+  private[graft] def probesOf(queries: DataFrame,
+      centroids: Seq[(Long, Seq[Float])], nprobe: Int): DataFrame = {
+    val s = queries.sparkSession
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
-    def nearestCentroid(e: Column): Column = nearestCentroidCol(e, centroids)
-    val assigned = emb
-      .select(col("vec_id"), col("embedding"),
-        nearestCentroid(col("embedding")).as("cent_id"))
     val cents = centroids.toDF("cent_id", "c_emb")
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("c_sim").desc, col("cent_id"))
-    val probes = emb.filter(col("vec_id") < 8)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    queries
       .crossJoin(broadcast(cents))
       .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
       .withColumn("c_rank", row_number().over(byQuery))
       .filter(col("c_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
-    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
-      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+  }
+
+  /** The shared presentation tail: bounded-heap top-k on
+    * (query_id, vec_id, raw_sim), dense rank, 4dp-quantized sim.
+    * Callers append their own total ORDER BY.
+    */
+  private[graft] def topkPresent(scored: DataFrame, k: Int): DataFrame = {
     val top = graft.plans.TopK.perKey(scored,
       keyCols = Seq("query_id"), orderCol = "raw_sim", tieCol = "vec_id", k = k)
     val byQ = Window.partitionBy(col("query_id"))
@@ -205,7 +209,23 @@ object Similarity {
     top.withColumn("rank", row_number().over(byQ).cast("long"))
       .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
         q4(col("raw_sim")).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
+  }
+
+  private def ivfTopkWith(s: SparkSession, d: String,
+      centroids: Seq[(Long, Seq[Float])], nprobe: Int, k: Int): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"),
+        nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+    val probes = probesOf(
+      emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      centroids, nprobe)
+    val scored = assigned.join(broadcast(probes), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    topkPresent(scored, k).orderBy(col("query_id"), col("rank"))
   }
 
   /** IVF-style ANN with the fixed coarse quantizer (first 16 vectors as
@@ -232,37 +252,23 @@ object Similarity {
     * probe (asserted by the oracle's old-side restriction).
     */
   val annIncremental: Q = (s, d) => {
-    import s.implicits._
     val centroids = fixedCentroids(s, d)
     val emb = Tables.embeddings(s, d)
     val isNew = pmod(col("vec_id"), lit(5)) === 0
     val stored = emb.filter(!isNew)
       .select(col("vec_id"), col("embedding"),
         nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
-    val cents = centroids.toDF("cent_id", "c_emb")
-    val byQuery = Window.partitionBy(col("query_id"))
-      .orderBy(col("c_sim").desc, col("cent_id"))
-    val probes = emb.filter(isNew)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-      .crossJoin(broadcast(cents))
-      .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
-      .withColumn("c_rank", row_number().over(byQuery))
-      .filter(col("c_rank") <= 4)
-      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    val probes = probesOf(
+      emb.filter(isNew)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      centroids, nprobe = 4)
     // plain equi-join on cent_id (NOT a forced broadcast): the batch is
     // a corpus-fraction here, and at scale the stored side's bucketing
     // keeps it shuffle-free while AQE broadcasts genuinely small batches
     val scored = stored.join(probes, Seq("cent_id"))
       .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
       .select(col("query_id"), col("vec_id"), col("raw_sim"))
-    val top = graft.plans.TopK.perKey(scored,
-      keyCols = Seq("query_id"), orderCol = "raw_sim", tieCol = "vec_id", k = 5)
-    val byQ = Window.partitionBy(col("query_id"))
-      .orderBy(col("raw_sim").desc, col("vec_id"))
-    top.withColumn("rank", row_number().over(byQ).cast("long"))
-      .select(col("query_id"), col("rank"), col("vec_id").as("neighbor_id"),
-        q4(col("raw_sim")).as("sim"))
-      .orderBy(col("query_id"), col("rank"))
+    topkPresent(scored, k = 5).orderBy(col("query_id"), col("rank"))
   }
 
   /** Spherical k-means (Lloyd) over a driver-collected sample — fully

@@ -630,7 +630,8 @@ object TextAnalysis {
         |scored AS (
         |  SELECT t.query_id, f.doc_id,
         |    CAST(sum(CAST(floor((s.n_docs * 1000000 // d.df) *
-        |      (f.tf * 2.2 / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl)))
+        |      (f.tf * CAST(2.2 AS DOUBLE) /
+        |       (f.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * l.dl / s.avgdl)))
         |      + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
         |  FROM tf f
         |  JOIN dfs d ON f.term = d.term

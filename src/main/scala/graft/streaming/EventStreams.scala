@@ -381,9 +381,13 @@ object EventStreams extends Serializable {
     * land in a batch-scoped directory rewritten whole on replay, and
     * the _APPLIED marker written LAST makes a fully-applied batch a
     * no-op. The crash window between index append and marker re-probes
-    * on replay; duplicate index rows would surface as duplicate
-    * neighbor candidates, which the per-(query, neighbor) distinct
-    * collapse absorbs before the top-k.
+    * on replay with THIS batch's rows already stored — the probe
+    * anti-joins the batch's own vec_ids out of the candidate stream
+    * (self-matches and intra-batch pairs are never index-probe
+    * results), and duplicate stored rows collapse per
+    * (query, neighbor), so the rewritten output is identical to the
+    * pre-crash output (spec-asserted by deleting the marker and
+    * re-applying).
     */
   private[graft] def annIndexApplyBatch(batch: DataFrame, batchId: Long,
       centroids: Seq[(Long, Seq[Float])], indexTable: String,
@@ -403,32 +407,25 @@ object EventStreams extends Serializable {
       try {
         val result =
           if (spark.catalog.tableExists(indexTable)) {
-            val cents = centroids.toDF("cent_id", "c_emb")
-            val byQuery = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id"))
-              .orderBy(col("c_sim").desc, col("cent_id"))
-            val probes = assigned
-              .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-              .crossJoin(broadcast(cents))
-              .withColumn("c_sim", cosineSim(col("q_emb"), col("c_emb")))
-              .withColumn("c_rank", row_number().over(byQuery))
-              .filter(col("c_rank") <= nprobe)
-              .select(col("query_id"), col("q_emb"), col("cent_id"))
+            // probe + presentation are the SHARED Similarity helpers, so
+            // the streaming twin can never diverge from the batch
+            // operator's tie-breaking or quantization
+            val probes = graft.operators.Similarity.probesOf(
+              assigned.select(col("vec_id").as("query_id"),
+                col("embedding").as("q_emb")),
+              centroids, nprobe)
             val scored = spark.table(indexTable).join(probes, Seq("cent_id"))
+              // crash-window replay: the failed attempt may have already
+              // appended THIS batch to the index — exclude the batch's
+              // own ids (covers self-matches too), so the rewritten
+              // batch output is identical to the pre-crash output
+              .join(broadcast(assigned.select(col("vec_id").as("batch_vec_id"))),
+                col("vec_id") === col("batch_vec_id"), "left_anti")
               .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
-              // crashed-replay duplicates in the index collapse here
+              // duplicate stored rows from the same window collapse here
               .groupBy(col("query_id"), col("vec_id"))
               .agg(first(col("raw_sim")).as("raw_sim"))
-            val top = graft.plans.TopK.perKey(scored,
-              keyCols = Seq("query_id"), orderCol = "raw_sim",
-              tieCol = "vec_id", k = k)
-            val byQ = org.apache.spark.sql.expressions.Window
-              .partitionBy(col("query_id"))
-              .orderBy(col("raw_sim").desc, col("vec_id"))
-            top.withColumn("rank", row_number().over(byQ).cast("long"))
-              .select(col("query_id"), col("rank"),
-                col("vec_id").as("neighbor_id"),
-                (floor(col("raw_sim") * 10000 + 0.5) / 10000.0).as("sim"))
+            graft.operators.Similarity.topkPresent(scored, k)
           } else
             Seq.empty[(Long, Long, Long, Double)]
               .toDF("query_id", "rank", "neighbor_id", "sim")

@@ -400,6 +400,20 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.read.option("recursiveFileLookup", "true")
       .parquet(topkDir).count() == before,
       "marker-guarded replay changed the top-k output")
+    // CRASH-WINDOW replay (index appended, marker lost): batch 2's rows
+    // are already in the index when the batch re-probes — the rewritten
+    // output must STILL equal the pre-crash output (no self-matches, no
+    // intra-batch neighbors, duplicate stored rows collapsed)
+    def batch2Out() = spark.read.parquet(s"$topkDir/batch-2").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    val preCrash = batch2Out()
+    assert(new java.io.File(s"$topkDir/batch-2/_APPLIED").delete())
+    EventStreams.annIndexApplyBatch(
+      batches(2).toSeq.toDF("vec_id", "embedding"), 2L, centroids, tbl,
+      topkDir, 4, 5, 8)
+    assert(batch2Out() == preCrash,
+      "crash-window replay changed the top-k output")
     // the index table is bucketed on the probe key
     val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
       .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
