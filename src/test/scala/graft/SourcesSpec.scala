@@ -133,6 +133,47 @@ class SourcesSpec extends SparkTestBase {
       s"z-order should read < 3/4 of the two-query workload: z=${zP + zS} sorted1d=${sP + sS}")
   }
 
+  test("compaction rewrites many small files into few, content-preserved") {
+    val dir = Files.createTempDirectory("graft_compact").toString + "/t"
+    // 64 small files — the streaming-sink accretion shape
+    Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+      .repartition(64).write.mode("overwrite").parquet(dir)
+    val beforeDf = spark.read.parquet(dir)
+    val beforeHash = beforeDf
+      .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))")).head.getLong(0)
+    val beforeRows = beforeDf.count()
+    val stats = sources.Maintenance.compactParquet(
+      spark, dir, targetFileBytes = 4L * 1024 * 1024)
+    assert(stats.filesBefore == 64 && stats.filesAfter < 8,
+      s"expected a real file-count collapse: $stats")
+    val afterDf = spark.read.parquet(dir)
+    assert(afterDf.count() == beforeRows)
+    // content preserved: order-free xxhash xor over every row (xor, not
+    // sum — ANSI mode would overflow a long sum of 60k hashes)
+    val afterHash = afterDf
+      .agg(expr("bit_xor(xxhash64(l_orderkey, l_partkey, l_quantity))")).head.getLong(0)
+    assert(afterHash == beforeHash, "compaction changed row content")
+    // sort-preserving variant keeps range-scan pruning effective: the
+    // compacted-and-range-partitioned file set clusters l_orderkey
+    val dir2 = Files.createTempDirectory("graft_compact2").toString + "/t"
+    Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_orderkey"), col("l_quantity"))
+      .repartition(64).write.mode("overwrite").parquet(dir2)
+    sources.Maintenance.compactParquet(
+      spark, dir2, targetFileBytes = 96L * 1024, sortBy = Some("l_orderkey"))
+    val files = spark.read.parquet(dir2)
+      .groupBy(input_file_name().as("f"))
+      .agg(min(col("l_orderkey")).as("lo"), max(col("l_orderkey")).as("hi"))
+      .collect()
+    assert(files.length > 2)
+    // range-partitioned files have (nearly) disjoint key ranges
+    val spans = files.map(r => (r.getAs[Long]("lo"), r.getAs[Long]("hi"))).sortBy(_._1)
+    spans.zip(spans.tail).foreach { case ((_, hi), (lo2, _)) =>
+      assert(hi <= lo2, s"range-compacted files overlap: $hi > $lo2")
+    }
+  }
+
   test("bucketed tables co-locate the join (no shuffle on bucketed sides)") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
