@@ -399,10 +399,16 @@ object EventStreams extends Serializable {
     val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
     if (!fs.exists(marker)) {
+      // the index rows carry their writing batch id: the crash-window
+      // probe excludes exactly the crashed attempt's rows (not every
+      // stored row sharing a vec_id — a later batch may legitimately
+      // re-send an id, and its OLD stored version stays probe-able),
+      // and replay can detect an already-applied append
       val assigned = batch
         .select(col("vec_id"), col("embedding"),
           graft.operators.Similarity.nearestCentroidCol(
-            col("embedding"), centroids).as("cent_id"))
+            col("embedding"), centroids).as("cent_id"),
+          lit(batchId).as("batch_id"))
         .persist()
       try {
         val result =
@@ -414,25 +420,36 @@ object EventStreams extends Serializable {
               assigned.select(col("vec_id").as("query_id"),
                 col("embedding").as("q_emb")),
               centroids, nprobe)
-            val scored = spark.table(indexTable).join(probes, Seq("cent_id"))
+            val scored = spark.table(indexTable)
               // crash-window replay: the failed attempt may have already
-              // appended THIS batch to the index — exclude the batch's
-              // own ids (covers self-matches too), so the rewritten
-              // batch output is identical to the pre-crash output
-              .join(broadcast(assigned.select(col("vec_id").as("batch_vec_id"))),
-                col("vec_id") === col("batch_vec_id"), "left_anti")
+              // appended THIS batch — exclude only ITS rows, so the
+              // rewritten batch output is identical to the pre-crash
+              // output without hiding older same-id versions
+              .filter(col("batch_id") =!= batchId)
+              .join(probes, Seq("cent_id"))
+              // an updated vector must not return its own stored
+              // version as a neighbor
+              .filter(col("vec_id") =!= col("query_id"))
               .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
-              // duplicate stored rows from the same window collapse here
+              // a vec_id stored by several batches scores as its best
+              // version — max, not first: deterministic under any
+              // evaluation order
               .groupBy(col("query_id"), col("vec_id"))
-              .agg(first(col("raw_sim")).as("raw_sim"))
+              .agg(max(col("raw_sim")).as("raw_sim"))
             graft.operators.Similarity.topkPresent(scored, k)
           } else
             Seq.empty[(Long, Long, Long, Double)]
               .toDF("query_id", "rank", "neighbor_id", "sim")
         result.write.mode("overwrite").parquet(batchDir.toString)
-        assigned.write.mode("append").format("parquet")
-          .bucketBy(nBuckets, "cent_id")
-          .saveAsTable(indexTable)
+        // idempotent append: a crashed attempt that already appended
+        // this batch (marker lost) must not append a second copy —
+        // otherwise every crash/replay cycle grows the index
+        val alreadyAppended = spark.catalog.tableExists(indexTable) &&
+          !spark.table(indexTable).filter(col("batch_id") === batchId).isEmpty
+        if (!alreadyAppended)
+          assigned.write.mode("append").format("parquet")
+            .bucketBy(nBuckets, "cent_id")
+            .saveAsTable(indexTable)
         fs.create(marker, true).close()
       } finally { assigned.unpersist(); () }
     }

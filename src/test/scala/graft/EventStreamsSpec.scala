@@ -414,6 +414,11 @@ class EventStreamsSpec extends SparkTestBase {
       topkDir, 4, 5, 8)
     assert(batch2Out() == preCrash,
       "crash-window replay changed the top-k output")
+    // ...and the replay detected the already-applied append: the index
+    // must NOT gain a second copy of batch 2 (unbounded growth across
+    // crash cycles otherwise)
+    assert(spark.table(tbl).count() == idxRows,
+      "crash-window replay appended a duplicate batch copy")
     // the index table is bucketed on the probe key
     val ddl = spark.sql(s"DESCRIBE TABLE EXTENDED $tbl").collect()
       .map(r => s"${r.getString(0)}=${r.getString(1)}").mkString(";")
