@@ -587,7 +587,45 @@ object TextAnalysis {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Learned QUALITY-CLASSIFIER inference fused into the scan — the
+    * fastText-style quality filter a web-corpus pipeline runs over
+    * every document (the CCNet/GPT-3 filtering shape), expressed as a
+    * pure column expression so inference IS the scan: no model
+    * runtime, no UDF, one codegen'd projection (the
+    * inference-in-pure-SQL idea of the operator-fusion line of work).
+    * Features are exact integers (stopword ppm, digit ppm, capped
+    * word count, e3 average word length); the linear model's weights
+    * are double literals and the LOGIT is emitted — not the sigmoid —
+    * quantized to e6: the sigmoid is monotone, so thresholding the
+    * logit at 0 is exactly thresholding p at 0.5, and skipping exp()
+    * keeps the result bit-reproducible across engines (libm exp is
+    * not). Keep-decision + score per doc, map-only at any scale.
+    */
+  val txQualityClassifier: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+      .withColumn("n_words", size(split(col("text"), " ")).cast("long"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .withColumn("stop_ppm",
+        expr("regexp_count(text, '\\\\b(the|of|and|to|in|a)\\\\b') * 1000000L div n_words"))
+      .withColumn("digit_ppm",
+        expr("(n_chars - length(regexp_replace(text, '[0-9]', ''))) * 1000000L div n_chars"))
+      .withColumn("awl_e3", expr("n_chars * 1000L div n_words"))
+    // identical textual order on both sides: float addition is
+    // left-associative and order changes the last ulp
+    docs
+      .withColumn("logit_e6", floor(
+        (lit(-3.0) + lit(4.0e-5) * col("stop_ppm") +
+          lit(0.02) * least(col("n_words"), lit(100L)) +
+          lit(2.0e-4) * col("awl_e3") -
+          lit(5.0e-6) * col("digit_ppm")) * 1000000 + 0.5).cast("long"))
+      .select(col("doc_id"), col("n_words"), col("stop_ppm"),
+        col("digit_ppm"), col("awl_e3"), col("logit_e6"),
+        (col("logit_e6") >= 0).as("keep"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "tx_quality_classifier" -> txQualityClassifier,
     "tx_bm25" -> txBm25,
     "tx_repeated_passages" -> txRepeatedPassages,
     "tx_mix_rebalance" -> txMixRebalance,
@@ -607,6 +645,29 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_quality_classifier" ->
+      """SELECT doc_id, n_words, stop_ppm, digit_ppm, awl_e3,
+        | CAST(floor(
+        |   (CAST(-3.0 AS DOUBLE) + CAST(4.0e-5 AS DOUBLE) * stop_ppm +
+        |    CAST(0.02 AS DOUBLE) * least(n_words, 100) +
+        |    CAST(2.0e-4 AS DOUBLE) * awl_e3 -
+        |    CAST(5.0e-6 AS DOUBLE) * digit_ppm) * 1000000 + 0.5) AS BIGINT) AS logit_e6,
+        | CAST(floor(
+        |   (CAST(-3.0 AS DOUBLE) + CAST(4.0e-5 AS DOUBLE) * stop_ppm +
+        |    CAST(0.02 AS DOUBLE) * least(n_words, 100) +
+        |    CAST(2.0e-4 AS DOUBLE) * awl_e3 -
+        |    CAST(5.0e-6 AS DOUBLE) * digit_ppm) * 1000000 + 0.5) AS BIGINT) >= 0 AS keep
+        |FROM (
+        | SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '\b(the|of|and|to|in|a)\b')) * 1000000
+        |    // len(string_split(text, ' ')) AS BIGINT) AS stop_ppm,
+        |  CAST((strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))) * 1000000
+        |    // strlen(text) AS BIGINT) AS digit_ppm,
+        |  CAST(strlen(text) * 1000 // len(string_split(text, ' ')) AS BIGINT) AS awl_e3
+        | FROM documents) t
+        |ORDER BY doc_id""".stripMargin,
     "tx_bm25" ->
       """WITH terms AS (
         |  SELECT * FROM (VALUES

@@ -608,6 +608,18 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx_quality_classifier splits the corpus and keep tracks the logit sign") {
+    val rows = operators.TextAnalysis.txQualityClassifier(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("keep") == (r.getAs[Long]("logit_e6") >= 0))
+      val sp = r.getAs[Long]("stop_ppm")
+      assert(sp >= 0 && sp <= 1000000)
+    }
+    // the calibrated weights produce a real split, not a constant class
+    assert(rows.exists(_.getAs[Boolean]("keep")) && rows.exists(!_.getAs[Boolean]("keep")))
+  }
+
   test("tx_bm25 ranks are dense per query and scores non-increasing") {
     val rows = operators.TextAnalysis.txBm25(spark, sfDir).collect()
     assert(rows.nonEmpty)
