@@ -138,6 +138,24 @@ object Profile {
             () => operators.Multimodal.frameSample(spark, operators.Multimodal.audioDir))
           time(s"frame_sample_big r$round", () => operators.Multimodal.frameSample(spark, audBig))
         }
+      case "--ann-k-sweep" =>
+        // the adaptive-k bound, measured: with fixed k=16 every list
+        // holds n/16 vectors, so the batch probe is ~n²/80 cosines and
+        // the curve explodes (0.45s → 12.4s at 25× last round); with
+        // k = annK(n) list occupancy stays ~64 and per-batch probe
+        // work is ~flat. Fixed-k is skipped past the size where its
+        // quadratic stops being a measurement and starts being a
+        // stress test.
+        val n = spark.read.parquet(s"$d/embeddings.parquet").count()
+        val k = operators.Similarity.annK(n)
+        def timeQ(name: String): Double = {
+          val t0 = System.nanoTime()
+          SparkEntry.queries(name)(spark, d).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        val ta = timeQ("ann_incremental_adaptive")
+        val tf = if (n <= 60000) f"${timeQ("ann_incremental")}%.2f s" else "skipped"
+        println(f"[profile] ann-k-sweep n=$n k=$k adaptive=$ta%.2f s fixed16=$tf")
       case "--decontam-crossover" =>
         // exact join vs bloom-gated at growing eval-set sizes, with NO
         // broadcast hint — the planner shifts broadcast → shuffle as

@@ -5,7 +5,12 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg (dev only): substring filter over query names —
+    // the driver always calls with exactly (sfDir, outDir)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b)    => (a, b, "")
+      case Array(a, b, p) => (a, b, p)
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -31,7 +36,7 @@ object Verify {
       System.err.println(s"[verify] ASCII precondition unverifiable: ${e.getMessage}")
       false
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(_._1.contains(only)).foreach { case (name, fn) =>
       try {
         if (name.startsWith("mm_") && !corpusAscii)
           sys.error("non-ASCII documents: byte-level mm oracle precondition violated")

@@ -47,23 +47,20 @@ object AudioCodec {
           val le = !fmt.isBigEndian
           val outBuf = scala.collection.mutable.ArrayBuilder.make[Int]
           val buf = new Array[Byte](8192)
-          var carry = -1
+          // AudioInputStream reads whole FRAMES: only -1 is
+          // end-of-stream (0 means retry), and every successful read is
+          // frame-aligned — asserted, since a split sample would
+          // otherwise be silently mis-decoded
           var read = in.read(buf)
-          while (read > 0) {
+          while (read != -1) {
+            require(read % 2 == 0, s"non-frame-aligned read: $read bytes")
             var i = 0
-            if (carry >= 0) {
-              val s = if (le) ((buf(0) << 8) | carry).toShort
-                      else ((carry << 8) | (buf(0) & 0xff)).toShort
-              outBuf += s.toInt
-              i = 1; carry = -1
-            }
-            while (i + 1 < read) {
+            while (i < read) {
               val s = if (le) ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
                       else ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
               outBuf += s.toInt
               i += 2
             }
-            if (i < read) carry = buf(i) & 0xff
             read = in.read(buf)
           }
           Some(Samples(fmt.getChannels, fmt.getSampleRate.toInt, outBuf.result()))
@@ -93,22 +90,13 @@ object AudioCodec {
           var zc = 0L; var n = 0L
           var prevNeg = false
           val buf = new Array[Byte](8192)
-          var carry = -1 // pending low byte when a read splits a sample
+          // frame-aligned reads, -1-only end-of-stream — same contract
+          // as decodeSamples above
           var read = in.read(buf)
-          while (read > 0) {
+          while (read != -1) {
+            require(read % 2 == 0, s"non-frame-aligned read: $read bytes")
             var i = 0
-            if (carry >= 0 && read > 0) {
-              // complete the sample split across reads
-              val s = if (le) ((buf(0) << 8) | carry).toShort
-                      else ((carry << 8) | (buf(0) & 0xff)).toShort
-              i = 1; carry = -1
-              val v = s.toLong
-              val a = math.abs(v)
-              sumAbs += a; energy += v * v; if (a > peak) peak = a
-              if (n > 0 && (v < 0) != prevNeg) zc += 1
-              prevNeg = v < 0; n += 1
-            }
-            while (i + 1 < read) {
+            while (i < read) {
               val s = if (le) ((buf(i + 1) << 8) | (buf(i) & 0xff)).toShort
                       else ((buf(i) << 8) | (buf(i + 1) & 0xff)).toShort
               val v = s.toLong
@@ -118,7 +106,6 @@ object AudioCodec {
               prevNeg = v < 0; n += 1
               i += 2
             }
-            if (i < read) carry = buf(i) & 0xff
             read = in.read(buf)
           }
           Some(Decoded(channels, fmt.getSampleRate.toInt, n / channels,

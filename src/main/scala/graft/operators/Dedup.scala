@@ -758,9 +758,15 @@ object Dedup {
   private[graft] def documentsCount(s: SparkSession, d: String): Long =
     Tables.documents(s, d).count()
 
-  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame =
-    containmentCandidates(s, d,
-      shingled(s, d).select(col("doc_id"), col("sh_hashes")).persist())
+  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame = {
+    val sh = shingled(s, d).select(col("doc_id"), col("sh_hashes")).persist()
+    // materialize before unpersisting so the probe/index self-join still
+    // computes the shingle table once — the wrapper must not leak a
+    // cached frame per invocation (ddContainment manages its own)
+    val out = containmentCandidates(s, d, sh).localCheckpoint()
+    sh.unpersist()
+    out
+  }
 
   /** Candidate stage over a CALLER-persisted shingle frame — ddContainment
     * passes the same persisted frame it verifies against, so the shingle

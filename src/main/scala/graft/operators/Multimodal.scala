@@ -9,43 +9,57 @@ import graft.sources.Tables
   * Images/audio/video ride through the engine as opaque `binary`
   * columns with typed metadata structs; decode/feature-extraction runs
   * batch-wise per partition (the same shape a vectorized/pandas-style
-  * decode batch takes on a cluster). The decoder itself is a
-  * deterministic STUB — the image/audio codecs aren't in this
-  * container — but the Spark-side plumbing (binary payloads, metadata
-  * struct schema, partition-batched extraction, typed output schema)
-  * is real and oracle-able by row count.
+  * decode batch takes on a cluster). Every decoder is REAL and
+  * JDK-only — PNG/BMP via javax.imageio ([[graft.functions.ImageCodec]]),
+  * WAV/AU via javax.sound.sampled ([[graft.functions.AudioCodec]]) —
+  * over committed corpora written by independent stdlib-Python
+  * generators, with oracle sidecars derived from the generators'
+  * pixel/sample formulas so a decoder bug cannot self-confirm.
   */
 object Multimodal {
   private type Q = (SparkSession, String) => DataFrame
 
-  /** Build payload+meta, then "decode" per-partition: byte-histogram
-    * features stand in for pixel statistics.
+  /** REAL decode-metadata extraction — the container-sniffing front of
+    * an ingest pipeline: per file, the magic-sniffed format (never the
+    * extension — a renamed file must not change the answer), the
+    * decoded dimensions, the on-disk byte count, and a 4-bin luma
+    * quartile histogram over the REAL pixels (the brightness signature
+    * a curation filter buckets on). Corrupt files keep their sniffed
+    * format with img_ok=false — the row a quarantine audit needs.
+    * Sidecar-oracled (tools/gen_images.py expected_meta.parquet, from
+    * the pixel formulas + the writer's own byte counts). Map-only:
+    * binaryFile scan → per-partition decode, no shuffle before the
+    * presentation sort.
     */
-  val mmDecodeMeta: Q = (s, d) => {
+  val mmDecodeMeta: Q = (s, _) => {
     import s.implicits._
-    val base = Tables.documents(s, d).select(
-      col("doc_id"),
-      // synthetic opaque payload — in production this is the image bytes
-      encode(col("text"), "UTF-8").as("payload"),
-      ((col("doc_id") % 32) + 16).cast("int").as("width"),
-      ((col("doc_id") % 24) + 12).cast("int").as("height"),
-      lit("fake/rgb8").as("format"))
-    base
-      .select(col("doc_id"), col("payload"), col("width"), col("height"), col("format"))
-      .as[(Long, Array[Byte], Int, Int, String)]
+    graft.sources.BinaryFiles.scan(s, "*.{png,bmp}", imagesDir)
+      .select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes, w, h, fmt) =>
-          // STUB decoder (deterministic): byte histogram mod 4. A real
-          // deployment swaps this body for the codec call; the
-          // partition-batched iterator shape is what matters at scale.
-          val hist = new Array[Long](4)
-          var i = 0
-          while (i < bytes.length) { hist((bytes(i) & 0xff) % 4) += 1; i += 1 }
-          (id, w, h, fmt, bytes.length.toLong, hist(0), hist(1), hist(2), hist(3))
+        batch.map { case (name, bytes) =>
+          val fmt =
+            if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 &&
+              bytes(1) == 'P'.toByte && bytes(2) == 'N'.toByte) "png"
+            else if (bytes.length >= 2 && bytes(0) == 'B'.toByte &&
+              bytes(1) == 'M'.toByte) "bmp"
+            else "unknown"
+          graft.functions.ImageCodec.decodeRaster(bytes) match {
+            case Some(r) =>
+              // luma ∈ [0,255]; >> 6 is the quartile bin — all-integer
+              val hist = new Array[Long](4)
+              var i = 0
+              while (i < r.luma.length) { hist(r.luma(i) >> 6) += 1; i += 1 }
+              (name, true, fmt, r.width, r.height, bytes.length.toLong,
+                hist(0), hist(1), hist(2), hist(3))
+            case None =>
+              (name, false, fmt, 0, 0, bytes.length.toLong, 0L, 0L, 0L, 0L)
+          }
         }
       }
-      .toDF("doc_id", "width", "height", "format", "n_bytes", "h0", "h1", "h2", "h3")
-      .orderBy(col("doc_id"))
+      .toDF("file_name", "img_ok", "format", "width", "height", "n_bytes",
+        "h0", "h1", "h2", "h3")
+      .orderBy(col("file_name"))
   }
 
   /** REAL frame sampling over a multi-frame container: decode the
@@ -149,43 +163,58 @@ object Multimodal {
       .orderBy(col("file_name"))
   }
 
-  /** Per-payload feature extraction — the byte-level statistics a
-    * training pipeline computes per asset before filtering (mean
-    * level, energy, dynamic range, alphabet size). Stub stands in for
-    * a codec-backed extractor; batch shape and typed output schema are
-    * the real thing.
+  /** REAL per-asset feature extraction — the clip-level statistics a
+    * training pipeline filters on, computed from the DECODED waveform
+    * of the committed WAV/AU corpus: mean |amplitude| and mean energy
+    * (e4 fixed-point via pure integer division — bit-exact across
+    * engines, no float path), dynamic range (max−min sample), and
+    * alphabet size (distinct sample values — a constant-tone or
+    * clipped clip shows a tiny alphabet). Corrupt files surface as
+    * audio_ok=false rows. Sidecar-oracled (tools/gen_audio.py
+    * expected_features.parquet, from the sample formulas). Map-only
+    * partition-batched decode.
     */
-  val mmFeatureExtract: Q = (s, d) => {
+  val mmFeatureExtract: Q = (s, _) => {
     import s.implicits._
-    Tables.documents(s, d)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .as[(Long, Array[Byte])]
+    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
+      .select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
       .mapPartitions { batch =>
-        batch.map { case (id, bytes) =>
-          val seen = new Array[Boolean](256)
-          var sum = 0L
-          var sumSq = 0L
-          var mn = 255
-          var mx = 0
-          var i = 0
-          while (i < bytes.length) {
-            val v = bytes(i) & 0xff
-            seen(v) = true
-            sum += v
-            sumSq += v.toLong * v
-            if (v < mn) mn = v
-            if (v > mx) mx = v
-            i += 1
+        batch.map { case (name, bytes) =>
+          graft.functions.AudioCodec.decodeSamples(bytes) match {
+            case Some(clip) =>
+              val xs = clip.samples
+              // PCM16 range: offset-indexed presence array beats a
+              // hash set on this per-partition hot path
+              val seen = new Array[Boolean](65536)
+              var sumAbs = 0L
+              var energy = 0L
+              var mn = Int.MaxValue
+              var mx = Int.MinValue
+              var i = 0
+              while (i < xs.length) {
+                val v = xs(i)
+                seen(v + 32768) = true
+                sumAbs += math.abs(v)
+                energy += v.toLong * v
+                if (v < mn) mn = v
+                if (v > mx) mx = v
+                i += 1
+              }
+              var alphabet = 0L
+              var j = 0
+              while (j < seen.length) { if (seen(j)) alphabet += 1; j += 1 }
+              val n = math.max(xs.length, 1).toLong
+              (name, true, xs.length.toLong,
+                sumAbs * 10000L / n, energy * 10000L / n,
+                (if (xs.isEmpty) 0 else mx - mn).toLong, alphabet)
+            case None => (name, false, 0L, 0L, 0L, 0L, 0L)
           }
-          val n = bytes.length.max(1)
-          val nDistinct = seen.count(identity).toLong
-          val mean = math.floor(sum.toDouble / n * 10000 + 0.5) / 10000.0
-          val energy = math.floor(sumSq.toDouble / n * 10000 + 0.5) / 10000.0
-          (id, bytes.length.toLong, mean, energy, (mx - mn).toLong, nDistinct)
         }
       }
-      .toDF("doc_id", "n_bytes", "mean_level", "energy", "dyn_range", "alphabet")
-      .orderBy(col("doc_id"))
+      .toDF("file_name", "audio_ok", "n_samples", "mean_abs_e4",
+        "mean_energy_e4", "dyn_range", "alphabet")
+      .orderBy(col("file_name"))
   }
 
   /** Perceptual average-hash over the 8×8 NN thumbnail (same index
@@ -246,7 +275,7 @@ object Multimodal {
   private[graft] val imagesDir = "/root/repo/data/images"
 
   /** REAL image decode over a committed corpus of true PNG files —
-    * the non-stub sibling of mmDecodeMeta/mmPhash, closing the image
+    * the full-stats sibling of mmDecodeMeta, closing the image
     * half of the multimodal gap JDK-only:
     * [[graft.functions.ImageCodec]] parses the PNG container via
     * javax.imageio (magic-sniffed, not extension-trusted), emits
@@ -396,16 +425,11 @@ object Multimodal {
         | CAST((count(*) - 1) * max(strlen(text)) AS BIGINT) AS bytes_saved
         |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
     "mm_decode_meta" ->
-      """SELECT doc_id,
-        | CAST(doc_id % 32 + 16 AS INT) AS width,
-        | CAST(doc_id % 24 + 12 AS INT) AS height,
-        | 'fake/rgb8' AS format,
-        | CAST(strlen(text) AS BIGINT) AS n_bytes,
-        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 0)) AS h0,
-        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 1)) AS h1,
-        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 2)) AS h2,
-        | len(list_filter(list_transform(string_split(text, ''), c -> ascii(c) % 4), v -> v = 3)) AS h3
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      s"""SELECT file_name, img_ok, format,
+        | CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+        | n_bytes, h0, h1, h2, h3
+        |FROM read_parquet('$imagesDir/expected_meta.parquet')
+        |ORDER BY file_name""".stripMargin,
     "mm_frame_sample" ->
       s"""SELECT file_name, frame_idx, frame_sum, frame_peak
         |FROM read_parquet('$audioDir/expected_frames.parquet')
@@ -418,15 +442,8 @@ object Multimodal {
         |FROM read_parquet('$imagesDir/expected.parquet')
         |ORDER BY file_name""".stripMargin,
     "mm_feature_extract" ->
-      """SELECT doc_id,
-        | CAST(strlen(text) AS BIGINT) AS n_bytes,
-        | floor(list_sum(bytes) * 1.0 / greatest(strlen(text), 1) * 10000 + 0.5) / 10000.0 AS mean_level,
-        | floor(list_sum(list_transform(bytes, v -> v * v)) * 1.0 / greatest(strlen(text), 1) * 10000 + 0.5) / 10000.0 AS energy,
-        | CAST(list_max(bytes) - list_min(bytes) AS BIGINT) AS dyn_range,
-        | CAST(len(list_distinct(bytes)) AS BIGINT) AS alphabet
-        |FROM (
-        | SELECT doc_id, text,
-        |  list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
-        | FROM documents) t
-        |ORDER BY doc_id""".stripMargin)
+      s"""SELECT file_name, audio_ok, n_samples, mean_abs_e4,
+        | mean_energy_e4, dyn_range, alphabet
+        |FROM read_parquet('$audioDir/expected_features.parquet')
+        |ORDER BY file_name""".stripMargin)
 }

@@ -271,6 +271,84 @@ object Similarity {
     topkPresent(scored, k = 5).orderBy(col("query_id"), col("rank"))
   }
 
+  /** The corpus-size lever for the incremental index, wired (the
+    * dd_semantic semanticK move applied to IVF): k = max(16, ⌈n/64⌉)
+    * keeps expected LIST occupancy ≤ ~64 as the corpus grows, so a
+    * batch probe touches nprobe·64 stored vectors per query — FLAT in
+    * corpus size — where the fixed-k=16 annIncremental probe touches
+    * nprobe·n/16, which is what produced the 0.45s→12.4s curve at 25×.
+    * Centroid prefixes nest (first k1 rows ⊂ first k2 rows), so growth
+    * only splits lists; exact integer arithmetic, and the DuckDB
+    * oracle computes the same k from the same count.
+    */
+  private[graft] def annK(n: Long): Int = math.max(16L, (n + 63) / 64).toInt
+
+  /** ADAPTIVE-k incremental ANN — annIncremental with the quantizer
+    * sized to the corpus ([[annK]]), the production parameterization
+    * the fixed-k=16 op pins down for its oracle anchor. With k ∝ n a
+    * flat n·k literal-argmax assignment is quadratic (and the k-cosine
+    * literal expression outgrows codegen — dd_semantic measured 35s at
+    * k=98), so BOTH assignment and probe run the two-level quantizer:
+    * ⌈√k⌉ coarse cells over the k fine centroids, each vector scoring
+    * √k coarse then ~√k fine children of its cell (2n√k cosines
+    * total), the dd_semantic shape re-used list-for-list. The probe
+    * takes the batch query's 4 best fine lists WITHIN its coarse cell
+    * (per-level greedy — IVF semantics), then scores only those
+    * lists' stored vectors: per-query work is 2√k + 4·64 — bounded as
+    * the corpus grows, which is the whole point (Profile --ann-k-sweep
+    * measures the two curves side by side).
+    */
+  val annIncrementalAdaptive: Q = (s, d) => {
+    import s.implicits._
+    val emb = Tables.embeddings(s, d)
+    val k = annK(emb.count())
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarseDf = broadcast(fixedCentroids(s, d, kc).toDF("coarse_id", "co_emb"))
+    // coarse-cell assignment: broadcast join + partial-agg argmax
+    // (max(struct(sim, -id)) keeps the lowest id on exact ties, the
+    // oracle's sim DESC, id ASC window); map-side partial agg collapses
+    // the kc candidate rows per vector before any exchange
+    def toCell(df: DataFrame, idCol: String, embCol: String): DataFrame = df
+      .crossJoin(coarseDf)
+      .withColumn("sim", cosineSim(col(embCol), col("co_emb")))
+      .groupBy(col(idCol))
+      .agg(first(col(embCol)).as(embCol),
+        max(struct(col("sim").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
+      .select(col(idCol), col(embCol), (-col("m.nc")).as("coarse_id"))
+    // fine centroids: first k corpus vectors, each joined to its own
+    // coarse cell by the same argmax — k rows, never collected
+    val fine = toCell(
+      emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
+      "cent_id", "c_emb")
+    val isNew = pmod(col("vec_id"), lit(5)) === 0
+    val stored = toCell(emb.filter(!isNew), "vec_id", "embedding")
+      .join(fine, "coarse_id")
+      .withColumn("f_sim", cosineSim(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max(struct(col("f_sim").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+      .select(col("vec_id"), col("embedding"), (-col("m.nc")).as("cent_id"))
+    val byQuery = Window.partitionBy(col("query_id"))
+      .orderBy(col("f_sim").desc, col("cent_id"))
+    val probes = toCell(
+        emb.filter(isNew)
+          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "query_id", "q_emb")
+      .join(fine, "coarse_id")
+      .withColumn("f_sim", cosineSim(col("q_emb"), col("c_emb")))
+      .withColumn("c_rank", row_number().over(byQuery))
+      .filter(col("c_rank") <= 4)
+      .select(col("query_id"), col("q_emb"), col("cent_id"))
+    // plain equi-join on cent_id, like annIncremental: the stored
+    // side's cent_id bucketing keeps it shuffle-free at scale while
+    // AQE broadcasts genuinely small batches
+    val scored = stored.join(probes, Seq("cent_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    topkPresent(scored, k = 5).orderBy(col("query_id"), col("rank"))
+  }
+
   /** Spherical k-means (Lloyd) over a driver-collected sample — fully
     * deterministic: init = the first k sample vectors (the exact
     * quantizer annIvfTopk uses, so any recall gain is attributable to
@@ -538,6 +616,7 @@ object Similarity {
     "ann_ivf_topk" -> annIvfTopk,
     "ann_ivf_kmeans" -> annIvfKmeans,
     "ann_incremental" -> annIncremental,
+    "ann_incremental_adaptive" -> annIncrementalAdaptive,
     "ann_quantize_int8" -> annQuantizeInt8)
 
   /** Split-oracle aux dump: the k-means-trained centroids. Training is
@@ -733,6 +812,49 @@ object Similarity {
         |    floor(list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
         |    row_number() OVER (PARTITION BY p.query_id
         |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
+        |  FROM stored a JOIN probes p ON a.cent_id = p.cent_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_incremental_adaptive" ->
+      """WITH params AS (
+        |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (
+        |    SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+        |    FROM embeddings) t),
+        |coarse AS (
+        |  SELECT vec_id AS coarse_id, CAST(embedding AS DOUBLE[]) AS co_emb
+        |  FROM embeddings WHERE vec_id < (SELECT kc FROM params)),
+        |fine AS (
+        |  SELECT cent_id, c_emb, coarse_id FROM (
+        |    SELECT f.vec_id AS cent_id, CAST(f.embedding AS DOUBLE[]) AS c_emb,
+        |      c.coarse_id,
+        |      row_number() OVER (PARTITION BY f.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(f.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM embeddings f CROSS JOIN coarse c
+        |    WHERE f.vec_id < (SELECT k FROM params)) t WHERE rn = 1),
+        |cell AS (
+        |  SELECT vec_id, emb, coarse_id FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.coarse_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM embeddings e CROSS JOIN coarse c) t WHERE rn = 1),
+        |stored AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT l.vec_id, l.emb, f.cent_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.emb, f.c_emb) DESC, f.cent_id) AS rn
+        |    FROM cell l JOIN fine f ON l.coarse_id = f.coarse_id
+        |    WHERE l.vec_id % 5 <> 0) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT l.vec_id AS query_id, l.emb AS q_emb, f.cent_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.emb, f.c_emb) DESC, f.cent_id) AS rn
+        |    FROM cell l JOIN fine f ON l.coarse_id = f.coarse_id
+        |    WHERE l.vec_id % 5 = 0) t WHERE rn <= 4)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, a.emb) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.q_emb, a.emb) DESC, a.vec_id) AS rank
         |  FROM stored a JOIN probes p ON a.cent_id = p.cent_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_ivf_topk" ->

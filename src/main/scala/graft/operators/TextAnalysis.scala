@@ -660,12 +660,12 @@ object TextAnalysis {
         |FROM (
         | SELECT doc_id,
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CAST(length(text) AS BIGINT) AS n_chars,
         |  CAST(len(regexp_extract_all(text, '\b(the|of|and|to|in|a)\b')) * 1000000
         |    // len(string_split(text, ' ')) AS BIGINT) AS stop_ppm,
-        |  CAST((strlen(text) - strlen(regexp_replace(text, '[0-9]', '', 'g'))) * 1000000
-        |    // strlen(text) AS BIGINT) AS digit_ppm,
-        |  CAST(strlen(text) * 1000 // len(string_split(text, ' ')) AS BIGINT) AS awl_e3
+        |  CAST((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1000000
+        |    // nullif(length(text), 0) AS BIGINT) AS digit_ppm,
+        |  CAST(length(text) * 1000 // len(string_split(text, ' ')) AS BIGINT) AS awl_e3
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "tx_bm25" ->

@@ -19,10 +19,24 @@ object Maintenance {
       filesBefore: Long, filesAfter: Long,
       bytesBefore: Long, rows: Long)
 
+  /** Flat-directory contract: the snapshot/re-list quiesce guard and
+    * the census only see top-level files, but `spark.read.parquet(dir)`
+    * would also read nested partition subdirectories — a writer landing
+    * in a subdirectory would be invisible to the guard and silently
+    * replaced by the staged rewrite. So the unit of compaction is one
+    * LEAF directory (at 100 TB the scheduler walks the partition tree
+    * and calls this per leaf); anything else fails loudly here.
+    */
   private def parquetFiles(fs: org.apache.hadoop.fs.FileSystem,
-      path: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] =
-    fs.listStatus(path)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      path: org.apache.hadoop.fs.Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    val all = fs.listStatus(path)
+    val subdirs = all.filter(st => st.isDirectory &&
+      !st.getPath.getName.startsWith("_") && !st.getPath.getName.startsWith("."))
+    require(subdirs.isEmpty,
+      s"$path has nested directories (${subdirs.map(_.getPath.getName).mkString(", ")}) — " +
+        "compaction/census operate on one leaf directory at a time")
+    all.filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+  }
 
   /** Compact a parquet directory into ⌈bytes / targetFileBytes⌉
     * size-balanced files (minimum 1). Content-preserving BY

@@ -653,11 +653,24 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("mm_decode_meta histogram sums to payload size") {
-    operators.Multimodal.mmDecodeMeta(spark, sfDir).collect().foreach { r =>
+  test("mm_decode_meta: magic-sniffed formats, luma histogram covers every pixel") {
+    val rows = operators.Multimodal.mmDecodeMeta(spark, sfDir).collect()
+    assert(rows.length == 67) // 48 PNG + 16 BMP + 3 corrupt
+    val (ok, bad) = rows.partition(_.getAs[Boolean]("img_ok"))
+    assert(bad.length == 3)
+    ok.foreach { r =>
+      // every decoded pixel lands in exactly one quartile bin
       val sum = Seq("h0", "h1", "h2", "h3").map(r.getAs[Long]).sum
-      assert(sum == r.getAs[Long]("n_bytes"))
+      assert(sum == r.getAs[Int]("width").toLong * r.getAs[Int]("height"))
+      assert(Set("png", "bmp")(r.getAs[String]("format")))
+      assert(r.getAs[Long]("n_bytes") > 0)
     }
+    // format comes from the BYTES: the truncated png / cut-header bmp
+    // keep their sniffed container, the wrong-magic file does not
+    val fmtOf = rows.map(r => r.getAs[String]("file_name") -> r.getAs[String]("format")).toMap
+    assert(fmtOf("img_bad_magic.png") == "unknown")
+    assert(fmtOf("img_truncated.png") == "png")
+    assert(fmtOf("img_cut_header.bmp") == "bmp")
   }
 
   test("mm_resize decodes the real corpus: ok rows bound-consistent, corrupt rows flagged") {
@@ -690,11 +703,20 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
-  test("mm_feature_extract bounds: mean within dynamic range, alphabet <= 256") {
-    operators.Multimodal.mmFeatureExtract(spark, sfDir).collect().foreach { r =>
-      assert(r.getAs[Long]("dyn_range") >= 0 && r.getAs[Long]("dyn_range") <= 255)
-      assert(r.getAs[Long]("alphabet") >= 1 && r.getAs[Long]("alphabet") <= 256)
-      assert(r.getAs[Double]("mean_level") >= 0.0 && r.getAs[Double]("mean_level") <= 255.0)
+  test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
+    val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
+    assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt
+    val (ok, bad) = rows.partition(_.getAs[Boolean]("audio_ok"))
+    assert(bad.length == 3)
+    ok.foreach { r =>
+      val n = r.getAs[Long]("n_samples")
+      assert(n > 0)
+      assert(r.getAs[Long]("dyn_range") >= 0 && r.getAs[Long]("dyn_range") <= 65535)
+      val alphabet = r.getAs[Long]("alphabet")
+      assert(alphabet >= 1 && alphabet <= math.min(n, 65536L))
+      // e4 fixed-point mean |amplitude| can never exceed the PCM16 peak
+      assert(r.getAs[Long]("mean_abs_e4") >= 0 &&
+        r.getAs[Long]("mean_abs_e4") <= 32768L * 10000)
     }
   }
 }

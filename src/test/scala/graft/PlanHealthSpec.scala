@@ -157,6 +157,30 @@ class PlanHealthSpec extends SparkTestBase {
       s"the store-probe join must hash on cent_id:\n$plan")
   }
 
+  test("ann_incremental_adaptive: two-level quantizer joins stay broadcast-or-hash") {
+    // k tracks the corpus, so nothing may be linear in k except the
+    // fine table itself: the only nested-loop joins allowed are the
+    // ⌈√k⌉-row broadcast coarse crosses — stored-cell, batch-cell, and
+    // the fine-cell cross, which the plan replicates once per consumer
+    // (stored + probes both read `fine`; a k-row, k·√k-cosine subtree,
+    // cheap to recompute) — 4 total. The fine join and the store-probe
+    // join must hash (equi on coarse_id / cent_id). A CartesianProduct
+    // anywhere means the probe degenerated to all-pairs.
+    val plan = planOf("ann_incremental_adaptive")
+    assert(!plan.contains("CartesianProduct"), plan)
+    val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+    assert(nlj <= 4,
+      s"ann_incremental_adaptive plans $nlj nested-loop joins (only the 4 coarse crosses may):\n$plan")
+    assert(plan.contains("HashJoin"),
+      s"the fine-cell and store-probe joins must hash:\n$plan")
+    // the corpus-size lever itself: occupancy-flat growth, floor 16,
+    // prefix-nesting is inherited from fixedCentroids
+    assert(operators.Similarity.annK(500) == 16 &&
+      operators.Similarity.annK(2000) == 32 &&
+      operators.Similarity.annK(50000) == 782 &&
+      operators.Similarity.annK(1L << 30) == (1 << 30) / 64)
+  }
+
   test("tx_bm25: every scoring join broadcasts, nothing sort-merges the corpus") {
     // df and the term relation are tiny, avgdl is one row: if any of
     // them sort-merge joins, the corpus token stream shuffles on a

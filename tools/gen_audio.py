@@ -57,6 +57,22 @@ def frame_rows(name, xs):
     return out
 
 
+def feature_row(name, xs=None):
+    """expected_features.parquet row for mm_feature_extract: e4
+    fixed-point mean |amplitude| / mean energy via pure integer
+    division (bit-exact with the JVM's Long arithmetic), dynamic range,
+    and alphabet size — from the sample FORMULA, never from reading the
+    file back. xs=None marks a corrupt file."""
+    if xs is None:
+        return (name, False, 0, 0, 0, 0, 0)
+    n = max(len(xs), 1)
+    return (name, True, len(xs),
+            sum(abs(v) for v in xs) * 10000 // n,
+            sum(v * v for v in xs) * 10000 // n,
+            (max(xs) - min(xs)) if xs else 0,
+            len(set(xs)))
+
+
 def main():
     # optional: [dst_dir] [factor] — a FACTOR-scaled corpus (same sample
     # formulas, more ids) for the binaryFile listing-amortization
@@ -66,6 +82,7 @@ def main():
     os.makedirs(dst, exist_ok=True)
     rows = []
     frames = []
+    feats = []
     for i in range(40 * factor):
         n = 500 + (i % 7) * 300
         xs = samples(i, n)
@@ -78,6 +95,7 @@ def main():
         sa, en, pk, zc = stats(xs)
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
         frames.extend(frame_rows(name, xs))
+        feats.append(feature_row(name, xs))
 
     # AU leg: same sample formulas through a SECOND real container
     # (Sun AU — 24-byte big-endian header, PCM16 big-endian data;
@@ -93,12 +111,14 @@ def main():
         sa, en, pk, zc = stats(xs)
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
         frames.extend(frame_rows(name, xs))
+        feats.append(feature_row(name, xs))
 
     # corrupt AU: header-level truncation (12 bytes keeps the '.snd'
     # magic but cuts the format fields — must fail, not mis-decode)
     with open(os.path.join(dst, "clip_cut_header.au"), "wb") as f:
         f.write(struct.pack(">4sII", b".snd", 24, 0))
     rows.append(("clip_cut_header.au", False, 0, 0, 0, 0, 0, 0, 0))
+    feats.append(feature_row("clip_cut_header.au"))
 
     with open(os.path.join(dst, f"clip_{0:03d}.wav"), "rb") as f:
         good = f.read()
@@ -108,6 +128,7 @@ def main():
         with open(os.path.join(dst, name), "wb") as f:
             f.write(data)
         rows.append((name, False, 0, 0, 0, 0, 0, 0, 0))
+        feats.append(feature_row(name))
 
     rows.sort()
     cols = list(zip(*rows))
@@ -133,7 +154,21 @@ def main():
         "frame_peak": pa.array(fcols[3], pa.int64()),
     })
     pq.write_table(ftable, os.path.join(dst, "expected_frames.parquet"))
-    print(f"wrote {len(rows)} rows + {len(frames)} frame rows to {dst}")
+
+    feats.sort()
+    xcols = list(zip(*feats))
+    xtable = pa.table({
+        "file_name": pa.array(xcols[0], pa.string()),
+        "audio_ok": pa.array(xcols[1], pa.bool_()),
+        "n_samples": pa.array(xcols[2], pa.int64()),
+        "mean_abs_e4": pa.array(xcols[3], pa.int64()),
+        "mean_energy_e4": pa.array(xcols[4], pa.int64()),
+        "dyn_range": pa.array(xcols[5], pa.int64()),
+        "alphabet": pa.array(xcols[6], pa.int64()),
+    })
+    pq.write_table(xtable, os.path.join(dst, "expected_features.parquet"))
+    print(f"wrote {len(rows)} rows + {len(frames)} frame rows "
+          f"+ {len(feats)} feature rows to {dst}")
 
 
 if __name__ == "__main__":

@@ -99,6 +99,32 @@ def stats(i, w, h):
     return sum_r, sum_g, sum_b, lo, hi, n_bright, r10
 
 
+def sniff(data):
+    # the SAME magic rule the JVM operator applies (format from bytes,
+    # never the extension)
+    if len(data) >= 8 and data[0] == 0x89 and data[1:3] == b"PN":
+        return "png"
+    if len(data) >= 2 and data[0:2] == b"BM":
+        return "bmp"
+    return "unknown"
+
+
+def meta_row(name, data, i=None, w=0, h=0):
+    """expected_meta.parquet row for mm_decode_meta: sniffed format,
+    on-disk byte count (the writer's own len), and the 4-bin luma
+    quartile histogram (luma//64) from the pixel FORMULA — never from
+    reading the file back. i=None marks a corrupt file."""
+    fmt = sniff(data)
+    if i is None:
+        return (name, False, fmt, 0, 0, len(data), 0, 0, 0, 0)
+    hist = [0, 0, 0, 0]
+    for y in range(h):
+        for x in range(w):
+            r, g, b = pixel(i, x, y)
+            hist[((r * 299 + g * 587 + b * 114) // 1000) // 64] += 1
+    return (name, True, fmt, w, h, len(data), *hist)
+
+
 def main():
     # optional: [dst_dir] [factor] — a FACTOR-scaled corpus (same pixel
     # formulas, more ids) for the binaryFile listing-amortization
@@ -107,17 +133,20 @@ def main():
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 1
     os.makedirs(dst, exist_ok=True)
     rows = []
+    meta_rows = []
     for i in range(48 * factor):
         w = 16 + (i % 5) * 8
         h = 12 + (i % 7) * 4
         raster = [bytes(v for x in range(w) for v in pixel(i, x, y))
                   for y in range(h)]
         name = f"img_{i:03d}.png"
+        data = png_bytes(w, h, raster)
         with open(os.path.join(dst, name), "wb") as f:
-            f.write(png_bytes(w, h, raster))
+            f.write(data)
         sr, sg, sb, lo, hi, nb, r10 = stats(i, w, h)
         rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb,
                      10, 10, *r10))
+        meta_rows.append(meta_row(name, data, i, w, h))
 
     # BMP leg: same pixel formulas through a SECOND real container
     # (ids 48-63, so no stats row collides with a PNG row) — the JVM
@@ -128,11 +157,13 @@ def main():
         raster = [bytes(v for x in range(w) for v in pixel(i, x, y))
                   for y in range(h)]
         name = f"img_{i:03d}.bmp"
+        data = bmp_bytes(w, h, raster)
         with open(os.path.join(dst, name), "wb") as f:
-            f.write(bmp_bytes(w, h, raster))
+            f.write(data)
         sr, sg, sb, lo, hi, nb, r10 = stats(i, w, h)
         rows.append((name, True, w, h, w * h, sr, sg, sb, lo, hi, nb,
                      10, 10, *r10))
+        meta_rows.append(meta_row(name, data, i, w, h))
 
     # corrupt BMP: header-level truncation (20 bytes keeps the 'BM'
     # magic but cuts BITMAPINFOHEADER, so no partial-raster decode is
@@ -144,6 +175,7 @@ def main():
         f.write(bmp_good[:20])
     rows.append(("img_cut_header.bmp", False, 0, 0, 0, 0, 0, 0, 0, 0, 0,
                  0, 0, 0, 0, 0, 0))
+    meta_rows.append(meta_row("img_cut_header.bmp", bmp_good[:20]))
 
     # corrupt pair: wrong magic, and a truncated stream (half the bytes
     # of a real image — IDAT CRC can never validate)
@@ -155,6 +187,7 @@ def main():
         with open(os.path.join(dst, name), "wb") as f:
             f.write(data)
         rows.append((name, False, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0))
+        meta_rows.append(meta_row(name, data))
 
     rows.sort()
     cols = list(zip(*rows))
@@ -178,7 +211,23 @@ def main():
         "r10_wsum": pa.array(cols[16], pa.int64()),
     })
     pq.write_table(table, os.path.join(dst, "expected.parquet"))
-    print(f"wrote {len(rows)} rows to {dst}")
+
+    meta_rows.sort()
+    mcols = list(zip(*meta_rows))
+    mtable = pa.table({
+        "file_name": pa.array(mcols[0], pa.string()),
+        "img_ok": pa.array(mcols[1], pa.bool_()),
+        "format": pa.array(mcols[2], pa.string()),
+        "width": pa.array(mcols[3], pa.int32()),
+        "height": pa.array(mcols[4], pa.int32()),
+        "n_bytes": pa.array(mcols[5], pa.int64()),
+        "h0": pa.array(mcols[6], pa.int64()),
+        "h1": pa.array(mcols[7], pa.int64()),
+        "h2": pa.array(mcols[8], pa.int64()),
+        "h3": pa.array(mcols[9], pa.int64()),
+    })
+    pq.write_table(mtable, os.path.join(dst, "expected_meta.parquet"))
+    print(f"wrote {len(rows)} rows + {len(meta_rows)} meta rows to {dst}")
 
 
 if __name__ == "__main__":
