@@ -174,6 +174,58 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("OPTIMIZE ZORDER end-to-end: accreted small files compact by zval, 2-D scans prune") {
+    // The composed layout story — q44's z-expression feeding
+    // compactParquet(sortBy): a streaming sink accretes hash-scrambled
+    // micro-batch files (every file's min/max spans the whole key
+    // plane, so nothing prunes); one compaction pass sorted by the
+    // STORED Morton z-value rewrites them into few z-range files; a
+    // 2-D range scan then skips every file whose z-rectangle misses
+    // the query box. This is the maintenance loop a 100 TB table runs
+    // per partition-directory (OPTIMIZE ... ZORDER BY in lakehouse
+    // terms), asserted here at row-group granularity via the scan's
+    // numOutputRows.
+    def scanRows(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collectLeaves().head
+      scan.metrics("numOutputRows").value
+    }
+    val dir = Files.createTempDirectory("graft_zcompact").toString + "/t"
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"))
+    val stats = li.agg(
+      min(col("l_partkey")).as("p_min"), max(col("l_partkey")).as("p_max"),
+      min(col("l_suppkey")).as("s_min"), max(col("l_suppkey")).as("s_max"))
+    // zval is computed ONCE at write time and stored — the layout
+    // column a table format would keep; compaction sorts by it without
+    // recomputing anything
+    val withZ = li.crossJoin(broadcast(stats))
+      .withColumn("zval", expr(operators.Relational.zvalSqlFor("l_partkey", "l_suppkey")))
+      .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"), col("zval"))
+    withZ.repartition(48, expr("xxhash64(l_partkey, l_suppkey, l_quantity)"))
+      .write.mode("overwrite").parquet(dir)
+    val (files0, bytes0, _) = sources.Maintenance.fileCensus(spark, dir)
+    assert(files0 >= 48)
+    def q2d(d: String) = spark.read.parquet(d)
+      .filter(col("l_partkey").between(100, 300) && col("l_suppkey").between(10, 30))
+    val expected = q2d(dir).count()
+    val totalRows = spark.read.parquet(dir).count()
+    val before = scanRows(q2d(dir))
+    val st = sources.Maintenance.compactParquet(
+      spark, dir, targetFileBytes = math.max(bytes0 / 16, 1), sortBy = Some("zval"))
+    assert(st.filesBefore == files0 && st.filesAfter * 2 <= files0,
+      s"compaction should collapse the accreted files: $st")
+    assert(st.rows == totalRows, s"compaction changed the row count: $st")
+    assert(q2d(dir).count() == expected, "compaction changed the query answer")
+    val after = scanRows(q2d(dir))
+    // pre-compaction every file is full-range (scan reads ~everything);
+    // post-compaction only files whose z-range intersects the query box
+    // emit rows
+    assert(after * 4 < before,
+      s"z-compacted layout should prune the 2-D scan ≥4x: before=$before after=$after " +
+        s"(files ${st.filesBefore} -> ${st.filesAfter})")
+  }
+
   test("bucketed tables co-locate the join (no shuffle on bucketed sides)") {
     spark.sql("DROP TABLE IF EXISTS orders_bkt")
     spark.sql("DROP TABLE IF EXISTS customer_bkt")
