@@ -401,16 +401,27 @@ object Dedup {
     * The dangling mass and N are driver SCALARS per round, like the
     * CC convergence read — never a collected table.
     */
-  val ddGraphRank: Q = (s, d) => {
-    val iters = 5
-    val pairs = minhashPairs(s, d).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+  val ddGraphRank: Q = (s, d) =>
+    graphRankScores(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint())
+      .orderBy(col("doc_id"))
+
+  /** The power-iteration kernel behind [[ddGraphRank]], over a caller-
+    * supplied node set and MATERIALIZED pair graph (localCheckpoint —
+    * the same contract as [[connectedComponentsStar]]), so dd_pipeline
+    * can run rank over the SAME pair graph its clustering stages read
+    * instead of regenerating the LSH join. Returns
+    * (doc_id, deg, score_e9).
+    */
+  private[graft] def graphRankScores(nodeIds: DataFrame,
+      pairs: DataFrame, iters: Int = 5): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
-    val nodes = Tables.documents(s, d).select(col("doc_id"))
+    val nodes = nodeIds.select(col("doc_id"))
       .join(deg, Seq("doc_id"), "left")
       .withColumn("deg", coalesce(col("deg"), lit(0L)))
       .persist()
@@ -444,7 +455,7 @@ object Dedup {
     }
     edges.unpersist()
     nodes.unpersist()
-    scores.orderBy(col("doc_id"))
+    scores.select(col("doc_id"), col("deg"), col("score_e9"))
   }
 
   /** Connected components over an undirected pair list (`doc_a`,
@@ -841,13 +852,15 @@ object Dedup {
 
   /** dd_pipeline — THE COMPOSED PRODUCTION CHAIN, one DAG: exact dedup
     * → MinHash-LSH pair graph (over exact survivors, computed ONCE) →
-    * connected components → canonical selection → leak-free split.
+    * connected components + authority power iteration (BOTH iterative
+    * stages riding the same materialized graph — no second LSH join)
+    * → canonical selection → leak-free split.
     * This is the shape a real 100 TB dedup deployment runs nightly;
     * the standalone dd_* operators above are its stages taken apart
     * for independent oracles, and each of those recomputes the pair
     * graph because each registry entry must stand alone — here the
     * graph is built once and every downstream stage reads the same
-    * labels.
+    * labels and scores.
     *
     * Stage order is the production order: the exact pass is a plain
     * hash-groupBy (cheapest possible filter) and every survivor it
@@ -880,16 +893,22 @@ object Dedup {
       .join(keepers, "text_hash")
       .select(col("doc_id"), col("keeper_id"))
     val survivors = keepers.select(col("keeper_id").as("doc_id"))
-    // the pair graph — computed ONCE; connectedComponents materializes
-    // it (localCheckpoint) before its iterative consumption, and both
-    // the canonical and split stages consume the RESULTING labels, not
-    // the graph
+    // the pair graph — computed ONCE and materialized HERE, because two
+    // iterative stages ride it: connected components (cluster labels)
+    // and the authority power iteration. The canonical and split
+    // stages consume the resulting labels, not the graph.
     val pairs = minhashPairsOf(
       docs.select(col("doc_id"), col("text"))
         .join(survivors, Seq("doc_id"), "left_semi"))
       .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
     val labels = connectedComponents(pairs)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    // authority scoring over the SAME materialized pair graph (the
+    // dd_graph_rank kernel on the survivor node set) — the link-
+    // importance quality signal, computed without a second LSH join
+    val rank = graphRankScores(survivors, pairs)
+      .select(col("doc_id"), col("score_e9").as("authority_e9"))
     val quality = TextAnalysis.txQuality(s, d)
       .select(col("doc_id"), col("quality_score"))
     val w = Window.partitionBy(col("cluster_id"))
@@ -902,10 +921,12 @@ object Dedup {
       .join(labels, Seq("doc_id"), "left")
       .withColumn("cluster_id", coalesce(col("cluster_id"), col("doc_id")))
       .join(quality, "doc_id")
+      .join(rank, "doc_id")
       .withColumn("is_can", row_number().over(w) === 1)
       .withColumn("bucket",
         graft.functions.SampleHash.bucket(col("cluster_id"), 100L))
       .select(col("doc_id").as("keeper_id"), col("cluster_id"), col("is_can"),
+        col("authority_e9"),
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")
           .otherwise("test").as("split"))
@@ -913,7 +934,7 @@ object Dedup {
       .join(canon, "keeper_id")
       .select(col("doc_id"), col("keeper_id"), col("cluster_id"),
         (col("is_can") && col("doc_id") === col("keeper_id")).as("is_canonical"),
-        col("split"))
+        col("authority_e9"), col("split"))
       .orderBy(col("doc_id"))
   }
 
@@ -922,6 +943,31 @@ object Dedup {
     * round's dangling scalar, integer contributions, and inflow join
     * re-derived independently in SQL.
     */
+  /** The unrolled 5-iteration power-iteration CTE chain, parameterized
+    * over the deg/count/edge table names and the per-iteration CTE
+    * naming — shared by the dd_graph_rank oracle (whole-corpus node
+    * set) and the dd_pipeline oracle (survivor node set on the shared
+    * pair graph), so an iteration-formula fix reaches both.
+    */
+  private def rankIterCtes(deg: String, nn: String, edges: String,
+      name: Int => String): String =
+    (1 to 5).map { k =>
+      val p = name(k - 1)
+      s"""${name(k)} AS (
+         |  SELECT d.doc_id, d.deg,
+         |    CAST(150000000 // $nn.n
+         |      + (85 * (coalesce(inf.inflow, 0) + dang.dang // $nn.n)) // 100 AS BIGINT) AS score_e9
+         |  FROM $deg d
+         |  CROSS JOIN $nn
+         |  CROSS JOIN (
+         |    SELECT CAST(coalesce(sum(score_e9), 0) AS BIGINT) AS dang
+         |    FROM $p WHERE deg = 0) dang
+         |  LEFT JOIN (
+         |    SELECT e.doc_b AS doc_id, CAST(sum(p.score_e9 // p.deg) AS BIGINT) AS inflow
+         |    FROM $p p JOIN $edges e ON p.doc_id = e.doc_a
+         |    WHERE p.deg > 0 GROUP BY 1) inf USING (doc_id))""".stripMargin
+    }.mkString(",\n", ",\n", "")
+
   private val graphRankOracle: String = {
     val base =
       """WITH pairs AS (
@@ -937,23 +983,8 @@ object Dedup {
         |s0 AS (
         |  SELECT doc_id, deg, CAST(1000000000 // nn.n AS BIGINT) AS score_e9
         |  FROM deg CROSS JOIN nn)""".stripMargin
-    val iterations = (1 to 5).map { k =>
-      val p = s"s${k - 1}"
-      s"""s$k AS (
-         |  SELECT d.doc_id, d.deg,
-         |    CAST(150000000 // nn.n
-         |      + (85 * (coalesce(inf.inflow, 0) + dang.dang // nn.n)) // 100 AS BIGINT) AS score_e9
-         |  FROM deg d
-         |  CROSS JOIN nn
-         |  CROSS JOIN (
-         |    SELECT CAST(coalesce(sum(score_e9), 0) AS BIGINT) AS dang
-         |    FROM $p WHERE deg = 0) dang
-         |  LEFT JOIN (
-         |    SELECT e.doc_b AS doc_id, CAST(sum(p.score_e9 // p.deg) AS BIGINT) AS inflow
-         |    FROM $p p JOIN edges e ON p.doc_id = e.doc_a
-         |    WHERE p.deg > 0 GROUP BY 1) inf USING (doc_id))""".stripMargin
-    }.mkString(",\n", ",\n", "")
-    base + iterations + "\nSELECT doc_id, deg, score_e9 FROM s5 ORDER BY doc_id"
+    base + rankIterCtes("deg", "nn", "edges", k => s"s$k") +
+      "\nSELECT doc_id, deg, score_e9 FROM s5 ORDER BY doc_id"
   }
 
   val queries: Map[String, Q] = Map(
@@ -1025,7 +1056,7 @@ object Dedup {
     // survivor signature table), transitive-closure CC, quality argmax,
     // cluster-hash split — none of it reuses the Spark operators.
     "dd_pipeline" ->
-      """WITH RECURSIVE
+      ("""WITH RECURSIVE
         |hashed AS (
         |  SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash
         |  FROM documents),
@@ -1052,7 +1083,20 @@ object Dedup {
         |  UNION
         |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
         |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node),
-        |quality AS (
+        |sedges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+        |snn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM keepers),
+        |sdeg AS (
+        |  SELECT k.keeper_id AS doc_id, CAST(coalesce(e.c, 0) AS BIGINT) AS deg
+        |  FROM keepers k LEFT JOIN (
+        |    SELECT doc_a AS doc_id, count(*) AS c FROM sedges GROUP BY 1) e
+        |    ON k.keeper_id = e.doc_id),
+        |r0 AS (
+        |  SELECT doc_id, deg, CAST(1000000000 // snn.n AS BIGINT) AS score_e9
+        |  FROM sdeg CROSS JOIN snn)""".stripMargin +
+      rankIterCtes("sdeg", "snn", "sedges", k => s"r$k") + ",\n" +
+      """quality AS (
         |  SELECT doc_id,
         |    floor(least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
         |      * (1.0 - CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) / length(text))
@@ -1066,16 +1110,19 @@ object Dedup {
         |    row_number() OVER (PARTITION BY s.cluster_id
         |      ORDER BY q.quality_score DESC, s.doc_id) = 1 AS is_can
         |  FROM surv s JOIN quality q USING (doc_id))
-        |SELECT doc_id, keeper_id, cluster_id, is_canonical,
+        |SELECT doc_id, keeper_id, cluster_id, is_canonical, authority_e9,
         |  CASE WHEN bucket < 80 THEN 'train'
         |       WHEN bucket < 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM (
         |  SELECT w.doc_id, w.keeper_id, c.cluster_id,
         |    (c.is_can AND w.doc_id = w.keeper_id) AS is_canonical,
+        |    r.score_e9 AS authority_e9,
         |    ((c.cluster_id % 1000003) * 2654435761) % 100 AS bucket
-        |  FROM wk w JOIN canon c ON w.keeper_id = c.doc_id) t
-        |ORDER BY doc_id""".stripMargin,
+        |  FROM wk w
+        |  JOIN canon c ON w.keeper_id = c.doc_id
+        |  JOIN r5 r ON w.keeper_id = r.doc_id) t
+        |ORDER BY doc_id""".stripMargin),
     "dd_semantic" ->
       """WITH params AS (
         |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (
