@@ -97,4 +97,27 @@ object VectorFunctions {
 
   def dotProduct(a: Column, b: Column): Column =
     Bridge.column(DotProduct(Bridge.expression(a), Bridge.expression(b)))
+
+  /** Deterministic hashed bag-of-tokens embedding: tokens hash into
+    * `dim` buckets (xxhash64 mod dim), the bucket-count vector is
+    * L2-normalized and emitted as `array<float>` — the classic
+    * feature-hashing text vectorizer, entirely declarative
+    * (split/transform/filter/aggregate, all codegen'd higher-order
+    * functions; no UDF, no model state to broadcast). This is the
+    * text→vector bridge the streaming flagship uses to feed extracted
+    * statements into the ANN index; any corpus-scale deployment swaps
+    * in a learned encoder upstream and keeps the identical plumbing.
+    * Cost is O(dim · tokens) per row from the per-bucket filter scan —
+    * fine for dim ≤ 64; a larger dim wants a single-pass aggregate.
+    */
+  def hashedTextEmbedding(text: Column, dim: Int = 16): Column = {
+    import org.apache.spark.sql.functions._
+    val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    val hs = transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)))
+    val counts = transform(sequence(lit(0), lit(dim - 1)),
+      j => size(filter(hs, h => h === j.cast("long"))).cast("double"))
+    val norm = sqrt(aggregate(counts, lit(0.0), (acc, v) => acc + v * v))
+    transform(counts, v =>
+      when(norm === 0.0d, lit(0.0d)).otherwise(v / norm).cast("float"))
+  }
 }

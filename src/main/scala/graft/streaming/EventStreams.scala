@@ -455,6 +455,91 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** STREAMING FLAGSHIP — the incremental twin of the composed batch
+    * flagships (etl_e2e's ingest DAG + dd_pipeline's dedup chain +
+    * the ANN index): ONE file stream of dropped statement files feeds
+    * THREE maintained artifacts per micro-batch, each stage reusing
+    * the batch operators' own kernels so streaming can never diverge
+    * from batch semantics:
+    *
+    *   1. EXTRACT — classify against the broadcast platform-rule
+    *      relation and run FundEtl.extractStatementFields (the same
+    *      map-only tail as etl_ingest_files); the batch's extracted
+    *      rows land in a batch-scoped directory (rewritten whole on
+    *      replay — idempotent), whose union IS the master table.
+    *   2. DEDUP INDEX — the extracted content, keyed by a stable
+    *      file-name hash, probes and grows the band-bucketed MinHash
+    *      index via [[dedupIndexApplyBatch]] (same kernel as
+    *      dd_minhash_lsh); per-batch pair emission equals the full
+    *      recompute's delta (spec-asserted).
+    *   3. ANN INDEX — a hashed bag-of-tokens embedding of the content
+    *      (VectorFunctions.hashedTextEmbedding — declarative, no UDF)
+    *      probes and grows the cent_id-bucketed IVF index via
+    *      [[annIndexApplyBatch]], emitting each new statement's top-k
+    *      nearest already-indexed statements.
+    *
+    * The batch frame is persisted once and shared by all three stages
+    * (the binaryFile source is read once per micro-batch, not thrice).
+    * Crash safety composes from the stages' own contracts: stage 1 is
+    * a whole-directory rewrite, stages 2-3 carry _APPLIED markers, so
+    * a replayed batch re-runs only the stages that did not complete.
+    * Per-batch cost is O(batch) extraction + batch×bands index probes
+    * + batch×nprobe list probes — never a recompute over the
+    * accumulated corpus, which is what makes a continuously-arriving
+    * statement firehose consumable at 100 TB.
+    */
+  def statementPipeline(spark: SparkSession, dir: String, extractedDir: String,
+      dedupIndexTable: String, pairsDir: String,
+      centroids: Seq[(Long, Seq[Float])], annIndexTable: String,
+      topkDir: String, checkpointDir: String, nprobe: Int = 2,
+      k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.format("binaryFile")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+      .load(dir)
+      .select(col("path"), col("content").cast("string").as("content"))
+      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
+      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        statementPipelineApplyBatch(batch, batchId, extractedDir,
+          dedupIndexTable, pairsDir, centroids, annIndexTable, topkDir,
+          nprobe, k)
+      }
+      .start()
+
+  /** One micro-batch of [[statementPipeline]] — factored out so the
+    * spec can replay a batch id directly (crash-window contract).
+    * `batch` carries (path, content, file_name, batch_date); inside
+    * foreachBatch it is a static frame, so classification uses the
+    * batch operator's priority window unchanged.
+    */
+  private[graft] def statementPipelineApplyBatch(batch: DataFrame,
+      batchId: Long, extractedDir: String, dedupIndexTable: String,
+      pairsDir: String, centroids: Seq[(Long, Seq[Float])],
+      annIndexTable: String, topkDir: String, nprobe: Int, k: Int): Unit = {
+    val spark = batch.sparkSession
+    val extracted = graft.operators.FundEtl.extractStatementFields(spark,
+        graft.operators.FundEtl.classifyStatements(spark, batch),
+        extra = Seq("content"))
+      .withColumn("doc_id", xxhash64(col("file_name")))
+      .persist()
+    try {
+      extracted.drop("content", "doc_id")
+        .write.mode("overwrite").parquet(s"$extractedDir/batch-$batchId")
+      dedupIndexApplyBatch(
+        extracted.select(col("doc_id"), col("content").as("text")),
+        batchId, dedupIndexTable, pairsDir)
+      annIndexApplyBatch(
+        extracted.select(col("doc_id").as("vec_id"),
+          graft.functions.VectorFunctions
+            .hashedTextEmbedding(col("content")).as("embedding")),
+        batchId, centroids, annIndexTable, topkDir, nprobe, k, 8)
+    } finally { extracted.unpersist(); () }
+  }
+
   /** STREAMING event-rate anomaly detection — the online variant of
     * the batch z-score (StreamingTwins.stAnomaly): per-user
     * flatMapGroupsWithState carries the open hour plus a WELFORD

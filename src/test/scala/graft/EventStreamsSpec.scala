@@ -426,6 +426,176 @@ class EventStreamsSpec extends SparkTestBase {
       s"index table lost its bucket spec: $ddl")
   }
 
+  test("statement pipeline flagship: per-batch extract/dedup/ann outputs equal the batch twins' deltas") {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import spark.implicits._
+    val srcRoot = "/root/repo/data/statements"
+    val root = Files.createTempDirectory("graft_flagship_src").toString
+    val extractedDir = Files.createTempDirectory("graft_flagship_ext").toString
+    val pairsDir = Files.createTempDirectory("graft_flagship_pairs").toString
+    val topkDir = Files.createTempDirectory("graft_flagship_topk").toString
+    val ck = Files.createTempDirectory("graft_flagship_ck").toString
+    val ddTbl = "flagship_band_index"
+    val annTbl = "flagship_ivf_index"
+    Seq(ddTbl, annTbl).foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      new scala.reflect.io.Directory(new java.io.File(s"spark-warehouse/$t"))
+        .deleteRecursively()
+    }
+    def listDate(d: String): Seq[String] =
+      new java.io.File(s"$srcRoot/$d").list().sorted.toSeq
+    def drop(d: String, names: Seq[String]): Unit = {
+      Files.createDirectories(Paths.get(s"$root/$d"))
+      names.foreach(n => Files.copy(Paths.get(s"$srcRoot/$d/$n"),
+        Paths.get(s"$root/$d/$n"), StandardCopyOption.REPLACE_EXISTING))
+    }
+    val d16 = listDate("20240116")
+    val batches: Seq[(String, Seq[String])] = Seq(
+      ("20240115", listDate("20240115")),
+      ("20240116", d16.take(d16.size / 2)),
+      ("20240116", d16.drop(d16.size / 2)))
+    // a genuine duplicate (a re-transmitted statement under a new file
+    // name) lands in the LAST batch, so the dedup stage must emit a
+    // real cross-batch pair against the batch-0 original — identical
+    // content makes the LSH collision deterministic (all 8 bands),
+    // where a one-line edit would leave a ~9% no-collision chance;
+    // template statements alone never clear the 0.5 est-jaccard bar
+    // (whole lines are single tokens; every value differs)
+    val nearDupName = "haomai_shengou_retrans_20240116.txt"
+    def mkNearDup(): Unit = {
+      Files.copy(Paths.get(s"$srcRoot/20240115/haomai_shengou_20240115.txt"),
+        Paths.get(s"$root/20240116/$nearDupName"),
+        StandardCopyOption.REPLACE_EXISTING)
+      ()
+    }
+
+    // deterministic quantizer: embeddings of four fixed 20240115 files,
+    // computed with the SAME declarative featurizer the pipeline uses
+    def embed(df: org.apache.spark.sql.DataFrame) = df.select(
+      org.apache.spark.sql.functions.xxhash64(col("file_name")).as("id"),
+      col("file_name"),
+      graft.functions.VectorFunctions.hashedTextEmbedding(col("content"))
+        .as("embedding"))
+    val seedNames = listDate("20240115").take(4).toSet
+    val centroids: Seq[(Long, Seq[Float])] = embed(
+        operators.FundEtl.loadStatements(spark, srcRoot))
+      .filter(col("file_name").isin(seedNames.toSeq: _*))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](2))).sortBy(_._1).toSeq
+
+    // bit-identical driver replay helpers (same recurrences as the
+    // native CosineSimilarity expression / topkPresent)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) {
+        val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y; i += 1
+      }
+      val denom = math.sqrt(na) * math.sqrt(nb)
+      if (denom == 0.0) 0.0 else dot / denom
+    }
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    def assign(e: Seq[Float]): Long =
+      centroids.map { case (id, c) => (cos(e, c), id) }
+        .maxBy { case (s, id) => (s, -id) }._2
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long)] =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        math.round(r.getAs[Double]("est_jaccard") * 10000))).toSet
+    def docsOf(names: Set[String]) = operators.FundEtl
+      .loadStatements(spark, root)
+      .filter(col("file_name").isin(names.toSeq: _*))
+      .select(org.apache.spark.sql.functions.xxhash64(col("file_name"))
+        .as("doc_id"), col("content").as("text"))
+
+    // one query restart per drop (same checkpoint): the continuous
+    // trigger would otherwise fire mid-copy and split a drop across
+    // micro-batches; a restart drains all new files as ONE batch, so
+    // batch ids deterministically track drops
+    def startQ() = graft.streaming.EventStreams.statementPipeline(spark, root,
+      extractedDir, ddTbl, pairsDir, centroids, annTbl, topkDir, ck)
+    var seenPairs = Set.empty[(Long, Long, Long)]
+    var seenNames = Set.empty[String]
+    var stored = Seq.empty[(Long, Seq[Float])]
+    batches.zipWithIndex.foreach { case ((date, names), bi) =>
+      drop(date, names)
+      if (bi == 2) mkNearDup()
+      val q = startQ()
+      q.processAllAvailable()
+      q.stop()
+      val newNames = names.toSet ++
+        (if (bi == 2) Set(nearDupName) else Set.empty[String])
+      // 1. EXTRACT delta == the batch ingest operator on the same files
+      //    (extraction is per-file stateless, so filtering is exact)
+      val got = spark.read.parquet(s"$extractedDir/batch-$bi")
+        .collect().map(_.toSeq).toSet
+      val expect = operators.FundEtl.ingestFrom(spark, root)
+        .filter(col("file_name").isin(newNames.toSeq: _*))
+        .collect().map(_.toSeq).toSet
+      assert(got == expect, s"batch $bi extract delta diverges from batch twin")
+      // 2. DEDUP pairs delta == full-recompute delta over content docs
+      val cumNames = seenNames ++ newNames
+      val expectDelta = pairSet(operators.Dedup.minhashPairsOf(docsOf(cumNames))) --
+        (if (seenNames.isEmpty) Set.empty
+         else pairSet(operators.Dedup.minhashPairsOf(docsOf(seenNames))))
+      val cumulative = pairSet(spark.read
+        .option("recursiveFileLookup", "true").parquet(pairsDir))
+      assert(cumulative -- seenPairs == expectDelta,
+        s"batch $bi dedup delta: missing=${(expectDelta -- (cumulative -- seenPairs)).take(3)}")
+      seenPairs = cumulative; seenNames = cumNames
+      // 3. ANN top-k == driver replay of the IVF probe over the stored set
+      val batchVecs = embed(operators.FundEtl.loadStatements(spark, root))
+        .filter(col("file_name").isin(newNames.toSeq: _*))
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](2))).sortBy(_._1).toSeq
+      val expectTopk = (if (stored.isEmpty) Seq.empty
+        else batchVecs.flatMap { case (qid, qe) =>
+          val probed = centroids.map { case (cid, c) => (cos(qe, c), cid) }
+            .sortBy { case (s, cid) => (-s, cid) }.take(2).map(_._2).toSet
+          stored.filter { case (_, se) => probed.contains(assign(se)) }
+            .map { case (sid, se) => (sid, cos(qe, se)) }
+            .sortBy { case (sid, s) => (-s, sid) }.take(3).zipWithIndex
+            .map { case ((sid, s), r) => (qid, (r + 1).toLong, sid, q4(s)) }
+        }).toSet
+      val gotTopk = spark.read.parquet(s"$topkDir/batch-$bi").collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+          r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+      assert(gotTopk == expectTopk, s"batch $bi ann delta: " +
+        s"missing=${(expectTopk -- gotTopk).take(3)} extra=${(gotTopk -- expectTopk).take(3)}")
+      stored = stored ++ batchVecs
+    }
+    // the chain produced real work: a non-trivial pair graph (statement
+    // templates repeat across dates/platforms) and real neighbor lists
+    assert(seenPairs.nonEmpty, "flagship corpus produced no near-dup pairs")
+    assert(spark.read.option("recursiveFileLookup", "true")
+      .parquet(topkDir).count() > 0)
+    // CRASH-WINDOW replay of the LAST batch: lose both stage markers
+    // (the worst crash point — indexes appended, markers not durable)
+    // and re-apply; every artifact must be byte-equal, and the ANN
+    // index must not gain a duplicate batch copy
+    val lastNames = batches(2)._2.toSet + nearDupName
+    val replayBatch = operators.FundEtl.loadStatements(spark, root)
+      .filter(col("file_name").isin(lastNames.toSeq: _*))
+    val preExt = spark.read.parquet(s"$extractedDir/batch-2")
+      .collect().map(_.toSeq).toSet
+    val prePairs = pairSet(spark.read
+      .option("recursiveFileLookup", "true").parquet(pairsDir))
+    def topk2() = spark.read.parquet(s"$topkDir/batch-2").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Double]("sim"))).toSet
+    val preTopk = topk2()
+    val annRows = spark.table(annTbl).count()
+    assert(new java.io.File(s"$pairsDir/batch-2/_APPLIED").delete())
+    assert(new java.io.File(s"$topkDir/batch-2/_APPLIED").delete())
+    graft.streaming.EventStreams.statementPipelineApplyBatch(replayBatch, 2L,
+      extractedDir, ddTbl, pairsDir, centroids, annTbl, topkDir, 2, 3)
+    assert(spark.read.parquet(s"$extractedDir/batch-2")
+      .collect().map(_.toSeq).toSet == preExt, "replay changed the extract output")
+    assert(pairSet(spark.read.option("recursiveFileLookup", "true")
+      .parquet(pairsDir)) == prePairs, "replay changed the pair output")
+    assert(topk2() == preTopk, "replay changed the ann output")
+    assert(spark.table(annTbl).count() == annRows,
+      "crash-window replay appended a duplicate ANN batch copy")
+  }
+
   test("attributeJoin matches purchases to preceding clicks within the window") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
