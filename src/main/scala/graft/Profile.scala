@@ -138,6 +138,43 @@ object Profile {
             () => operators.Multimodal.frameSample(spark, operators.Multimodal.audioDir))
           time(s"frame_sample_big r$round", () => operators.Multimodal.frameSample(spark, audBig))
         }
+      case "--stream-flagship" =>
+        // per-batch cost of the streaming flagship (statementPipeline)
+        // as its maintained indexes GROW: <sfDir> is a statements root
+        // of dated folders (tools/gen_statements.py <dir> <n_dates>);
+        // the dates are applied in ~10 equal batch groups through the
+        // same foreachBatch body the stream runs. The claim under
+        // measurement: per-batch cost tracks the BATCH (probe work =
+        // batch×bands + batch×nprobe), not the accumulated corpus —
+        // a flat curve here is what makes the firehose consumable.
+        val dates = new java.io.File(d).list().filter(_.matches("[0-9]{8}")).sorted
+        require(dates.nonEmpty, s"no dated folders under $d")
+        val groups = dates.grouped(math.max(1, dates.length / 10)).toSeq
+        val ddTbl = "profile_flagship_band_index"
+        val annTbl = "profile_flagship_ivf_index"
+        Seq(ddTbl, annTbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
+        val work = java.nio.file.Files.createTempDirectory("graft_flagship_prof").toString
+        val cents = operators.FundEtl
+          .loadStatements(spark, "*.txt", s"$d/${dates.head}")
+          .select(col("file_name"),
+            functions.VectorFunctions.hashedTextEmbedding(col("content"))
+              .as("embedding"))
+          .orderBy(col("file_name")).limit(16)
+          .collect().zipWithIndex
+          .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }.toSeq
+        groups.zipWithIndex.foreach { case (g, i) =>
+          val batch = operators.FundEtl.loadStatements(spark, "*.txt",
+            g.map(dt => s"$d/$dt"): _*)
+          val t0 = System.nanoTime()
+          streaming.EventStreams.statementPipelineApplyBatch(batch, i.toLong,
+            s"$work/extracted", ddTbl, s"$work/pairs", cents, annTbl,
+            s"$work/topk", 2, 3)
+          val secs = (System.nanoTime() - t0) / 1e9
+          val idxRows = spark.table(ddTbl).count() + spark.table(annTbl).count()
+          println(f"[profile] stream-flagship batch=$i dates=${g.length} " +
+            f"$secs%.2f s index_rows=$idxRows")
+        }
+        Seq(ddTbl, annTbl).foreach(t => spark.sql(s"DROP TABLE IF EXISTS $t"))
       case "--ann-k-sweep" =>
         // the adaptive-k bound, measured: with fixed k=16 every list
         // holds n/16 vectors, so the batch probe is ~n²/80 cosines and
