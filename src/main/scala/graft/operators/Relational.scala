@@ -734,7 +734,73 @@ object Relational {
       .orderBy(col("z_bucket"))
   }
 
+  /** §2.A round 10 — market-basket co-occurrence mining: part pairs
+    * that appear together in ≥2 orders, ranked by support. The
+    * Spark-first shape is ONE grouping shuffle: baskets form via
+    * groupBy(orderkey) + collect_set (map-side partial agg), and the
+    * C(n,2) pair expansion happens MAP-SIDE on the grouped rows via a
+    * nested indexed-transform HOF over the sorted basket array —
+    * no self-join, so the fact table is scanned once and the only
+    * other exchange is the pair-support agg. Pair volume is bounded
+    * by Σ basket² with basket size capped by order width (≤13 here,
+    * ~4 avg), i.e. linear in orders — the property that keeps this
+    * runnable on a 100 TB fact table where an unblocked item×item
+    * join would be quadratic in the catalog.
+    */
+  val q45BasketPairs: Q = (s, d) => {
+    val baskets = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> named_struct('part_a', x, 'part_b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.part_a"), col("p.part_b"))
+      .groupBy(col("part_a"), col("part_b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+      .orderBy(col("support").desc, col("part_a"), col("part_b"))
+  }
+
+  /** §2.A round 10 — RFM (recency/frequency/monetary) customer
+    * segmentation, the classic BI cohort report: per-customer order
+    * aggregates are quartile-scored on each dimension and the 4×4×4
+    * segment cells counted. The ntile windows are GLOBAL sorts — but
+    * over the one-row-per-customer AGGREGATE (|customers| rows), not
+    * the fact table; the facts are reduced by a partial-aggregating
+    * groupBy first, which is what makes the global windows affordable
+    * at warehouse scale (at truly huge customer counts the quartile
+    * cut-points come from approx_percentile and scoring goes
+    * map-only — the q37 sketch precedent). Monetary is rounded with
+    * the cross-engine floor(x*100+0.5)/100 BEFORE ranking and every
+    * window tie-breaks on custkey, so quartile assignment is
+    * deterministic in both engines.
+    */
+  val q46RfmSegment: Q = (s, d) => {
+    val rfm = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        (floor(sum(col("o_totalprice")) * 100 + 0.5) / 100).as("monetary"))
+    val rW = Window.orderBy(col("last_order"), col("o_custkey"))
+    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
+    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
+    rfm
+      .select(col("o_custkey"),
+        ntile(4).over(rW).cast("long").as("r_score"),
+        ntile(4).over(fW).cast("long").as("f_score"),
+        ntile(4).over(mW).cast("long").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q45_basket_pairs" -> q45BasketPairs,
+    "q46_rfm_segment" -> q46RfmSegment,
     "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
     "q43_unpivot" -> q43Unpivot,
@@ -813,6 +879,28 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q45_basket_pairs" ->
+      """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b
+        |      FROM b a JOIN b c
+        |        ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey)
+        |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
+        |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
+        |ORDER BY support DESC, part_a, part_b""".stripMargin,
+    "q46_rfm_segment" ->
+      """WITH rfm AS (
+        |  SELECT o_custkey, max(o_orderdate) AS last_order,
+        |    count(*) AS frequency,
+        |    floor(sum(o_totalprice) * 100 + 0.5) / 100 AS monetary
+        |  FROM orders GROUP BY o_custkey),
+        |s AS (
+        |  SELECT o_custkey,
+        |    CAST(ntile(4) OVER (ORDER BY last_order, o_custkey) AS BIGINT) AS r_score,
+        |    CAST(ntile(4) OVER (ORDER BY frequency, o_custkey) AS BIGINT) AS f_score,
+        |    CAST(ntile(4) OVER (ORDER BY monetary, o_custkey) AS BIGINT) AS m_score
+        |  FROM rfm)
+        |SELECT r_score, f_score, m_score, CAST(count(*) AS BIGINT) AS customers
+        |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q44_zorder_layout" -> zorderOracle,
     "q22_approx_distinct" ->
       """WITH sk AS (

@@ -632,6 +632,50 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q45_basket_pairs emits canonical pairs whose support a direct recount confirms") {
+    val rows = operators.Relational.q45BasketPairs(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("part_a") < r.getAs[Long]("part_b"), "non-canonical pair")
+      assert(r.getAs[Long]("support") >= 2)
+    }
+    // spot recount: the top pair's support equals the number of
+    // distinct orders containing both parts (counted straight off the
+    // fact table, independent of the HOF expansion)
+    val top = rows.head
+    val (pa, pb) = (top.getAs[Long]("part_a"), top.getAs[Long]("part_b"))
+    val li = sources.Tables.lineitem(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("l_orderkey"),
+        org.apache.spark.sql.functions.col("l_partkey")).distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val byOrder = li.groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recount = byOrder.count { case (_, ps) => ps.contains(pa) && ps.contains(pb) }
+    assert(recount.toLong == top.getAs[Long]("support"),
+      s"pair ($pa,$pb): recount $recount != support ${top.getAs[Long]("support")}")
+  }
+
+  test("q46_rfm_segment cells partition the customer base into balanced quartiles") {
+    val cells = operators.Relational.q46RfmSegment(spark, sfDir).collect()
+    assert(cells.nonEmpty)
+    cells.foreach { r =>
+      Seq("r_score", "f_score", "m_score").foreach { c =>
+        val v = r.getAs[Long](c); assert(v >= 1 && v <= 4, s"$c=$v out of range")
+      }
+    }
+    val total = cells.map(_.getAs[Long]("customers")).sum
+    val nCust = sources.Tables.orders(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("o_custkey")).distinct().count()
+    assert(total == nCust, s"cells sum $total != $nCust customers")
+    // each dimension's marginal is a 4-way ntile: bucket sizes differ
+    // by at most 1
+    Seq("r_score", "f_score", "m_score").foreach { c =>
+      val marginal = cells.groupBy(_.getAs[Long](c)).view
+        .mapValues(_.map(_.getAs[Long]("customers")).sum).values.toSeq
+      assert(marginal.size == 4 && marginal.max - marginal.min <= 1,
+        s"$c marginal $marginal is not an ntile partition")
+    }
+  }
+
   test("ann_incremental probes only the stored (old) side") {
     val rows = operators.Similarity.annIncremental(spark, sfDir).collect()
     assert(rows.nonEmpty)

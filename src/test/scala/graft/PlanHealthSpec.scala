@@ -143,6 +143,41 @@ class PlanHealthSpec extends SparkTestBase {
     assert(plan.contains("Generate explode"), s"expected a declarative explode in:\n$plan")
   }
 
+  test("q45_basket_pairs: pair expansion is map-side, no self-join") {
+    // the naive basket-pairs plan self-joins the fact table on
+    // orderkey (two scans + a join); the Spark-first plan groups once
+    // and expands C(n,2) pairs with an indexed-transform HOF on the
+    // grouped rows. Any join in this plan means the expansion
+    // regressed to the self-join; more than three exchanges (basket
+    // groupBy, pair agg, presentation range sort) means the explode
+    // or the HOF snuck a shuffle in.
+    val plan = planOf("q45_basket_pairs")
+    assert(!plan.contains("Join"), s"q45_basket_pairs must not join:\n$plan")
+    val ex = "Exchange".r.findAllIn(plan).size
+    assert(ex <= 3, s"q45_basket_pairs plans $ex exchanges:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"expected the declarative pair explode in:\n$plan")
+  }
+
+  test("q46_rfm_segment: global ntile windows run over the aggregate, not the facts") {
+    // the quartile windows are global sorts — affordable only because
+    // they sort the one-row-per-customer aggregate. The plan must
+    // scan orders ONCE, reduce it with a partial-aggregating groupBy
+    // BEFORE any single-partition exchange, and never join.
+    val plan = planOf("q46_rfm_segment")
+    assert(!plan.contains("Join"), s"q46_rfm_segment must not join:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q46_rfm_segment scans the facts $scans times:\n$plan")
+    val single = plan.linesIterator.filter(_.contains("Exchange SinglePartition")).size
+    assert(single >= 1, s"expected the windows' single-partition exchange in:\n$plan")
+    // the fact-reducing aggregate must sit below the window exchange:
+    // HashAggregate on o_custkey appears before any SinglePartition
+    val idxAgg = plan.indexOf("o_custkey")
+    val idxSingle = plan.indexOf("Exchange SinglePartition")
+    assert(idxAgg >= 0 && idxSingle > 0,
+      s"expected both the custkey aggregate and the window exchange in:\n$plan")
+  }
+
   test("ann_incremental: the store side never pays a nested-loop join") {
     // centroid assignment is a map-only literal fold; the only
     // nested-loop join allowed is the tiny broadcast centroid cross
