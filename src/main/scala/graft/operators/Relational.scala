@@ -798,9 +798,40 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** §2.A round 10 — time-series resampling to OHLC bars (the
+    * tick-to-bar downsample every market/telemetry pipeline runs):
+    * events bucketed to 15-minute bars per type, each bar carrying
+    * open/high/low/close/volume. Open and close are FIRST/LAST-in-
+    * bucket semantics — expressed as min/max over a (ts, event_id,
+    * value) struct, so the partial aggregate keeps one candidate per
+    * map partition and the whole bar computes in ONE grouping shuffle
+    * (no sort, no window): the struct's lexicographic order IS the
+    * (ts, event_id) tie-broken event order. At 100 TB this is the
+    * difference between an agg and a per-key sort of the fact table.
+    * Volume uses the cross-engine floor(x*100+0.5)/100; open/close/
+    * high/low are raw stored doubles (no arithmetic → bit-identical).
+    */
+  val q47OhlcBars: Q = (s, d) => {
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("first_ev"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("last_ev"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        (floor(sum(col("value")) * 100 + 0.5) / 100).as("volume"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bar_start"),
+        col("event_type"),
+        col("first_ev.value").as("open"), col("high"), col("low"),
+        col("last_ev.value").as("close"), col("n_events"), col("volume"))
+      .orderBy(col("bar_start"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
     "q45_basket_pairs" -> q45BasketPairs,
     "q46_rfm_segment" -> q46RfmSegment,
+    "q47_ohlc_bars" -> q47OhlcBars,
     "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
     "q43_unpivot" -> q43Unpivot,
@@ -879,6 +910,26 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q47_ohlc_bars" ->
+      """WITH b AS (
+        |  SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),
+        |           '%Y-%m-%d %H:%M:%S') AS bar_start,
+        |         event_type, ts, event_id, value
+        |  FROM events),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY bar_start, event_type
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY bar_start, event_type
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM b)
+        |SELECT bar_start, event_type,
+        |  max(value) FILTER (WHERE rn_a = 1) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(value) FILTER (WHERE rn_d = 1) AS close,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS volume
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q45_basket_pairs" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |p AS (SELECT a.l_partkey AS part_a, c.l_partkey AS part_b

@@ -676,6 +676,36 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q47_ohlc_bars: OHLC invariants hold and a driver replay confirms a spot bar") {
+    import org.apache.spark.sql.functions.{col => c}
+    val bars = operators.Relational.q47OhlcBars(spark, sfDir).collect()
+    assert(bars.nonEmpty)
+    bars.foreach { b =>
+      val (o, h, l, cl) = (b.getAs[Double]("open"), b.getAs[Double]("high"),
+        b.getAs[Double]("low"), b.getAs[Double]("close"))
+      assert(h >= o && h >= cl && l <= o && l <= cl, s"OHLC bounds violated: $b")
+      assert(b.getAs[Long]("n_events") >= 1)
+    }
+    // spot replay: the busiest bar's open/close equal the first/last
+    // event by (ts, event_id) order, recomputed on the driver
+    val top = bars.maxBy(_.getAs[Long]("n_events"))
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(c("ts"), c("event_id"), c("event_type"), c("value")).collect()
+      .filter(_.getAs[String]("event_type") == top.getAs[String]("event_type"))
+      .map(r => (r.getAs[java.sql.Timestamp]("ts"), r.getAs[Long]("event_id"),
+        r.getAs[Double]("value")))
+      .filter { case (ts, _, _) =>
+        val bucket = new java.sql.Timestamp(
+          math.floorDiv(ts.getTime, 900000L) * 900000L)
+        new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss").format(bucket) ==
+          top.getAs[String]("bar_start")
+      }
+      .sortBy { case (ts, id, _) => (ts.getTime, id) }
+    assert(evs.length.toLong == top.getAs[Long]("n_events"))
+    assert(evs.head._3 == top.getAs[Double]("open"), "open mismatch")
+    assert(evs.last._3 == top.getAs[Double]("close"), "close mismatch")
+  }
+
   test("ann_incremental probes only the stored (old) side") {
     val rows = operators.Similarity.annIncremental(spark, sfDir).collect()
     assert(rows.nonEmpty)

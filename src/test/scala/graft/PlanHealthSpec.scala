@@ -178,6 +178,18 @@ class PlanHealthSpec extends SparkTestBase {
       s"expected both the custkey aggregate and the window exchange in:\n$plan")
   }
 
+  test("q47_ohlc_bars: open/close come from the aggregate, not a per-key sort") {
+    // first/last-in-bucket as min/max over a (ts, event_id, value)
+    // struct keeps the bar computation ONE grouping aggregate; a
+    // Window (per-key sort of the fact table) or a join means the
+    // open/close regressed to the row_number shape the oracle uses
+    val plan = planOf("q47_ohlc_bars")
+    assert(!plan.contains("Window"), s"q47_ohlc_bars must not window-sort the facts:\n$plan")
+    assert(!plan.contains("Join"), s"q47_ohlc_bars must not join:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q47_ohlc_bars plans $hashEx hash exchanges:\n$plan")
+  }
+
   test("ann_incremental: the store side never pays a nested-loop join") {
     // centroid assignment is a map-only literal fold; the only
     // nested-loop join allowed is the tiny broadcast centroid cross
