@@ -37,5 +37,6 @@ object SparkEntry {
     * outside the driver's result dir, referenced via `__AUX__`.
     */
   def auxDumps: Map[String, (SparkSession, String) => DataFrame] =
-    Dedup.auxDumps ++ Similarity.auxDumps ++ Relational.auxDumps
+    Dedup.auxDumps ++ Similarity.auxDumps ++ Relational.auxDumps ++
+      TextAnalysis.auxDumps
 }

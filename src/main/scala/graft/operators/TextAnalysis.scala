@@ -624,7 +624,48 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** The hashed bag-of-tokens document embedding — the text→vector
+    * bridge (feature hashing into 16 L2-normalized buckets, declarative
+    * HOFs, no UDF; see VectorFunctions.hashedTextEmbedding). This IS
+    * the split-oracle boundary for tx_topic_cluster: Verify dumps this
+    * table and DuckDB re-derives assignment + quantization downstream
+    * of the xxhash64 kernel it cannot reproduce.
+    */
+  private[graft] def docEmbeddings(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.VectorFunctions.hashedTextEmbedding(col("text"))
+        .as("embedding"))
+
+  /** §2.E round 10 — corpus topic clustering over the hashed-token
+    * embedding: every document assigned to its nearest seed centroid
+    * (the first-16-docs quantizer — the fixedCentroids pattern) by
+    * cosine argmax. Assignment is a broadcast cross against 16 rows +
+    * a partial-aggregating struct-max per doc — map-only before one
+    * doc_id collapse, no fact shuffle, the dd_semantic shape applied
+    * to TEXT instead of stored vectors (a corpus-sized k reuses the
+    * two-level quantizer exactly as dd_semantic does). Ties break to
+    * the lowest cluster_id via max(struct(sim, -id)), mirroring the
+    * oracle's cosine DESC, cluster_id ASC window.
+    */
+  val txTopicCluster: Q = (s, d) => {
+    import graft.functions.VectorFunctions.cosineSim
+    val emb = docEmbeddings(s, d)
+    val cents = emb.filter(col("doc_id") < 16)
+      .select(col("doc_id").as("cluster_id"), col("embedding").as("c_emb"))
+    emb.crossJoin(broadcast(cents))
+      .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
+      .groupBy(col("doc_id"))
+      .agg(max(struct(col("sim").as("s"), (-col("cluster_id")).as("nc"))).as("m"))
+      .select(col("doc_id"), (-col("m.nc")).as("cluster_id"),
+        q4(col("m.s")).as("cosine"))
+      .orderBy(col("doc_id"))
+  }
+
+  val auxDumps: Map[String, Q] = Map(
+    "tx_doc_embeddings" -> docEmbeddings)
+
   val queries: Map[String, Q] = Map(
+    "tx_topic_cluster" -> txTopicCluster,
     "tx_quality_classifier" -> txQualityClassifier,
     "tx_bm25" -> txBm25,
     "tx_repeated_passages" -> txRepeatedPassages,
@@ -645,6 +686,23 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_topic_cluster" ->
+      """WITH e AS (
+        |  SELECT doc_id, CAST(embedding AS DOUBLE[]) AS embedding
+        |  FROM read_parquet('__AUX__/tx_doc_embeddings/*.parquet')),
+        |c AS (
+        |  SELECT doc_id AS cluster_id, embedding AS c_emb FROM e
+        |  WHERE doc_id < 16),
+        |scored AS (
+        |  SELECT e.doc_id, c.cluster_id,
+        |    list_cosine_similarity(e.embedding, c.c_emb) AS sim,
+        |    row_number() OVER (PARTITION BY e.doc_id
+        |      ORDER BY list_cosine_similarity(e.embedding, c.c_emb) DESC,
+        |               c.cluster_id) AS rn
+        |  FROM e CROSS JOIN c)
+        |SELECT doc_id, cluster_id,
+        |  floor(sim * 10000 + 0.5) / 10000.0 AS cosine
+        |FROM scored WHERE rn = 1 ORDER BY doc_id""".stripMargin,
     "tx_quality_classifier" ->
       """SELECT doc_id, n_words, stop_ppm, digit_ppm, awl_e3,
         | CAST(floor(

@@ -706,6 +706,50 @@ class OperatorsSpec extends SparkTestBase {
     assert(evs.last._3 == top.getAs[Double]("close"), "close mismatch")
   }
 
+  test("hashedTextEmbedding: bucket counts match per-token xxhash64, L2-normalized") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col => c, pmod, xxhash64, lit}
+    val texts = Seq("alpha beta gamma alpha", "  Alpha   BETA ", "single", "x y z w v u")
+    val rows = texts.toDF("text")
+      .withColumn("emb", graft.functions.VectorFunctions.hashedTextEmbedding(c("text")))
+      .collect().map(r => r.getString(0) -> r.getSeq[Float](1))
+    // independent decomposition: per-token buckets straight from the
+    // engine's own xxhash64 (no HOF pipeline), counts normalized on
+    // the driver — must reproduce the HOF-composed vector exactly
+    val toks = texts.flatMap(t =>
+      t.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")).distinct
+    val bucketOf = toks.toDF("tok")
+      .select(c("tok"), pmod(xxhash64(c("tok")), lit(16L)).as("b"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { case (text, emb) =>
+      val counts = Array.fill(16)(0.0)
+      text.trim.toLowerCase.replaceAll("\\s+", " ").split(" ")
+        .foreach(t => counts(bucketOf(t).toInt) += 1.0)
+      val norm = math.sqrt(counts.map(x => x * x).sum)
+      val expect = counts.map(x => (x / norm).toFloat)
+      assert(emb.toSeq == expect.toSeq, s"embedding mismatch for '$text'")
+      val l2 = emb.map(x => x.toDouble * x).sum
+      assert(math.abs(l2 - 1.0) < 1e-6, s"not L2-normalized: $l2")
+    }
+  }
+
+  test("tx_topic_cluster assigns every doc; seed docs match themselves at cosine 1") {
+    val rows = operators.TextAnalysis.txTopicCluster(spark, sfDir).collect()
+    val nDocs = sources.Tables.documents(spark, sfDir).count()
+    assert(rows.length.toLong == nDocs, "not every document assigned")
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      assert(cid >= 0 && cid < 16, s"cluster_id $cid outside the seed set")
+      assert(r.getAs[Double]("cosine") <= 1.0)
+    }
+    // a seed doc's nearest centroid is itself (or an identical earlier
+    // seed): cosine exactly 1.0, cluster_id ≤ its own id
+    rows.filter(_.getAs[Long]("doc_id") < 16).foreach { r =>
+      assert(r.getAs[Double]("cosine") == 1.0, s"seed not self-similar: $r")
+      assert(r.getAs[Long]("cluster_id") <= r.getAs[Long]("doc_id"))
+    }
+  }
+
   test("ann_incremental probes only the stored (old) side") {
     val rows = operators.Similarity.annIncremental(spark, sfDir).collect()
     assert(rows.nonEmpty)
