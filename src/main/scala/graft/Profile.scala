@@ -138,6 +138,27 @@ object Profile {
             () => operators.Multimodal.frameSample(spark, operators.Multimodal.audioDir))
           time(s"frame_sample_big r$round", () => operators.Multimodal.frameSample(spark, audBig))
         }
+      case "--basket-stages" =>
+        // q45 cost split: basket formation (groupBy + collect_set)
+        // vs the HOF pair expansion + support agg on top of it.
+        // Higher-order functions evaluate interpreted (no codegen), so
+        // if the expansion dominates, a native kernel is the lever.
+        import org.apache.spark.sql.functions.{col => c, _}
+        def time(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime(); val n = f
+          println(f"[profile] basket-stages $label%-12s ${(System.nanoTime() - t0) / 1e9}%6.2f s rows=$n")
+        }
+        (1 to 2).foreach { r =>
+          time(s"baskets r$r") {
+            sources.Tables.lineitem(spark, d)
+              .select(c("l_orderkey"), c("l_partkey"))
+              .groupBy(c("l_orderkey"))
+              .agg(sort_array(collect_set(c("l_partkey"))).as("parts")).count()
+          }
+          time(s"full r$r") {
+            SparkEntry.queries("q45_basket_pairs")(spark, d).count()
+          }
+        }
       case "--stream-flagship" =>
         // per-batch cost of the streaming flagship (statementPipeline)
         // as its maintained indexes GROW: <sfDir> is a statements root
