@@ -75,6 +75,31 @@ object EventStreams extends Serializable {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("total"))
 
+  /** Watermarked streaming OHLC resampling — the streaming twin of the
+    * batch q47_ohlc_bars (Relational.scala): 15-minute
+    * open/high/low/close/volume bars per event type, with
+    * first/last-in-bucket expressed as min/max over a
+    * (ts, event_id, value) struct. The struct trick matters MORE in
+    * streaming than in batch: the state store carries ONE candidate
+    * struct per open bar instead of the bar's events, so state is O(1)
+    * per (window, type) regardless of event rate — a per-key sorted
+    * buffer would grow with the bar's traffic. The 2h watermark closes
+    * bars for append-mode emission and bounds state.
+    */
+  def ohlcBars(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
+      .agg(
+        min(struct(col("ts"), col("event_id"), col("value"))).as("first_ev"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("last_ev"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        count(lit(1)).as("n_events"),
+        (floor(sum(col("value")) * 100 + 0.5) / 100).as("volume"))
+      .select(col("window.start").as("bar_start"), col("event_type"),
+        col("first_ev.value").as("open"), col("high"), col("low"),
+        col("last_ev.value").as("close"), col("n_events"), col("volume"))
+
   /** Watermark-bounded exactly-once key dedup. */
   def dedupByEventId(events: DataFrame): DataFrame =
     events.withWatermark("ts", "1 hour")

@@ -34,6 +34,45 @@ class EventStreamsSpec extends SparkTestBase {
     assert(out.exists { case (_, t, n) => t == "view" && n == 1 })
   }
 
+  test("streaming ohlcBars matches the batch q47 twin on real data") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(_.event_id)
+    val input = MemoryStream[Evt]
+    val q = EventStreams.ohlcBars(input.toDF())
+      .writeStream.format("memory").queryName("ohlc_out")
+      .outputMode("append").start()
+    val (h1, h2) = evs.splitAt(evs.length / 2)
+    input.addData(h1.toSeq); q.processAllAvailable()
+    input.addData(h2.toSeq); q.processAllAvailable()
+    // sentinel 5h past the max event time: watermark (2h) passes every
+    // real bar's end, so append mode emits all of them; the sentinel's
+    // own bar stays open and never appears
+    val maxTs = evs.map(_.ts.getTime).max
+    input.addData(Evt(-1L, new Timestamp(maxTs + 5L * 3600 * 1000), 0L, "click", 0.0))
+    q.processAllAvailable(); q.stop()
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    def key(bar: String, t: String) = (bar, t)
+    val got = spark.table("ohlc_out").collect().map { r =>
+      key(fmt.format(r.getAs[Timestamp]("bar_start")), r.getAs[String]("event_type")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Long]("n_events"), r.getAs[Double]("volume"))
+    }.toMap
+    val expect = operators.Relational.q47OhlcBars(spark, sfDir).collect().map { r =>
+      key(r.getAs[String]("bar_start"), r.getAs[String]("event_type")) ->
+        (r.getAs[Double]("open"), r.getAs[Double]("high"), r.getAs[Double]("low"),
+          r.getAs[Double]("close"), r.getAs[Long]("n_events"), r.getAs[Double]("volume"))
+    }.toMap
+    assert(got == expect,
+      s"streaming bars diverge: missing=${(expect.keySet -- got.keySet).take(3)} " +
+        s"extra=${(got.keySet -- expect.keySet).take(3)} " +
+        s"diff=${expect.collect { case (k, v) if got.get(k).exists(_ != v) => k }.take(3)}")
+    assert(expect.nonEmpty)
+  }
+
   test("file-source stream: parquet drop directory feeds tumblingAgg") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
