@@ -831,7 +831,34 @@ object Relational {
       .orderBy(col("bar_start"), col("event_type"))
   }
 
+  /** §2.A round 10 — table profiling (the data-quality summary every
+    * warehouse runs before trusting a feed): per-column row/non-null/
+    * exact-distinct counts plus min/max/sum over the numeric measure
+    * columns. The scalable shape is UNPIVOT-FIRST: one scan, a
+    * map-side `stack` to (column_name, value) rows, then a single
+    * groupBy with ONE distinct aggregate per group — the multi-
+    * `count(distinct colA), count(distinct colB)` formulation plans an
+    * Expand that multiplies the scan by the distinct count (the q22
+    * lesson), where stack's 4× row inflation stays map-side and the
+    * distinct goes two-phase on (column_name, value). Min/max/counts
+    * are exact; only the float sum is quantized (cross-engine floor).
+    */
+  val q48ProfileTable: Q = (s, d) => {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    Tables.lineitem(s, d)
+      .select(expr(s"stack(${cols.size}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") as (column_name, value)"))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        count(col("value")).as("n_non_null"),
+        countDistinct(col("value")).as("n_distinct"),
+        min(col("value")).as("min_v"), max(col("value")).as("max_v"),
+        (floor(sum(col("value")) * 100 + 0.5) / 100).as("sum_v"))
+      .orderBy(col("column_name"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q48_profile_table" -> q48ProfileTable,
     "q45_basket_pairs" -> q45BasketPairs,
     "q46_rfm_segment" -> q46RfmSegment,
     "q47_ohlc_bars" -> q47OhlcBars,
@@ -913,6 +940,19 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q48_profile_table" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        |SELECT column_name,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(count(value) AS BIGINT) AS n_non_null,
+        |  CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |  min(value) AS min_v, max(value) AS max_v,
+        |  floor(sum(value) * 100 + 0.5) / 100 AS sum_v
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q47_ohlc_bars" ->
       """WITH b AS (
         |  SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),

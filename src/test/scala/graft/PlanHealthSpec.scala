@@ -190,6 +190,18 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 1, s"q47_ohlc_bars plans $hashEx hash exchanges:\n$plan")
   }
 
+  test("q48_profile_table: unpivot-first profiling never plans an Expand") {
+    // stack's map-side 4x row inflation + ONE distinct per group keeps
+    // the plan a two-phase aggregate; the multi-count(distinct)
+    // formulation would plan an Expand multiplying the scan by the
+    // number of profiled columns (the q22 lesson)
+    val plan = planOf("q48_profile_table")
+    assert(!plan.contains("Expand"), s"q48_profile_table plans an Expand:\n$plan")
+    assert(!plan.contains("Join"), s"q48_profile_table must not join:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q48_profile_table scans the facts $scans times:\n$plan")
+  }
+
   test("ann_incremental: the store side never pays a nested-loop join") {
     // centroid assignment is a map-only literal fold; the only
     // nested-loop join allowed is the tiny broadcast centroid cross
