@@ -857,7 +857,37 @@ object Relational {
       .orderBy(col("column_name"))
   }
 
+  /** §2.A round 10 — heavy-hitter estimation via Count-Min Sketch,
+    * the third sketch family next to HLL (q22) and the percentile
+    * sketch (q37): one pass builds a mergeable CMS over l_partkey
+    * (map-side partial sketches, ONE tiny exchange of sketch bytes —
+    * the only plan that profiles key frequencies on 100 TB without
+    * shuffling keys), and the driver probes the 20 true heavy hitters
+    * against it — bounded driver work on a single collected sketch,
+    * like the k-means sample precedent. Output carries exact next to
+    * estimate; the oracle is BOUND-VALIDATING like q22/q37: CMS
+    * guarantees estimate ≥ exact, and ≤ exact + ε·N (ε = 0.001) with
+    * the configured confidence — DuckDB recomputes the exact counts
+    * and admits the estimate only inside that window.
+    */
+  val q49FreqSketch: Q = (s, d) => {
+    import s.implicits._
+    val li = Tables.lineitem(s, d)
+    val skBytes = li
+      .agg(expr("count_min_sketch(l_partkey, cast(0.001 as double), " +
+        "cast(0.99 as double), 42)").as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val cms = org.apache.spark.util.sketch.CountMinSketch
+      .readFrom(new java.io.ByteArrayInputStream(skBytes))
+    val top = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("exact_n"))
+      .orderBy(col("exact_n").desc, col("l_partkey")).limit(20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), cms.estimateCount(r.getLong(0))))
+    top.toSeq.toDF("l_partkey", "exact_n", "cms_n")
+      .orderBy(col("exact_n").desc, col("l_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q49_freq_sketch" -> q49FreqSketch,
     "q48_profile_table" -> q48ProfileTable,
     "q45_basket_pairs" -> q45BasketPairs,
     "q46_rfm_segment" -> q46RfmSegment,
@@ -921,7 +951,8 @@ object Relational {
     */
   val auxDumps: Map[String, Q] = Map(
     "q22_sketch" -> q22ApproxDistinct,
-    "q37_sketch" -> q37ApproxPercentile)
+    "q37_sketch" -> q37ApproxPercentile,
+    "q49_sketch" -> q49FreqSketch)
 
   private val zorderOracle: String = {
     val z = s"(${mortonSpreadSql(norm8Sql("l_suppkey", "s_min", "s_max").replace(" div ", " // "))} << 1)" +
@@ -940,6 +971,20 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q49_freq_sketch" ->
+      """WITH sk AS (
+        |  SELECT * FROM read_parquet('__AUX__/q49_sketch/*.parquet')),
+        |exact AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_n
+        |  FROM lineitem GROUP BY 1
+        |  ORDER BY exact_n DESC, l_partkey LIMIT 20),
+        |n AS (SELECT count(*) AS total FROM lineitem)
+        |SELECT e.l_partkey, e.exact_n,
+        |  CASE WHEN s.cms_n >= e.exact_n
+        |        AND s.cms_n <= e.exact_n + CAST(ceil(0.001 * n.total) AS BIGINT)
+        |       THEN s.cms_n ELSE CAST(-1 AS BIGINT) END AS cms_n
+        |FROM exact e LEFT JOIN sk s ON e.l_partkey = s.l_partkey CROSS JOIN n
+        |ORDER BY e.exact_n DESC, e.l_partkey""".stripMargin,
     "q48_profile_table" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS column_name, l_quantity AS value FROM lineitem

@@ -706,6 +706,18 @@ class OperatorsSpec extends SparkTestBase {
     assert(evs.last._3 == top.getAs[Double]("close"), "close mismatch")
   }
 
+  test("q49_freq_sketch: CMS never undercounts and stays within the additive bound") {
+    val rows = operators.Relational.q49FreqSketch(spark, sfDir).collect()
+    assert(rows.length == 20)
+    val total = sources.Tables.lineitem(spark, sfDir).count()
+    val slack = math.ceil(0.001 * total).toLong
+    rows.foreach { r =>
+      val (exact, est) = (r.getAs[Long]("exact_n"), r.getAs[Long]("cms_n"))
+      assert(est >= exact, s"CMS undercounted: $r")
+      assert(est <= exact + slack, s"CMS overshot the eps*N bound: $r (slack=$slack)")
+    }
+  }
+
   test("hashedTextEmbedding: bucket counts match per-token xxhash64, L2-normalized") {
     import spark.implicits._
     import org.apache.spark.sql.functions.{col => c, pmod, xxhash64, lit}
