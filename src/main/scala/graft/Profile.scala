@@ -22,13 +22,16 @@ object Profile {
         // identical candidate plan internally) — without the persist,
         // the "verified" number re-pays the whole candidate join and
         // the stage split this flag exists to measure is double-counted.
-        val cands = operators.Dedup.containmentCandidates(spark, d).persist()
+        // Both frames' lifecycles live here (the operators module keeps
+        // no caller-invisible cached state).
+        val sh = operators.Dedup.containmentShingles(spark, d).persist()
+        val cands = operators.Dedup.containmentCandidates(spark, d, sh).persist()
         val t0 = System.nanoTime()
         val cand = cands.count()
         val t1 = System.nanoTime()
         val verified = SparkEntry.queries("dd_containment")(spark, d).count()
         val t2 = System.nanoTime()
-        cands.unpersist()
+        cands.unpersist(); sh.unpersist()
         println(f"[profile] containment-volume docs=$nDocs candidates=$cand " +
           f"(${(t1 - t0) / 1e9}%.2f s) verified=$verified (${(t2 - t1) / 1e9}%.2f s) " +
           f"cand_per_doc=${cand.toDouble / nDocs}%.2f")

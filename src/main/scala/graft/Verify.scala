@@ -38,7 +38,11 @@ object Verify {
     }
     SparkEntry.queries.filter(_._1.contains(only)).foreach { case (name, fn) =>
       try {
-        if (name.startsWith("mm_") && !corpusAscii)
+        // only the ops whose oracle hashes document BYTES depend on the
+        // ASCII precondition; the codec family reads the committed
+        // image/audio corpora against formula sidecars (round 10:
+        // mm_decode_meta / mm_feature_extract migrated off documents)
+        if (Set("mm_phash", "mm_dedup_bytes").contains(name) && !corpusAscii)
           sys.error("non-ASCII documents: byte-level mm oracle precondition violated")
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -109,15 +109,25 @@ object VectorFunctions {
     * in a learned encoder upstream and keeps the identical plumbing.
     * Cost is O(dim · tokens) per row from the per-bucket filter scan —
     * fine for dim ≤ 64; a larger dim wants a single-pass aggregate.
+    * HOFs evaluate interpreted with NO subexpression caching, so the
+    * hash array and the count vector are each bound ONCE as a lambda
+    * variable (transform over a singleton array) — splicing them into
+    * the downstream lambdas directly would re-tokenize and re-hash the
+    * text per output element (O(dim² · tokens), measured as the
+    * dominant cost of the streaming flagship's embed stage).
     */
   def hashedTextEmbedding(text: Column, dim: Int = 16): Column = {
     import org.apache.spark.sql.functions._
     val toks = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
     val hs = transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)))
-    val counts = transform(sequence(lit(0), lit(dim - 1)),
-      j => size(filter(hs, h => h === j.cast("long"))).cast("double"))
-    val norm = sqrt(aggregate(counts, lit(0.0), (acc, v) => acc + v * v))
-    transform(counts, v =>
-      when(norm === 0.0d, lit(0.0d)).otherwise(v / norm).cast("float"))
+    element_at(transform(array(hs), h => {
+      val counts = transform(sequence(lit(0), lit(dim - 1)),
+        j => size(filter(h, x => x === j.cast("long"))).cast("double"))
+      element_at(transform(array(counts), cs => {
+        val norm = sqrt(aggregate(cs, lit(0.0), (acc, v) => acc + v * v))
+        transform(cs, v =>
+          when(norm === 0.0d, lit(0.0d)).otherwise(v / norm).cast("float"))
+      }), 1)
+    }), 1)
   }
 }

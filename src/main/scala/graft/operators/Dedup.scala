@@ -473,10 +473,14 @@ object Dedup {
     * --cc-compare).
     */
   private[graft] def connectedComponents(pairs: DataFrame,
-      driverPathMaxEdges: Long = 1000000L): DataFrame = {
+      driverPathMaxEdges: Long = 1000000L,
+      materialized: Boolean = false): DataFrame = {
     // materialize the (expensive, LSH-joined) pair graph once: the
-    // routing count and whichever path runs read this checkpoint
-    val p = pairs.localCheckpoint()
+    // routing count and whichever path runs read this checkpoint.
+    // A caller that already checkpointed (dd_pipeline shares the graph
+    // with the rank stage) passes materialized = true — a second
+    // localCheckpoint would store and scan a redundant full copy.
+    val p = if (materialized) pairs else pairs.localCheckpoint()
     // Small-graph fast path: the right tool changes with scale. Below
     // the threshold (counted as DIRECTED edges — 2× the pair count,
     // same budget as before the router) a union-find labels the graph
@@ -769,21 +773,21 @@ object Dedup {
   private[graft] def documentsCount(s: SparkSession, d: String): Long =
     Tables.documents(s, d).count()
 
-  private[graft] def containmentCandidates(s: SparkSession, d: String): DataFrame = {
-    val sh = shingled(s, d).select(col("doc_id"), col("sh_hashes")).persist()
-    // materialize before unpersisting so the probe/index self-join still
-    // computes the shingle table once — the wrapper must not leak a
-    // cached frame per invocation (ddContainment manages its own)
-    val out = containmentCandidates(s, d, sh).localCheckpoint()
-    sh.unpersist()
-    out
-  }
+  /** The shingle frame the containment stages share — exposed so the
+    * Profile stage-split diagnostic can manage the persist lifecycle
+    * itself (the old one-arg wrapper either leaked its cached frame or,
+    * when it eagerly checkpointed, broke the diagnostic's timing AND
+    * the CacheManager reuse that keeps the verify stage from re-paying
+    * the candidate join — so the lifecycle now belongs to the caller).
+    */
+  private[graft] def containmentShingles(s: SparkSession, d: String): DataFrame =
+    shingled(s, d).select(col("doc_id"), col("sh_hashes"))
 
   /** Candidate stage over a CALLER-persisted shingle frame — ddContainment
     * passes the same persisted frame it verifies against, so the shingle
     * table is materialized (and held in memory) exactly once.
     */
-  private def containmentCandidates(
+  private[graft] def containmentCandidates(
       s: SparkSession, d: String, sh: DataFrame): DataFrame = {
     val nDocs = Tables.documents(s, d).count()
     // index cap (2% of docs, floor 10): hot boilerplate shingles carry
@@ -902,7 +906,7 @@ object Dedup {
         .join(survivors, Seq("doc_id"), "left_semi"))
       .select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val labels = connectedComponents(pairs)
+    val labels = connectedComponents(pairs, materialized = true)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     // authority scoring over the SAME materialized pair graph (the
     // dd_graph_rank kernel on the survivor node set) — the link-

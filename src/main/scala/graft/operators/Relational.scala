@@ -814,8 +814,15 @@ object Relational {
     * Volume uses the cross-engine floor(x*100+0.5)/100; open/close/
     * high/low are raw stored doubles (no arithmetic → bit-identical).
     */
-  val q47OhlcBars: Q = (s, d) => {
-    Tables.events(s, d)
+  /** The OHLC aggregation kernel — ONE implementation for the batch
+    * operator below and the streaming twin (EventStreams.ohlcBars,
+    * which applies it after a watermark), so the two modes cannot
+    * diverge on the struct trick or the volume quantization. Emits a
+    * timestamp bar_start; presentation (formatting, ordering) belongs
+    * to the caller.
+    */
+  private[graft] def ohlcAggregate(events: DataFrame): DataFrame =
+    events
       .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
       .agg(
         min(struct(col("ts"), col("event_id"), col("value"))).as("first_ev"),
@@ -823,13 +830,15 @@ object Relational {
         max(col("value")).as("high"), min(col("value")).as("low"),
         count(lit(1)).as("n_events"),
         (floor(sum(col("value")) * 100 + 0.5) / 100).as("volume"))
-      .select(
-        date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("bar_start"),
-        col("event_type"),
+      .select(col("window.start").as("bar_start"), col("event_type"),
         col("first_ev.value").as("open"), col("high"), col("low"),
         col("last_ev.value").as("close"), col("n_events"), col("volume"))
+
+  val q47OhlcBars: Q = (s, d) =>
+    ohlcAggregate(Tables.events(s, d))
+      .withColumn("bar_start",
+        date_format(col("bar_start"), "yyyy-MM-dd HH:mm:ss"))
       .orderBy(col("bar_start"), col("event_type"))
-  }
 
   /** §2.A round 10 — table profiling (the data-quality summary every
     * warehouse runs before trusting a feed): per-column row/non-null/

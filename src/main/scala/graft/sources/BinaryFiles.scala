@@ -18,11 +18,21 @@ object BinaryFiles {
     * is per-file on the driver.
     */
   def scan(s: SparkSession, glob: String, dirs: String*): DataFrame =
-    s.read.format("binaryFile")
-      .option("pathGlobFilter", glob)
-      .option("recursiveFileLookup", "true")
-      .load(dirs: _*)
-      .select(col("path"), col("content"),
-        regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
-        regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1).as("batch_date"))
+    projectPaths(
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .option("recursiveFileLookup", "true")
+        .load(dirs: _*))
+
+  /** The path → (file_name, batch_date) projection, factored out so
+    * the batch scan above and the STREAMING sources
+    * (EventStreams.statementStream / statementPipeline) share one
+    * definition — a change to the date-extraction logic must land in
+    * every reader of the dated-folder layout at once, or stream and
+    * batch silently diverge on the same files.
+    */
+  def projectPaths(raw: DataFrame): DataFrame =
+    raw.select(col("path"), col("content"),
+      regexp_extract(col("path"), "([^/]+)$", 1).as("file_name"),
+      regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1).as("batch_date"))
 }

@@ -87,18 +87,8 @@ object EventStreams extends Serializable {
     * bars for append-mode emission and bounds state.
     */
   def ohlcBars(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "2 hours")
-      .groupBy(window(col("ts"), "15 minutes"), col("event_type"))
-      .agg(
-        min(struct(col("ts"), col("event_id"), col("value"))).as("first_ev"),
-        max(struct(col("ts"), col("event_id"), col("value"))).as("last_ev"),
-        max(col("value")).as("high"), min(col("value")).as("low"),
-        count(lit(1)).as("n_events"),
-        (floor(sum(col("value")) * 100 + 0.5) / 100).as("volume"))
-      .select(col("window.start").as("bar_start"), col("event_type"),
-        col("first_ev.value").as("open"), col("high"), col("low"),
-        col("last_ev.value").as("close"), col("n_events"), col("volume"))
+    graft.operators.Relational.ohlcAggregate(
+      events.withWatermark("ts", "2 hours"))
 
   /** Watermark-bounded exactly-once key dedup. */
   def dedupByEventId(events: DataFrame): DataFrame =
@@ -180,14 +170,13 @@ object EventStreams extends Serializable {
     import spark.implicits._
     val rules = graft.operators.FundEtl.platformRules
       .toDF("platform", "priority", "signature", "amount_label", "fee_label")
-    val files = spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.txt")
-      .option("recursiveFileLookup", "true")
-      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-      .load(dir)
-      .select(col("path"), col("content").cast("string").as("content"))
-      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
-      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+    val files = graft.sources.BinaryFiles.projectPaths(
+        spark.readStream.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .option("recursiveFileLookup", "true")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .load(dir))
+      .withColumn("content", col("content").cast("string"))
       .join(broadcast(rules), col("content").contains(col("signature")), "left")
     graft.operators.FundEtl.extractStatementFields(spark, files)
   }
@@ -518,14 +507,13 @@ object EventStreams extends Serializable {
       centroids: Seq[(Long, Seq[Float])], annIndexTable: String,
       topkDir: String, checkpointDir: String, nprobe: Int = 2,
       k: Int = 3): org.apache.spark.sql.streaming.StreamingQuery =
-    spark.readStream.format("binaryFile")
-      .option("pathGlobFilter", "*.txt")
-      .option("recursiveFileLookup", "true")
-      .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
-      .load(dir)
-      .select(col("path"), col("content").cast("string").as("content"))
-      .withColumn("file_name", regexp_extract(col("path"), "([^/]+)$", 1))
-      .withColumn("batch_date", regexp_extract(col("path"), "([0-9]{8})/[^/]+$", 1))
+    graft.sources.BinaryFiles.projectPaths(
+        spark.readStream.format("binaryFile")
+          .option("pathGlobFilter", "*.txt")
+          .option("recursiveFileLookup", "true")
+          .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
+          .load(dir))
+      .withColumn("content", col("content").cast("string"))
       .writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>

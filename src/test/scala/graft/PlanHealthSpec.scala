@@ -170,12 +170,16 @@ class PlanHealthSpec extends SparkTestBase {
     assert(scans == 1, s"q46_rfm_segment scans the facts $scans times:\n$plan")
     val single = plan.linesIterator.filter(_.contains("Exchange SinglePartition")).size
     assert(single >= 1, s"expected the windows' single-partition exchange in:\n$plan")
-    // the fact-reducing aggregate must sit below the window exchange:
-    // HashAggregate on o_custkey appears before any SinglePartition
-    val idxAgg = plan.indexOf("o_custkey")
+    // the fact-reducing aggregate must sit BELOW the window exchange in
+    // the dataflow — physical plans print root-first, so the custkey
+    // HashAggregate's text position must come AFTER the SinglePartition
+    // exchange (a plan windowing the raw facts would aggregate above it)
+    val idxAgg = "HashAggregate\\(keys=\\[o_custkey".r
+      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
     val idxSingle = plan.indexOf("Exchange SinglePartition")
-    assert(idxAgg >= 0 && idxSingle > 0,
-      s"expected both the custkey aggregate and the window exchange in:\n$plan")
+    assert(idxAgg >= 0, s"no custkey HashAggregate in:\n$plan")
+    assert(idxAgg > idxSingle,
+      s"custkey aggregate is not upstream of the window exchange:\n$plan")
   }
 
   test("q47_ohlc_bars: open/close come from the aggregate, not a per-key sort") {
