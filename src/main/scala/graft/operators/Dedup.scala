@@ -415,10 +415,50 @@ object Dedup {
     * (doc_id, deg, score_e9).
     */
   private[graft] def graphRankScores(nodeIds: DataFrame,
-      pairs: DataFrame, iters: Int = 5): DataFrame = {
+      pairs: DataFrame, iters: Int = 5,
+      driverPathMaxEdges: Long = 1000000L): DataFrame = {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
+    // Size routing, same budget and rationale as connectedComponents:
+    // below the threshold the distributed loop pays a fixed multi-job
+    // overhead per iteration (5 inflow shuffles + 5 checkpoints),
+    // where the ALL-INTEGER recurrence replays exactly on the driver —
+    // truncating Long division and order-independent integer sums make
+    // the two paths bit-identical (spec-asserted), which float scores
+    // could never guarantee. Real 100 TB pair graphs exceed the budget
+    // and route to the iterative path below.
+    val nEdges = edges.count()
+    if (nEdges <= driverPathMaxEdges) {
+      val spark = nodeIds.sparkSession
+      import spark.implicits._
+      val es = edges.select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect()
+      val ids = nodeIds.select(col("doc_id")).as[Long].collect()
+      edges.unpersist()
+      val deg = new scala.collection.mutable.HashMap[Long, Long]()
+      es.foreach { case (a, _) => deg.update(a, deg.getOrElse(a, 0L) + 1L) }
+      val n = ids.length.toLong
+      val teleport = 150000000L / n
+      val nIso = ids.count(id => deg.getOrElse(id, 0L) == 0L).toLong
+      var isoScore = 1000000000L / n
+      var score = scala.collection.mutable.HashMap(
+        ids.map(id => id -> 1000000000L / n): _*)
+      (1 to iters).foreach { _ =>
+        val perNodeDangling = (nIso * isoScore) / n
+        val inflow = new scala.collection.mutable.HashMap[Long, Long]()
+        es.foreach { case (a, b) =>
+          val d = deg.getOrElse(a, 0L)
+          if (d > 0L)
+            inflow.update(b, inflow.getOrElse(b, 0L) + score(a) / d)
+        }
+        score = scala.collection.mutable.HashMap(ids.map(id => id ->
+          (teleport + (85L * (inflow.getOrElse(id, 0L) + perNodeDangling)) / 100L)): _*)
+        isoScore = teleport + (85L * perNodeDangling) / 100L
+      }
+      return ids.toSeq.map(id => (id, deg.getOrElse(id, 0L), score(id)))
+        .toDF("doc_id", "deg", "score_e9")
+    }
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
     val nodes = nodeIds.select(col("doc_id"))

@@ -706,6 +706,28 @@ class OperatorsSpec extends SparkTestBase {
     assert(evs.last._3 == top.getAs[Double]("close"), "close mismatch")
   }
 
+  test("graphRankScores: driver fast path is bit-identical to the distributed iteration") {
+    // the routing contract: the all-integer recurrence (truncating Long
+    // division, order-independent sums) must make the two paths EQUAL,
+    // not approximately equal — force the distributed path with a zero
+    // edge budget and compare against the default (driver) route
+    import org.apache.spark.sql.functions.{col => c}
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(c("doc_id"), c("text"))
+    val pairs = operators.Dedup.minhashPairsOf(docs)
+      .select(c("doc_a"), c("doc_b")).localCheckpoint()
+    val nodes = docs.select(c("doc_id"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("score_e9"))).toSet
+    val driver = rows(operators.Dedup.graphRankScores(nodes, pairs))
+    val dist = rows(operators.Dedup.graphRankScores(nodes, pairs,
+      driverPathMaxEdges = 0L))
+    assert(driver == dist,
+      s"paths diverge: ${(driver -- dist).take(3)} vs ${(dist -- driver).take(3)}")
+    assert(driver.nonEmpty && driver.exists(_._2 > 0))
+  }
+
   test("q49_freq_sketch: CMS never undercounts and stays within the additive bound") {
     val rows = operators.Relational.q49FreqSketch(spark, sfDir).collect()
     assert(rows.length == 20)
