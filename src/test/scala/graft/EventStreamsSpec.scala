@@ -633,6 +633,17 @@ class EventStreamsSpec extends SparkTestBase {
     assert(topk2() == preTopk, "replay changed the ann output")
     assert(spark.table(annTbl).count() == annRows,
       "crash-window replay appended a duplicate ANN batch copy")
+    // ASYMMETRIC crash: stage 2 (dedup) completed, stage 3 (ann) lost
+    // its marker — the replay must short-circuit the completed stage
+    // (no duplicate band-index rows) while re-running only the ann
+    // stage to the same output
+    val ddRows = spark.table(ddTbl).count()
+    assert(new java.io.File(s"$topkDir/batch-2/_APPLIED").delete())
+    graft.streaming.EventStreams.statementPipelineApplyBatch(replayBatch, 2L,
+      extractedDir, ddTbl, pairsDir, centroids, annTbl, topkDir, 2, 3)
+    assert(spark.table(ddTbl).count() == ddRows,
+      "asymmetric replay re-appended the completed dedup stage")
+    assert(topk2() == preTopk, "asymmetric replay changed the ann output")
   }
 
   test("attributeJoin matches purchases to preceding clicks within the window") {
