@@ -22,6 +22,11 @@ import java.io.ByteArrayInputStream
   */
 object ImageCodec {
 
+  // same rationale as OcrCodec: the shared /tmp ImageIO disk cache can
+  // race under concurrent decodes and surface as a silent decode
+  // failure through the broad catch; byte-array sources don't need it
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Decoded(
       width: Int, height: Int,
       sumR: Long, sumG: Long, sumB: Long,

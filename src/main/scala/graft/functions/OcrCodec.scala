@@ -41,6 +41,14 @@ import java.io.ByteArrayInputStream
   */
 object OcrCodec {
 
+  // ImageIO's default ImageInputStream spills through a shared /tmp
+  // disk cache; under concurrent decode-heavy queries the cache-file
+  // creation can race and throw, which the broad catch below silently
+  // turns into a recognition failure (observed: a single scan flaking
+  // to ocr_ok=false only when TWO OCR-reading operators ran in the
+  // same Verify pass). Byte-array sources never need the disk cache.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class Recognized(text: String, confPpm: Long)
 
   private val Cell = 16

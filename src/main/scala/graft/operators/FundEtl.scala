@@ -703,7 +703,11 @@ object FundEtl {
     * AND confidence-exact — a matcher bug cannot self-confirm.
     * Map-only decode over a binaryFile scan; one broadcast rules join.
     */
-  val etlOcrReal: Q = (s, _) => {
+  /** The text∪OCR routed frame — shared by etl_ocr_real (exact-label
+    * extraction) and etl_ocr_fuzzy_extract (label-garble-tolerant
+    * extraction), so both read the recognizer's output identically.
+    */
+  private def ocrRealRouted(s: SparkSession): DataFrame = {
     import s.implicits._
     val scans = graft.sources.BinaryFiles.scan(s, "*.png", statementsOcrDir)
       // the committed font atlas lives under font/ next to the corpus;
@@ -725,9 +729,69 @@ object FundEtl {
       .select(col("file_name"), col("batch_date"),
         lit(false).as("ocr_used"), lit(true).as("ocr_ok"), col("content"),
         lit(1000000L).as("ocr_conf_ppm"))
-    val routed = texts.unionByName(scans)
+    texts.unionByName(scans)
+  }
+
+  val etlOcrReal: Q = (s, _) => {
+    val routed = ocrRealRouted(s)
     extractStatementFields(s, classifyStatements(s, routed),
       extra = Seq("ocr_used", "ocr_ok", "ocr_conf_ppm", "content"))
+      .orderBy(col("file_name"))
+  }
+
+  /** §2.B round 10 — OCR-TOLERANT fuzzy field extraction: the noisy
+    * scans garble field LABELS ('产品?称：' — the glyph matcher emits
+    * '?' at destroyed cells), so the exact-label regexes of
+    * etl_ocr_real silently drop those fields. This operator splits
+    * each recognized statement into label：value lines and matches the
+    * labels FUZZILY — character-set Jaccard against the three target
+    * labels (产品名称/基金代码/确认日期, chosen mutually char-disjoint so
+    * no cross-match clears the 0.5 bar), argmax per (file, field) with
+    * jac DESC, line-order tie-break, all e4-floor-quantized for
+    * engine-stable comparison. Shape: map-side line explode →
+    * broadcast 3-row label cross → one (file, field) argmax collapse →
+    * one pivot groupBy — robust extraction at scan speed, the
+    * production answer to OCR noise that exact regexes cannot give.
+    */
+  val etlOcrFuzzyExtract: Q = (s, _) => {
+    val labels = Seq(("product_name", "产品名称"), ("fund_code", "基金代码"),
+      ("trade_date", "确认日期"))
+    val sqlCtx = s
+    import sqlCtx.implicits._
+    val labelDf = labels.toDF("field", "canonical")
+    // Java's split(regex, -1) keeps a trailing "" that DuckDB's
+    // regexp_split_to_array drops — remove it or every char set gains
+    // a phantom member on the Spark side
+    val chars = (c: org.apache.spark.sql.Column) =>
+      array_remove(array_distinct(split(c, "")), "")
+    val lines = ocrRealRouted(s)
+      .filter(col("ocr_ok"))
+      .select(col("file_name"), posexplode(split(col("content"), "\n"))
+        .as(Seq("line_no", "line")))
+      .filter(col("line").contains("："))
+      .select(col("file_name"), col("line_no"),
+        substring_index(col("line"), "：", 1).as("lab"),
+        expr("substring(line, length(substring_index(line, '：', 1)) + 2)")
+          .as("value"))
+    val scored = lines.crossJoin(broadcast(labelDf))
+      .withColumn("jac", floor(
+        size(array_intersect(chars(col("lab")), chars(col("canonical"))))
+          .cast("double") /
+          size(array_union(chars(col("lab")), chars(col("canonical"))))
+            .cast("double") * 10000 + 0.5) / 10000.0)
+      .filter(col("jac") >= 0.5)
+    scored
+      .groupBy(col("file_name"), col("field"), col("canonical"))
+      .agg(min(struct((-col("jac")).as("nj"), col("line_no").as("ln"),
+        col("value").as("v"), col("lab").as("l"))).as("best"))
+      .groupBy(col("file_name"))
+      .agg(
+        max(when(col("field") === "product_name", col("best.v"))).as("product_name"),
+        max(when(col("field") === "fund_code", col("best.v"))).as("fund_code"),
+        max(when(col("field") === "trade_date",
+          regexp_replace(col("best.v"), "[^0-9]", ""))).as("trade_date"),
+        count(when(col("best.l") =!= col("canonical"), lit(1)))
+          .as("n_fuzzy_recovered"))
       .orderBy(col("file_name"))
   }
 
@@ -859,6 +923,7 @@ object FundEtl {
     "etl_ingest_files" -> etlIngestFiles,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
+    "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
     "etl_pdf_decode" -> etlPdfDecode,
     "etl_pdf_text" -> etlPdfText,
     "etl_xlsx_ingest" -> etlXlsxIngest,
@@ -996,6 +1061,50 @@ object FundEtl {
          |                  '$statementsScanDir/*/*.txt'])),
          |files AS (
          |  ${ocrRouteSql("raw")})""".stripMargin, extra = Seq("ocr_used")),
+    "etl_ocr_fuzzy_extract" ->
+      s"""WITH files AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    true AS ocr_ok, content
+         |  FROM read_text('$statementsDir/*/*.txt')
+         |  UNION ALL
+         |  SELECT file_name, ocr_ok, content
+         |  FROM read_parquet('$statementsOcrDir/expected.parquet')),
+         |labels(field, canonical) AS (
+         |  VALUES ('product_name', '产品名称'), ('fund_code', '基金代码'),
+         |         ('trade_date', '确认日期')),
+         |exploded AS (
+         |  SELECT file_name, unnest(list_transform(
+         |    string_split(content, chr(10)),
+         |    (x, i) -> struct_pack(line_no := i, line := x))) AS u
+         |  FROM files WHERE ocr_ok),
+         |lines AS (
+         |  SELECT file_name, u.line_no,
+         |    split_part(u.line, '：', 1) AS lab,
+         |    substr(u.line, length(split_part(u.line, '：', 1)) + 2) AS value
+         |  FROM exploded WHERE contains(u.line, '：')),
+         |scored AS (
+         |  SELECT file_name, field, canonical, line_no, lab, value,
+         |    floor(len(list_intersect(
+         |        list_distinct(regexp_split_to_array(lab, '')),
+         |        list_distinct(regexp_split_to_array(canonical, '')))) * 1.0
+         |      / len(list_distinct(list_concat(
+         |        list_distinct(regexp_split_to_array(lab, '')),
+         |        list_distinct(regexp_split_to_array(canonical, '')))))
+         |      * 10000 + 0.5) / 10000.0 AS jac
+         |  FROM lines CROSS JOIN labels),
+         |ranked AS (
+         |  SELECT *, row_number() OVER (PARTITION BY file_name, field
+         |    ORDER BY jac DESC, line_no) AS rn
+         |  FROM scored WHERE jac >= 0.5)
+         |SELECT file_name,
+         |  max(CASE WHEN field = 'product_name' THEN value END) AS product_name,
+         |  max(CASE WHEN field = 'fund_code' THEN value END) AS fund_code,
+         |  max(CASE WHEN field = 'trade_date'
+         |      THEN regexp_replace(value, '[^0-9]', '', 'g') END) AS trade_date,
+         |  CAST(count(CASE WHEN lab <> canonical THEN 1 END) AS BIGINT)
+         |    AS n_fuzzy_recovered
+         |FROM ranked WHERE rn = 1
+         |GROUP BY file_name ORDER BY file_name""".stripMargin,
     "etl_ocr_real" -> ingestOracleSql(
       s"""files AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

@@ -728,6 +728,27 @@ class OperatorsSpec extends SparkTestBase {
     assert(driver.nonEmpty && driver.exists(_._2 > 0))
   }
 
+  test("etl_ocr_fuzzy_extract recovers fields the exact-label extractor loses to glyph noise") {
+    val fuzzy = operators.FundEtl.etlOcrFuzzyExtract(spark, sfDir).collect()
+      .map(r => r.getAs[String]("file_name") -> r).toMap
+    val exact = operators.FundEtl.etlOcrReal(spark, sfDir).collect()
+      .map(r => r.getAs[String]("file_name") -> r).toMap
+    // the committed corpus garbles this scan's 产品名称 label ('产品?称'):
+    // exact regex extraction nulls the field, the fuzzy match recovers it
+    val garbled = "changliang_shuhui_20240116_scan.png"
+    assert(exact(garbled).getAs[String]("product_name") == null,
+      "fixture drift: the exact extractor now reads the garbled label")
+    assert(fuzzy(garbled).getAs[String]("product_name") == "稳健增利债券C")
+    assert(fuzzy(garbled).getAs[Long]("n_fuzzy_recovered") >= 1)
+    // on clean files the two extractors agree
+    val clean = "haomai_shengou_20240115.txt"
+    assert(fuzzy(clean).getAs[String]("product_name") ==
+      exact(clean).getAs[String]("product_name"))
+    assert(fuzzy(clean).getAs[Long]("n_fuzzy_recovered") == 0)
+    // fuzzy never invents fields on OCR-failed (corrupt) scans
+    assert(!fuzzy.contains("corrupt_badmagic_scan.png"))
+  }
+
   test("q49_freq_sketch: CMS never undercounts and stays within the additive bound") {
     val rows = operators.Relational.q49FreqSketch(spark, sfDir).collect()
     assert(rows.length == 20)
