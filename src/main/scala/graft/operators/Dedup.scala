@@ -420,45 +420,10 @@ object Dedup {
     val edges = pairs
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
-    // Size routing, same budget and rationale as connectedComponents:
-    // below the threshold the distributed loop pays a fixed multi-job
-    // overhead per iteration (5 inflow shuffles + 5 checkpoints),
-    // where the ALL-INTEGER recurrence replays exactly on the driver —
-    // truncating Long division and order-independent integer sums make
-    // the two paths bit-identical (spec-asserted), which float scores
-    // could never guarantee. Real 100 TB pair graphs exceed the budget
-    // and route to the iterative path below.
     val nEdges = edges.count()
-    if (nEdges <= driverPathMaxEdges) {
-      val spark = nodeIds.sparkSession
-      import spark.implicits._
-      val es = edges.select(col("doc_a"), col("doc_b"))
-        .as[(Long, Long)].collect()
-      val ids = nodeIds.select(col("doc_id")).as[Long].collect()
-      edges.unpersist()
-      val deg = new scala.collection.mutable.HashMap[Long, Long]()
-      es.foreach { case (a, _) => deg.update(a, deg.getOrElse(a, 0L) + 1L) }
-      val n = ids.length.toLong
-      val teleport = 150000000L / n
-      val nIso = ids.count(id => deg.getOrElse(id, 0L) == 0L).toLong
-      var isoScore = 1000000000L / n
-      var score = scala.collection.mutable.HashMap(
-        ids.map(id => id -> 1000000000L / n): _*)
-      (1 to iters).foreach { _ =>
-        val perNodeDangling = (nIso * isoScore) / n
-        val inflow = new scala.collection.mutable.HashMap[Long, Long]()
-        es.foreach { case (a, b) =>
-          val d = deg.getOrElse(a, 0L)
-          if (d > 0L)
-            inflow.update(b, inflow.getOrElse(b, 0L) + score(a) / d)
-        }
-        score = scala.collection.mutable.HashMap(ids.map(id => id ->
-          (teleport + (85L * (inflow.getOrElse(id, 0L) + perNodeDangling)) / 100L)): _*)
-        isoScore = teleport + (85L * perNodeDangling) / 100L
-      }
-      return ids.toSeq.map(id => (id, deg.getOrElse(id, 0L), score(id)))
-        .toDF("doc_id", "deg", "score_e9")
-    }
+    // Shared prelude for BOTH routes: per-node degree and the scored
+    // node universe stay distributed frames — the node set is O(corpus)
+    // even when the pair graph is tiny, so it must never be collected.
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
     val nodes = nodeIds.select(col("doc_id"))
@@ -467,6 +432,55 @@ object Dedup {
       .persist()
     val n = nodes.count()
     val teleport = 150000000L / n
+    // Size routing, same budget and rationale as connectedComponents:
+    // below the edge threshold the distributed loop pays a fixed
+    // multi-job overhead per iteration (5 inflow shuffles + 5
+    // checkpoints), where the ALL-INTEGER recurrence replays exactly on
+    // the driver — truncating Long division and order-independent
+    // integer sums make the two paths bit-identical (spec-asserted),
+    // which float scores could never guarantee. Only edge-bounded state
+    // lands on the driver (un-mirrored pairs + known-endpoint degrees,
+    // primitive LongMaps); isolated nodes ride the scalar isoScore
+    // recurrence and the result is rebuilt as nodes ⟕ broadcast(scored
+    // endpoints). Edges touching ids absent from nodeIds are skipped,
+    // matching the distributed route's inner-join drops. Real 100 TB
+    // pair graphs exceed the budget and route to the iterative path.
+    if (nEdges <= driverPathMaxEdges) {
+      val spark = nodeIds.sparkSession
+      import spark.implicits._
+      val es = pairs.select(col("doc_a"), col("doc_b"))
+        .as[(Long, Long)].collect()
+      val endpoints = nodes.filter(col("deg") > 0)
+        .select(col("doc_id"), col("deg")).as[(Long, Long)].collect()
+      edges.unpersist()
+      val degM = scala.collection.mutable.LongMap(endpoints: _*)
+      val nIso = n - endpoints.length.toLong
+      var isoScore = 1000000000L / n
+      var score = scala.collection.mutable.LongMap(
+        endpoints.map { case (id, _) => id -> 1000000000L / n }: _*)
+      (1 to iters).foreach { _ =>
+        val perNodeDangling = (nIso * isoScore) / n
+        val inflow = new scala.collection.mutable.LongMap[Long]()
+        def push(a: Long, b: Long): Unit = score.get(a).foreach { sa =>
+          if (score.contains(b))
+            inflow.update(b, inflow.getOrElse(b, 0L) + sa / degM(a))
+        }
+        es.foreach { case (a, b) => push(a, b); push(b, a) }
+        score = scala.collection.mutable.LongMap(endpoints.map { case (id, _) =>
+          id -> (teleport + (85L * (inflow.getOrElse(id, 0L) + perNodeDangling)) / 100L)
+        }: _*)
+        isoScore = teleport + (85L * perNodeDangling) / 100L
+      }
+      val scored = endpoints.toSeq.map { case (id, _) => (id, score(id)) }
+        .toDF("doc_id", "ep_score")
+      val out = nodes
+        .join(broadcast(scored), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("deg"),
+          coalesce(col("ep_score"), lit(isoScore)).as("score_e9"))
+        .localCheckpoint()
+      nodes.unpersist()
+      return out
+    }
     // In an undirected pair graph every non-isolated node has deg ≥ 1,
     // so the dangling set IS the isolated set — and isolated nodes all
     // carry the identical score each round (teleport + dangling share,

@@ -644,6 +644,8 @@ class EventStreamsSpec extends SparkTestBase {
     assert(spark.table(ddTbl).count() == ddRows,
       "asymmetric replay re-appended the completed dedup stage")
     assert(topk2() == preTopk, "asymmetric replay changed the ann output")
+    assert(spark.table(annTbl).count() == annRows,
+      "asymmetric replay appended a duplicate ANN batch copy")
   }
 
   test("attributeJoin matches purchases to preceding clicks within the window") {

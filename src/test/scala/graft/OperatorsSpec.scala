@@ -728,6 +728,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(driver.nonEmpty && driver.exists(_._2 > 0))
   }
 
+  test("graphRankScores drops edges touching unknown ids identically on both routes") {
+    // callers pass endpoints ⊆ nodeIds, but the kernel is shared
+    // infrastructure: an edge whose endpoint is absent from the node
+    // set must be inner-join-dropped (the distributed route's
+    // semantics) on the driver route too — never a key-miss crash.
+    // Degree still counts the dangling edge on the known side (the
+    // distributed deg aggregate sees it), so contributions into the
+    // void are lost mass on both routes equally.
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 1L))
+      .toDF("doc_a", "doc_b").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("score_e9"))).toSet
+    val driver = rows(operators.Dedup.graphRankScores(nodes, pairs))
+    val dist = rows(operators.Dedup.graphRankScores(nodes, pairs,
+      driverPathMaxEdges = 0L))
+    assert(driver == dist,
+      s"paths diverge: ${(driver -- dist).take(3)} vs ${(dist -- driver).take(3)}")
+    assert(driver.map(_._1) == Set(1L, 2L, 3L, 4L), "output must cover exactly nodeIds")
+    assert(driver.find(_._1 == 1L).get._2 == 2L, "deg counts the edge to the unknown id")
+  }
+
   test("etl_ocr_fuzzy_extract recovers fields the exact-label extractor loses to glyph noise") {
     val fuzzy = operators.FundEtl.etlOcrFuzzyExtract(spark, sfDir).collect()
       .map(r => r.getAs[String]("file_name") -> r).toMap
