@@ -421,17 +421,11 @@ object Dedup {
       .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .persist()
     val nEdges = edges.count()
-    // Shared prelude for BOTH routes: per-node degree and the scored
-    // node universe stay distributed frames — the node set is O(corpus)
-    // even when the pair graph is tiny, so it must never be collected.
+    // Per-node degree is edge-bounded (endpoints only); the node
+    // universe is O(corpus) even when the pair graph is tiny, so it is
+    // NEVER collected on either route.
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
       .agg(count(lit(1)).as("deg"))
-    val nodes = nodeIds.select(col("doc_id"))
-      .join(deg, Seq("doc_id"), "left")
-      .withColumn("deg", coalesce(col("deg"), lit(0L)))
-      .persist()
-    val n = nodes.count()
-    val teleport = 150000000L / n
     // Size routing, same budget and rationale as connectedComponents:
     // below the edge threshold the distributed loop pays a fixed
     // multi-job overhead per iteration (5 inflow shuffles + 5
@@ -441,18 +435,22 @@ object Dedup {
     // which float scores could never guarantee. Only edge-bounded state
     // lands on the driver (un-mirrored pairs + known-endpoint degrees,
     // primitive LongMaps); isolated nodes ride the scalar isoScore
-    // recurrence and the result is rebuilt as nodes ⟕ broadcast(scored
-    // endpoints). Edges touching ids absent from nodeIds are skipped,
-    // matching the distributed route's inner-join drops. Real 100 TB
-    // pair graphs exceed the budget and route to the iterative path.
+    // recurrence and the result is the LAZY nodeIds ⟕ broadcast(scored
+    // endpoints) — three small jobs total, no O(n) materialization.
+    // Edges touching ids absent from nodeIds are skipped, matching the
+    // distributed route's inner-join drops. Real 100 TB pair graphs
+    // exceed the budget and route to the iterative path.
     if (nEdges <= driverPathMaxEdges) {
       val spark = nodeIds.sparkSession
       import spark.implicits._
       val es = pairs.select(col("doc_a"), col("doc_b"))
         .as[(Long, Long)].collect()
-      val endpoints = nodes.filter(col("deg") > 0)
+      val endpoints = deg
+        .join(nodeIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("deg")).as[(Long, Long)].collect()
       edges.unpersist()
+      val n = nodeIds.count()
+      val teleport = 150000000L / n
       val degM = scala.collection.mutable.LongMap(endpoints: _*)
       val nIso = n - endpoints.length.toLong
       var isoScore = 1000000000L / n
@@ -471,16 +469,19 @@ object Dedup {
         }: _*)
         isoScore = teleport + (85L * perNodeDangling) / 100L
       }
-      val scored = endpoints.toSeq.map { case (id, _) => (id, score(id)) }
-        .toDF("doc_id", "ep_score")
-      val out = nodes
+      val scored = endpoints.toSeq.map { case (id, _) =>
+        (id, degM(id), score(id)) }.toDF("doc_id", "ep_deg", "ep_score")
+      return nodeIds.select(col("doc_id"))
         .join(broadcast(scored), Seq("doc_id"), "left")
-        .select(col("doc_id"), col("deg"),
+        .select(col("doc_id"), coalesce(col("ep_deg"), lit(0L)).as("deg"),
           coalesce(col("ep_score"), lit(isoScore)).as("score_e9"))
-        .localCheckpoint()
-      nodes.unpersist()
-      return out
     }
+    val nodes = nodeIds.select(col("doc_id"))
+      .join(deg, Seq("doc_id"), "left")
+      .withColumn("deg", coalesce(col("deg"), lit(0L)))
+      .persist()
+    val n = nodes.count()
+    val teleport = 150000000L / n
     // In an undirected pair graph every non-isolated node has deg ≥ 1,
     // so the dangling set IS the isolated set — and isolated nodes all
     // carry the identical score each round (teleport + dangling share,
