@@ -236,6 +236,12 @@ object Profile {
             f"bloom=$tb%.2f s rows=$re/$rb")
           require(re == rb, s"bloom gate changed the output at bench=$b")
         }
+      case n if n.startsWith("explain:") =>
+        // dump the EXECUTED physical plan (post-AQE) for one query
+        val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)
+        q.queryExecution.toRdd.count()
+        println(s"[profile] plan for ${n.stripPrefix("explain:")}:\n" +
+          q.queryExecution.executedPlan.toString)
       case n =>
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, d).count()

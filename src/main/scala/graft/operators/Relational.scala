@@ -895,7 +895,92 @@ object Relational {
       .orderBy(col("exact_n").desc, col("l_partkey"))
   }
 
+  /** §2.A round 10 — interval-concurrency sweep line (peak concurrent
+    * sessions/transfers/calls per hour — the occupancy query behind
+    * capacity planning). Each event opens a half-open interval
+    * [ts, ts + 1..30 min); the classic sweep (sort all boundaries,
+    * running ±1 sum) is a GLOBAL order — a single-partition window
+    * that dies at scale. The scalable shape: SPLIT each interval at
+    * day boundaries (explode over its day sequence, clip the segment
+    * to the day), sweep per day with a day-partitioned running-sum
+    * window, and drop the clipped end-boundary that falls on the next
+    * day. Per-day sweeps start from zero by construction, so the
+    * day-local running sum IS the global concurrency — the partition
+    * granularity (day here) is a free parameter; denser data
+    * partitions by hour with the same clipping. At equal timestamps
+    * the −1 sorts before the +1 (half-open semantics) and the default
+    * RANGE frame includes peers, so ties are engine-independent.
+    * Output: per hour, the max concurrency observed at a boundary
+    * event and the boundary count — all-integer.
+    */
+  val q50IntervalSweep: Q = (s, d) => {
+    val ev = Tables.events(s, d)
+      .withColumn("dur_min", pmod(floor(col("value")).cast("int"), lit(30)) + lit(1))
+      .withColumn("start_t", col("ts"))
+      .withColumn("end_t", expr("timestampadd(MINUTE, dur_min, ts)"))
+    val seg = ev
+      .select(col("start_t"), col("end_t"),
+        explode(expr("sequence(to_date(start_t), to_date(end_t))")).as("day"))
+      .select(col("day"),
+        greatest(col("start_t"), col("day").cast("timestamp")).as("seg_start"),
+        least(col("end_t"), date_add(col("day"), 1).cast("timestamp")).as("seg_end"))
+    // Both boundaries explode from ONE scan (array-of-struct Generate,
+    // not a union of two reads), and the aggregate groups on the RAW
+    // day column so the window exchange's hash(day) partitioning
+    // already satisfies the (day, hr) grouping distribution — the
+    // whole sweep costs one data exchange plus the presentation sort.
+    val pts = seg.select(col("day"), explode(array(
+        struct(col("seg_start").as("t"), lit(1).as("delta")),
+        struct(col("seg_end").as("t"), lit(-1).as("delta")))).as("p"))
+      .select(col("day"), col("p.t").as("t"), col("p.delta").as("delta"))
+    pts
+      .withColumn("conc", sum(col("delta"))
+        .over(Window.partitionBy(col("day")).orderBy(col("t"), col("delta"))))
+      .filter(to_date(col("t")) === col("day"))
+      .withColumn("hr", hour(col("t")).cast("long"))
+      .groupBy(col("day"), col("hr"))
+      .agg(max(col("conc")).cast("long").as("max_concurrency"),
+        count(lit(1)).as("n_boundaries"))
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"), col("hr"),
+        col("max_concurrency"), col("n_boundaries"))
+      .orderBy(col("day"), col("hr"))
+  }
+
+  /** §2.A round 10 — time-series gap fill (calendar densification +
+    * forward fill, the sensor/price-series repair every feature
+    * pipeline runs before windowed training). Last observation per
+    * (user, hour) via the q47 min/max-of-struct trick (ONE grouping
+    * shuffle, no sort); each user's hour range densified with
+    * sequence+explode (bounded by the user's own span, never a global
+    * calendar cross join); missing hours forward-filled with
+    * last-non-null over a user-partitioned window. Every stage
+    * partitions by user_id — at 100 TB the densified frame is
+    * span-bounded per key and the fill is one window over the already
+    * user-clustered rows. Observed values pass through as raw stored
+    * doubles (no arithmetic → bit-identical across engines).
+    */
+  val q51GapFill: Q = (s, d) => {
+    val obs = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("last_ev"))
+      .select(col("user_id"), col("hr"), col("last_ev.value").as("obs_v"))
+    val dense = obs.groupBy(col("user_id"))
+      .agg(min(col("hr")).as("h0"), max(col("hr")).as("h1"))
+      .select(col("user_id"),
+        explode(expr("sequence(h0, h1, interval 1 hour)")).as("hr"))
+    dense
+      .join(obs, Seq("user_id", "hr"), "left")
+      .withColumn("value", last(col("obs_v"), ignoreNulls = true)
+        .over(Window.partitionBy(col("user_id")).orderBy(col("hr"))))
+      .select(col("user_id"),
+        date_format(col("hr"), "yyyy-MM-dd HH:mm:ss").as("hr"),
+        col("value"), col("obs_v").isNull.as("is_filled"))
+      .orderBy(col("user_id"), col("hr"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q50_interval_sweep" -> q50IntervalSweep,
+    "q51_gap_fill" -> q51GapFill,
     "q49_freq_sketch" -> q49FreqSketch,
     "q48_profile_table" -> q48ProfileTable,
     "q45_basket_pairs" -> q45BasketPairs,
@@ -1007,6 +1092,43 @@ object Relational {
         |  min(value) AS min_v, max(value) AS max_v,
         |  floor(sum(value) * 100 + 0.5) / 100 AS sum_v
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q50_interval_sweep" ->
+      """WITH ev AS (
+        |  SELECT ts AS start_t,
+        |         ts + ((CAST(floor(value) AS INT) % 30 + 1) * INTERVAL 1 MINUTE) AS end_t
+        |  FROM events),
+        |seg AS (
+        |  SELECT CAST(d AS DATE) AS day,
+        |         greatest(start_t, CAST(CAST(d AS DATE) AS TIMESTAMP)) AS seg_start,
+        |         least(end_t, CAST(CAST(d AS DATE) + 1 AS TIMESTAMP)) AS seg_end
+        |  FROM ev, unnest(generate_series(CAST(start_t AS DATE),
+        |         CAST(end_t AS DATE), INTERVAL 1 DAY)) AS t(d)),
+        |pts AS (
+        |  SELECT day, seg_start AS t, 1 AS delta FROM seg
+        |  UNION ALL SELECT day, seg_end, -1 FROM seg),
+        |sw AS (
+        |  SELECT day, t, delta,
+        |         sum(delta) OVER (PARTITION BY day ORDER BY t, delta) AS conc
+        |  FROM pts)
+        |SELECT strftime(day, '%Y-%m-%d') AS day, CAST(hour(t) AS BIGINT) AS hr,
+        |  CAST(max(conc) AS BIGINT) AS max_concurrency,
+        |  CAST(count(*) AS BIGINT) AS n_boundaries
+        |FROM sw WHERE CAST(t AS DATE) = day GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q51_gap_fill" ->
+      """WITH obs AS (
+        |  SELECT user_id, time_bucket(INTERVAL 1 HOUR, ts) AS hr, value, ts, event_id,
+        |    row_number() OVER (PARTITION BY user_id, time_bucket(INTERVAL 1 HOUR, ts)
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events),
+        |o AS (SELECT user_id, hr, value AS obs_v FROM obs WHERE rn = 1),
+        |dense AS (
+        |  SELECT user_id, unnest(generate_series(min(hr), max(hr), INTERVAL 1 HOUR)) AS hr
+        |  FROM o GROUP BY user_id)
+        |SELECT d.user_id, strftime(d.hr, '%Y-%m-%d %H:%M:%S') AS hr,
+        |  last_value(o.obs_v IGNORE NULLS) OVER (PARTITION BY d.user_id ORDER BY d.hr) AS value,
+        |  o.obs_v IS NULL AS is_filled
+        |FROM dense d LEFT JOIN o ON d.user_id = o.user_id AND d.hr = o.hr
+        |ORDER BY 1, 2""".stripMargin,
     "q47_ohlc_bars" ->
       """WITH b AS (
         |  SELECT strftime(time_bucket(INTERVAL '15 minutes', ts),

@@ -661,10 +661,97 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** §2.E round 10 — character/word diversity scoring (the
+    * Gopher-style repetitiveness gate: low-diversity documents are
+    * boilerplate or generator junk). Per document: Simpson diversity
+    * over characters (1 − Σp²; the log-free cousin of entropy — chosen
+    * because it stays ALL-INTEGER: Σcnt² over character runs, one
+    * division at the end), type-token ratio over words, and the count
+    * of the single most frequent word. Everything is a sort+run-length
+    * fold over the token array with the `aggregate` higher-order
+    * function — MAP-ONLY, whole-stage-codegen'd, zero shuffles
+    * (plan-pinned): the per-doc char histogram never materializes as
+    * rows, which is the difference between a projection and an
+    * explode+groupBy of every character at 100 TB.
+    */
+  val txCharDiversity: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("n_chars_t", length(col("text")).cast("long"))
+      .withColumn("char_sq_sum", expr(
+        """CASE WHEN length(text) = 0 THEN 0L ELSE aggregate(
+          |  array_sort(transform(sequence(1, length(text)), i -> substring(text, i, 1))),
+          |  named_struct('prev', '', 'run', 0L, 'sq', 0L),
+          |  (acc, x) -> IF(x = acc.prev,
+          |    named_struct('prev', x, 'run', acc.run + 1L, 'sq', acc.sq),
+          |    named_struct('prev', x, 'run', 1L, 'sq', acc.sq + acc.run * acc.run)),
+          |  acc -> acc.sq + acc.run * acc.run) END""".stripMargin))
+      .withColumn("n_words", expr("CAST(size(split(text, ' ')) AS BIGINT)"))
+      .withColumn("n_distinct_words",
+        expr("CAST(size(array_distinct(split(text, ' '))) AS BIGINT)"))
+      .withColumn("top_word_n", expr(
+        """aggregate(
+          |  array_sort(split(text, ' ')),
+          |  named_struct('prev', '', 'run', 0L, 'mx', 0L),
+          |  (acc, x) -> IF(x = acc.prev,
+          |    named_struct('prev', x, 'run', acc.run + 1L, 'mx', greatest(acc.mx, acc.run + 1L)),
+          |    named_struct('prev', x, 'run', 1L, 'mx', greatest(acc.mx, 1L))),
+          |  acc -> acc.mx)""".stripMargin))
+      .select(col("doc_id"), col("n_chars_t"), col("char_sq_sum"),
+        expr("CASE WHEN n_chars_t = 0 THEN 0L ELSE " +
+          "1000000L - (char_sq_sum * 1000000L) div (n_chars_t * n_chars_t) END")
+          .as("simpson_e6"),
+        col("n_words"), col("n_distinct_words"),
+        expr("(n_distinct_words * 1000000L) div n_words").as("ttr_e6"),
+        col("top_word_n"))
+      .orderBy(col("doc_id"))
+
+  /** §2.E round 10 — collocation mining by pointwise lift (the
+    * association-strength ranking behind phrase detection and
+    * tokenizer-merge candidates; PMI's argument without the log, so
+    * the score is an exact integer: lift = P(ab)/(P(a)P(b)) =
+    * n_ab·N / (n_a·n_b), e6-scaled with a single truncating division).
+    * One shuffle each for bigram and unigram counts; the unigram
+    * vocabulary joins BROADCAST on both bigram sides (vocabulary ≪
+    * corpus — and at web scale the same df-pruning as tx_lm_score
+    * bounds it by construction), the corpus total rides the
+    * 1-row-literal crossJoin precedent. Min support keeps the ranking
+    * stable under sampling noise; ties break by support then lexeme.
+    */
+  val txCollocations: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val uni = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).cast("long").as("total_n"))
+    val bi = docs
+      .select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+          | ELSE zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |               slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |               (a, b) -> struct(a AS w1, b AS w2)) END""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= 20)
+    bi
+      .join(broadcast(uni.withColumnRenamed("w", "w1")
+        .withColumnRenamed("n_w", "n_a")), Seq("w1"))
+      .join(broadcast(uni.withColumnRenamed("w", "w2")
+        .withColumnRenamed("n_w", "n_b")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
+        col("n_ab"),
+        expr("(n_ab * total_n * 1000000L) div (n_a * n_b)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("n_ab").desc, col("bigram"))
+      .limit(30)
+  }
+
   val auxDumps: Map[String, Q] = Map(
     "tx_doc_embeddings" -> docEmbeddings)
 
   val queries: Map[String, Q] = Map(
+    "tx_char_diversity" -> txCharDiversity,
+    "tx_collocations" -> txCollocations,
     "tx_topic_cluster" -> txTopicCluster,
     "tx_quality_classifier" -> txQualityClassifier,
     "tx_bm25" -> txBm25,
@@ -686,6 +773,44 @@ object TextAnalysis {
     "tx_fingerprint" -> txFingerprint)
 
   val oracles: Map[String, String] = Map(
+    "tx_char_diversity" ->
+      """WITH ch AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),
+        |csq AS (
+        |  SELECT doc_id, CAST(sum(cnt * cnt) AS BIGINT) AS char_sq_sum
+        |  FROM (SELECT doc_id, c, count(*) AS cnt FROM ch GROUP BY 1, 2) t GROUP BY 1),
+        |wd AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |ws AS (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_words,
+        |    CAST(count(*) AS BIGINT) AS n_distinct_words,
+        |    CAST(max(cnt) AS BIGINT) AS top_word_n
+        |  FROM (SELECT doc_id, w, count(*) AS cnt FROM wd GROUP BY 1, 2) t GROUP BY 1)
+        |SELECT d.doc_id, CAST(length(d.text) AS BIGINT) AS n_chars_t,
+        |  coalesce(c.char_sq_sum, 0) AS char_sq_sum,
+        |  CASE WHEN length(d.text) = 0 THEN 0
+        |       ELSE 1000000 - (c.char_sq_sum * 1000000) // (CAST(length(d.text) AS BIGINT) * length(d.text)) END AS simpson_e6,
+        |  w.n_words, w.n_distinct_words,
+        |  (w.n_distinct_words * 1000000) // w.n_words AS ttr_e6,
+        |  w.top_word_n
+        |FROM documents d LEFT JOIN csq c USING (doc_id) LEFT JOIN ws w USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "tx_collocations" ->
+      """WITH wd AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |uni AS (SELECT w, CAST(count(*) AS BIGINT) AS n_w FROM wd GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_w) AS BIGINT) AS total_n FROM uni),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+        |    ELSE list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1])) END) AS bigram
+        |  FROM (SELECT string_split(text, ' ') AS toks FROM documents) x),
+        |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1 HAVING count(*) >= 20)
+        |SELECT b.bigram, b.n_ab,
+        |  (b.n_ab * t.total_n * 1000000) // (ua.n_w * ub.n_w) AS lift_e6
+        |FROM bi b
+        |JOIN uni ua ON ua.w = split_part(b.bigram, ' ', 1)
+        |JOIN uni ub ON ub.w = split_part(b.bigram, ' ', 2)
+        |CROSS JOIN tot t
+        |ORDER BY lift_e6 DESC, n_ab DESC, bigram LIMIT 30""".stripMargin,
     "tx_topic_cluster" ->
       """WITH e AS (
         |  SELECT doc_id, CAST(embedding AS DOUBLE[]) AS embedding

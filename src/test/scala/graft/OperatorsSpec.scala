@@ -900,6 +900,123 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q50_interval_sweep matches a plain-Scala day-clipped sweep replay") {
+    val out = SparkEntry.queries("q50_interval_sweep")(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("day"), r.getAs[Long]("hr")),
+        (r.getAs[Long]("max_concurrency"), r.getAs[Long]("n_boundaries")))).toMap
+    // independent replay in microsecond epoch arithmetic (UTC): build
+    // the same day-clipped boundary multiset, run the ±1 prefix sum per
+    // day with the half-open tie order, group maxima by hour
+    val DayUs = 86400000000L
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("ts"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(0)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (us, us + (math.floor(r.getDouble(1)).toLong % 30 + 1) * 60000000L)
+      }
+    val pts = evs.flatMap { case (s, e) =>
+      (s / DayUs to e / DayUs).flatMap { day =>
+        Seq((day, math.max(s, day * DayUs), 1), (day, math.min(e, (day + 1) * DayUs), -1))
+      }
+    }
+    val expect = pts.groupBy(_._1).toSeq.flatMap { case (day, ps) =>
+      var c = 0L
+      ps.sortBy(p => (p._2, p._3))
+        .map { case (_, t, d) => c += d; (t, c) }
+        .filter { case (t, _) => t / DayUs == day }
+        .groupBy { case (t, _) => (day, (t % DayUs) / 3600000000L) }
+        .map { case ((d, hr), g) =>
+          val dayStr = java.time.LocalDate.ofEpochDay(d).toString
+          ((dayStr, hr), (g.map(_._2).max, g.size.toLong))
+        }
+    }.toMap
+    // the per-day prefix sum above visits ties one row at a time where
+    // the SQL RANGE frame includes all peers — reconcile by taking the
+    // peer-group max per (t, delta) before comparing... instead assert
+    // on the hour grain, where the max over a peer group equals the max
+    // over its last member (the running sum peaks at the final +1 peer)
+    assert(out.keySet == expect.keySet,
+      s"hour keys differ: ${(out.keySet -- expect.keySet).take(3)} / ${(expect.keySet -- out.keySet).take(3)}")
+    out.foreach { case (k, (mx, nb)) =>
+      assert(expect(k)._2 == nb, s"$k boundary count: got $nb want ${expect(k)._2}")
+      assert(expect(k)._1 == mx, s"$k max concurrency: got $mx want ${expect(k)._1}")
+    }
+  }
+
+  test("q51_gap_fill matches a plain-Scala densify-and-fill replay") {
+    val out = SparkEntry.queries("q51_gap_fill")(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("hr")),
+        (r.getAs[Double]("value"), r.getAs[Boolean]("is_filled"))))
+    val HourUs = 3600000000L
+    val byUser = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getAs[Long]("user_id"), us, r.getAs[Long]("event_id"), r.getAs[Double]("value"))
+      }.groupBy(_._1)
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val expect = byUser.flatMap { case (u, rows) =>
+      val lastPerHour = rows.groupBy(_._2 / HourUs).map { case (h, g) =>
+        h -> g.maxBy(r => (r._2, r._3))._4
+      }
+      var lastV = Double.NaN
+      (lastPerHour.keys.min to lastPerHour.keys.max).map { h =>
+        val obs = lastPerHour.get(h)
+        obs.foreach(v => lastV = v)
+        ((u, fmt.format(java.time.Instant.ofEpochSecond(h * 3600L))), (lastV, obs.isEmpty))
+      }
+    }
+    assert(out.length == expect.size)
+    val em = expect.toMap
+    out.foreach { case (k, v) => assert(em(k) == v, s"$k: got $v want ${em(k)}") }
+  }
+
+  test("tx_char_diversity matches direct per-document recomputation") {
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = SparkEntry.queries("tx_char_diversity")(spark, sfDir).collect()
+    assert(rows.length == docs.size)
+    rows.foreach { r =>
+      val text = docs(r.getAs[Long]("doc_id"))
+      val n = text.length.toLong
+      val sq = text.groupBy(identity).values.map(g => g.size.toLong * g.size).sum
+      val words = text.split(" ", -1)
+      val wc = words.groupBy(identity).values.map(_.size.toLong)
+      assert(r.getAs[Long]("n_chars_t") == n)
+      assert(r.getAs[Long]("char_sq_sum") == sq)
+      assert(r.getAs[Long]("simpson_e6") == (if (n == 0) 0L else 1000000L - sq * 1000000L / (n * n)))
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(r.getAs[Long]("n_distinct_words") == words.distinct.length.toLong)
+      assert(r.getAs[Long]("ttr_e6") == words.distinct.length.toLong * 1000000L / words.length)
+      assert(r.getAs[Long]("top_word_n") == wc.max)
+    }
+  }
+
+  test("tx_collocations matches a direct lift recount") {
+    val texts = sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+    val uni = scala.collection.mutable.Map.empty[String, Long]
+    val bi = scala.collection.mutable.Map.empty[(String, String), Long]
+    texts.foreach { t =>
+      val w = t.split(" ", -1)
+      w.foreach(x => uni(x) = uni.getOrElse(x, 0L) + 1)
+      w.sliding(2).filter(_.length == 2)
+        .foreach(p => bi((p(0), p(1))) = bi.getOrElse((p(0), p(1)), 0L) + 1)
+    }
+    val total = uni.values.sum
+    val expect = bi.toSeq.filter(_._2 >= 20)
+      .map { case ((a, b), nab) =>
+        (s"$a $b", nab, nab * total * 1000000L / (uni(a) * uni(b))) }
+      .sortBy { case (bg, nab, lift) => (-lift, -nab, bg) }.take(30)
+    val got = SparkEntry.queries("tx_collocations")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("n_ab"), r.getAs[Long]("lift_e6")))
+    assert(got.toSeq == expect, s"top-30 differs: got ${got.take(3).toSeq} want ${expect.take(3)}")
+  }
+
   test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
     val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
     assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt

@@ -206,6 +206,74 @@ class PlanHealthSpec extends SparkTestBase {
     assert(scans == 1, s"q48_profile_table scans the facts $scans times:\n$plan")
   }
 
+  test("q50_interval_sweep: day-partitioned sweep, one scan, one data exchange") {
+    // the classic sweep line is a GLOBAL sort — a single-partition
+    // window that dies at scale. The split-at-day-boundaries shape must
+    // keep the running-sum window partitioned by day, explode both
+    // boundaries from ONE scan (no union of two reads), and let the
+    // window's hash(day) exchange satisfy the (day, hr) aggregate — one
+    // hash exchange total plus the presentation sort.
+    val plan = planOf("q50_interval_sweep")
+    assert("windowspecdefinition\\(day#\\d+, t#\\d+".r.findFirstIn(plan).isDefined,
+      s"running sum must partition by day:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q50_interval_sweep fell back to a global window:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q50_interval_sweep scans events $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q50_interval_sweep plans $hashEx hash exchanges:\n$plan")
+  }
+
+  test("q51_gap_fill: every stage clusters by user, fill never re-sorts globally") {
+    // densification and forward fill are per-user: the observation
+    // aggregate, the span aggregate, the dense-hour Generate and the
+    // last-non-null window all key on user_id; a SinglePartition
+    // exchange would mean the fill regressed to a global sort
+    val plan = planOf("q51_gap_fill")
+    assert("windowspecdefinition\\(user_id#\\d+L?, hr#\\d+".r.findFirstIn(plan).isDefined,
+      s"forward fill must partition by user_id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q51_gap_fill plans a global exchange:\n$plan")
+    assert(plan.contains("Generate explode(sequence"),
+      s"expected the declarative hour densification in:\n$plan")
+  }
+
+  test("tx_char_diversity: diversity scoring is one map-only projection") {
+    // the per-doc char histogram must NEVER materialize as rows — the
+    // sort+run-length fold keeps everything inside a single projection
+    // over the scan: zero hash exchanges, zero Generates, zero joins
+    val plan = planOf("tx_char_diversity")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"tx_char_diversity shuffles:\n$plan")
+    assert(!plan.contains("Generate"), s"tx_char_diversity explodes rows:\n$plan")
+    assert(!plan.contains("Join"), s"tx_char_diversity joins:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"tx_char_diversity scans documents $scans times:\n$plan")
+  }
+
+  test("tx_collocations: vocabulary joins broadcast and reuse one exchange") {
+    // the unigram table joins BOTH bigram sides as broadcasts (vocab ≪
+    // corpus), the second side reusing the first's exchange; the final
+    // ranking is a TakeOrdered, never a global sort of the pair table
+    // the exchange-reuse rule runs at execution, so pin the FINAL
+    // adaptive plan (the initial one still prints both unigram aggs)
+    val df = SparkEntry.queries("tx_collocations")(spark, sfDir)
+    df.queryExecution.toRdd.count()
+    // toString prints "== Final Plan ==" then "== Initial Plan ==";
+    // count joins in the final section only
+    val plan = df.queryExecution.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(!plan.contains("SortMergeJoin"),
+      s"tx_collocations sort-merges the corpus:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must TakeOrdered, not globally sort:\n$plan")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size == 2,
+      s"both unigram joins must broadcast:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"the second unigram join must reuse the first's exchange:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"tx_collocations plans $hashEx hash exchanges:\n$plan")
+  }
+
   test("ann_incremental: the store side never pays a nested-loop join") {
     // centroid assignment is a map-only literal fold; the only
     // nested-loop join allowed is the tiny broadcast centroid cross
