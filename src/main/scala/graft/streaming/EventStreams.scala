@@ -41,6 +41,16 @@ case class AnomState(hourUs: Long, hourN: Long,
 case class AnomOut(user_id: Long, window_start_us: Long, n: Long,
     z_e4: Long, is_anomaly: Boolean)
 
+/** Per-user online gap-fill state: the OPEN hour with its best (latest
+  * by (ts, event_id)) observation, plus the carry value from the last
+  * closed hour. Four numbers per key, independent of stream length.
+  */
+case class GapState(hourUs: Long, bestTsUs: Long, bestEventId: Long,
+    bestValue: Double)
+
+case class GapOut(user_id: Long, hour_us: Long, value: Double,
+    is_filled: Boolean)
+
 // Serializable: the flatMapGroupsWithState closures call the shared
 // microsOf and therefore capture this module; Spark ships the closure
 // to executors.
@@ -614,6 +624,60 @@ object EventStreams extends Serializable {
             val (o, folded) = close(userId, s)
             out += o
             folded.copy(hourUs = h, hourN = 1L)
+        })
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** STREAMING gap fill — the online twin of the batch densify+fill
+    * (Relational.q51GapFill): per-user flatMapGroupsWithState carries
+    * the OPEN hour's best observation (latest by (ts, event_id) — the
+    * same tie-break as the batch struct-max) and, when a later hour's
+    * event closes it, emits the closed hour's observed row followed by
+    * one forward-filled row per skipped hour. Cumulative emissions
+    * after any batch are exactly the batch twin's rows for every hour
+    * STRICTLY BEFORE the user's open hour (spec-asserted) — the open
+    * hour itself stays unemitted until an event closes it, because a
+    * later micro-batch may still improve its observation. State is
+    * four numbers per key regardless of stream length; cross-batch
+    * stragglers for already-closed hours are dropped (watermark
+    * semantics, like [[anomalyDetect]]) instead of rewriting history a
+    * downstream sink already consumed.
+    */
+  def gapFillStream(events: Dataset[Evt]): Dataset[GapOut] = {
+    import events.sparkSession.implicits._
+
+    def hourUsOf(ts: Timestamp): Long =
+      math.floorDiv(microsOf(ts), 3600000000L) * 3600000000L
+
+    def fn(userId: Long, evts: Iterator[Evt],
+        state: GroupState[GapState]): Iterator[GapOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[GapOut]
+      var st = state.getOption
+      evts.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val h = hourUsOf(e.ts)
+        val tUs = microsOf(e.ts)
+        st = Some(st match {
+          case None => GapState(h, tUs, e.event_id, e.value)
+          case Some(s) if h < s.hourUs => s // straggler: dropped
+          case Some(s) if s.hourUs == h =>
+            if (tUs > s.bestTsUs || (tUs == s.bestTsUs && e.event_id > s.bestEventId))
+              GapState(h, tUs, e.event_id, e.value)
+            else s
+          case Some(s) =>
+            out += GapOut(userId, s.hourUs, s.bestValue, is_filled = false)
+            var fh = s.hourUs + 3600000000L
+            while (fh < h) {
+              out += GapOut(userId, fh, s.bestValue, is_filled = true)
+              fh += 3600000000L
+            }
+            GapState(h, tUs, e.event_id, e.value)
         })
       }
       st.foreach(state.update)

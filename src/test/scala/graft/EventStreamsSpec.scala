@@ -73,6 +73,49 @@ class EventStreamsSpec extends SparkTestBase {
     assert(expect.nonEmpty)
   }
 
+  test("streaming gapFillStream matches the batch q51 twin on closed hours") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.gapFillStream(input.toDS())
+      .writeStream.format("memory").queryName("gapfill_out")
+      .outputMode("update").start()
+    val third = evs.length / 3
+    input.addData(evs.slice(0, third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(2 * third, evs.length).toSeq); q.processAllAvailable()
+    // cross-batch straggler for a long-closed hour: dropped, not
+    // re-emitted — downstream sinks already consumed that history
+    val n0 = spark.table("gapfill_out").count()
+    val victim = evs.maxBy(_.ts.getTime)
+    input.addData(Evt(-1L, new Timestamp(victim.ts.getTime - 48L * 3600 * 1000),
+      victim.user_id, "click", 99.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("gapfill_out").count() == n0, "straggler emitted rows")
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd HH:mm:ss")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val got = spark.table("gapfill_out").collect()
+      .map(r => ((r.getAs[Long]("user_id"),
+        fmt.format(new Timestamp(r.getAs[Long]("hour_us") / 1000))),
+        (r.getAs[Double]("value"), r.getAs[Boolean]("is_filled")))).toMap
+    // cumulative emissions = the batch twin minus each user's OPEN
+    // (final observed) hour, which stays unemitted until closed
+    val batch = operators.Relational.q51GapFill(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("user_id"), r.getAs[String]("hr")),
+        (r.getAs[Double]("value"), r.getAs[Boolean]("is_filled"))))
+    val lastHr = batch.groupBy(_._1._1).map { case (u, rs) => u -> rs.map(_._1._2).max }
+    val expect = batch.filter { case ((u, hr), _) => hr != lastHr(u) }.toMap
+    assert(got.size == expect.size,
+      s"row counts differ: got ${got.size} want ${expect.size}")
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"$k: got ${got.get(k)} want $v") }
+    assert(expect.count(_._2._2) > 0, "corpus produced no filled gaps")
+  }
+
   test("file-source stream: parquet drop directory feeds tumblingAgg") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
