@@ -978,7 +978,53 @@ object Relational {
       .orderBy(col("user_id"), col("hr"))
   }
 
+  /** §2.A round 10 — skyline / Pareto-frontier query (the
+    * "cheapest-and-biggest" multi-criteria shortlist — cost minimized,
+    * quantity maximized, strict dominance on both dims). The naive
+    * formulation is an O(n²) inequality anti-join; the 2-D
+    * window formulation (point survives iff its qty beats the running
+    * max over STRICTLY cheaper points) is exact but a GLOBAL sort. The
+    * scalable shape is FILTER-REFINE: per-part aggregate (one grouping
+    * shuffle), integer-cents cost bucketed against broadcast min/max
+    * stats (the q44 precedent), per-bucket max-qty (64 tiny rows)
+    * cumulated from the cheap side and broadcast back — any point
+    * whose qty falls below the strictly-cheaper-bucket cummax is
+    * dominated and dies MAP-SIDE; only the surviving staircase
+    * candidates (output-bounded, ~buckets × per-bucket ties) pay the
+    * exact global RANGE-window refine. All-integer: cents + floored
+    * quantity sums, so dominance is engine-exact.
+    */
+  val q52Skyline: Q = (s, d) => {
+    // ONE fact scan: the per-part aggregate is materialized
+    // (localCheckpoint — parts ≪ lineitems) and every downstream stage
+    // (stats, bucketing, bucket cummax, refine) reads the checkpoint
+    // instead of re-aggregating the fact table
+    val pts = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(expr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
+        expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
+      .localCheckpoint()
+    val stats = pts.agg(min(col("cost_c")).as("c_min"), max(col("cost_c")).as("c_max"))
+    val bucketed = pts.crossJoin(broadcast(stats))
+      .withColumn("bkt", expr("((cost_c - c_min) * 64) div (c_max - c_min + 1)"))
+      .select(col("l_partkey"), col("cost_c"), col("qty_l"), col("bkt"))
+    val cum = bucketed.groupBy(col("bkt")).agg(max(col("qty_l")).as("bqty"))
+      .withColumn("prev_bqty", max(col("bqty")).over(
+        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)))
+      .select(col("bkt"), col("prev_bqty"))
+    val survivors = bucketed
+      .join(broadcast(cum), Seq("bkt"))
+      .filter(col("prev_bqty").isNull || col("qty_l") >= col("prev_bqty"))
+    survivors
+      .withColumn("prev_max", max(col("qty_l")).over(
+        Window.orderBy(col("cost_c")).rangeBetween(Window.unboundedPreceding, -1)))
+      .filter(col("prev_max").isNull || col("prev_max") <= col("qty_l"))
+      .select(col("l_partkey"), col("cost_c"), col("qty_l"))
+      .orderBy(col("cost_c"), col("l_partkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q52_skyline" -> q52Skyline,
     "q50_interval_sweep" -> q50IntervalSweep,
     "q51_gap_fill" -> q51GapFill,
     "q49_freq_sketch" -> q49FreqSketch,
@@ -1092,6 +1138,16 @@ object Relational {
         |  min(value) AS min_v, max(value) AS max_v,
         |  floor(sum(value) * 100 + 0.5) / 100 AS sum_v
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q52_skyline" ->
+      """WITH pts AS (
+        |  SELECT l_partkey,
+        |    CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT) AS cost_c,
+        |    CAST(floor(sum(l_quantity) + 0.5) AS BIGINT) AS qty_l
+        |  FROM lineitem GROUP BY 1)
+        |SELECT p.l_partkey, p.cost_c, p.qty_l FROM pts p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM pts q WHERE q.cost_c < p.cost_c AND q.qty_l > p.qty_l)
+        |ORDER BY p.cost_c, p.l_partkey""".stripMargin,
     "q50_interval_sweep" ->
       """WITH ev AS (
         |  SELECT ts AS start_t,

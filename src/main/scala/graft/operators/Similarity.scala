@@ -607,7 +607,52 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** §2.D round 10 — HYBRID retrieval by reciprocal-rank fusion (the
+    * lexical+vector blend modern search runs: BM25 finds exact-term
+    * matches embeddings miss, the vector leg finds paraphrases BM25
+    * misses, and RRF — Cormack et al.'s rank-only fusion — combines
+    * them without score calibration). Legs are the EXISTING kernels,
+    * composed: tx_bm25's top-10 per query and the brute-cosine top-10
+    * for the query's embedding twin (vec_id = query_id = doc_id by
+    * corpus construction), full-outer-joined on (query, doc) so a doc
+    * ranked by only one leg still fuses. The fused score is all-integer
+    * — Σ ⌊10⁶/(60+rank)⌋ with the standard k=60 — so ordering is
+    * engine-exact with no float addition anywhere. Both legs end
+    * output-bounded (10 rows/query), so the fusion join is trivially
+    * broadcast at any corpus scale; the expensive work stays inside the
+    * legs' own scale-audited plans.
+    */
+  val annRrfFusion: Q = (s, d) => {
+    val lex = TextAnalysis.txBm25(s, d)
+      .select(col("query_id"), col("doc_id"), col("rank").as("r_lex"))
+    val emb = Tables.embeddings(s, d)
+    val qs = emb.filter(col("vec_id").between(1, 4))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val scoredSem = emb.crossJoin(broadcast(qs))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    val topSem = graft.plans.TopK.perKey(scoredSem,
+      keyCols = Seq("query_id"), orderCol = "raw_sim", tieCol = "vec_id", k = 10)
+    val wSem = Window.partitionBy(col("query_id"))
+      .orderBy(col("raw_sim").desc, col("vec_id"))
+    val sem = topSem.withColumn("r_sem", row_number().over(wSem).cast("long"))
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("r_sem"))
+    val wF = Window.partitionBy(col("query_id"))
+      .orderBy(col("rrf_e6").desc, col("doc_id"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        expr("coalesce(1000000 div (60 + r_lex), 0L) + coalesce(1000000 div (60 + r_sem), 0L)"))
+      .withColumn("rank", row_number().over(wF).cast("long"))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_e6"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_sem"), lit(0L)).as("r_sem"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_rrf_fusion" -> annRrfFusion,
     "ann_pq" -> annPq,
     "ann_pq_topk" -> annPqTopk,
     "ann_ivf_pq" -> annIvfPq,
@@ -662,6 +707,69 @@ object Similarity {
       |  WHERE rn = 1)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "ann_rrf_fusion" ->
+      """WITH terms AS (
+        |  SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
+        |    (CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'agg'),
+        |    (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'order'),
+        |    (CAST(3 AS BIGINT), 'query'),
+        |    (CAST(4 AS BIGINT), 'hash'), (CAST(4 AS BIGINT), 'table')
+        |  ) AS t(query_id, term)),
+        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+        |stats AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(w) AS term FROM docs) k
+        |  WHERE term IN (SELECT DISTINCT term FROM terms)
+        |  GROUP BY 1, 2),
+        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |scored AS (
+        |  SELECT t.query_id, f.doc_id,
+        |    CAST(sum(CAST(floor((s.n_docs * 1000000 // d.df) *
+        |      (f.tf * CAST(2.2 AS DOUBLE) /
+        |       (f.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * l.dl / s.avgdl)))
+        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
+        |  FROM tf f
+        |  JOIN dfs d ON f.term = d.term
+        |  JOIN terms t ON f.term = t.term
+        |  JOIN dls l ON f.doc_id = l.doc_id
+        |  CROSS JOIN stats s
+        |  GROUP BY 1, 2),
+        |lex AS (
+        |  SELECT query_id, doc_id, rank AS r_lex FROM (
+        |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+        |      ORDER BY score_e6 DESC, doc_id) AS rank
+        |    FROM scored) x WHERE rank <= 10),
+        |sem AS (
+        |  SELECT query_id, neighbor_id AS doc_id, rank AS r_sem FROM (
+        |    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+        |                   CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rank
+        |    FROM embeddings e
+        |    CROSS JOIN (SELECT * FROM embeddings WHERE vec_id BETWEEN 1 AND 4) q
+        |    WHERE e.vec_id <> q.vec_id) t
+        |  WHERE rank <= 10),
+        |fused AS (
+        |  SELECT coalesce(l.query_id, s.query_id) AS query_id,
+        |         coalesce(l.doc_id, s.doc_id) AS doc_id, l.r_lex, s.r_sem
+        |  FROM lex l FULL JOIN sem s
+        |    ON l.query_id = s.query_id AND l.doc_id = s.doc_id)
+        |SELECT query_id, rank, doc_id, rrf_e6,
+        |  coalesce(r_lex, 0) AS r_lex, coalesce(r_sem, 0) AS r_sem
+        |FROM (
+        |  SELECT query_id, doc_id, r_lex, r_sem,
+        |    coalesce(1000000 // (60 + r_lex), 0) +
+        |      coalesce(1000000 // (60 + r_sem), 0) AS rrf_e6,
+        |    row_number() OVER (PARTITION BY query_id
+        |      ORDER BY (coalesce(1000000 // (60 + r_lex), 0) +
+        |                coalesce(1000000 // (60 + r_sem), 0)) DESC, doc_id) AS rank
+        |  FROM fused) f
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "ann_pq" ->
       s"""WITH $pqCwCte,
         |best AS (

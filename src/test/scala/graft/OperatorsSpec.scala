@@ -1017,6 +1017,72 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.toSeq == expect, s"top-30 differs: got ${got.take(3).toSeq} want ${expect.take(3)}")
   }
 
+  test("q52_skyline matches brute-force dominance and forms a staircase") {
+    val pts = sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey"))
+      .agg(expr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
+        expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("cost_c"), r.getAs[Long]("qty_l")))
+    // brute-force strict dominance: p survives iff no q is strictly
+    // cheaper AND strictly bigger
+    val expect = pts.filter { case (_, c, q) =>
+      !pts.exists { case (_, c2, q2) => c2 < c && q2 > q }
+    }.sortBy { case (k, c, _) => (c, k) }.toSeq
+    val got = SparkEntry.queries("q52_skyline")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("cost_c"), r.getAs[Long]("qty_l")))
+      .toSeq
+    assert(got == expect, s"skyline differs: got ${got.take(3)} want ${expect.take(3)}")
+    assert(got.nonEmpty)
+    // the frontier is a staircase: pay more, get at least as much
+    got.sliding(2).foreach {
+      case Seq((_, c1, q1), (_, c2, q2)) =>
+        assert(c1 <= c2 && q1 <= q2, s"not a staircase: ($c1,$q1) then ($c2,$q2)")
+      case _ =>
+    }
+  }
+
+  test("ann_rrf_fusion matches a driver fusion of its two leg rankings") {
+    import graft.functions.VectorFunctions.cosineSim
+    val lex = operators.TextAnalysis.txBm25(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("rank"))
+      .toMap
+    // semantic leg recomputed independently: driver cosine over the
+    // collected embeddings, ranked with the same (sim desc, id) order
+    val emb = sources.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getSeq[Float](1).toArray)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val sem = (1L to 4L).flatMap { q =>
+      val qe = emb.find(_._1 == q).get._2
+      emb.filter(_._1 != q)
+        .map { case (id, e) => (id, cos(qe, e)) }
+        .sortBy { case (id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((id, _), i) => (q, id) -> (i + 1).toLong }
+    }.toMap
+    val expect = (1L to 4L).flatMap { q =>
+      val docs = (lex.keySet ++ sem.keySet).filter(_._1 == q).map(_._2)
+      docs.map { d =>
+        val rl = lex.get((q, d)); val rs = sem.get((q, d))
+        val rrf = rl.map(r => 1000000L / (60 + r)).getOrElse(0L) +
+          rs.map(r => 1000000L / (60 + r)).getOrElse(0L)
+        (q, d, rrf, rl.getOrElse(0L), rs.getOrElse(0L))
+      }.toSeq.sortBy { case (_, d, rrf, _, _) => (-rrf, d) }.take(10).zipWithIndex
+        .map { case ((qq, d, rrf, rl, rs), i) => (qq, (i + 1).toLong, d, rrf, rl, rs) }
+    }.toSet
+    val got = SparkEntry.queries("ann_rrf_fusion")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rrf_e6"), r.getAs[Long]("r_lex"), r.getAs[Long]("r_sem"))).toSet
+    assert(got == expect,
+      s"fusion differs: extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+    // the fusion must actually blend: some fused doc carries both ranks
+    assert(got.exists(t => t._5 > 0 && t._6 > 0), "no doc ranked by both legs")
+  }
+
   test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
     val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
     assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt

@@ -274,6 +274,36 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 3, s"tx_collocations plans $hashEx hash exchanges:\n$plan")
   }
 
+  test("q52_skyline: the global refine window only sees prefiltered survivors") {
+    // the exact 2-D refine is a SinglePartition RANGE window — legal
+    // only because the broadcast bucket-cummax prefilter kills
+    // dominated points MAP-SIDE first. The plan must show the refine
+    // exchange ABOVE the prefilter join (root-first text: exchange
+    // index < join index), and the fact table must be aggregated once
+    // (the checkpointed per-part aggregate replaces any FileScan)
+    val plan = planOf("q52_skyline")
+    assert(plan.contains("prev_bqty"),
+      s"bucket-cummax prefilter missing from:\n$plan")
+    val idxWin = plan.indexOf("Exchange SinglePartition")
+    val idxJoin = plan.indexOf("BroadcastHashJoin")
+    assert(idxWin >= 0 && idxJoin >= 0 && idxWin < idxJoin,
+      s"refine window is not downstream of the prefilter join:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"skyline re-scans the fact table past the checkpointed aggregate:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbounded product in:\n$plan")
+  }
+
+  test("ann_rrf_fusion: both legs end in bounded top-k before the fusion join") {
+    // the fusion join runs over two 10-rows-per-query legs; the
+    // semantic leg must select through the bounded-heap TopK operator
+    // (k rows per partition reach the shuffle) and the lexical leg
+    // through tx_bm25's own TopK — never a full-corpus window sort
+    val plan = planOf("ann_rrf_fusion")
+    assert("TopK(Partial|Final)".r.findAllIn(plan).nonEmpty,
+      s"expected the bounded-heap TopK operator in:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unbounded product in:\n$plan")
+  }
+
   test("ann_incremental: the store side never pays a nested-loop join") {
     // centroid assignment is a map-only literal fold; the only
     // nested-loop join allowed is the tiny broadcast centroid cross
