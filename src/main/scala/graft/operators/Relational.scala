@@ -913,12 +913,19 @@ object Relational {
     * Output: per hour, the max concurrency observed at a boundary
     * event and the boundary count — all-integer.
     */
-  val q50IntervalSweep: Q = (s, d) => {
-    val ev = Tables.events(s, d)
+  val q50IntervalSweep: Q = (s, d) =>
+    intervalSweep(Tables.events(s, d)
       .withColumn("dur_min", pmod(floor(col("value")).cast("int"), lit(30)) + lit(1))
       .withColumn("start_t", col("ts"))
-      .withColumn("end_t", expr("timestampadd(MINUTE, dur_min, ts)"))
-    val seg = ev
+      .withColumn("end_t", expr("timestampadd(MINUTE, dur_min, ts)")))
+
+  /** The sweep kernel behind [[q50IntervalSweep]], over caller-supplied
+    * half-open [start_t, end_t) interval columns — extracted so the
+    * property spec can drive it with adversarial random intervals
+    * (exact-midnight boundaries, multi-day spans, ties).
+    */
+  private[graft] def intervalSweep(intervals: DataFrame): DataFrame = {
+    val seg = intervals
       .select(col("start_t"), col("end_t"),
         explode(expr("sequence(to_date(start_t), to_date(end_t))")).as("day"))
       .select(col("day"),
@@ -994,20 +1001,29 @@ object Relational {
     * exact global RANGE-window refine. All-integer: cents + floored
     * quantity sums, so dominance is engine-exact.
     */
-  val q52Skyline: Q = (s, d) => {
+  val q52Skyline: Q = (s, d) =>
     // ONE fact scan: the per-part aggregate is materialized
     // (localCheckpoint — parts ≪ lineitems) and every downstream stage
     // (stats, bucketing, bucket cummax, refine) reads the checkpoint
     // instead of re-aggregating the fact table
-    val pts = Tables.lineitem(s, d)
-      .groupBy(col("l_partkey"))
+    skyline(Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("id"))
       .agg(expr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
         expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
-      .localCheckpoint()
+      .localCheckpoint())
+      .withColumnRenamed("id", "l_partkey")
+
+  /** The filter-refine kernel behind [[q52Skyline]], over caller-
+    * supplied (id, cost_c, qty_l) points — extracted so the property
+    * spec can drive it with adversarial random point sets (duplicate
+    * points, all-equal costs, single buckets). Strict dominance on
+    * both dims; caller materializes the input (it is read four times).
+    */
+  private[graft] def skyline(pts: DataFrame): DataFrame = {
     val stats = pts.agg(min(col("cost_c")).as("c_min"), max(col("cost_c")).as("c_max"))
     val bucketed = pts.crossJoin(broadcast(stats))
       .withColumn("bkt", expr("((cost_c - c_min) * 64) div (c_max - c_min + 1)"))
-      .select(col("l_partkey"), col("cost_c"), col("qty_l"), col("bkt"))
+      .select(col("id"), col("cost_c"), col("qty_l"), col("bkt"))
     val cum = bucketed.groupBy(col("bkt")).agg(max(col("qty_l")).as("bqty"))
       .withColumn("prev_bqty", max(col("bqty")).over(
         Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)))
@@ -1019,8 +1035,8 @@ object Relational {
       .withColumn("prev_max", max(col("qty_l")).over(
         Window.orderBy(col("cost_c")).rangeBetween(Window.unboundedPreceding, -1)))
       .filter(col("prev_max").isNull || col("prev_max") <= col("qty_l"))
-      .select(col("l_partkey"), col("cost_c"), col("qty_l"))
-      .orderBy(col("cost_c"), col("l_partkey"))
+      .select(col("id"), col("cost_c"), col("qty_l"))
+      .orderBy(col("cost_c"), col("id"))
   }
 
   val queries: Map[String, Q] = Map(
