@@ -1039,7 +1039,40 @@ object Relational {
       .orderBy(col("cost_c"), col("id"))
   }
 
+  /** §2.A round 10 — weighted PRIORITY sampling per stratum (the
+    * Duffield-Lund-Thorup bottom-k scheme behind weighted telemetry
+    * and training-mix subsampling: inclusion odds ∝ weight, heavy
+    * items near-certain, estimator-friendly). Priority = w/u with u a
+    * per-key uniform; both are INTEGERS here — u from the shared
+    * arithmetic hash the stratified sampler already uses on both
+    * engines (no float, no engine-specific xxhash), priority via one
+    * truncating division — so the sample is deterministic and
+    * engine-exact. Selection composes the custom bounded-heap TopK
+    * operator: only k candidates per (stratum, partition) reach the
+    * shuffle, never a per-stratum sort of the fact table.
+    */
+  val q53PrioritySample: Q = (s, d) => {
+    val weighted = Tables.orders(s, d)
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("w_e2"))
+      .withColumn("u_int",
+        expr("((o_orderkey % 1000003) * 2654435761) % 1048576 + 1"))
+      .withColumn("priority_q", expr("(w_e2 * 1048576) div u_int"))
+    val top = graft.plans.TopK.perKey(
+      weighted.select(col("o_orderpriority"), col("o_orderkey"),
+        col("w_e2"), col("priority_q")),
+      keyCols = Seq("o_orderpriority"), orderCol = "priority_q",
+      tieCol = "o_orderkey", k = 50)
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("priority_q").desc, col("o_orderkey"))
+    top.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("o_orderpriority"), col("rank"), col("o_orderkey"),
+        col("w_e2"), col("priority_q"))
+      .orderBy(col("o_orderpriority"), col("rank"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q53_priority_sample" -> q53PrioritySample,
     "q52_skyline" -> q52Skyline,
     "q50_interval_sweep" -> q50IntervalSweep,
     "q51_gap_fill" -> q51GapFill,
@@ -1154,6 +1187,18 @@ object Relational {
         |  min(value) AS min_v, max(value) AS max_v,
         |  floor(sum(value) * 100 + 0.5) / 100 AS sum_v
         |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_priority_sample" ->
+      """SELECT o_orderpriority, rank, o_orderkey, w_e2, priority_q FROM (
+        |  SELECT o_orderpriority, o_orderkey, w_e2, priority_q,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY priority_q DESC, o_orderkey) AS rank
+        |  FROM (
+        |    SELECT o_orderpriority, o_orderkey,
+        |      CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_e2,
+        |      (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) * 1048576) //
+        |        (((o_orderkey % 1000003) * 2654435761) % 1048576 + 1) AS priority_q
+        |    FROM orders) t) x
+        |WHERE rank <= 50 ORDER BY o_orderpriority, rank""".stripMargin,
     "q52_skyline" ->
       """WITH pts AS (
         |  SELECT l_partkey,

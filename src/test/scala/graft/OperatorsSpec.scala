@@ -1083,6 +1083,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.exists(t => t._5 > 0 && t._6 > 0), "no doc ranked by both legs")
   }
 
+  test("q53_priority_sample matches a driver recount and biases toward heavy rows") {
+    val orders = sources.Tables.orders(spark, sfDir)
+      .select(col("o_orderpriority"), col("o_orderkey"), col("o_totalprice")).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("o_orderkey"),
+        r.getAs[Double]("o_totalprice")))
+    val expect = orders.map { case (p, k, tp) =>
+      val w = math.floor(tp * 100 + 0.5).toLong
+      val u = ((k % 1000003L) * 2654435761L) % 1048576L + 1L
+      (p, k, w, w * 1048576L / u)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy { case (_, k, _, pr) => (-pr, k) }.take(50).zipWithIndex
+        .map { case ((p, k, w, pr), i) => (p, (i + 1).toLong, k, w, pr) }
+    }.toSet
+    val got = SparkEntry.queries("q53_priority_sample")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("o_orderpriority"), r.getAs[Long]("rank"),
+        r.getAs[Long]("o_orderkey"), r.getAs[Long]("w_e2"),
+        r.getAs[Long]("priority_q"))).toSet
+    assert(got == expect,
+      s"sample differs: extra=${(got -- expect).take(3)} missing=${(expect -- got).take(3)}")
+    // weighted sampling must overrepresent heavy rows: the sampled
+    // mean weight exceeds the corpus mean (priority = w/u makes heavy
+    // rows near-certain picks)
+    val corpusMean = orders.map(o => math.floor(o._3 * 100 + 0.5)).sum / orders.length
+    val sampleMean = got.toSeq.map(_._4.toDouble).sum / got.size
+    assert(sampleMean > corpusMean,
+      s"no weight bias: sample mean $sampleMean vs corpus mean $corpusMean")
+  }
+
   test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
     val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
     assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt

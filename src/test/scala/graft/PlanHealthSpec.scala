@@ -304,6 +304,21 @@ class PlanHealthSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"), s"unbounded product in:\n$plan")
   }
 
+  test("q53_priority_sample: selection is bounded-heap, never a fact-table sort") {
+    // the per-stratum weighted pick must run through the TopK operator
+    // (k candidates per partition reach the shuffle); the only Window
+    // is the rank label over k×strata survivor rows — a Window whose
+    // input is the fact scan would mean the sample regressed to a
+    // per-stratum full sort
+    val plan = planOf("q53_priority_sample")
+    assert("TopK(Partial|Final)".r.findFirstIn(plan).isDefined,
+      s"expected the bounded-heap TopK operator in:\n$plan")
+    val idxWin = plan.indexOf("Window")
+    val idxTopK = "TopK(Partial|Final)".r.findFirstMatchIn(plan).get.start
+    assert(idxWin >= 0 && idxWin < idxTopK,
+      s"the rank window must sit above the TopK selection:\n$plan")
+  }
+
   test("ann_incremental: the store side never pays a nested-loop join") {
     // centroid assignment is a map-only literal fold; the only
     // nested-loop join allowed is the tiny broadcast centroid cross
