@@ -1212,7 +1212,7 @@ object Relational {
     "q50_interval_sweep" ->
       """WITH ev AS (
         |  SELECT ts AS start_t,
-        |         ts + ((CAST(floor(value) AS INT) % 30 + 1) * INTERVAL 1 MINUTE) AS end_t
+        |         ts + (((CAST(floor(value) AS INT) % 30 + 30) % 30 + 1) * INTERVAL 1 MINUTE) AS end_t
         |  FROM events),
         |seg AS (
         |  SELECT CAST(d AS DATE) AS day,

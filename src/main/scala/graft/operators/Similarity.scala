@@ -708,37 +708,7 @@ object Similarity {
 
   val oracles: Map[String, String] = Map(
     "ann_rrf_fusion" ->
-      """WITH terms AS (
-        |  SELECT * FROM (VALUES
-        |    (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
-        |    (CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'agg'),
-        |    (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'order'),
-        |    (CAST(3 AS BIGINT), 'query'),
-        |    (CAST(4 AS BIGINT), 'hash'), (CAST(4 AS BIGINT), 'table')
-        |  ) AS t(query_id, term)),
-        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(w) AS term FROM docs) k
-        |  WHERE term IN (SELECT DISTINCT term FROM terms)
-        |  GROUP BY 1, 2),
-        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT t.query_id, f.doc_id,
-        |    CAST(sum(CAST(floor((s.n_docs * 1000000 // d.df) *
-        |      (f.tf * CAST(2.2 AS DOUBLE) /
-        |       (f.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * l.dl / s.avgdl)))
-        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
-        |  FROM tf f
-        |  JOIN dfs d ON f.term = d.term
-        |  JOIN terms t ON f.term = t.term
-        |  JOIN dls l ON f.doc_id = l.doc_id
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2),
+      s"""WITH ${TextAnalysis.bm25ScoredCte},
         |lex AS (
         |  SELECT query_id, doc_id, rank AS r_lex FROM (
         |    SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id

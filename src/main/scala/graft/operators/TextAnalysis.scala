@@ -739,9 +739,15 @@ object TextAnalysis {
       .join(broadcast(uni.withColumnRenamed("w", "w2")
         .withColumnRenamed("n_w", "n_b")), Seq("w2"))
       .crossJoin(broadcast(total))
+      // division-first keeps every intermediate in Long at web scale:
+      // n_ab ≤ n_a always, so (n_ab·10⁶ div n_a) ≤ 10⁶ and the product
+      // with total_n overflows only past ~9.2e12 corpus tokens (~37 TB
+      // of text) — the naive n_ab·N·10⁶ ordering wrapped ~10⁵× sooner,
+      // silently in Spark's non-ANSI multiply. The e6 ratio keeps
+      // 10⁻⁶ relative precision; the oracle mirrors the same order.
       .select(concat(col("w1"), lit(" "), col("w2")).as("bigram"),
         col("n_ab"),
-        expr("(n_ab * total_n * 1000000L) div (n_a * n_b)").as("lift_e6"))
+        expr("((n_ab * 1000000L) div n_a) * total_n div n_b").as("lift_e6"))
       .orderBy(col("lift_e6").desc, col("n_ab").desc, col("bigram"))
       .limit(30)
   }
@@ -771,6 +777,46 @@ object TextAnalysis {
     "tx_quality" -> txQuality,
     "tx_tokens" -> txTokens,
     "tx_fingerprint" -> txFingerprint)
+
+  /** The BM25 derivation (query terms → per-(query, doc) integer
+    * score_e6) as a DuckDB CTE chain — ONE definition shared by the
+    * tx_bm25 oracle and ann_rrf_fusion's lexical-leg oracle, so a
+    * scoring change (constants, rounding) can never silently desync
+    * the fused operator's oracle. Terminates with the `scored` CTE;
+    * interpolate after WITH and add the ranking on top.
+    */
+  private[operators] val bm25ScoredCte: String =
+    """terms AS (
+      |  SELECT * FROM (VALUES
+      |    (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
+      |    (CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'agg'),
+      |    (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'order'),
+      |    (CAST(3 AS BIGINT), 'query'),
+      |    (CAST(4 AS BIGINT), 'hash'), (CAST(4 AS BIGINT), 'table')
+      |  ) AS t(query_id, term)),
+      |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
+      |stats AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
+      |tf AS (
+      |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      |  FROM (SELECT doc_id, unnest(w) AS term FROM docs) k
+      |  WHERE term IN (SELECT DISTINCT term FROM terms)
+      |  GROUP BY 1, 2),
+      |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+      |scored AS (
+      |  SELECT t.query_id, f.doc_id,
+      |    CAST(sum(CAST(floor((s.n_docs * 1000000 // d.df) *
+      |      (f.tf * CAST(2.2 AS DOUBLE) /
+      |       (f.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * l.dl / s.avgdl)))
+      |      + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
+      |  FROM tf f
+      |  JOIN dfs d ON f.term = d.term
+      |  JOIN terms t ON f.term = t.term
+      |  JOIN dls l ON f.doc_id = l.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "tx_char_diversity" ->
@@ -805,7 +851,7 @@ object TextAnalysis {
         |  FROM (SELECT string_split(text, ' ') AS toks FROM documents) x),
         |bi AS (SELECT bigram, CAST(count(*) AS BIGINT) AS n_ab FROM bg GROUP BY 1 HAVING count(*) >= 20)
         |SELECT b.bigram, b.n_ab,
-        |  (b.n_ab * t.total_n * 1000000) // (ua.n_w * ub.n_w) AS lift_e6
+        |  ((b.n_ab * 1000000) // ua.n_w) * t.total_n // ub.n_w AS lift_e6
         |FROM bi b
         |JOIN uni ua ON ua.w = split_part(b.bigram, ' ', 1)
         |JOIN uni ub ON ub.w = split_part(b.bigram, ' ', 2)
@@ -852,37 +898,7 @@ object TextAnalysis {
         | FROM documents) t
         |ORDER BY doc_id""".stripMargin,
     "tx_bm25" ->
-      """WITH terms AS (
-        |  SELECT * FROM (VALUES
-        |    (CAST(1 AS BIGINT), 'spark'), (CAST(1 AS BIGINT), 'join'),
-        |    (CAST(2 AS BIGINT), 'window'), (CAST(2 AS BIGINT), 'agg'),
-        |    (CAST(3 AS BIGINT), 'customer'), (CAST(3 AS BIGINT), 'order'),
-        |    (CAST(3 AS BIGINT), 'query'),
-        |    (CAST(4 AS BIGINT), 'hash'), (CAST(4 AS BIGINT), 'table')
-        |  ) AS t(query_id, term)),
-        |docs AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |dls AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM docs),
-        |stats AS (
-        |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
-        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dls),
-        |tf AS (
-        |  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
-        |  FROM (SELECT doc_id, unnest(w) AS term FROM docs) k
-        |  WHERE term IN (SELECT DISTINCT term FROM terms)
-        |  GROUP BY 1, 2),
-        |dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
-        |scored AS (
-        |  SELECT t.query_id, f.doc_id,
-        |    CAST(sum(CAST(floor((s.n_docs * 1000000 // d.df) *
-        |      (f.tf * CAST(2.2 AS DOUBLE) /
-        |       (f.tf + CAST(1.2 AS DOUBLE) * (0.25 + 0.75 * l.dl / s.avgdl)))
-        |      + 0.5) AS BIGINT)) AS BIGINT) AS score_e6
-        |  FROM tf f
-        |  JOIN dfs d ON f.term = d.term
-        |  JOIN terms t ON f.term = t.term
-        |  JOIN dls l ON f.doc_id = l.doc_id
-        |  CROSS JOIN stats s
-        |  GROUP BY 1, 2)
+      s"""WITH $bm25ScoredCte
         |SELECT query_id, rank, doc_id, score_e6 FROM (
         |  SELECT query_id, doc_id, score_e6,
         |    row_number() OVER (PARTITION BY query_id

@@ -913,17 +913,24 @@ class OperatorsSpec extends SparkTestBase {
       .map { r =>
         val ts = r.getTimestamp(0)
         val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
-        (us, us + (math.floor(r.getDouble(1)).toLong % 30 + 1) * 60000000L)
+        (us, us + (math.floorMod(math.floor(r.getDouble(1)).toLong, 30L) + 1) * 60000000L)
       }
     val pts = evs.flatMap { case (s, e) =>
       (s / DayUs to e / DayUs).flatMap { day =>
         Seq((day, math.max(s, day * DayUs), 1), (day, math.min(e, (day + 1) * DayUs), -1))
       }
     }
+    // peer-group-exact replay: the SQL RANGE frame gives every member
+    // of a tied (t, delta) group the sum INCLUDING the whole group, so
+    // the replay folds per group, not per row (the property spec's
+    // pattern — a row-at-a-time sum over-reports tied −1 groups)
     val expect = pts.groupBy(_._1).toSeq.flatMap { case (day, ps) =>
       var c = 0L
-      ps.sortBy(p => (p._2, p._3))
-        .map { case (_, t, d) => c += d; (t, c) }
+      ps.groupBy(p => (p._2, p._3)).toSeq.sortBy(_._1)
+        .flatMap { case ((t, dlt), grp) =>
+          c += dlt.toLong * grp.size
+          grp.map(_ => (t, c))
+        }
         .filter { case (t, _) => t / DayUs == day }
         .groupBy { case (t, _) => (day, (t % DayUs) / 3600000000L) }
         .map { case ((d, hr), g) =>
@@ -931,11 +938,6 @@ class OperatorsSpec extends SparkTestBase {
           ((dayStr, hr), (g.map(_._2).max, g.size.toLong))
         }
     }.toMap
-    // the per-day prefix sum above visits ties one row at a time where
-    // the SQL RANGE frame includes all peers — reconcile by taking the
-    // peer-group max per (t, delta) before comparing... instead assert
-    // on the hour grain, where the max over a peer group equals the max
-    // over its last member (the running sum peaks at the final +1 peer)
     assert(out.keySet == expect.keySet,
       s"hour keys differ: ${(out.keySet -- expect.keySet).take(3)} / ${(expect.keySet -- out.keySet).take(3)}")
     out.foreach { case (k, (mx, nb)) =>
@@ -1010,7 +1012,7 @@ class OperatorsSpec extends SparkTestBase {
     val total = uni.values.sum
     val expect = bi.toSeq.filter(_._2 >= 20)
       .map { case ((a, b), nab) =>
-        (s"$a $b", nab, nab * total * 1000000L / (uni(a) * uni(b))) }
+        (s"$a $b", nab, nab * 1000000L / uni(a) * total / uni(b)) }
       .sortBy { case (bg, nab, lift) => (-lift, -nab, bg) }.take(30)
     val got = SparkEntry.queries("tx_collocations")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("n_ab"), r.getAs[Long]("lift_e6")))
@@ -1034,10 +1036,14 @@ class OperatorsSpec extends SparkTestBase {
       .toSeq
     assert(got == expect, s"skyline differs: got ${got.take(3)} want ${expect.take(3)}")
     assert(got.nonEmpty)
-    // the frontier is a staircase: pay more, get at least as much
+    // the frontier is a staircase ACROSS distinct costs: pay strictly
+    // more, get at least as much. Tied-cost points both survive strict
+    // dominance with any qty order, so the check applies only when the
+    // cost strictly increases.
     got.sliding(2).foreach {
       case Seq((_, c1, q1), (_, c2, q2)) =>
-        assert(c1 <= c2 && q1 <= q2, s"not a staircase: ($c1,$q1) then ($c2,$q2)")
+        assert(c1 <= c2 && (c1 == c2 || q1 <= q2),
+          s"not a staircase: ($c1,$q1) then ($c2,$q2)")
       case _ =>
     }
   }
