@@ -51,6 +51,23 @@ case class GapState(hourUs: Long, bestTsUs: Long, bestEventId: Long,
 case class GapOut(user_id: Long, hour_us: Long, value: Double,
     is_filled: Boolean)
 
+/** A day-clipped interval boundary: `emittable` marks boundaries whose
+  * instant falls inside the tagged day (a clipped end at next-day
+  * midnight participates in the running count but never in output —
+  * the batch twin's date filter).
+  */
+case class Bnd(day: Long, t_us: Long, delta: Int, emittable: Boolean)
+
+/** Per-day sweep state: concurrency entering the open hour plus the
+  * open hour's buffered boundaries — bounded by one hour of
+  * boundaries per day key, never the stream.
+  */
+case class SweepState(openHourUs: Long, concAtHourStart: Long,
+    buf: List[(Long, Int, Boolean)])
+
+case class SweepOut(day: String, hr: Long, max_concurrency: Long,
+    n_boundaries: Long)
+
 // Serializable: the flatMapGroupsWithState closures call the shared
 // microsOf and therefore capture this module; Spark ships the closure
 // to executors.
@@ -686,6 +703,91 @@ object EventStreams extends Serializable {
 
     events
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Day-clipped boundary stream for [[sweepStream]]: the same
+    * interval derivation as the batch twin (dur = floorMod(⌊value⌋,
+    * 30)+1 minutes, half-open, split at day boundaries), emitted as
+    * ±1 boundary rows tagged with their day partition key.
+    */
+  def intervalBoundaries(events: Dataset[Evt]): Dataset[Bnd] = {
+    import events.sparkSession.implicits._
+    val DayUs = 86400000000L
+    events.flatMap { e =>
+      val s = microsOf(e.ts)
+      val en = s + (math.floorMod(math.floor(e.value).toLong, 30L) + 1) * 60000000L
+      (s / DayUs to en / DayUs).flatMap { day =>
+        val segS = math.max(s, day * DayUs)
+        val segE = math.min(en, (day + 1) * DayUs)
+        Seq(Bnd(day, segS, 1, segS / DayUs == day),
+          Bnd(day, segE, -1, segE / DayUs == day))
+      }
+    }
+  }
+
+  /** STREAMING interval-concurrency sweep — the online twin of the
+    * batch day-partitioned sweep (Relational.q50IntervalSweep): per-day
+    * flatMapGroupsWithState carries the concurrency entering the OPEN
+    * hour plus that hour's buffered boundaries; when a later hour's
+    * boundary arrives, the open hour finalizes — boundaries fold in
+    * (t, delta) order with exact RANGE-frame peer-group semantics (all
+    * members of a tied group carry the sum including the group) — and
+    * its (max, count) row emits. Within-hour late arrivals are
+    * TOLERATED (the buffer absorbs them until the hour closes); a
+    * straggler for an already-finalized hour is dropped, the
+    * [[anomalyDetect]] watermark contract — unlike a count or a fill,
+    * a dropped ±1 would bias every later level, which is exactly why
+    * the open hour buffers instead of folding eagerly. State is one
+    * hour of boundaries per day key, independent of stream length;
+    * cumulative emissions equal the batch twin minus each day's open
+    * hour (spec-asserted on the real corpus).
+    */
+  def sweepStream(bounds: Dataset[Bnd]): Dataset[SweepOut] = {
+    import bounds.sparkSession.implicits._
+    val HourUs = 3600000000L
+    val DayUs = 86400000000L
+
+    def finalize(day: Long, st: SweepState): (Option[SweepOut], Long) = {
+      var c = st.concAtHourStart
+      val folded = st.buf.groupBy(b => (b._1, b._2)).toSeq.sortBy(_._1)
+        .flatMap { case ((_, d), grp) =>
+          c += d.toLong * grp.size
+          grp.map(g => (c, g._3))
+        }
+      val emittable = folded.filter(_._2)
+      val out =
+        if (emittable.isEmpty) None
+        else Some(SweepOut(
+          java.time.LocalDate.ofEpochDay(day).toString,
+          (st.openHourUs % DayUs) / HourUs,
+          emittable.map(_._1).max, emittable.size.toLong))
+      (out, c)
+    }
+
+    def fn(day: Long, bs: Iterator[Bnd],
+        state: GroupState[SweepState]): Iterator[SweepOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SweepOut]
+      var st = state.getOption
+      bs.toSeq.sortBy(b => (b.t_us, b.delta)).foreach { b =>
+        val h = (b.t_us / HourUs) * HourUs
+        st = Some(st match {
+          case None => SweepState(h, 0L, List((b.t_us, b.delta, b.emittable)))
+          case Some(s) if h < s.openHourUs => s // straggler: dropped
+          case Some(s) if h == s.openHourUs =>
+            s.copy(buf = (b.t_us, b.delta, b.emittable) :: s.buf)
+          case Some(s) =>
+            val (o, c) = finalize(day, s)
+            o.foreach(out += _)
+            SweepState(h, c, List((b.t_us, b.delta, b.emittable)))
+        })
+      }
+      st.foreach(state.update)
+      out.iterator
+    }
+
+    bounds
+      .groupByKey(_.day)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 

@@ -116,6 +116,49 @@ class EventStreamsSpec extends SparkTestBase {
     assert(expect.count(_._2._2) > 0, "corpus produced no filled gaps")
   }
 
+  test("streaming sweepStream matches the batch q50 twin on closed hours") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().toSeq
+    val bnds = EventStreams.intervalBoundaries(spark.createDataset(evs))
+      .collect().sortBy(b => (b.t_us, b.delta)).toSeq
+    val input = MemoryStream[graft.streaming.Bnd]
+    val q = EventStreams.sweepStream(input.toDS())
+      .writeStream.format("memory").queryName("sweep_out")
+      .outputMode("update").start()
+    val third = bnds.length / 3
+    input.addData(bnds.slice(0, third)); q.processAllAvailable()
+    input.addData(bnds.slice(third, 2 * third)); q.processAllAvailable()
+    input.addData(bnds.slice(2 * third, bnds.length)); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sweep_out").collect()
+      .map(r => ((r.getAs[String]("day"), r.getAs[Long]("hr")),
+        (r.getAs[Long]("max_concurrency"), r.getAs[Long]("n_boundaries")))).toMap
+    // an hour is CLOSED once any boundary (emittable or not — the
+    // clipped midnight end counts) lands in a later hour bucket of the
+    // same day key; cumulative emissions must equal the batch twin on
+    // exactly those hours
+    val HourUs = 3600000000L
+    val maxBucket = bnds.groupBy(_.day)
+      .map { case (d, bs) => d -> bs.map(_.t_us / HourUs).max }
+    val expect = operators.Relational.q50IntervalSweep(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("day"), r.getAs[Long]("hr")),
+        (r.getAs[Long]("max_concurrency"), r.getAs[Long]("n_boundaries"))))
+      .filter { case ((dayStr, hr), _) =>
+        val day = java.time.LocalDate.parse(dayStr).toEpochDay
+        day * 24 + hr < maxBucket(day)
+      }.toMap
+    assert(got.size == expect.size,
+      s"row counts differ: got ${got.size} want ${expect.size} " +
+        s"extra=${(got.keySet -- expect.keySet).take(3)}")
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"$k: got ${got.get(k)} want $v") }
+    assert(expect.size > 500, "corpus closed too few hours to be meaningful")
+  }
+
   test("file-source stream: parquet drop directory feeds tumblingAgg") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_in").toString
