@@ -905,9 +905,12 @@ object Relational {
     * to the day), sweep per day with a day-partitioned running-sum
     * window, and drop the clipped end-boundary that falls on the next
     * day. Per-day sweeps start from zero by construction, so the
-    * day-local running sum IS the global concurrency — the partition
-    * granularity (day here) is a free parameter; denser data
-    * partitions by hour with the same clipping. At equal timestamps
+    * day-local running sum IS the global concurrency. Denser data
+    * clips at hour grain with the same construction — concurrency
+    * values stay exact at any grain; note the boundary-event OUTPUT
+    * rows are grain-tagged (finer clipping adds synthetic re-open
+    * boundaries at its cut points, which join the per-hour counts the
+    * way the midnight re-opens do here). At equal timestamps
     * the −1 sorts before the +1 (half-open semantics) and the default
     * RANGE frame includes peers, so ties are engine-independent.
     * Output: per hour, the max concurrency observed at a boundary
