@@ -918,7 +918,20 @@ object FundEtl {
       .orderBy(col("user_id"))
   }
 
+  /** §2.B round 10 — Avro container ingestion (the row-format feed a
+    * fund pipeline receives from upstream JVMs; no spark-avro
+    * connector in this deployment, so the bundled Avro library decodes
+    * per partition — sources/Avro.scala). Per-file aggregate rows;
+    * corrupt containers (bad magic, truncated block) surface as
+    * avro_ok = false instead of a thrown scan. Sidecar-oracled against
+    * the independent hand-rolled generator's expected values.
+    */
+  val etlAvroIngest: Q = (s, _) =>
+    graft.sources.Avro.navIngest(s, graft.sources.Avro.avroDir)
+      .orderBy(col("file_name"))
+
   val queries: Map[String, Q] = Map(
+    "etl_avro_ingest" -> etlAvroIngest,
     "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
     "etl_ocr_route" -> etlOcrRoute,
@@ -1033,6 +1046,11 @@ object FundEtl {
        |  FROM $from""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "etl_avro_ingest" ->
+      s"""SELECT file_name, avro_ok, n_rows, sum_units, nav_e4_sum,
+        | first_code, last_code, n_codes
+        |FROM read_parquet('${graft.sources.Avro.avroDir}/expected.parquet')
+        |ORDER BY file_name""".stripMargin,
     "etl_cdc_apply" ->
       """SELECT user_id, last_op, final_value, last_ts_us, n_ops FROM (
         |  SELECT user_id,

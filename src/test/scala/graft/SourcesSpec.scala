@@ -286,6 +286,38 @@ class SourcesSpec extends SparkTestBase {
       s"evolved-column filter should still reach the scan:\n$plan")
   }
 
+  test("avro: corrupt containers flag per-file, good files match the generator sidecar") {
+    val rows = sources.Avro.navIngest(spark, sources.Avro.avroDir).collect()
+      .map(r => r.getAs[String]("file_name") -> r).toMap
+    assert(rows.size == 30)
+    assert(!rows("nav_badmagic.avro").getAs[Boolean]("avro_ok"))
+    // the torn tail MUST flag: DataFileReader alone reads it as a
+    // graceful EOF (14 of 20 rows) — the structural walk catches it
+    assert(!rows("nav_truncated.avro").getAs[Boolean]("avro_ok"),
+      "truncated container read as ok — the silent-undercount guard regressed")
+    val ok = rows.values.filter(_.getAs[Boolean]("avro_ok"))
+    assert(ok.size == 28 && ok.forall(_.getAs[Long]("n_rows") > 0))
+  }
+
+  test("avro round-trip: library-written containers read back exactly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt").toString
+    val src = (0 until 200).map(i =>
+      (i.toLong, "F%04d".format(i % 37), 1.0 + (i % 500) / 100.0,
+        "2024-05-%02d".format(1 + i % 28), 1000L + i * 7))
+      .toDF("row_id", "fund_code", "nav", "trade_date", "units")
+      .repartition(4)
+    sources.Avro.writeNav(src, dir)
+    val back = sources.Avro.navIngest(spark, dir).collect()
+    assert(back.forall(_.getAs[Boolean]("avro_ok")),
+      "library-written container failed the structural walk")
+    assert(back.map(_.getAs[Long]("n_rows")).sum == 200L)
+    assert(back.map(_.getAs[Long]("sum_units")).sum ==
+      (0 until 200).map(i => 1000L + i * 7).sum)
+    assert(back.map(_.getAs[Long]("nav_e4_sum")).sum ==
+      (0 until 200).map(i => math.floor((1.0 + (i % 500) / 100.0) * 10000 + 0.5).toLong).sum)
+  }
+
   test("graft_cosine is callable from SQL via extensions") {
     Tables.embeddings(spark, sfDir).limit(10).createOrReplaceTempView("emb_sql")
     val rows = spark.sql(
