@@ -299,6 +299,40 @@ class SourcesSpec extends SparkTestBase {
     assert(ok.size == 28 && ok.forall(_.getAs[Long]("n_rows") > 0))
   }
 
+  test("avro: negative-count metadata map form walks correctly") {
+    // the spec allows a map block to announce -N entries followed by a
+    // byte size; neither our generator nor the library writes that
+    // form, so pin the walk's branch with a hand-built container
+    def vint(v: Long): Array[Byte] = {
+      var n = (v << 1) ^ (v >> 63); val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+      var more = true
+      while (more) {
+        val b = (n & 0x7F).toInt; n = n >>> 7
+        more = n != 0
+        out += (if (more) (b | 0x80).toByte else b.toByte)
+      }
+      out.toArray
+    }
+    def str(s: String): Array[Byte] = vint(s.length.toLong) ++ s.getBytes("UTF-8")
+    val schema = sources.Avro.navSchemaJson.replaceAll("\\s", "")
+    val sync = Array.tabulate[Byte](16)(_.toByte)
+    val entries = str("avro.schema") ++ str(schema) ++ str("avro.codec") ++ str("null")
+    val rec = vint(7L) ++ str("F0001") ++
+      java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putDouble(2.5).array() ++
+      str("2024-01-01") ++ vint(1234L)
+    val bytes = "Obj".getBytes ++ Array[Byte](1) ++
+      vint(-2L) ++ vint(entries.length.toLong) ++ entries ++ vint(0L) ++ sync ++
+      vint(1L) ++ vint(rec.length.toLong) ++ rec ++ sync
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_neg").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "neg.avro"), bytes)
+    val r = sources.Avro.navIngest(spark, dir).collect()
+    assert(r.length == 1 && r(0).getAs[Boolean]("avro_ok"), s"got ${r.toSeq}")
+    assert(r(0).getAs[Long]("n_rows") == 1L &&
+      r(0).getAs[Long]("sum_units") == 1234L &&
+      r(0).getAs[Long]("nav_e4_sum") == 25000L)
+  }
+
   test("avro round-trip: library-written containers read back exactly") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_avro_rt").toString
