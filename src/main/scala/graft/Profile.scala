@@ -236,6 +236,20 @@ object Profile {
             f"bloom=$tb%.2f s rows=$re/$rb")
           require(re == rb, s"bloom gate changed the output at bench=$b")
         }
+      case "--avro-scale" =>
+        // container-count amortization for the Avro source: the 1×
+        // committed corpus vs a factor-scaled generated dir (tools/
+        // gen_avro.py <dst> <factor>; dir via env). Far-sublinear
+        // growth in file count = the binaryFile listing + per-partition
+        // decode amortize, the same claim the image/audio codecs carry.
+        val big = sys.env.getOrElse("SPARK_GRAFT_AVRO_DIR", "/tmp/avro20x")
+        Seq(1, 2).foreach { round =>
+          Seq("1x" -> sources.Avro.avroDir, "big" -> big).foreach { case (lbl, dir) =>
+            val t0 = System.nanoTime()
+            val n = sources.Avro.navIngest(spark, dir).count()
+            println(f"[profile] avro-scale $lbl r$round files=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        }
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)

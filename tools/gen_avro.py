@@ -19,6 +19,7 @@ import hashlib
 import json
 import os
 import struct
+import sys
 
 import pyarrow as pa
 import pyarrow.parquet as pq
@@ -95,6 +96,18 @@ def rows_for(fi, n):
 
 
 def main():
+    # optional scale mode: gen_avro.py <dst_dir> <factor> writes
+    # factor*28 readable containers (no sidecar, no corrupt legs) for
+    # the Profile --avro-scale listing/decode-amortization measurement
+    if len(sys.argv) == 3:
+        dst, factor = sys.argv[1], int(sys.argv[2])
+        os.makedirs(dst, exist_ok=True)
+        for fi in range(28 * factor):
+            name = "nav_%05d.avro" % fi
+            with open(os.path.join(dst, name), "wb") as f:
+                f.write(container(name, rows_for(fi, 5 + (fi * 13) % 45)))
+        print("wrote", 28 * factor, "containers to", dst)
+        return
     os.makedirs(DST, exist_ok=True)
     side = []
     for fi in range(28):
