@@ -59,13 +59,23 @@ object Avro {
     var pos = 4
     // metadata map: positive entry count (or negative count + byte
     // size), entries, zero terminator
+    // every decoded length/count is bounds-checked before use: a
+    // corrupt varint decoding negative (or absurdly large) must THROW
+    // into the corrupt-row path, never move the cursor backwards — an
+    // unchecked negative size cycles the walk forever, which is worse
+    // than the thrown scan this module exists to prevent
+    def checked(v: Long, what: String): Int = {
+      require(v >= 0L && v <= bytes.length.toLong, s"corrupt $what: $v")
+      v.toInt
+    }
     var n = { val (v, p) = readLong(bytes, pos); pos = p; v }
     while (n != 0L) {
       if (n < 0L) { val (_, p) = readLong(bytes, pos); pos = p; n = -n }
+      require(n <= bytes.length.toLong, s"corrupt metadata entry count: $n")
       (0L until n).foreach { _ =>
         val (klen, p1) = readLong(bytes, pos)
-        val (vlen, p2) = readLong(bytes, p1 + klen.toInt)
-        pos = p2 + vlen.toInt
+        val (vlen, p2) = readLong(bytes, p1 + checked(klen, "metadata key length"))
+        pos = p2 + checked(vlen, "metadata value length")
       }
       n = { val (v, p) = readLong(bytes, pos); pos = p; v }
     }
@@ -73,8 +83,9 @@ object Avro {
     var rows = 0L
     while (pos < bytes.length) {
       val (cnt, p1) = readLong(bytes, pos)
+      require(cnt >= 0L, s"corrupt block row count: $cnt")
       val (size, p2) = readLong(bytes, p1)
-      pos = p2 + size.toInt
+      pos = p2 + checked(size, "block byte size")
       require(pos + 16 <= bytes.length &&
         java.util.Arrays.equals(bytes.slice(pos, pos + 16), sync),
         "sync marker mismatch — torn or corrupt block")
@@ -142,10 +153,21 @@ object Avro {
     * through [[navIngest]], so the two Avro implementations
     * (library-written here, hand-rolled generator for the committed
     * corpus) cross-validate the reader.
+    *
+    * Contract: dir must be on a filesystem SHARED by driver and
+    * executors (local mode, NFS/DBFS-style mounts; a real deployment
+    * points at the object store). The write is whole-directory: any
+    * part-*.avro from a previous run is removed first, so a rerun
+    * with fewer partitions can never leave stale containers for
+    * [[navIngest]] to silently mix into its aggregates.
     */
   def writeNav(df: DataFrame, dir: String): Unit = {
     val schemaJson = navSchemaJson
-    new java.io.File(dir).mkdirs()
+    val d = new java.io.File(dir)
+    d.mkdirs()
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".avro"))
+      .foreach(f => require(f.delete(), s"cannot clear stale ${f.getName}"))
     df.select(col("row_id").cast("long"), col("fund_code"),
         col("nav").cast("double"), col("trade_date"), col("units").cast("long"))
       .foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>

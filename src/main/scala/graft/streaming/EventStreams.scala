@@ -716,7 +716,11 @@ object EventStreams extends Serializable {
     val DayUs = 86400000000L
     events.flatMap { e =>
       val s = microsOf(e.ts)
-      val en = s + (math.floorMod(math.floor(e.value).toLong, 30L) + 1) * 60000000L
+      // .toLong.toInt BEFORE the mod mirrors the batch twin's
+      // floor→long→cast("int") chain exactly (saturating double→long,
+      // then wrapping long→int) — a Long-domain floorMod here would
+      // silently disagree with the batch duration for |⌊value⌋| ≥ 2³¹
+      val en = s + (math.floorMod(math.floor(e.value).toLong.toInt, 30) + 1).toLong * 60000000L
       (s / DayUs to en / DayUs).flatMap { day =>
         val segS = math.max(s, day * DayUs)
         val segE = math.min(en, (day + 1) * DayUs)

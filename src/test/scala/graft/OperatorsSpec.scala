@@ -913,7 +913,7 @@ class OperatorsSpec extends SparkTestBase {
       .map { r =>
         val ts = r.getTimestamp(0)
         val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
-        (us, us + (math.floorMod(math.floor(r.getDouble(1)).toLong, 30L) + 1) * 60000000L)
+        (us, us + (math.floorMod(math.floor(r.getDouble(1)).toLong.toInt, 30) + 1).toLong * 60000000L)
       }
     val pts = evs.flatMap { case (s, e) =>
       (s / DayUs to e / DayUs).flatMap { day =>

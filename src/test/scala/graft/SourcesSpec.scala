@@ -350,6 +350,13 @@ class SourcesSpec extends SparkTestBase {
       (0 until 200).map(i => 1000L + i * 7).sum)
     assert(back.map(_.getAs[Long]("nav_e4_sum")).sum ==
       (0 until 200).map(i => math.floor((1.0 + (i % 500) / 100.0) * 10000 + 0.5).toLong).sum)
+    // rerun with fewer partitions: the whole-directory contract must
+    // clear the first run's extra part files, or the reader silently
+    // mixes stale containers into its aggregates
+    sources.Avro.writeNav(src.limit(50).repartition(1), dir)
+    val again = sources.Avro.navIngest(spark, dir).collect()
+    assert(again.map(_.getAs[Long]("n_rows")).sum == 50L,
+      s"stale containers leaked into a rerun: ${again.map(_.getAs[Long]("n_rows")).toSeq}")
   }
 
   test("graft_cosine is callable from SQL via extensions") {
