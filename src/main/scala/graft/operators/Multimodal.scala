@@ -317,6 +317,52 @@ object Multimodal {
       .orderBy(col("file_name"))
   }
 
+  /** §2.F round 10 — perceptual NEAR-DUP pairing over the real image
+    * corpus: the MinHash-LSH shape applied to the 64-bit average-hash.
+    * The hash splits into 64/bandBits equal bands; candidate pairs
+    * come from band-equality buckets (one shuffle on the band key,
+    * never file×file) and only candidates pay the exact hamming
+    * verify. With τ ≤ bands−1 the banding recall is EXACT by
+    * pigeonhole — ≤τ differing bits cannot touch every band — so the
+    * operator provably equals the all-pairs oracle while doing
+    * bucket-join work. Band width is the scale lever: the registry op
+    * runs 4-bit bands (τ=15) sized to the 67-file corpus; a web-scale
+    * corpus runs 8-bit bands (τ=7) — both widths spec-equal to brute
+    * force. Dedup across co-colliding bands happens pre-verify
+    * (distinct on the pair), the dd_minhash_lsh precedent.
+    */
+  private[graft] def phashPairs(ph: DataFrame, bandBits: Int, tau: Int): DataFrame = {
+    val nBands = 64 / bandBits
+    require(64 % bandBits == 0 && tau <= nBands - 1,
+      s"banding guarantees recall only for tau <= ${nBands - 1}")
+    val half = nBands / 2
+    val mask = (1 << bandBits) - 1
+    val banded = ph
+      .select(col("file_name"), col("phash_lo"), col("phash_hi"),
+        explode(expr(s"sequence(0, ${nBands - 1})")).as("band"))
+      .withColumn("bkey", expr(
+        s"""(CASE WHEN band < $half THEN phash_lo >> (band * $bandBits)
+           | ELSE phash_hi >> ((band - $half) * $bandBits) END) & $mask""".stripMargin))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.file_name") < col("b.file_name"))
+      .select(col("a.file_name").as("file_a"), col("b.file_name").as("file_b"),
+        col("a.phash_lo").as("lo_a"), col("a.phash_hi").as("hi_a"),
+        col("b.phash_lo").as("lo_b"), col("b.phash_hi").as("hi_b"))
+      .distinct()
+      .withColumn("hamming",
+        expr("CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS BIGINT)"))
+      .filter(col("hamming") <= tau)
+      .select(col("file_a"), col("file_b"), col("hamming"))
+      .orderBy(col("file_a"), col("file_b"))
+  }
+
+  val mmPhashPairs: Q = (s, _) =>
+    phashPairs(imageDecode(s, imagesDir).filter(col("img_ok"))
+      .select(col("file_name"), col("phash_lo"), col("phash_hi")),
+      bandBits = 4, tau = 15)
+
   private[graft] val audioDir = "/root/repo/data/audio"
 
   /** REAL audio decode over a committed corpus of true WAV files —
@@ -375,6 +421,7 @@ object Multimodal {
 
   val queries: Map[String, Q] = Map(
     "mm_phash" -> mmPhash,
+    "mm_phash_pairs" -> mmPhashPairs,
     "mm_dedup_bytes" -> mmDedupBytes,
     "mm_decode_meta" -> mmDecodeMeta,
     "mm_image_decode" -> mmImageDecode,
@@ -387,6 +434,17 @@ object Multimodal {
     * gets a real oracle despite the mapPartitions implementation.
     */
   val oracles: Map[String, String] = Map(
+    "mm_phash_pairs" ->
+      s"""WITH ph AS (
+        |  SELECT file_name, phash_lo, phash_hi
+        |  FROM read_parquet('$imagesDir/expected.parquet') WHERE img_ok)
+        |SELECT a.file_name AS file_a, b.file_name AS file_b,
+        |  CAST(bit_count(xor(a.phash_lo, b.phash_lo)) +
+        |       bit_count(xor(a.phash_hi, b.phash_hi)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.file_name < b.file_name
+        |WHERE bit_count(xor(a.phash_lo, b.phash_lo)) +
+        |      bit_count(xor(a.phash_hi, b.phash_hi)) <= 15
+        |ORDER BY file_a, file_b""".stripMargin,
     "mm_phash" ->
       """SELECT doc_id,
         | CAST(list_sum(list_transform(range(1, 33), i ->

@@ -1117,6 +1117,37 @@ class OperatorsSpec extends SparkTestBase {
       s"no weight bias: sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("mm_phash_pairs: banded pairing equals brute force at both band widths") {
+    // pigeonhole: with tau <= bands-1, band-equality candidate
+    // generation cannot miss a pair — assert exact equality against
+    // the all-pairs computation for BOTH the corpus-sized 4-bit bands
+    // (tau=15) and the web-scale 8-bit bands (tau=7)
+    val ph = operators.Multimodal.mmImageDecode(spark, sfDir).collect()
+      .filter(_.getAs[Boolean]("img_ok"))
+      .map(r => (r.getAs[String]("file_name"),
+        r.getAs[Long]("phash_lo"), r.getAs[Long]("phash_hi")))
+    def brute(tau: Int) = (for {
+      (fa, loA, hiA) <- ph; (fb, loB, hiB) <- ph
+      if fa < fb
+      h = java.lang.Long.bitCount(loA ^ loB) + java.lang.Long.bitCount(hiA ^ hiB)
+      if h <= tau
+    } yield (fa, fb, h.toLong)).toSet
+    import spark.implicits._
+    val phDf = ph.toSeq.toDF("file_name", "phash_lo", "phash_hi")
+    Seq((4, 15), (8, 7)).foreach { case (bits, tau) =>
+      val got = operators.Multimodal.phashPairs(phDf, bits, tau).collect()
+        .map(r => (r.getAs[String]("file_a"), r.getAs[String]("file_b"),
+          r.getAs[Long]("hamming"))).toSet
+      assert(got == brute(tau),
+        s"bandBits=$bits tau=$tau: missing=${(brute(tau) -- got).take(3)} extra=${(got -- brute(tau)).take(3)}")
+    }
+    assert(brute(15).nonEmpty, "corpus has no near-dup pairs to find")
+    // over-threshold misuse must refuse loudly, not silently lose recall
+    intercept[IllegalArgumentException] {
+      operators.Multimodal.phashPairs(phDf, 8, 12)
+    }
+  }
+
   test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
     val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
     assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt
