@@ -1008,7 +1008,10 @@ object Dedup {
     * set) and the dd_pipeline oracle (survivor node set on the shared
     * pair graph), so an iteration-formula fix reaches both.
     */
-  private def rankIterCtes(deg: String, nn: String, edges: String,
+  /** The unrolled-iteration CTE chain shared by every oracle that
+    * re-derives the integer PageRank recurrence in SQL (dd_graph_rank,
+    * dd_pipeline, and tx_textrank over the word graph). */
+  private[operators] def rankIterCtes(deg: String, nn: String, edges: String,
       name: Int => String): String =
     (1 to 5).map { k =>
       val p = name(k - 1)

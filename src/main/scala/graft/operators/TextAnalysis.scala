@@ -752,10 +752,49 @@ object TextAnalysis {
       .limit(30)
   }
 
+  /** §2.E round 10 — TextRank keyword extraction (Mihalcea & Tarau's
+    * graph ranking over word co-occurrence — the unsupervised keyword
+    * scorer): adjacent-word pairs (one edge per occurrence, so edge
+    * multiplicity IS the co-occurrence weight, self-pairs dropped)
+    * over a row-numbered vocabulary, ranked by the SAME all-integer
+    * 5-iteration PageRank kernel dd_graph_rank runs
+    * ([[Dedup.graphRankScores]] — one kernel, two domains, both
+    * size-routed driver/distributed). The vocabulary id window is a
+    * single-partition sort of the DISTINCT word set — bounded by the
+    * same df-pruning argument as tx_lm_score's model at web scale,
+    * never a sort of the corpus. Top-30 by (score, word); the oracle
+    * re-derives the whole graph and unrolls the five iterations in SQL
+    * (the shared [[Dedup.rankIterCtes]] chain).
+    */
+  val txTextrank: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val vocab = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
+      .withColumn("doc_id",
+        row_number().over(Window.orderBy(col("w"))).cast("long"))
+    val bi = docs
+      .select(explode(expr(
+        """CASE WHEN size(split(text, ' ')) < 2 THEN array()
+          | ELSE zip_with(slice(split(text, ' '), 1, size(split(text, ' ')) - 1),
+          |               slice(split(text, ' '), 2, size(split(text, ' ')) - 1),
+          |               (a, b) -> struct(a AS w1, b AS w2)) END""".stripMargin))
+        .as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .filter(col("w1") =!= col("w2"))
+    val pairs = bi
+      .join(broadcast(vocab.select(col("w").as("w1"), col("doc_id").as("doc_a"))), Seq("w1"))
+      .join(broadcast(vocab.select(col("w").as("w2"), col("doc_id").as("doc_b"))), Seq("w2"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    Dedup.graphRankScores(vocab.select(col("doc_id")), pairs)
+      .join(broadcast(vocab), Seq("doc_id"))
+      .select(col("w").as("word"), col("deg"), col("score_e9"))
+      .orderBy(col("score_e9").desc, col("word")).limit(30)
+  }
+
   val auxDumps: Map[String, Q] = Map(
     "tx_doc_embeddings" -> docEmbeddings)
 
   val queries: Map[String, Q] = Map(
+    "tx_textrank" -> txTextrank,
     "tx_char_diversity" -> txCharDiversity,
     "tx_collocations" -> txCollocations,
     "tx_topic_cluster" -> txTopicCluster,
@@ -818,7 +857,46 @@ object TextAnalysis {
       |  CROSS JOIN stats s
       |  GROUP BY 1, 2)""".stripMargin
 
+  /** The tx_textrank oracle: the word graph re-derived from scratch in
+    * SQL (vocab row-numbering, adjacency pairs, mirrored edges) with
+    * the five rank iterations unrolled via the shared
+    * [[Dedup.rankIterCtes]] chain — the same independence contract as
+    * the dd_graph_rank oracle, on a different domain.
+    */
+  private val textrankOracle: String = {
+    val base =
+      """WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+        |vocab AS (
+        |  SELECT w, CAST(row_number() OVER (ORDER BY w) AS BIGINT) AS doc_id
+        |  FROM (SELECT DISTINCT unnest(t) AS w FROM toks) v),
+        |bg AS (
+        |  SELECT unnest(CASE WHEN len(t) < 2 THEN []
+        |    ELSE list_transform(range(1, len(t)), i -> concat(t[i], ' ', t[i+1])) END) AS bigram
+        |  FROM toks),
+        |bw AS (
+        |  SELECT split_part(bigram, ' ', 1) AS w1, split_part(bigram, ' ', 2) AS w2
+        |  FROM bg WHERE split_part(bigram, ' ', 1) <> split_part(bigram, ' ', 2)),
+        |pairs AS (
+        |  SELECT va.doc_id AS doc_a, vb.doc_id AS doc_b
+        |  FROM bw JOIN vocab va ON va.w = bw.w1 JOIN vocab vb ON vb.w = bw.w2),
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs
+        |  UNION ALL SELECT doc_b AS doc_a, doc_a AS doc_b FROM pairs),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM vocab),
+        |deg AS (
+        |  SELECT v.doc_id, CAST(coalesce(e.c, 0) AS BIGINT) AS deg
+        |  FROM vocab v LEFT JOIN (
+        |    SELECT doc_a AS doc_id, count(*) AS c FROM edges GROUP BY 1) e USING (doc_id)),
+        |s0 AS (
+        |  SELECT doc_id, deg, CAST(1000000000 // nn.n AS BIGINT) AS score_e9
+        |  FROM deg CROSS JOIN nn)""".stripMargin
+    base + Dedup.rankIterCtes("deg", "nn", "edges", k => s"s$k") +
+      "\nSELECT v.w AS word, s5.deg, s5.score_e9 FROM s5 JOIN vocab v USING (doc_id)" +
+      "\nORDER BY s5.score_e9 DESC, word LIMIT 30"
+  }
+
   val oracles: Map[String, String] = Map(
+    "tx_textrank" -> textrankOracle,
     "tx_char_diversity" ->
       """WITH ch AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c FROM documents),

@@ -1117,6 +1117,34 @@ class OperatorsSpec extends SparkTestBase {
       s"no weight bias: sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("tx_textrank ranks via the shared kernel with graph-consistent scores") {
+    val out = SparkEntry.queries("tx_textrank")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("deg"), r.getAs[Long]("score_e9")))
+    assert(out.length == 30)
+    // scores descend with the word tie-break
+    out.sliding(2).foreach {
+      case Array((w1, _, s1), (w2, _, s2)) =>
+        assert(s1 > s2 || (s1 == s2 && w1 < w2), s"order broke at $w1/$w2")
+      case _ =>
+    }
+    // every ranked word is a real corpus token and its deg equals its
+    // adjacency count (self-pairs excluded) — recomputed directly
+    val adj = scala.collection.mutable.Map.empty[String, Long]
+    sources.Tables.documents(spark, sfDir).select(col("text")).collect()
+      .map(_.getString(0)).foreach { t =>
+        t.split(" ", -1).sliding(2).filter(p => p.length == 2 && p(0) != p(1))
+          .foreach { p => adj(p(0)) = adj.getOrElse(p(0), 0L) + 1
+            adj(p(1)) = adj.getOrElse(p(1), 0L) + 1 }
+      }
+    out.foreach { case (w, d, _) =>
+      assert(adj(w) == d, s"$w: deg $d but ${adj(w)} adjacencies")
+    }
+    // the authority signal tracks connectivity: the top-ranked word
+    // sits in the top decile by degree
+    val cut = adj.values.toSeq.sorted.reverse.take(math.max(1, adj.size / 10)).last
+    assert(out.head._2 >= cut, s"top word ${out.head._1} deg ${out.head._2} below decile $cut")
+  }
+
   test("mm_phash_pairs: banded pairing equals brute force at both band widths") {
     // pigeonhole: with tau <= bands-1, band-equality candidate
     // generation cannot miss a pair — assert exact equality against
