@@ -402,9 +402,12 @@ object Dedup {
     * CC convergence read — never a collected table.
     */
   val ddGraphRank: Q = (s, d) =>
+    // no checkpoint needed: the kernel's weighted collapse is the
+    // single consumer of the LSH pair join and persists its own
+    // collapsed frame, so the expensive join runs exactly once
     graphRankScores(
       Tables.documents(s, d).select(col("doc_id")),
-      minhashPairs(s, d).select(col("doc_a"), col("doc_b")).localCheckpoint())
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       .orderBy(col("doc_id"))
 
   /** The power-iteration kernel behind [[ddGraphRank]], over a caller-
@@ -417,15 +420,29 @@ object Dedup {
   private[graft] def graphRankScores(nodeIds: DataFrame,
       pairs: DataFrame, iters: Int = 5,
       driverPathMaxEdges: Long = 1000000L): DataFrame = {
-    val edges = pairs
-      .union(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
-      .persist()
-    val nEdges = edges.count()
+    // COLLAPSE the (multi)graph first: duplicate pairs become integer
+    // edge weights. Every duplicate of (a,b) contributes the IDENTICAL
+    // integer (score_a div deg_a) per round, so w·(score div deg) is
+    // bit-identical to summing the duplicates — and deg likewise sums
+    // weights. This is what lets a dense multigraph (tx_textrank's
+    // word graph: huge multiplicity over a small vocabulary) route by
+    // DISTINCT pair count: 50M co-occurrences over a 10³-word vocab
+    // collapse to ≤10⁶ weighted edges and take the driver recurrence,
+    // where the uncollapsed loop paid five 100M-row skewed shuffles.
+    // The collapse groupBy partial-aggregates map-side, so the one
+    // shuffle moves distinct pairs, not occurrences. Graphs that are
+    // already distinct (the LSH near-dup pair graph) collapse to
+    // w = 1 everywhere at the cost the old edge-count pass paid.
+    val wpairs = pairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("w")).persist()
+    val edges = wpairs.union(wpairs.select(
+      col("doc_b").as("doc_a"), col("doc_a").as("doc_b"), col("w")))
+    val nEdges = 2L * wpairs.count()
     // Per-node degree is edge-bounded (endpoints only); the node
     // universe is O(corpus) even when the pair graph is tiny, so it is
     // NEVER collected on either route.
     val deg = edges.groupBy(col("doc_a").as("doc_id"))
-      .agg(count(lit(1)).as("deg"))
+      .agg(sum(col("w")).as("deg"))
     // Size routing, same budget and rationale as connectedComponents:
     // below the edge threshold the distributed loop pays a fixed
     // multi-job overhead per iteration (5 inflow shuffles + 5
@@ -443,12 +460,12 @@ object Dedup {
     if (nEdges <= driverPathMaxEdges) {
       val spark = nodeIds.sparkSession
       import spark.implicits._
-      val es = pairs.select(col("doc_a"), col("doc_b"))
-        .as[(Long, Long)].collect()
+      val es = wpairs.select(col("doc_a"), col("doc_b"), col("w"))
+        .as[(Long, Long, Long)].collect()
       val endpoints = deg
         .join(nodeIds.select(col("doc_id")), Seq("doc_id"), "left_semi")
         .select(col("doc_id"), col("deg")).as[(Long, Long)].collect()
-      edges.unpersist()
+      wpairs.unpersist()
       val n = nodeIds.count()
       val teleport = 150000000L / n
       val degM = scala.collection.mutable.LongMap(endpoints: _*)
@@ -459,11 +476,11 @@ object Dedup {
       (1 to iters).foreach { _ =>
         val perNodeDangling = (nIso * isoScore) / n
         val inflow = new scala.collection.mutable.LongMap[Long]()
-        def push(a: Long, b: Long): Unit = score.get(a).foreach { sa =>
+        def push(a: Long, b: Long, w: Long): Unit = score.get(a).foreach { sa =>
           if (score.contains(b))
-            inflow.update(b, inflow.getOrElse(b, 0L) + sa / degM(a))
+            inflow.update(b, inflow.getOrElse(b, 0L) + w * (sa / degM(a)))
         }
-        es.foreach { case (a, b) => push(a, b); push(b, a) }
+        es.foreach { case (a, b, w) => push(a, b, w); push(b, a, w) }
         score = scala.collection.mutable.LongMap(endpoints.map { case (id, _) =>
           id -> (teleport + (85L * (inflow.getOrElse(id, 0L) + perNodeDangling)) / 100L)
         }: _*)
@@ -499,7 +516,7 @@ object Dedup {
         .select(col("doc_id").as("doc_a"), expr("score_e9 div deg").as("contrib"))
         .join(edges, "doc_a")
         .groupBy(col("doc_b").as("doc_id"))
-        .agg(sum(col("contrib")).as("inflow"))
+        .agg(sum(col("w") * col("contrib")).as("inflow"))
       scores = nodes.join(inflow, Seq("doc_id"), "left")
         .withColumn("score_e9",
           lit(teleport) +
@@ -508,7 +525,7 @@ object Dedup {
         .localCheckpoint()
       isoScore = teleport + (85L * perNodeDangling) / 100
     }
-    edges.unpersist()
+    wpairs.unpersist()
     nodes.unpersist()
     scores.select(col("doc_id"), col("deg"), col("score_e9"))
   }

@@ -780,10 +780,14 @@ object TextAnalysis {
         .as("p"))
       .select(col("p.w1"), col("p.w2"))
       .filter(col("w1") =!= col("w2"))
+    // NOT checkpointed: the kernel's internal weighted collapse is the
+    // single consumer and persists its own (tiny) collapsed frame —
+    // materializing 25M raw co-occurrence rows here would only pay the
+    // write the collapse exists to avoid
     val pairs = bi
       .join(broadcast(vocab.select(col("w").as("w1"), col("doc_id").as("doc_a"))), Seq("w1"))
       .join(broadcast(vocab.select(col("w").as("w2"), col("doc_id").as("doc_b"))), Seq("w2"))
-      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      .select(col("doc_a"), col("doc_b"))
     Dedup.graphRankScores(vocab.select(col("doc_id")), pairs)
       .join(broadcast(vocab), Seq("doc_id"))
       .select(col("w").as("word"), col("deg"), col("score_e9"))

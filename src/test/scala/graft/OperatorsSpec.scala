@@ -728,6 +728,42 @@ class OperatorsSpec extends SparkTestBase {
     assert(driver.nonEmpty && driver.exists(_._2 > 0))
   }
 
+  test("graphRankScores collapses duplicate pairs to weights bit-identically on both routes") {
+    // the multigraph contract: every duplicate of (a,b) contributes
+    // the identical integer (score div deg), so the collapsed
+    // w·(score div deg) recurrence must equal the duplicate-summing
+    // one — pinned by running a duplicated edge list through BOTH
+    // routes and against a direct driver recurrence over raw edges
+    import spark.implicits._
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val raw = Seq((1L, 2L), (1L, 2L), (1L, 2L), (2L, 3L), (2L, 3L), (3L, 4L))
+    val pairs = raw.toDF("doc_a", "doc_b").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("deg"),
+        r.getAs[Long]("score_e9"))).toSet
+    val driver = rows(operators.Dedup.graphRankScores(nodes, pairs))
+    val dist = rows(operators.Dedup.graphRankScores(nodes, pairs,
+      driverPathMaxEdges = 0L))
+    assert(driver == dist, s"routes diverge: ${driver -- dist} vs ${dist -- driver}")
+    // direct recurrence over the RAW duplicated edge list
+    val es = raw.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val n = 5L
+    var iso = 1000000000L / n
+    var sc = (1L to 5L).map(id => id -> 1000000000L / n).toMap
+    (1 to 5).foreach { _ =>
+      val dang = (1L * iso) / n // node 5 is the only isolated one
+      val inflow = es.groupBy(_._2).view.mapValues(_.map { case (a, _) =>
+        sc(a) / deg(a) }.sum).toMap
+      sc = sc.map { case (id, _) => id ->
+        (150000000L / n + (85L * (inflow.getOrElse(id, 0L) + dang)) / 100L) }
+      iso = 150000000L / n + (85L * dang) / 100L
+    }
+    val direct = (1L to 5L).map(id => (id, deg.getOrElse(id, 0L),
+      if (deg.contains(id)) sc(id) else iso)).toSet
+    assert(driver == direct, s"collapsed vs raw recurrence: $driver vs $direct")
+  }
+
   test("graphRankScores drops edges touching unknown ids identically on both routes") {
     // callers pass endpoints ⊆ nodeIds, but the kernel is shared
     // infrastructure: an edge whose endpoint is absent from the node
