@@ -1,20 +1,37 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
-/** Real image decode, JDK-only (`javax.imageio` — PNG/BMP/GIF ship
-  * with every JRE, no jar): closes the "real image decode" half of the
-  * multimodal gap the mm_* stub decoders plumb around. The reference's
-  * OCR front door (`manual_dividen_extractor.py:74-96`) opens real
-  * images before recognition; this is that open/decode step, minus the
-  * env-blocked recognition model.
+/** Real image decode, JDK-only and SELF-CONTAINED: a from-scratch PNG
+  * (8-bit gray / truecolor, non-interlaced) + 24-bit-BMP decoder over
+  * `java.util.zip.Inflater` — the same from-first-principles codec
+  * approach as PdfCodec's FlateDecode. Closes the "real image decode"
+  * half of the multimodal gap the mm_* stub decoders plumb around; the
+  * reference's OCR front door (`manual_dividen_extractor.py:74-96`)
+  * opens real images before recognition, and this is that open/decode
+  * step, minus the env-blocked recognition model.
+  *
+  * Why not `javax.imageio`: ImageIO routes every decode through
+  * JVM-global mutable state (the IIORegistry, the optional shared
+  * /tmp stream cache, the sun.java2d raster pipeline). Two rounds of
+  * rare single-file corruption under decode-heavy concurrent sweeps —
+  * first a scan flaking to ocr_ok=false (round 9, disk cache
+  * disabled), then a scan decoding to garbage pixels that recognized
+  * as all-rejects (round 10, cache already off) — pinned the failure
+  * inside that shared path. This decoder touches NO global state:
+  * every call owns its Inflater and buffers, so per-partition decode
+  * is embarrassingly parallel by construction, which is the only
+  * acceptable contract for a codec sitting inside 1000-executor scans.
+  * Formats outside the corpus contract (interlaced/16-bit/palette
+  * PNG, compressed or non-24-bit BMP) return None — not-decodable
+  * rows, same as corrupt bytes.
   *
   * Output statistics are ALL-INTEGER (channel sums, a 1000-scaled
   * integer luma, the mm_phash average-hash over an 8×8 NN thumbnail
   * with the same index math) so results are exact across engines and
   * execution orders — the committed-corpus oracle hash-matches against
   * a sidecar derived from the generator's pixel formulas, never from
-  * this decoder.
+  * this decoder (and the specs round-trip it against ImageIO's
+  * independent ENCODER, so the two JDK-side implementations
+  * cross-check each other).
   *
   * Decode failures (bad magic, truncated/corrupt streams) return None
   * — surfaced as img_ok=false rows, never a thrown scan, matching the
@@ -22,10 +39,156 @@ import java.io.ByteArrayInputStream
   */
 object ImageCodec {
 
-  // same rationale as OcrCodec: the shared /tmp ImageIO disk cache can
-  // race under concurrent decodes and surface as a silent decode
-  // failure through the broad catch; byte-array sources don't need it
-  javax.imageio.ImageIO.setUseCache(false)
+  /** Decoded 24-bit pixels as 0xRRGGBB ints, row-major. */
+  final case class Rgb(width: Int, height: Int, px: Array[Int])
+
+  private def beInt(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xff) << 24) | ((b(o + 1) & 0xff) << 16) |
+      ((b(o + 2) & 0xff) << 8) | (b(o + 3) & 0xff)
+
+  private def leInt(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8) |
+      ((b(o + 2) & 0xff) << 16) | ((b(o + 3) & 0xff) << 24)
+
+  /** PNG: signature → chunk walk (IHDR fields, concatenated IDAT) →
+    * one Inflater pass → per-scanline unfilter (None/Sub/Up/Average/
+    * Paeth). Gray8 expands r=g=b; RGB8 passes through.
+    */
+  private def decodePng(bytes: Array[Byte]): Option[Rgb] = {
+    if (bytes.length < 45) return None
+    val sig = Array[Int](0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) { if ((bytes(i) & 0xff) != sig(i)) return None; i += 1 }
+    var w = 0; var h = 0; var bitDepth = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var o = 8
+    var done = false
+    while (!done) {
+      if (o + 8 > bytes.length) return None
+      val len = beInt(bytes, o)
+      if (len < 0 || o + 12L + len > bytes.length) return None
+      val ctype = new String(bytes, o + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      ctype match {
+        case "IHDR" =>
+          if (len < 13) return None
+          w = beInt(bytes, o + 8); h = beInt(bytes, o + 12)
+          bitDepth = bytes(o + 16) & 0xff; colorType = bytes(o + 17) & 0xff
+          // compression/filter must be 0; interlace 0 (Adam7 out of contract)
+          if ((bytes(o + 18) & 0xff) != 0 || (bytes(o + 19) & 0xff) != 0 ||
+            (bytes(o + 20) & 0xff) != 0) return None
+        case "IDAT" => idat.write(bytes, o + 8, len)
+        case "IEND" => done = true
+        case _      => () // ancillary chunks skip; CRCs not re-verified
+      }
+      o += 12 + len
+    }
+    if (w <= 0 || h <= 0 || bitDepth != 8) return None
+    val bpp = colorType match {
+      case 0 => 1 // grayscale
+      case 2 => 3 // truecolor
+      case _ => return None // palette/alpha variants: out of contract
+    }
+    val stride = w * bpp
+    val rawLen = h.toLong * (stride + 1)
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
+    val inf = new java.util.zip.Inflater()
+    try {
+      inf.setInput(idat.toByteArray)
+      var filled = 0
+      while (filled < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        filled += n
+      }
+      if (filled < raw.length) return None
+    } finally inf.end()
+    // unfilter in place: prev = previous unfiltered scanline
+    val cur = new Array[Int](stride)
+    val prev = new Array[Int](stride)
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (stride + 1)
+      val filter = raw(rowOff) & 0xff
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowOff + 1 + x) & 0xff
+        val left = if (x >= bpp) cur(x - bpp) else 0
+        val up = if (y > 0) prev(x) else 0
+        val ul = if (y > 0 && x >= bpp) prev(x - bpp) else 0
+        cur(x) = filter match {
+          case 0 => v
+          case 1 => (v + left) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + ((left + up) >> 1)) & 0xff
+          case 4 =>
+            val p = left + up - ul
+            val pa = math.abs(p - left); val pb = math.abs(p - up); val pc = math.abs(p - ul)
+            val pred = if (pa <= pb && pa <= pc) left else if (pb <= pc) up else ul
+            (v + pred) & 0xff
+          case _ => return None
+        }
+        x += 1
+      }
+      var c = 0
+      while (c < w) {
+        px(y * w + c) =
+          if (bpp == 1) { val g = cur(c); (g << 16) | (g << 8) | g }
+          else (cur(c * 3) << 16) | (cur(c * 3 + 1) << 8) | cur(c * 3 + 2)
+        c += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(Rgb(w, h, px))
+  }
+
+  /** BMP: 24-bit uncompressed (BI_RGB), bottom-up or top-down, rows
+    * padded to 4 bytes — the only layout the stdlib generators emit.
+    */
+  private def decodeBmp(bytes: Array[Byte]): Option[Rgb] = {
+    if (bytes.length < 54) return None
+    if (bytes(0) != 'B' || bytes(1) != 'M') return None
+    val dataOff = leInt(bytes, 10)
+    val w = leInt(bytes, 18)
+    val rawH = leInt(bytes, 22)
+    val bpp = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+    val compression = leInt(bytes, 30)
+    if (w <= 0 || rawH == 0 || bpp != 24 || compression != 0) return None
+    val h = math.abs(rawH)
+    val topDown = rawH < 0
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (dataOff < 54 || dataOff.toLong + rowSize.toLong * h > bytes.length) return None
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      val srcRow = if (topDown) y else h - 1 - y
+      val ro = dataOff + srcRow * rowSize
+      var x = 0
+      while (x < w) {
+        val b = bytes(ro + x * 3) & 0xff
+        val g = bytes(ro + x * 3 + 1) & 0xff
+        val r = bytes(ro + x * 3 + 2) & 0xff
+        px(y * w + x) = (r << 16) | (g << 8) | b
+        x += 1
+      }
+      y += 1
+    }
+    Some(Rgb(w, h, px))
+  }
+
+  /** Magic-sniffed decode: PNG or BMP by signature, anything else is
+    * not-decodable. All state is call-local.
+    */
+  def decodeRgb(bytes: Array[Byte]): Option[Rgb] =
+    try {
+      if (bytes.length >= 8 && (bytes(0) & 0xff) == 0x89 && bytes(1) == 'P')
+        decodePng(bytes)
+      else if (bytes.length >= 2 && bytes(0) == 'B' && bytes(1) == 'M')
+        decodeBmp(bytes)
+      else None
+    } catch { case _: Exception => None }
 
   final case class Decoded(
       width: Int, height: Int,
@@ -44,39 +207,23 @@ object ImageCodec {
   private val out = 8
 
   def decodeRaster(bytes: Array[Byte]): Option[Raster] =
-    try {
-      // ImageIO sniffs the container by magic, not file name; a
-      // headless JVM decodes PNG fine (no display pipeline involved)
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
-        if (w <= 0 || h <= 0) None
-        else {
-          var sumR = 0L; var sumG = 0L; var sumB = 0L
-          // one bulk getRGB into an int[] — same sRGB conversion as
-          // the per-pixel call, minus a ColorModel virtual call per
-          // pixel on this per-partition hot path
-          val argbs = img.getRGB(0, 0, w, h, null, 0, w)
-          // integer luma raster: (299r + 587g + 114b) / 1000 — exact
-          // on 8-bit sRGB channels, which getRGB returns losslessly
-          // for the 8-bit truecolor PNGs/BMPs under test
-          val luma = new Array[Int](w * h)
-          var p = 0
-          while (p < argbs.length) {
-            val argb = argbs(p)
-            val r = (argb >> 16) & 0xff
-            val g = (argb >> 8) & 0xff
-            val b = argb & 0xff
-            sumR += r; sumG += g; sumB += b
-            luma(p) = (r * 299 + g * 587 + b * 114) / 1000
-            p += 1
-          }
-          Some(Raster(w, h, luma, sumR, sumG, sumB))
-        }
+    decodeRgb(bytes).map { d =>
+      var sumR = 0L; var sumG = 0L; var sumB = 0L
+      // integer luma raster: (299r + 587g + 114b) / 1000 — exact on
+      // the 8-bit channels decodeRgb returns losslessly
+      val luma = new Array[Int](d.px.length)
+      var p = 0
+      while (p < d.px.length) {
+        val rgb = d.px(p)
+        val r = (rgb >> 16) & 0xff
+        val g = (rgb >> 8) & 0xff
+        val b = rgb & 0xff
+        sumR += r; sumG += g; sumB += b
+        luma(p) = (r * 299 + g * 587 + b * 114) / 1000
+        p += 1
       }
-    } catch { case _: Exception => None }
+      Raster(d.width, d.height, luma, sumR, sumG, sumB)
+    }
 
   /** Nearest-neighbor resize of a luma raster to outW×outH: output
     * pixel (y, x) samples source (y·h/outH, x·w/outW) — all-integer,

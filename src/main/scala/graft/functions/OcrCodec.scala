@@ -1,7 +1,5 @@
 package graft.functions
 
-import java.io.ByteArrayInputStream
-
 /** REAL OCR text recognition, JDK-only — the last decode stub in the
   * reference-parity chain made real. The reference runs EasyOCR over
   * scanned statements (`manual_purchase_confirm_extractor.py:38-58`,
@@ -14,9 +12,9 @@ import java.io.ByteArrayInputStream
   * corpus with a deterministic 16x16-per-glyph bitmap font
   * (injectivity-validated — pairwise Hamming distance >= 80) and
   * commits it as data/statements_ocr/font/{atlas.png,charmap.txt}.
-  * This matcher loads those templates through the SAME javax.imageio
-  * path as the scans and recognizes each glyph cell by pixel
-  * comparison:
+  * This matcher loads those templates through the SAME self-contained
+  * decoder as the scans ([[ImageCodec.decodeRgb]]) and recognizes each
+  * glyph cell by pixel comparison:
   *
   *   - segmentation: fixed 16-pixel grid (the scanner's cell raster);
   *     an all-background cell is a space, trailing spaces trim away
@@ -41,13 +39,13 @@ import java.io.ByteArrayInputStream
   */
 object OcrCodec {
 
-  // ImageIO's default ImageInputStream spills through a shared /tmp
-  // disk cache; under concurrent decode-heavy queries the cache-file
-  // creation can race and throw, which the broad catch below silently
-  // turns into a recognition failure (observed: a single scan flaking
-  // to ocr_ok=false only when TWO OCR-reading operators ran in the
-  // same Verify pass). Byte-array sources never need the disk cache.
-  javax.imageio.ImageIO.setUseCache(false)
+  // Decode goes through ImageCodec.decodeRgb — the self-contained
+  // PNG/BMP decoder with zero JVM-global state. The javax.imageio
+  // path it replaces corrupted rare concurrent decodes even with its
+  // /tmp disk cache disabled (observed: one scan decoding to garbage
+  // pixels and recognizing as all-rejects, only during decode-heavy
+  // full sweeps); per-call Inflater/buffer state removes the failure
+  // class instead of patching its symptoms.
 
   final case class Recognized(text: String, confPpm: Long)
 
@@ -68,17 +66,19 @@ object OcrCodec {
 
   private def loadFont(dir: String): Font =
     fonts.computeIfAbsent(dir, { d =>
-      val atlas = javax.imageio.ImageIO.read(
-        new java.io.File(d, "atlas.png"))
+      val atlas = ImageCodec.decodeRgb(
+        java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(d, "atlas.png")))
+        .getOrElse(sys.error(s"unreadable OCR font atlas: $d/atlas.png"))
       val charmap = new String(
         java.nio.file.Files.readAllBytes(
           java.nio.file.Paths.get(d, "charmap.txt")),
         java.nio.charset.StandardCharsets.UTF_8)
       val chars = charmap.toCharArray
-      val perRow = atlas.getWidth / Cell
+      val perRow = atlas.width / Cell
       val luma = lumaRaster(atlas)
       val templates = Array.tabulate(chars.length) { i =>
-        cellSig(luma, atlas.getWidth, (i / perRow) * Cell,
+        cellSig(luma, atlas.width, (i / perRow) * Cell,
           (i % perRow) * Cell)
       }
       val exact =
@@ -94,17 +94,14 @@ object OcrCodec {
   private def key(sig: Array[Long]): java.util.List[java.lang.Long] =
     java.util.List.of(sig(0), sig(1), sig(2), sig(3))
 
-  private def lumaRaster(img: java.awt.image.BufferedImage): Array[Int] = {
-    val w = img.getWidth
-    val h = img.getHeight
-    val argbs = img.getRGB(0, 0, w, h, null, 0, w)
-    val luma = new Array[Int](w * h)
+  private def lumaRaster(img: ImageCodec.Rgb): Array[Int] = {
+    val luma = new Array[Int](img.px.length)
     var p = 0
-    while (p < argbs.length) {
-      val argb = argbs(p)
-      val r = (argb >> 16) & 0xff
-      val g = (argb >> 8) & 0xff
-      val b = argb & 0xff
+    while (p < img.px.length) {
+      val rgb = img.px(p)
+      val r = (rgb >> 16) & 0xff
+      val g = (rgb >> 8) & 0xff
+      val b = rgb & 0xff
       luma(p) = (r * 299 + g * 587 + b * 114) / 1000
       p += 1
     }
@@ -135,11 +132,9 @@ object OcrCodec {
 
   def recognize(bytes: Array[Byte], fontDir: String): Option[Recognized] =
     try {
-      val img = javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
-      if (img == null) None
-      else {
-        val w = img.getWidth
-        val h = img.getHeight
+      ImageCodec.decodeRgb(bytes).flatMap { img =>
+        val w = img.width
+        val h = img.height
         // a statement scan is a whole number of glyph cells; anything
         // else is not this scanner's output
         if (w <= 0 || h <= 0 || w % Cell != 0 || h % Cell != 0) None

@@ -10,7 +10,7 @@ import graft.sources.Tables
   * columns with typed metadata structs; decode/feature-extraction runs
   * batch-wise per partition (the same shape a vectorized/pandas-style
   * decode batch takes on a cluster). Every decoder is REAL and
-  * JDK-only — PNG/BMP via javax.imageio ([[graft.functions.ImageCodec]]),
+  * JDK-only — a from-scratch PNG/BMP decoder ([[graft.functions.ImageCodec]]),
   * WAV/AU via javax.sound.sampled ([[graft.functions.AudioCodec]]) —
   * over committed corpora written by independent stdlib-Python
   * generators, with oracle sidecars derived from the generators'
@@ -118,7 +118,7 @@ object Multimodal {
 
   /** REAL nearest-neighbor resize over decoded corpus luma: decode the
     * committed PNG/BMP corpus ([[graft.functions.ImageCodec]], real
-    * container parse via javax.imageio), NN-resize the integer luma
+    * self-contained container parse), NN-resize the integer luma
     * raster to a 10×10 thumbnail (output pixel (y,x) samples source
     * (⌊y·h/10⌋, ⌊x·w/10⌋)), and emit all-integer thumbnail statistics
     * — sum, min, max, plus a position-weighted sum Σ thumb(i)·(i+1)
@@ -277,8 +277,8 @@ object Multimodal {
   /** REAL image decode over a committed corpus of true PNG files —
     * the full-stats sibling of mmDecodeMeta, closing the image
     * half of the multimodal gap JDK-only:
-    * [[graft.functions.ImageCodec]] parses the PNG container via
-    * javax.imageio (magic-sniffed, not extension-trusted), emits
+    * [[graft.functions.ImageCodec]] parses the PNG container with its
+    * own chunk/Inflater walk (magic-sniffed, not extension-trusted), emits
     * all-integer channel sums and the mm_phash average-hash over the
     * REAL luma raster (same 8×8 NN index math). The corpus was written
     * by an independent stdlib-Python generator (tools/gen_images.py —

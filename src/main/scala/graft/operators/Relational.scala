@@ -1074,7 +1074,85 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rank"))
   }
 
+  /** §2.A round 10 — EWMA smoothing of a per-key time series (the
+    * feature-engineering pass behind trend/denoise columns). True
+    * EWMA is a sequential recurrence — unbounded lookback makes it
+    * both unparallelizable within a key and float-order-sensitive —
+    * so the operator computes the TRUNCATED form: the 8 newest
+    * observations with geometric weights 2^(7-j) (α = 1/2), which
+    * bounds the per-row work to 8 window lags and, because the
+    * dropped tail's total weight is < 1/128 of the kept mass, agrees
+    * with the infinite recurrence to ~1%. Engine-stability contract:
+    * values become e2 integers (floor(v*100+0.5) — exact on the
+    * 2-decimal corpus), the weighted sum is integer, and the final
+    * mean is one truncating `div` — no float anywhere, so the oracle
+    * hashes exactly. Plan: ONE window over (user_id | ts, event_id) —
+    * the shuffle is the per-key clustering any per-key series op
+    * needs, the 8 lags ride the same sorted pass, and everything
+    * else is a codegen'd projection. At 100 TB: partition by user,
+    * no global sort, no state beyond the window's 8-row frame.
+    */
+  val q54EwmaSmooth: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withLags = (1 to 7).foldLeft(
+      Tables.events(s, d)
+        .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))) {
+      case (df, j) => df.withColumn(s"l$j", lag(col("v_e2"), j).over(w))
+    }
+    val num = (1 to 7).foldLeft(col("v_e2") * lit(128L)) { case (acc, j) =>
+      acc + coalesce(col(s"l$j") * lit(1L << (7 - j)), lit(0L))
+    }
+    val den = (1 to 7).foldLeft(lit(128L)) { case (acc, j) =>
+      acc + when(col(s"l$j").isNotNull, lit(1L << (7 - j))).otherwise(lit(0L))
+    }
+    withLags
+      .withColumn("num", num).withColumn("den", den)
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("v_e2"), expr("num div den").as("ewma_e2"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
+  /** §2.A round 10 — distribution-drift audit between a baseline and
+    * a current period (the data-quality gate a training pipeline runs
+    * before ingesting a new crawl/feed snapshot: "did this source's
+    * value distribution move?"). Per event_type, the value histogram
+    * (10 fixed-width buckets over the e2-integer domain) is compared
+    * across the two halves of the time range via ppm-normalized
+    * shares; drift is reported as both the L1 distance (total
+    * variation ×2, in ppm) and a χ²-style score Σ (p_curr−p_base)²/
+    * max(p_base,1) — ALL integer arithmetic (ppm shares by truncating
+    * div), so the score is engine-exact rather than log/float-PSI.
+    * Plan: one conditional-aggregate shuffle on (event_type, bkt) —
+    * period membership is a map-side flag, never two scans — then the
+    * ppm/χ² algebra runs over ≤ types×10 tiny rows. At 100 TB: the
+    * histogram is the only exchange and it carries 2 longs per
+    * (type, bucket); the compare is driver-scale.
+    */
+  val q55DriftChi2: Q = (s, d) => {
+    val hist = Tables.events(s, d)
+      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("bkt", least(expr("v_e2 div 6000"), lit(9L)))
+      .withColumn("is_base", col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
+      .groupBy(col("event_type"), col("bkt"))
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("c_base"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("c_curr"))
+    val byType = Window.partitionBy(col("event_type"))
+    hist
+      .withColumn("t_base", sum(col("c_base")).over(byType))
+      .withColumn("t_curr", sum(col("c_curr")).over(byType))
+      .withColumn("p_base", expr("c_base * 1000000 div greatest(t_base, 1)"))
+      .withColumn("p_curr", expr("c_curr * 1000000 div greatest(t_curr, 1)"))
+      .groupBy(col("event_type"))
+      .agg(max(col("t_base")).as("n_base"), max(col("t_curr")).as("n_curr"),
+        sum(abs(col("p_curr") - col("p_base"))).as("l1_ppm"),
+        sum(expr("(p_curr - p_base) * (p_curr - p_base) div greatest(p_base, 1)"))
+          .as("chi2_score"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q54_ewma_smooth" -> q54EwmaSmooth,
+    "q55_drift_chi2" -> q55DriftChi2,
     "q53_priority_sample" -> q53PrioritySample,
     "q52_skyline" -> q52Skyline,
     "q50_interval_sweep" -> q50IntervalSweep,
@@ -1163,6 +1241,54 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q54_ewma_smooth" ->
+      """WITH v AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, ts, event_id, v_e2,
+        |    lag(v_e2, 1) OVER w AS l1, lag(v_e2, 2) OVER w AS l2,
+        |    lag(v_e2, 3) OVER w AS l3, lag(v_e2, 4) OVER w AS l4,
+        |    lag(v_e2, 5) OVER w AS l5, lag(v_e2, 6) OVER w AS l6,
+        |    lag(v_e2, 7) OVER w AS l7
+        |  FROM v WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us, event_id, v_e2,
+        |  (v_e2 * 128 + COALESCE(l1 * 64, 0) + COALESCE(l2 * 32, 0)
+        |     + COALESCE(l3 * 16, 0) + COALESCE(l4 * 8, 0) + COALESCE(l5 * 4, 0)
+        |     + COALESCE(l6 * 2, 0) + COALESCE(l7 * 1, 0))
+        |  // (128 + (CASE WHEN l1 IS NULL THEN 0 ELSE 64 END)
+        |     + (CASE WHEN l2 IS NULL THEN 0 ELSE 32 END)
+        |     + (CASE WHEN l3 IS NULL THEN 0 ELSE 16 END)
+        |     + (CASE WHEN l4 IS NULL THEN 0 ELSE 8 END)
+        |     + (CASE WHEN l5 IS NULL THEN 0 ELSE 4 END)
+        |     + (CASE WHEN l6 IS NULL THEN 0 ELSE 2 END)
+        |     + (CASE WHEN l7 IS NULL THEN 0 ELSE 1 END)) AS ewma_e2
+        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q55_drift_chi2" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 6000, 9) AS bkt,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS c_base,
+        |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 0 ELSE 1 END) AS c_curr
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, c_base, c_curr,
+        |    sum(c_base) OVER (PARTITION BY event_type) AS t_base,
+        |    sum(c_curr) OVER (PARTITION BY event_type) AS t_curr
+        |  FROM h),
+        |q AS (
+        |  SELECT event_type, t_base, t_curr,
+        |    c_base * 1000000 // greatest(t_base, 1) AS p_base,
+        |    c_curr * 1000000 // greatest(t_curr, 1) AS p_curr
+        |  FROM p)
+        |SELECT event_type,
+        |  CAST(max(t_base) AS BIGINT) AS n_base,
+        |  CAST(max(t_curr) AS BIGINT) AS n_curr,
+        |  CAST(sum(abs(p_curr - p_base)) AS BIGINT) AS l1_ppm,
+        |  CAST(sum((p_curr - p_base) * (p_curr - p_base) // greatest(p_base, 1)) AS BIGINT)
+        |    AS chi2_score
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q49_freq_sketch" ->
       """WITH sk AS (
         |  SELECT * FROM read_parquet('__AUX__/q49_sketch/*.parquet')),

@@ -530,6 +530,55 @@ object TextAnalysis {
       .orderBy(col("passage"))
   }
 
+  /** Duplicated-span REMOVAL with document reassembly — the other half
+    * of substring-level dedup (tx_repeated_passages DETECTS repeated
+    * passages; this op actually rewrites the corpus the way the C4 /
+    * Lee et al. 2022 pipelines do before training). Documents are cut
+    * into NON-overlapping 8-word spans (non-overlap makes removal
+    * well-defined: every word belongs to exactly one span, so the span
+    * table is the same size as the corpus, not win× larger); a full
+    * span appearing in ≥2 distinct documents is cut from ALL of them;
+    * the partial tail span (< 8 words) is never dedup-eligible. Each
+    * document is reassembled from its surviving spans in position
+    * order and emitted as (span counts, cleaned length, cleaned-text
+    * md5) — the md5 pins every byte of the rewrite without shipping
+    * the full text through the result compare twice. Plan: the span
+    * table is materialized ONCE (localCheckpoint) and feeds both the
+    * global duplicate aggregate and the mark join — without the
+    * barrier both branches re-scan and re-explode the corpus. Shuffle
+    * volume is corpus-sized short strings for the span aggregate (at
+    * 10⁹+ docs the group key becomes xxhash64(span) with text via
+    * first(), the tx_repeated_passages note applied), and reassembly
+    * groups by doc_id — per-group state bounded by document length.
+    */
+  val txSpanDedup: Q = (s, d) => {
+    val win = 8
+    val spans = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"), size(col("w")).as("n"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(w) - 1) div $win), " +
+            s"i -> array_join(slice(w, i * $win + 1, $win), ' '))")))
+      .withColumnRenamed("col", "span")
+      .withColumn("is_full", (col("pos") + 1) * win <= col("n"))
+      .localCheckpoint()
+    val dups = spans.filter(col("is_full"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .filter(col("n_docs") >= 2)
+      .select(col("span"), lit(true).as("is_dup"))
+    val clean = concat_ws(" ", expr(
+      "transform(array_sort(collect_list(CASE WHEN NOT removed THEN struct(pos, span) END)), x -> x.span)"))
+    spans.join(dups, Seq("span"), "left")
+      .withColumn("removed", col("is_full") && col("is_dup").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("removed"), 1L).otherwise(0L)).as("n_removed"),
+        length(clean).cast("long").as("clean_len"),
+        md5(clean.cast("binary")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 relevance scoring — the full-text-search ranking an
     * analytics engine needs next to embedding retrieval: a literal
     * query relation (4 queries, 2-3 terms) scores every document via
@@ -805,6 +854,7 @@ object TextAnalysis {
     "tx_quality_classifier" -> txQualityClassifier,
     "tx_bm25" -> txBm25,
     "tx_repeated_passages" -> txRepeatedPassages,
+    "tx_span_dedup" -> txSpanDedup,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
@@ -987,6 +1037,29 @@ object TextAnalysis {
         |      ORDER BY score_e6 DESC, doc_id) AS rank
         |  FROM scored) x
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "tx_span_dedup" ->
+      """WITH words AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sp AS (
+        |  SELECT doc_id, i AS pos,
+        |    array_to_string(list_slice(w, i * 8 + 1, i * 8 + 8), ' ') AS span,
+        |    (i + 1) * 8 <= len(w) AS is_full
+        |  FROM words, unnest(range(0, (len(w) - 1) // 8 + 1)) AS t(i)),
+        |dups AS (
+        |  SELECT span FROM sp WHERE is_full
+        |  GROUP BY span HAVING count(DISTINCT doc_id) >= 2),
+        |m AS (
+        |  SELECT s.doc_id, s.pos, s.span,
+        |    (s.is_full AND d.span IS NOT NULL) AS removed
+        |  FROM sp s LEFT JOIN dups d USING (span))
+        |SELECT doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_spans,
+        |  CAST(sum(CASE WHEN removed THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  CAST(length(coalesce(string_agg(span, ' ' ORDER BY pos)
+        |    FILTER (WHERE NOT removed), '')) AS BIGINT) AS clean_len,
+        |  md5(coalesce(string_agg(span, ' ' ORDER BY pos)
+        |    FILTER (WHERE NOT removed), '')) AS clean_md5
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_repeated_passages" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -1228,4 +1228,114 @@ class OperatorsSpec extends SparkTestBase {
         r.getAs[Long]("mean_abs_e4") <= 32768L * 10000)
     }
   }
+
+  test("tx_span_dedup matches a plain-Scala cut-and-reassemble replay") {
+    val out = SparkEntry.queries("tx_span_dedup")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_spans"), r.getAs[Long]("n_removed"),
+          r.getAs[Long]("clean_len"), r.getAs[String]("clean_md5")))).toMap
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    def spansOf(t: String): Seq[(Int, String, Boolean)] = {
+      val w = t.split(" ", -1)
+      (0 to (w.length - 1) / 8).map { i =>
+        val sl = w.slice(i * 8, i * 8 + 8)
+        (i, sl.mkString(" "), (i + 1) * 8 <= w.length)
+      }
+    }
+    val all = docs.flatMap { case (id, t) => spansOf(t).map { case (p, sp, f) => (id, p, sp, f) } }
+    val dup = all.filter(_._4).groupBy(_._3)
+      .filter(_._2.map(_._1).distinct.size >= 2).keySet
+    val expect = all.groupBy(_._1).map { case (id, sps) =>
+      val marked = sps.map { case (_, p, sp, f) => (p, sp, f && dup(sp)) }
+      val clean = marked.sortBy(_._1).collect { case (_, sp, false) => sp }.mkString(" ")
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(clean.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, (sps.size.toLong, marked.count(_._3).toLong, clean.length.toLong, md))
+    }
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (id, got) =>
+      assert(expect(id) == got, s"doc $id: got $got want ${expect(id)}")
+    }
+    // the corpus must actually exercise removal, or the test is vacuous
+    assert(out.values.exists(_._2 > 0), "no spans removed anywhere")
+    // removal must never touch the partial tail span: any document
+    // that HAS one (word count not a multiple of 8) keeps it, so its
+    // cleaned text is never empty
+    docs.filter { case (_, t) => t.split(" ", -1).length % 8 != 0 }
+      .foreach { case (id, _) =>
+        assert(out(id)._3 > 0, s"doc $id lost its tail span")
+      }
+  }
+
+  test("q54_ewma_smooth matches a plain-Scala truncated-EWMA replay") {
+    val out = SparkEntry.queries("q54_ewma_smooth")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("v_e2"), r.getAs[Long]("ewma_e2")))).toMap
+    val byUser = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getAs[Long]("user_id"), us, r.getAs[Long]("event_id"),
+          math.floor(r.getDouble(3) * 100 + 0.5).toLong)
+      }.groupBy(_._1)
+    val expect = byUser.values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      sorted.indices.map { i =>
+        val lags = (0 to 7).flatMap(j => if (i - j >= 0) Some((j, sorted(i - j)._4)) else None)
+        val num = lags.map { case (j, v) => v * (1L << (7 - j)) }.sum
+        val den = lags.map { case (j, _) => 1L << (7 - j) }.sum
+        (sorted(i)._3, (sorted(i)._4, num / den))
+      }
+    }.toMap
+    assert(out.size == expect.size)
+    out.foreach { case (id, got) =>
+      assert(expect(id) == got, s"event $id: got $got want ${expect(id)}")
+    }
+    // a smoothed series must vary strictly less than the raw one
+    val rawVar = out.values.map(_._1).toSeq.distinct.size
+    assert(out.values.map(_._2).toSeq.distinct.size <= rawVar)
+  }
+
+  test("q55_drift_chi2 matches a plain-Scala histogram recount") {
+    val out = SparkEntry.queries("q55_drift_chi2")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_curr"),
+          r.getAs[Long]("l1_ppm"), r.getAs[Long]("chi2_score")))).toMap
+    val boundaryUs = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        val vE2 = math.floor(r.getDouble(2) * 100 + 0.5).toLong
+        (r.getAs[String]("event_type"), us < boundaryUs, math.min(vE2 / 6000, 9L))
+      }
+    val expect = evs.groupBy(_._1).map { case (t, rows) =>
+      val base = rows.filter(_._2); val curr = rows.filterNot(_._2)
+      val (tb, tc) = (base.length.toLong, curr.length.toLong)
+      // a (type, bkt) histogram row exists iff the bucket has at least
+      // one event in either period — absent buckets contribute nothing
+      val present = (0L to 9L).filter(b =>
+        base.exists(_._3 == b) || curr.exists(_._3 == b))
+      val l1 = present.map { b =>
+        val pb = base.count(_._3 == b) * 1000000L / math.max(tb, 1L)
+        val pc = curr.count(_._3 == b) * 1000000L / math.max(tc, 1L)
+        math.abs(pc - pb)
+      }.sum
+      val chi2 = present.map { b =>
+        val pb = base.count(_._3 == b) * 1000000L / math.max(tb, 1L)
+        val pc = curr.count(_._3 == b) * 1000000L / math.max(tc, 1L)
+        (pc - pb) * (pc - pb) / math.max(pb, 1L)
+      }.sum
+      (t, (tb, tc, l1, chi2))
+    }
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (t, got) =>
+      assert(expect(t) == got, s"type $t: got $got want ${expect(t)}")
+    }
+  }
 }

@@ -224,6 +224,57 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 1, s"q50_interval_sweep plans $hashEx hash exchanges:\n$plan")
   }
 
+  test("tx_span_dedup: span table materialized once, partial-agg reassembly") {
+    // the span table feeds BOTH the global duplicate aggregate and the
+    // mark join — the localCheckpoint barrier must hold (zero FileScan
+    // in the final plan: both branches read the materialized RDD, the
+    // corpus is never re-exploded), reassembly must collapse map-side
+    // (partial collect_list before the doc_id exchange), and the
+    // whole job needs at most the dedup-distinct pair + the doc
+    // grouping hash exchanges
+    val plan = planOf("tx_span_dedup")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 0, s"checkpoint barrier lost — corpus re-scanned $scans times:\n$plan")
+    assert(plan.contains("partial_collect_list"),
+      s"reassembly must partial-aggregate map-side:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"tx_span_dedup plans $hashEx hash exchanges:\n$plan")
+  }
+
+  test("q54_ewma_smooth: one user-partitioned window, one scan, no global sort") {
+    // the truncated-EWMA lags must all ride ONE window over the
+    // user-clustered sort — a second window spec or a SinglePartition
+    // exchange would mean the per-key series op regressed to either
+    // repeated sorts or a global one
+    val plan = planOf("q54_ewma_smooth")
+    assert("windowspecdefinition\\(user_id#\\d+L?, ts#\\d+".r.findFirstIn(plan).isDefined,
+      s"lags must partition by user_id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q54_ewma_smooth plans a global exchange:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q54_ewma_smooth scans events $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q54_ewma_smooth plans $hashEx hash exchanges:\n$plan")
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 1, s"q54_ewma_smooth plans $windows window nodes:\n$plan")
+  }
+
+  test("q55_drift_chi2: one scan, one histogram exchange, map-side period flag") {
+    // both periods count from ONE conditional-aggregate scan (no union
+    // of two reads); after the (event_type, bkt) histogram shuffle the
+    // ppm/χ² algebra runs over tiny rows — the window and final
+    // aggregate may reuse the event_type clustering but never add a
+    // scan
+    val plan = planOf("q55_drift_chi2")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q55_drift_chi2 scans events $scans times:\n$plan")
+    assert(!plan.contains("Union"), s"q55_drift_chi2 unions two period reads:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"q55_drift_chi2 plans $hashEx hash exchanges:\n$plan")
+    assert(plan.contains("partial_sum") || plan.contains("partial"),
+      s"histogram must partial-aggregate map-side:\n$plan")
+  }
+
   test("q51_gap_fill: every stage clusters by user, fill never re-sorts globally") {
     // densification and forward fill are per-user: the observation
     // aggregate, the span aggregate, the dense-hour Generate and the
