@@ -138,6 +138,34 @@ object Dedup {
   private[graft] def bandedForDiagnostics(s: SparkSession, d: String): DataFrame =
     bandedOf(minhashSigTable(s, d))
 
+  /** LSH-geometry observability as a first-class operator — the
+    * Profile --lsh-skew diagnostic promoted into the registry, because
+    * at 100 TB the band-bucket histogram IS the operational dashboard
+    * for the whole dedup family: candidate generation is quadratic
+    * within buckets (cost = Σ sz·(sz−1)/2, reported here as
+    * cand_pairs), so "max_bucket grew" is the earliest possible
+    * warning that the 8×4 band geometry needs more planes for the
+    * corpus size (SURVEY §5's bucket-grows-with-cluster-not-corpus
+    * property, now continuously measurable in-pipeline). Per band:
+    * bucket count, docs, max/singleton occupancy, exact collision-pair
+    * work. One (band, bucket) grouping shuffle over the band index —
+    * the same volume the candidate join itself shuffles — then 8 tiny
+    * rows; all counts integer-exact.
+    */
+  val ddLshStats: Q = (s, d) =>
+    bandedForDiagnostics(s, d)
+      .select(expr("CAST(split(band_key, ',')[0] AS BIGINT)").as("band"),
+        col("band_key"))
+      .groupBy(col("band"), col("band_key"))
+      .agg(count(lit(1)).as("sz"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_bucket"),
+        sum(when(col("sz") === 1, 1L).otherwise(0L)).as("singleton_buckets"),
+        sum(expr("sz * (sz - 1) div 2")).as("cand_pairs"))
+      .orderBy(col("band"))
+
   /** Full-recompute pair graph over an arbitrary documents relation —
     * the ground truth the incremental path's per-batch deltas must sum
     * to (spec-asserted in EventStreamsSpec).
@@ -1076,6 +1104,7 @@ object Dedup {
     "dd_cluster_star" -> ddClusterStar,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_lsh_stats" -> ddLshStats,
     "dd_incremental" -> ddIncremental,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -1275,6 +1304,20 @@ object Dedup {
         |    ((coalesce(cc.cluster_id, d.doc_id) % 1000003) * 2654435761) % 100 AS bucket
         |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id) t
         |ORDER BY doc_id""".stripMargin,
+    "dd_lsh_stats" ->
+      """WITH sigs AS (
+        |  SELECT doc_id, sig FROM read_parquet('__AUX__/dd_minhash_sigs/*.parquet')),
+        |banded AS (
+        |  SELECT doc_id, b, sig[b*4+1 : b*4+4] AS band_v
+        |  FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bands),
+        |bk AS (SELECT b, band_v, count(*) AS sz FROM banded GROUP BY 1, 2)
+        |SELECT CAST(b AS BIGINT) AS band,
+        |  CAST(count(*) AS BIGINT) AS n_buckets,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(max(sz) AS BIGINT) AS max_bucket,
+        |  CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singleton_buckets,
+        |  CAST(sum(sz * (sz - 1) // 2) AS BIGINT) AS cand_pairs
+        |FROM bk GROUP BY b ORDER BY band""".stripMargin,
     "dd_minhash_lsh" ->
       """WITH sigs AS (
         |  SELECT doc_id, sig FROM read_parquet('__AUX__/dd_minhash_sigs/*.parquet')),

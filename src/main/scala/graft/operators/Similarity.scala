@@ -271,6 +271,39 @@ object Similarity {
     topkPresent(scored, k = 5).orderBy(col("query_id"), col("rank"))
   }
 
+  /** RANGE (radius) similarity search — "everything within cosine τ of
+    * each query", the retrieval semantics dedup-by-radius and
+    * recall-bounded filtering need where top-k is the wrong contract
+    * (k truncates dense neighborhoods and pads sparse ones). Same
+    * IVF-probe scale shape as [[annIncremental]]: stored vectors live
+    * in cent_id lists, each query probes its 4 nearest lists, and only
+    * probed lists pay the exact cosine — per-query work is
+    * nprobe·listsize, never corpus-linear. The threshold then runs
+    * MAP-SIDE on the probe join's output (a codegen'd filter, no
+    * bounded-heap state at all — radius search composes with streaming
+    * ingestion more cheaply than top-k precisely because selection is
+    * stateless). τ = 0.25 on the q4-quantized cosine sits at the ~99th
+    * percentile of this corpus's isotropic pair distribution, so
+    * neighborhoods are small but nonempty; queries are the vec_id %
+    * 101 slice (deterministic, oracle-rederivable).
+    */
+  val annRangeSearch: Q = (s, d) => {
+    val centroids = fixedCentroids(s, d)
+    val emb = Tables.embeddings(s, d)
+    val stored = emb.select(col("vec_id"), col("embedding"),
+      nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+    val probes = probesOf(
+      emb.filter(pmod(col("vec_id"), lit(101)) === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+      centroids, nprobe = 4)
+    stored.join(probes, Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", q4(cosineSim(col("q_emb"), col("embedding"))))
+      .filter(col("sim") >= 0.25)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+  }
+
   /** The corpus-size lever for the incremental index, wired (the
     * dd_semantic semanticK move applied to IVF): k = max(16, ⌈n/64⌉)
     * keeps expected LIST occupancy ≤ ~64 as the corpus grows, so a
@@ -662,6 +695,7 @@ object Similarity {
     "ann_ivf_kmeans" -> annIvfKmeans,
     "ann_incremental" -> annIncremental,
     "ann_incremental_adaptive" -> annIncrementalAdaptive,
+    "ann_range_search" -> annRangeSearch,
     "ann_quantize_int8" -> annQuantizeInt8)
 
   /** Split-oracle aux dump: the k-means-trained centroids. Training is
@@ -869,6 +903,28 @@ object Similarity {
          |   ON bit_count(xor(CAST(e.bucket AS BIGINT), CAST(q.bucket AS BIGINT))) <= 1
          |  AND e.vec_id <> q.vec_id) t
          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_range_search" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |stored AS (
+        |  SELECT vec_id, embedding, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id % 101 = 0) t WHERE rn <= 4)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM stored a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.query_id) t
+        |WHERE sim >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin,
     "ann_incremental" ->
       """WITH cents AS (
         |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb

@@ -876,6 +876,43 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("ann_range_search is sound vs brute force and complete within probed lists") {
+    val out = operators.Similarity.annRangeSearch(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Double]("sim"))).toMap
+    val emb = sources.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    val cents = emb.filter(_._1 < 16).sortBy(_._1)
+    def assign(v: Array[Double]): Long =
+      cents.map { case (id, c) => (cos(v, c), -id) }.max match { case (_, nid) => -nid }
+    def probes(v: Array[Double]): Set[Long] =
+      cents.map { case (id, c) => (cos(v, c), -id) }.sorted.reverse.take(4).map(-_._2).toSet
+    val queries = emb.filter(_._1 % 101 == 0)
+    val expect = (for {
+      (qid, qv) <- queries
+      p = probes(qv)
+      (vid, v) <- emb
+      if vid != qid && p(assign(v))
+      s = q4(cos(qv, v))
+      if s >= 0.25
+    } yield ((qid, vid), s)).toMap
+    assert(out == expect,
+      s"missing=${(expect.keySet -- out.keySet).take(3)} extra=${(out.keySet -- expect.keySet).take(3)}")
+    // soundness vs BRUTE: everything reported is genuinely in range
+    out.foreach { case ((q, n), s) =>
+      val brute = q4(cos(emb.find(_._1 == q).get._2, emb.find(_._1 == n).get._2))
+      assert(brute == s && brute >= 0.25, s"($q,$n) sim $s brute $brute")
+    }
+    assert(out.nonEmpty, "radius returned nothing — tau miscalibrated")
+  }
+
   test("tx_repeated_passages emits 8-word windows spread across >=2 docs") {
     val rows = operators.TextAnalysis.txRepeatedPassages(spark, sfDir).collect()
     assert(rows.nonEmpty)
@@ -1267,6 +1304,33 @@ class OperatorsSpec extends SparkTestBase {
       .foreach { case (id, _) =>
         assert(out(id)._3 > 0, s"doc $id lost its tail span")
       }
+  }
+
+  test("dd_lsh_stats matches a plain-Scala bucket recount and prices the band join") {
+    val out = SparkEntry.queries("dd_lsh_stats")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("band"),
+        (r.getAs[Long]("n_buckets"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("max_bucket"), r.getAs[Long]("singleton_buckets"),
+          r.getAs[Long]("cand_pairs")))).toMap
+    val banded = operators.Dedup.bandedForDiagnostics(spark, sfDir)
+      .select(col("band_key")).collect().map(_.getString(0))
+    val expect = banded.groupBy(_.split(",")(0).toLong).map { case (b, keys) =>
+      val sizes = keys.groupBy(identity).values.map(_.length.toLong).toSeq
+      (b, (sizes.size.toLong, sizes.sum, sizes.max,
+        sizes.count(_ == 1L).toLong, sizes.map(z => z * (z - 1) / 2).sum))
+    }
+    assert(out.keySet == (0L to 7L).toSet)
+    out.foreach { case (b, got) =>
+      assert(expect(b) == got, s"band $b: got $got want ${expect(b)}")
+    }
+    // the reported cand_pairs must equal the band join's actual
+    // collision-row count — the stat IS the join's price
+    val joinRows = operators.Dedup.bandedForDiagnostics(spark, sfDir).as("a")
+      .join(operators.Dedup.bandedForDiagnostics(spark, sfDir).as("b"),
+        col("a.band_key") === col("b.band_key") && col("a.doc_id") < col("b.doc_id"))
+      .count()
+    assert(out.values.map(_._5).sum == joinRows,
+      s"cand_pairs ${out.values.map(_._5).sum} != join rows $joinRows")
   }
 
   test("q54_ewma_smooth matches a plain-Scala truncated-EWMA replay") {

@@ -224,6 +224,34 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 1, s"q50_interval_sweep plans $hashEx hash exchanges:\n$plan")
   }
 
+  test("dd_lsh_stats: two partial-agg exchanges, never a bucket sort") {
+    // the histogram is (band, bucket) grouping → per-band rollup, both
+    // with map-side partials; any third data exchange or a global sort
+    // below the presentation orderBy means the diagnostic got more
+    // expensive than the join it prices
+    val plan = planOf("dd_lsh_stats")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"dd_lsh_stats plans $hashEx hash exchanges:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"bucket sizing must partial-aggregate map-side:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"dd_lsh_stats plans a global exchange:\n$plan")
+  }
+
+  test("ann_range_search: stateless map-side radius filter on the probe join") {
+    // radius selection must be a filter fused into the probe join
+    // (codegen'd, no per-query heap, no window over scored rows) —
+    // the only window in the plan belongs to the nprobe centroid
+    // ranking over queries×16 rows, and scored rows reach no extra
+    // exchange beyond the presentation sort
+    val plan = planOf("ann_range_search")
+    val windows = "windowspecdefinition\\(query_id".r.findAllIn(plan).size
+    assert(windows == 1, s"expected only the nprobe ranking window:\n$plan")
+    assert(plan.contains(">= 0.25"), s"radius filter missing from the plan:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"ann_range_search plans $hashEx hash exchanges:\n$plan")
+  }
+
   test("tx_span_dedup: span table materialized once, partial-agg reassembly") {
     // the span table feeds BOTH the global duplicate aggregate and the
     // mark join — the localCheckpoint barrier must hold (zero FileScan
