@@ -174,6 +174,85 @@ object Multimodal {
     * expected_features.parquet, from the sample formulas). Map-only
     * partition-batched decode.
     */
+  /** Constellation-style audio fingerprinting over the decoded
+    * waveform — the Shazam-shape landmark scheme restricted to
+    * integer-exact features (no FFT: a float spectral transform would
+    * be engine/order-unstable, and the committed-corpus oracle pins
+    * every bit). 256-sample frames at hop 128; per-frame abs-energy +
+    * in-frame zero crossings (a coarse but real spectral proxy —
+    * ZCR tracks dominant frequency for monophonic PCM); interior
+    * local-max energy peaks (strict vs the two PRECEDING frames, ≥ vs
+    * the two FOLLOWING — the asymmetry makes plateau ties
+    * deterministic); consecutive-peak landmarks (Δt ≤ 16 frames)
+    * hashed as bitlen(e₁)‖zcr₁‖bitlen(e₂)‖Δt and aggregated
+    * ORDER-FREE (xor + sum), so the per-file fingerprint is exact in
+    * any execution order. Per-partition decode over the binaryFile
+    * scan like every codec op; the landmark table never shuffles —
+    * one row per file leaves the partition. Sidecar-pinned against
+    * tools/gen_audio.py's independent formula derivation.
+    */
+  val mmAudioFingerprint: Q = (s, _) => {
+    import s.implicits._
+    val frame = 256
+    val hop = 128
+    graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
+      .select(col("file_name"), col("content"))
+      .as[(String, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (name, bytes) =>
+          graft.functions.AudioCodec.decodeSamples(bytes) match {
+            case Some(clip) =>
+              val xs = clip.samples
+              val nf = if (xs.length < frame) 0 else (xs.length - frame) / hop + 1
+              val es = new Array[Long](nf)
+              val zs = new Array[Int](nf)
+              var j = 0
+              while (j < nf) {
+                var e = 0L; var z = 0; var i = j * hop
+                val end = i + frame
+                var prevNeg = false
+                var first = true
+                while (i < end) {
+                  val v = xs(i)
+                  e += math.abs(v)
+                  val neg = v < 0
+                  if (!first && neg != prevNeg) z += 1
+                  prevNeg = neg; first = false
+                  i += 1
+                }
+                es(j) = e; zs(j) = z
+                j += 1
+              }
+              var nPeaks = 0L; var nLm = 0L; var lmXor = 0L; var lmSum = 0L
+              var lastPeak = -1
+              var k = 2
+              while (k < nf - 2) {
+                if (es(k) > es(k - 2) && es(k) > es(k - 1) &&
+                  es(k) >= es(k + 1) && es(k) >= es(k + 2)) {
+                  nPeaks += 1
+                  if (lastPeak >= 0 && k - lastPeak <= 16) {
+                    // bitLength(e) = 64 − nlz(e); 0 for e = 0, matching
+                    // the generator's int.bit_length()
+                    val bl1 = 64 - java.lang.Long.numberOfLeadingZeros(es(lastPeak))
+                    val bl2 = 64 - java.lang.Long.numberOfLeadingZeros(es(k))
+                    val hh = (bl1.toLong << 24) | (math.min(zs(lastPeak), 255).toLong << 16) |
+                      (bl2.toLong << 8) | (k - lastPeak).toLong
+                    lmXor ^= hh; lmSum += hh; nLm += 1
+                  }
+                  lastPeak = k
+                }
+                k += 1
+              }
+              (name, true, nf.toLong, nPeaks, nLm, lmXor, lmSum)
+            case None => (name, false, 0L, 0L, 0L, 0L, 0L)
+          }
+        }
+      }
+      .toDF("file_name", "audio_ok", "n_frames", "n_peaks",
+        "n_landmarks", "lm_xor", "lm_sum")
+      .orderBy(col("file_name"))
+  }
+
   val mmFeatureExtract: Q = (s, _) => {
     import s.implicits._
     graft.sources.BinaryFiles.scan(s, "*.{wav,au}", audioDir)
@@ -428,12 +507,18 @@ object Multimodal {
     "mm_audio_decode" -> mmAudioDecode,
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
-    "mm_feature_extract" -> mmFeatureExtract)
+    "mm_feature_extract" -> mmFeatureExtract,
+    "mm_audio_fingerprint" -> mmAudioFingerprint)
 
   /** The byte histogram is computable in SQL for ASCII text, so this
     * gets a real oracle despite the mapPartitions implementation.
     */
   val oracles: Map[String, String] = Map(
+    "mm_audio_fingerprint" ->
+      s"""SELECT file_name, audio_ok, n_frames, n_peaks, n_landmarks,
+        |  lm_xor, lm_sum
+        |FROM read_parquet('$audioDir/expected_fingerprint.parquet')
+        |ORDER BY file_name""".stripMargin,
     "mm_phash_pairs" ->
       s"""WITH ph AS (
         |  SELECT file_name, phash_lo, phash_hi

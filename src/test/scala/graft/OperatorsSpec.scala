@@ -1249,6 +1249,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("mm_audio_fingerprint: landmark constellation is order-free and bounded") {
+    val rows = operators.Multimodal.mmAudioFingerprint(spark, sfDir).collect()
+    assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt
+    val (ok, bad) = rows.partition(_.getAs[Boolean]("audio_ok"))
+    assert(bad.length == 3)
+    bad.foreach(r => assert(r.getAs[Long]("n_frames") == 0 &&
+      r.getAs[Long]("lm_sum") == 0))
+    assert(ok.exists(_.getAs[Long]("n_landmarks") > 0),
+      "no clip produced landmarks — constellation vacuous")
+    ok.foreach { r =>
+      val (nf, np, nl) = (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_peaks"), r.getAs[Long]("n_landmarks"))
+      // interior peaks need 5 frames; landmarks need 2 peaks
+      assert(np <= math.max(nf - 4, 0), s"${r.getString(0)}: $np peaks in $nf frames")
+      assert(nl <= math.max(np - 1, 0))
+      // every landmark hash h fits the 4-byte layout: bitlen ≤ 63 in
+      // the top byte ⇒ sum bounded by nl · 2^32
+      assert(r.getAs[Long]("lm_sum") <= nl * (1L << 32))
+      // xor of hashes stays within the packed width
+      assert((r.getAs[Long]("lm_xor") >> 32) == 0)
+    }
+  }
+
   test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
     val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
     assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt

@@ -57,6 +57,43 @@ def frame_rows(name, xs):
     return out
 
 
+FP_FRAME = 256
+FP_HOP = 128
+
+
+def fingerprint_row(name, xs=None):
+    """expected_fingerprint.parquet row for mm_audio_fingerprint:
+    256-sample frames at hop 128; per-frame abs-energy + in-frame zero
+    crossings; interior local-max peaks (strict vs the two preceding
+    frames, >= vs the two following); consecutive-peak landmarks with
+    dt <= 16 hashed as (bitlen(e1)<<24 | min(zcr1,255)<<16 |
+    bitlen(e2)<<8 | dt), aggregated order-free (xor + sum). Pure
+    integer formulas — derived from the sample FORMULA, never from
+    reading the file back. xs=None marks a corrupt file."""
+    if xs is None:
+        return (name, False, 0, 0, 0, 0, 0)
+    nf = 0
+    es, zs = [], []
+    while nf * FP_HOP + FP_FRAME <= len(xs):
+        w = xs[nf * FP_HOP: nf * FP_HOP + FP_FRAME]
+        es.append(sum(abs(v) for v in w))
+        zs.append(sum(1 for a, b in zip(w, w[1:]) if (a < 0) != (b < 0)))
+        nf += 1
+    peaks = [j for j in range(2, nf - 2)
+             if es[j] > es[j - 2] and es[j] > es[j - 1]
+             and es[j] >= es[j + 1] and es[j] >= es[j + 2]]
+    lm_xor = lm_sum = n_lm = 0
+    for p, q in zip(peaks, peaks[1:]):
+        dt = q - p
+        if dt <= 16:
+            h = ((es[p].bit_length() << 24) | (min(zs[p], 255) << 16)
+                 | (es[q].bit_length() << 8) | dt)
+            lm_xor ^= h
+            lm_sum += h
+            n_lm += 1
+    return (name, True, nf, len(peaks), n_lm, lm_xor, lm_sum)
+
+
 def feature_row(name, xs=None):
     """expected_features.parquet row for mm_feature_extract: e4
     fixed-point mean |amplitude| / mean energy via pure integer
@@ -83,6 +120,7 @@ def main():
     rows = []
     frames = []
     feats = []
+    fps = []
     for i in range(40 * factor):
         n = 500 + (i % 7) * 300
         xs = samples(i, n)
@@ -96,6 +134,7 @@ def main():
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
         frames.extend(frame_rows(name, xs))
         feats.append(feature_row(name, xs))
+        fps.append(fingerprint_row(name, xs))
 
     # AU leg: same sample formulas through a SECOND real container
     # (Sun AU — 24-byte big-endian header, PCM16 big-endian data;
@@ -112,6 +151,7 @@ def main():
         rows.append((name, True, 1, RATE, n, sa, en, pk, zc))
         frames.extend(frame_rows(name, xs))
         feats.append(feature_row(name, xs))
+        fps.append(fingerprint_row(name, xs))
 
     # corrupt AU: header-level truncation (12 bytes keeps the '.snd'
     # magic but cuts the format fields — must fail, not mis-decode)
@@ -119,6 +159,7 @@ def main():
         f.write(struct.pack(">4sII", b".snd", 24, 0))
     rows.append(("clip_cut_header.au", False, 0, 0, 0, 0, 0, 0, 0))
     feats.append(feature_row("clip_cut_header.au"))
+    fps.append(fingerprint_row("clip_cut_header.au"))
 
     with open(os.path.join(dst, f"clip_{0:03d}.wav"), "rb") as f:
         good = f.read()
@@ -129,6 +170,7 @@ def main():
             f.write(data)
         rows.append((name, False, 0, 0, 0, 0, 0, 0, 0))
         feats.append(feature_row(name))
+        fps.append(fingerprint_row(name))
 
     rows.sort()
     cols = list(zip(*rows))
@@ -167,6 +209,19 @@ def main():
         "alphabet": pa.array(xcols[6], pa.int64()),
     })
     pq.write_table(xtable, os.path.join(dst, "expected_features.parquet"))
+
+    fps.sort()
+    pcols = list(zip(*fps))
+    ptable = pa.table({
+        "file_name": pa.array(pcols[0], pa.string()),
+        "audio_ok": pa.array(pcols[1], pa.bool_()),
+        "n_frames": pa.array(pcols[2], pa.int64()),
+        "n_peaks": pa.array(pcols[3], pa.int64()),
+        "n_landmarks": pa.array(pcols[4], pa.int64()),
+        "lm_xor": pa.array(pcols[5], pa.int64()),
+        "lm_sum": pa.array(pcols[6], pa.int64()),
+    })
+    pq.write_table(ptable, os.path.join(dst, "expected_fingerprint.parquet"))
     print(f"wrote {len(rows)} rows + {len(frames)} frame rows "
           f"+ {len(feats)} feature rows to {dst}")
 
