@@ -51,6 +51,16 @@ case class GapState(hourUs: Long, bestTsUs: Long, bestEventId: Long,
 case class GapOut(user_id: Long, hour_us: Long, value: Double,
     is_filled: Boolean)
 
+/** Per-user online EWMA state: the last ≤7 prior e2-integer
+  * observations (newest first) plus the last emitted (ts, event_id)
+  * for straggler rejection — ≤9 numbers per key, independent of
+  * stream length.
+  */
+case class EwmaState(lastTsUs: Long, lastEventId: Long, recent: List[Long])
+
+case class EwmaOut(user_id: Long, ts_us: Long, event_id: Long,
+    v_e2: Long, ewma_e2: Long)
+
 /** A day-clipped interval boundary: `emittable` marks boundaries whose
   * instant falls inside the tagged day (a clipped end at next-day
   * midnight participates in the running count but never in output —
@@ -698,6 +708,52 @@ object EventStreams extends Serializable {
         })
       }
       st.foreach(state.update)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** STREAMING truncated-EWMA smoothing — the online twin of the batch
+    * 8-lag window (Relational.q54EwmaSmooth). Where the batch twin
+    * reads its 8 lags off a user-partitioned sort, the stream carries
+    * them AS STATE: ≤7 prior e2 observations per user (newest first),
+    * so each arriving event emits its smoothed row immediately —
+    * num/den fold over the same 2^(7−j) weights, one truncating div,
+    * identical integer arithmetic. Emission is per-event (no open
+    * bucket to close), so cumulative emissions after in-order batches
+    * equal the batch twin EXACTLY, row for row (spec-asserted).
+    * Out-of-order events older than the last emitted (ts, event_id)
+    * are dropped — the lag window is order-defined, and rewriting an
+    * already-emitted smooth would corrupt a downstream consumer
+    * (same watermark stance as [[gapFillStream]]).
+    */
+  def ewmaStream(events: Dataset[Evt]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evts: Iterator[Evt],
+        state: GroupState[EwmaState]): Iterator[EwmaOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[EwmaOut]
+      var st = state.getOption.getOrElse(EwmaState(Long.MinValue, Long.MinValue, Nil))
+      evts.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val tUs = microsOf(e.ts)
+        val newer = tUs > st.lastTsUs ||
+          (tUs == st.lastTsUs && e.event_id > st.lastEventId)
+        if (newer) {
+          val v = math.floor(e.value * 100 + 0.5).toLong
+          var num = v * 128L
+          var den = 128L
+          st.recent.take(7).zipWithIndex.foreach { case (pv, j) =>
+            num += pv * (1L << (6 - j))
+            den += 1L << (6 - j)
+          }
+          out += EwmaOut(userId, tUs, e.event_id, v, num / den)
+          st = EwmaState(tUs, e.event_id, (v :: st.recent).take(7))
+        }
+      }
+      state.update(st)
       out.iterator
     }
 

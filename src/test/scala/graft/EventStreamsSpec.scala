@@ -116,6 +116,45 @@ class EventStreamsSpec extends SparkTestBase {
     assert(expect.count(_._2._2) > 0, "corpus produced no filled gaps")
   }
 
+  test("streaming ewmaStream matches the batch q54 twin row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    val third = evs.length / 3
+    input.addData(evs.slice(0, third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(2 * third, evs.length).toSeq); q.processAllAvailable()
+    // a cross-batch straggler must NOT emit (its smooth would rewrite
+    // an order-defined lag window downstream already consumed)
+    val n0 = spark.table("ewma_out").count()
+    val victim = evs.maxBy(e => (e.ts.getTime, e.event_id))
+    input.addData(Evt(-1L, new Timestamp(victim.ts.getTime - 1000L),
+      victim.user_id, "click", 42.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("ewma_out").count() == n0, "straggler emitted a row")
+    val got = spark.table("ewma_out").collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+          r.getAs[Long]("v_e2"), r.getAs[Long]("ewma_e2")))).toMap
+    // per-event emission: cumulative output equals the batch twin
+    // EXACTLY (every event smooths immediately; nothing stays open)
+    val expect = operators.Relational.q54EwmaSmooth(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("event_id"),
+        (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+          r.getAs[Long]("v_e2"), r.getAs[Long]("ewma_e2")))).toMap
+    assert(got.size == expect.size,
+      s"row counts differ: got ${got.size} want ${expect.size}")
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"event $k: got ${got.get(k)} want $v") }
+  }
+
   test("streaming sweepStream matches the batch q50 twin on closed hours") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
