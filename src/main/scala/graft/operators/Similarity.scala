@@ -331,7 +331,45 @@ object Similarity {
     * the corpus grows, which is the whole point (Profile --ann-k-sweep
     * measures the two curves side by side).
     */
-  val annIncrementalAdaptive: Q = (s, d) => {
+  val annIncrementalAdaptive: Q = (s, d) =>
+    topkPresent(adaptiveProbeScored(s, d,
+        storedPred = pmod(col("vec_id"), lit(5)) =!= 0,
+        queryPred = pmod(col("vec_id"), lit(5)) === 0), k = 5)
+      .orderBy(col("query_id"), col("rank"))
+
+  /** ADAPTIVE-k RANGE search — [[annRangeSearch]]'s radius semantics
+    * on [[annIncrementalAdaptive]]'s corpus-sized two-level quantizer,
+    * closing the same scale hole for the radius contract that the
+    * adaptive twin closes for top-k: with the fixed k=16 quantizer,
+    * list occupancy is n/16, so per-query probe work — and, on a
+    * self-similar corpus, the candidate volume — grows linearly with
+    * the corpus and the whole query set's work goes QUADRATIC
+    * (measured: 2.5s warm at 25×, 48.9s at 100×). With k ∝ n the
+    * probed volume per query stays ~4·64 vectors regardless of corpus
+    * size. Same stateless map-side threshold; stored side is ALL
+    * vectors (radius search indexes everything, there is no
+    * new-vs-old split), self-pairs excluded.
+    */
+  val annRangeAdaptive: Q = (s, d) =>
+    adaptiveProbeScored(s, d,
+        storedPred = lit(true),
+        queryPred = pmod(col("vec_id"), lit(101)) === 0)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("sim", q4(col("raw_sim")))
+      .filter(col("sim") >= 0.25)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"))
+      .orderBy(col("query_id"), col("neighbor_id"))
+
+  /** The shared two-level adaptive-k probe kernel behind
+    * [[annIncrementalAdaptive]] and [[annRangeAdaptive]]: k = annK(n)
+    * fine centroids under ⌈√k⌉ coarse cells, assignment and probing
+    * both 2√k cosines per vector, queries take their 4 best fine
+    * lists WITHIN their coarse cell, and only those lists' stored
+    * vectors get scored. Returns (query_id, vec_id, raw_sim); the
+    * callers pick top-k or radius selection on top.
+    */
+  private def adaptiveProbeScored(s: SparkSession, d: String,
+      storedPred: Column, queryPred: Column): DataFrame = {
     import s.implicits._
     val emb = Tables.embeddings(s, d)
     val k = annK(emb.count())
@@ -354,8 +392,7 @@ object Similarity {
       emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
       "cent_id", "c_emb")
-    val isNew = pmod(col("vec_id"), lit(5)) === 0
-    val stored = toCell(emb.filter(!isNew), "vec_id", "embedding")
+    val stored = toCell(emb.filter(storedPred), "vec_id", "embedding")
       .join(fine, "coarse_id")
       .withColumn("f_sim", cosineSim(col("embedding"), col("c_emb")))
       .groupBy(col("vec_id"))
@@ -365,7 +402,7 @@ object Similarity {
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("f_sim").desc, col("cent_id"))
     val probes = toCell(
-        emb.filter(isNew)
+        emb.filter(queryPred)
           .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
         "query_id", "q_emb")
       .join(fine, "coarse_id")
@@ -376,10 +413,9 @@ object Similarity {
     // plain equi-join on cent_id, like annIncremental: the stored
     // side's cent_id bucketing keeps it shuffle-free at scale while
     // AQE broadcasts genuinely small batches
-    val scored = stored.join(probes, Seq("cent_id"))
+    stored.join(probes, Seq("cent_id"))
       .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
       .select(col("query_id"), col("vec_id"), col("raw_sim"))
-    topkPresent(scored, k = 5).orderBy(col("query_id"), col("rank"))
   }
 
   /** Spherical k-means (Lloyd) over a driver-collected sample — fully
@@ -696,6 +732,7 @@ object Similarity {
     "ann_incremental" -> annIncremental,
     "ann_incremental_adaptive" -> annIncrementalAdaptive,
     "ann_range_search" -> annRangeSearch,
+    "ann_range_adaptive" -> annRangeAdaptive,
     "ann_quantize_int8" -> annQuantizeInt8)
 
   /** Split-oracle aux dump: the k-means-trained centroids. Training is
@@ -948,6 +985,47 @@ object Similarity {
         |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
         |  FROM stored a JOIN probes p ON a.cent_id = p.cent_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_range_adaptive" ->
+      """WITH params AS (
+        |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (
+        |    SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+        |    FROM embeddings) t),
+        |coarse AS (
+        |  SELECT vec_id AS coarse_id, CAST(embedding AS DOUBLE[]) AS co_emb
+        |  FROM embeddings WHERE vec_id < (SELECT kc FROM params)),
+        |fine AS (
+        |  SELECT cent_id, c_emb, coarse_id FROM (
+        |    SELECT f.vec_id AS cent_id, CAST(f.embedding AS DOUBLE[]) AS c_emb,
+        |      c.coarse_id,
+        |      row_number() OVER (PARTITION BY f.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(f.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM embeddings f CROSS JOIN coarse c
+        |    WHERE f.vec_id < (SELECT k FROM params)) t WHERE rn = 1),
+        |cell AS (
+        |  SELECT vec_id, emb, coarse_id FROM (
+        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.coarse_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM embeddings e CROSS JOIN coarse c) t WHERE rn = 1),
+        |stored AS (
+        |  SELECT vec_id, emb, cent_id FROM (
+        |    SELECT l.vec_id, l.emb, f.cent_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.emb, f.c_emb) DESC, f.cent_id) AS rn
+        |    FROM cell l JOIN fine f ON l.coarse_id = f.coarse_id) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, cent_id FROM (
+        |    SELECT l.vec_id AS query_id, l.emb AS q_emb, f.cent_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.emb, f.c_emb) DESC, f.cent_id) AS rn
+        |    FROM cell l JOIN fine f ON l.coarse_id = f.coarse_id
+        |    WHERE l.vec_id % 101 = 0) t WHERE rn <= 4)
+        |SELECT query_id, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, a.emb) * 10000 + 0.5) / 10000.0 AS sim
+        |  FROM stored a JOIN probes p ON a.cent_id = p.cent_id
+        |  WHERE a.vec_id <> p.query_id) t
+        |WHERE sim >= 0.25 ORDER BY query_id, neighbor_id""".stripMargin,
     "ann_incremental_adaptive" ->
       """WITH params AS (
         |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (

@@ -913,6 +913,39 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.nonEmpty, "radius returned nothing — tau miscalibrated")
   }
 
+  test("ann_range_adaptive is sound vs brute force and agrees with fixed-k on shared probes") {
+    val emb = sources.Tables.embeddings(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray)).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var dp = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dp += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dp / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+    val out = operators.Similarity.annRangeAdaptive(spark, sfDir).collect()
+      .map(r => ((r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")),
+        r.getAs[Double]("sim")))
+    assert(out.nonEmpty, "adaptive radius returned nothing")
+    // soundness: every reported pair is a real query, not self, and
+    // its sim is the exact brute cosine above the radius
+    out.foreach { case ((q, n), s) =>
+      assert(q % 101 == 0 && q != n)
+      val brute = q4(cos(emb(q), emb(n)))
+      assert(brute == s && s >= 0.25, s"($q,$n): $s vs brute $brute")
+    }
+    // the two paths probe DIFFERENT 4-list sets (global 4-of-16 vs 4
+    // within the coarse cell), so neither output is a subset of the
+    // other — but both are radius-sound, and on a corpus where
+    // annK(n) = 16 they share the fine centroids, so their pair sets
+    // must overlap substantially (both cover the query's densest list)
+    val fixed = operators.Similarity.annRangeSearch(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val shared = out.map(_._1).count(fixed)
+    assert(shared * 2 >= out.length,
+      s"only $shared/${out.length} adaptive pairs overlap the fixed-k set")
+  }
+
   test("tx_repeated_passages emits 8-word windows spread across >=2 docs") {
     val rows = operators.TextAnalysis.txRepeatedPassages(spark, sfDir).collect()
     assert(rows.nonEmpty)
