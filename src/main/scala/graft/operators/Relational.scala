@@ -1150,7 +1150,58 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.A round 10 — decile gains/lift table (the model-evaluation
+    * report behind every propensity/response campaign: rank by score,
+    * cut into deciles, read conversion lift per decile). Exact
+    * equal-count ntile is a GLOBAL sort — dead at scale — so deciles
+    * cut at BUCKET granularity instead: scores map to 1024 integer
+    * buckets against broadcast min/max stats (the q44/q52 lever), the
+    * ≤1024-row bucket histogram cumulates score-descending, and
+    * decile(bucket) = ⌊cum_before·10/N⌋ — every row of a bucket shares
+    * a decile, boundaries land within one bucket-width of the exact
+    * cut, and the only single-partition windows run over ≤1024 and
+    * ≤10 rows BY CONSTRUCTION (bounded by the bucket count, never the
+    * corpus). Response = o_orderstatus 'F', score = e2-integer
+    * o_totalprice; rates in truncating-div ppm, cumulative lift in e3
+    * (reordered divisions so no product exceeds ~2⁵³ at any corpus
+    * size). All integer end to end.
+    */
+  val q56DecileLift: Q = (s, d) => {
+    val scored = Tables.orders(s, d)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("w_e2"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("resp"))
+    val stats = scored.agg(min(col("w_e2")).as("mn"), max(col("w_e2")).as("mx"))
+    val buckets = scored.crossJoin(broadcast(stats))
+      .withColumn("bkt", expr("((w_e2 - mn) * 1024) div (mx - mn + 1)"))
+      .groupBy(col("bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("resp")).as("r"))
+    val byScoreDesc = Window.orderBy(col("bkt").desc)
+    val deciled = buckets
+      .withColumn("cum_before", coalesce(sum(col("n")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("total_n", sum(col("n")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("total_r", sum(col("r")).over(
+        byScoreDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("decile", expr("(cum_before * 10) div total_n"))
+      .groupBy(col("decile"))
+      .agg(sum(col("n")).as("n"), sum(col("r")).as("responders"),
+        max(col("total_n")).as("total_n"), max(col("total_r")).as("total_r"))
+    val byDecile = Window.orderBy(col("decile"))
+    deciled
+      .withColumn("cum_n", sum(col("n")).over(
+        byDecile.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cum_r", sum(col("responders")).over(
+        byDecile.rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n"), col("responders"),
+        expr("responders * 1000000 div n").as("resp_ppm"),
+        expr("((cum_r * 1000000 div cum_n) * 1000) div greatest(total_r * 1000000 div total_n, 1)")
+          .as("cum_lift_e3"))
+      .orderBy(col("decile"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q56_decile_lift" -> q56DecileLift,
     "q54_ewma_smooth" -> q54EwmaSmooth,
     "q55_drift_chi2" -> q55DriftChi2,
     "q53_priority_sample" -> q53PrioritySample,
@@ -1241,6 +1292,40 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q56_decile_lift" ->
+      """WITH s AS (
+        |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_e2,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS resp
+        |  FROM orders),
+        |st AS (SELECT min(w_e2) AS mn, max(w_e2) AS mx FROM s),
+        |b AS (
+        |  SELECT ((w_e2 - mn) * 1024) // (mx - mn + 1) AS bkt,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(resp) AS BIGINT) AS r
+        |  FROM s CROSS JOIN st GROUP BY 1),
+        |c AS (
+        |  SELECT bkt, n, r,
+        |    coalesce(sum(n) OVER (ORDER BY bkt DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before,
+        |    sum(n) OVER () AS total_n, sum(r) OVER () AS total_r
+        |  FROM b),
+        |d AS (
+        |  SELECT (cum_before * 10) // total_n AS decile,
+        |    CAST(sum(n) AS BIGINT) AS n, CAST(sum(r) AS BIGINT) AS responders,
+        |    CAST(max(total_n) AS BIGINT) AS total_n,
+        |    CAST(max(total_r) AS BIGINT) AS total_r
+        |  FROM c GROUP BY 1),
+        |e AS (
+        |  SELECT decile, n, responders, total_n, total_r,
+        |    sum(n) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_n,
+        |    sum(responders) OVER (ORDER BY decile
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
+        |  FROM d)
+        |SELECT decile, n, responders,
+        |  CAST(responders * 1000000 // n AS BIGINT) AS resp_ppm,
+        |  CAST(((cum_r * 1000000 // cum_n) * 1000)
+        |    // greatest(total_r * 1000000 // total_n, 1) AS BIGINT) AS cum_lift_e3
+        |FROM e ORDER BY decile""".stripMargin,
     "q54_ewma_smooth" ->
       """WITH v AS (
         |  SELECT user_id, ts, event_id,

@@ -61,6 +61,15 @@ case class EwmaState(lastTsUs: Long, lastEventId: Long, recent: List[Long])
 case class EwmaOut(user_id: Long, ts_us: Long, event_id: Long,
     v_e2: Long, ewma_e2: Long)
 
+/** Per-type online drift state: the 10-bucket value histograms of the
+  * baseline and current periods — 20 longs per key, independent of
+  * stream length.
+  */
+case class DriftState(base: Array[Long], curr: Array[Long])
+
+case class DriftOut(event_type: String, n_base: Long, n_curr: Long,
+    l1_ppm: Long, chi2_score: Long)
+
 /** A day-clipped interval boundary: `emittable` marks boundaries whose
   * instant falls inside the tagged day (a clipped end at next-day
   * midnight participates in the running count but never in output —
@@ -759,6 +768,54 @@ object EventStreams extends Serializable {
 
     events
       .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** STREAMING distribution-drift monitor — the online twin of the
+    * batch histogram compare (Relational.q55DriftChi2): per event_type
+    * flatMapGroupsWithState carries BOTH periods' 10-bucket e2-value
+    * histograms (20 longs per key) and, after folding each
+    * micro-batch's events in, emits the type's RUNNING drift row —
+    * the same truncating-div ppm shares, L1 and χ²-style scores
+    * recomputed from state, so the monitor's latest emission always
+    * equals the batch twin run over everything consumed so far
+    * (spec-asserted). Counting is order-free (histogram increments
+    * commute), so unlike the lag-window twins there is no straggler
+    * problem at all — any arrival order converges to the same state.
+    */
+  def driftStream(events: Dataset[Evt]): Dataset[DriftOut] = {
+    import events.sparkSession.implicits._
+    val boundaryUs = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+
+    def fn(tpe: String, evts: Iterator[Evt],
+        state: GroupState[DriftState]): Iterator[DriftOut] = {
+      val st = state.getOption.getOrElse(
+        DriftState(Array.fill(10)(0L), Array.fill(10)(0L)))
+      evts.foreach { e =>
+        val b = math.min(math.floor(e.value * 100 + 0.5).toLong / 6000L, 9L).toInt
+        if (microsOf(e.ts) < boundaryUs) st.base(b) += 1 else st.curr(b) += 1
+      }
+      state.update(st)
+      val tb = st.base.sum
+      val tc = st.curr.sum
+      var l1 = 0L
+      var chi2 = 0L
+      var b = 0
+      while (b < 10) {
+        if (st.base(b) > 0 || st.curr(b) > 0) {
+          val pb = st.base(b) * 1000000L / math.max(tb, 1L)
+          val pc = st.curr(b) * 1000000L / math.max(tc, 1L)
+          l1 += math.abs(pc - pb)
+          chi2 += (pc - pb) * (pc - pb) / math.max(pb, 1L)
+        }
+        b += 1
+      }
+      Iterator.single(DriftOut(tpe, tb, tc, l1, chi2))
+    }
+
+    events
+      .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 

@@ -155,6 +155,47 @@ class EventStreamsSpec extends SparkTestBase {
       assert(got(k) == v, s"event $k: got ${got.get(k)} want $v") }
   }
 
+  test("streaming driftStream converges to the batch q55 twin in any order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect()
+    // REVERSED event-time order on purpose: histogram increments
+    // commute, so unlike the lag-window twins arrival order must not
+    // matter
+    val shuffled = evs.sortBy(e => (-e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.driftStream(input.toDS())
+      .writeStream.format("memory").queryName("drift_out")
+      .outputMode("update").start()
+    val third = shuffled.length / 3
+    input.addData(shuffled.slice(0, third).toSeq); q.processAllAvailable()
+    input.addData(shuffled.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    input.addData(shuffled.slice(2 * third, shuffled.length).toSeq); q.processAllAvailable()
+    q.stop()
+    // the LATEST emission per type is the running-drift row over
+    // everything consumed = the batch twin over the full corpus
+    val emissions = spark.table("drift_out").collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_curr"),
+          r.getAs[Long]("l1_ppm"), r.getAs[Long]("chi2_score"))))
+    // "latest" = the emission with the largest consumed count (state
+    // only grows; memory-sink row order is not guaranteed)
+    val latest = emissions.groupBy(_._1)
+      .map { case (t, rs) => t -> rs.map(_._2).maxBy(v => v._1 + v._2) }
+    val expect = operators.Relational.q55DriftChi2(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[Long]("n_base"), r.getAs[Long]("n_curr"),
+          r.getAs[Long]("l1_ppm"), r.getAs[Long]("chi2_score")))).toMap
+    assert(latest.keySet == expect.keySet)
+    expect.foreach { case (t, v) =>
+      assert(latest(t) == v, s"type $t: got ${latest.get(t)} want $v") }
+    // every batch emits one running row per touched type
+    assert(emissions.length > expect.size, "monitor emitted only once per type")
+  }
+
   test("streaming sweepStream matches the batch q50 twin on closed hours") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

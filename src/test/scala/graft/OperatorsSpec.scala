@@ -1389,6 +1389,45 @@ class OperatorsSpec extends SparkTestBase {
       s"cand_pairs ${out.values.map(_._5).sum} != join rows $joinRows")
   }
 
+  test("q56_decile_lift matches a plain-Scala bucket-decile recount") {
+    val out = SparkEntry.queries("q56_decile_lift")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("decile"),
+        (r.getAs[Long]("n"), r.getAs[Long]("responders"),
+          r.getAs[Long]("resp_ppm"), r.getAs[Long]("cum_lift_e3")))).toMap
+    val rows = sources.Tables.orders(spark, sfDir)
+      .select(col("o_totalprice"), col("o_orderstatus")).collect()
+      .map(r => (math.floor(r.getDouble(0) * 100 + 0.5).toLong,
+        if (r.getString(1) == "F") 1L else 0L))
+    val (mn, mx) = (rows.map(_._1).min, rows.map(_._1).max)
+    val byBkt = rows.groupBy { case (w, _) => (w - mn) * 1024 / (mx - mn + 1) }
+    val totalN = rows.length.toLong
+    val totalR = rows.map(_._2).sum
+    // bucket histogram score-descending → decile of each bucket
+    val sorted = byBkt.toSeq.sortBy(-_._1)
+    var cum = 0L
+    val byDecile = sorted.map { case (b, rs) =>
+      val d = cum * 10 / totalN
+      cum += rs.length
+      (d, rs.length.toLong, rs.map(_._2).sum)
+    }.groupBy(_._1).map { case (d, g) =>
+      (d, (g.map(_._2).sum, g.map(_._3).sum))
+    }
+    var cn = 0L; var cr = 0L
+    val expect = byDecile.toSeq.sortBy(_._1).map { case (d, (n, r)) =>
+      cn += n; cr += r
+      val lift = (cr * 1000000 / cn) * 1000 / math.max(totalR * 1000000 / totalN, 1)
+      (d, (n, r, r * 1000000 / n, lift))
+    }.toMap
+    assert(out == expect, s"got $out\nwant $expect")
+    // deciles partition the table and stay within a bucket-width of
+    // the exact equal-count cut
+    assert(out.values.map(_._1).sum == totalN)
+    val maxBucket = byBkt.values.map(_.length).max
+    out.values.foreach { case (n, _, _, _) =>
+      assert(n <= totalN / 10 + maxBucket, s"decile size $n overflows the bucket bound")
+    }
+  }
+
   test("q54_ewma_smooth matches a plain-Scala truncated-EWMA replay") {
     val out = SparkEntry.queries("q54_ewma_smooth")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("event_id"),

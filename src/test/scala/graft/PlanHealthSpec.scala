@@ -224,6 +224,26 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 1, s"q50_interval_sweep plans $hashEx hash exchanges:\n$plan")
   }
 
+  test("q56_decile_lift: single-partition work is bucket-bounded, never the fact table") {
+    // the only SinglePartition exchanges may carry (a) the 2-value
+    // min/max stats and (b) the ≤1024-row bucket histogram; the fact
+    // table itself reaches one hash exchange (the bucket aggregate,
+    // partial map-side) and is never globally sorted — the exact-ntile
+    // formulation this operator exists to avoid
+    val plan = planOf("q56_decile_lift")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 2, s"q56_decile_lift plans $single global exchanges:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q56_decile_lift plans $hashEx hash exchanges:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"bucket histogram must partial-aggregate map-side:\n$plan")
+    // the window must consume the bucket aggregate, not raw orders:
+    // its input operator chain below the window contains the bkt-keyed
+    // HashAggregate
+    assert("Window .*\\n(.*\\n)*?.*HashAggregate\\(keys=\\[bkt".r.findFirstIn(plan).isDefined,
+      s"decile window must ride the bucket histogram:\n$plan")
+  }
+
   test("dd_lsh_stats: two partial-agg exchanges, never a bucket sort") {
     // the histogram is (band, bucket) grouping → per-band rollup, both
     // with map-side partials; any third data exchange or a global sort
