@@ -1200,7 +1200,55 @@ object Relational {
       .orderBy(col("decile"))
   }
 
+  /** §2.A round 10 — single-changepoint detection per series (the
+    * monitoring question behind alerting: "WHEN did this metric's
+    * level shift?"). The classic CUSUM recurrence S_t = max(0,
+    * S_{t−1} + x_t − μ) is a sequential fold no window expresses —
+    * so this uses the equivalent binary-segmentation scoring that IS
+    * one window: for every candidate split hour, score = |mean_before
+    * − mean_after| from prefix sums (cum sum/count vs partition
+    * totals), argmax per series via the max(struct) trick with an
+    * earliest-hour tie-break. Means are e2·ppm integers by truncating
+    * div — exact, order-free. Plan: one (type, hour) grouping shuffle
+    * builds the hourly series, the scoring window rides the
+    * per-type clustering (series length ≤ hours-in-range, bounded by
+    * the calendar not the corpus), and the final argmax is a tiny
+    * per-type aggregate.
+    */
+  val q57Changepoint: Q = (s, d) => changepointOf(Tables.events(s, d))
+
+  /** The split-scoring kernel behind [[q57Changepoint]], over a
+    * caller-supplied (event_type, ts, value) relation — extracted so
+    * the spec can plant a known level shift and assert detection.
+    */
+  private[graft] def changepointOf(events: DataFrame): DataFrame = {
+    val hourly = events
+      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(sum(col("v_e2")).as("hs"), count(lit(1)).as("hn"))
+    val byType = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+    val whole = Window.partitionBy(col("event_type"))
+      .orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    hourly
+      .withColumn("cs", sum(col("hs")).over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("cn", sum(col("hn")).over(byType.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("ts_all", sum(col("hs")).over(whole))
+      .withColumn("tn_all", sum(col("hn")).over(whole))
+      .filter(col("cn") < col("tn_all"))
+      .withColumn("score_q", abs(
+        expr("cs * 1000000 div cn") - expr("(ts_all - cs) * 1000000 div (tn_all - cn)")))
+      .groupBy(col("event_type"))
+      .agg(max(struct(col("score_q").as("s"), (-unix_micros(col("hr"))).as("nh"),
+          col("cn").as("nb"), (col("tn_all") - col("cn")).as("na"))).as("m"))
+      .select(col("event_type"),
+        date_format(timestamp_micros(-col("m.nh")), "yyyy-MM-dd HH:mm:ss").as("change_hr"),
+        col("m.s").as("score_q"), col("m.nb").as("n_before"), col("m.na").as("n_after"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q57_changepoint" -> q57Changepoint,
     "q56_decile_lift" -> q56DecileLift,
     "q54_ewma_smooth" -> q54EwmaSmooth,
     "q55_drift_chi2" -> q55DriftChi2,
@@ -1292,6 +1340,33 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q57_changepoint" ->
+      """WITH h AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hr,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS hs,
+        |    CAST(count(*) AS BIGINT) AS hn
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, hr, hn,
+        |    sum(hs) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cs,
+        |    sum(hn) OVER (PARTITION BY event_type ORDER BY hr
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+        |    sum(hs) OVER (PARTITION BY event_type) AS ts_all,
+        |    sum(hn) OVER (PARTITION BY event_type) AS tn_all
+        |  FROM h),
+        |sc AS (
+        |  SELECT event_type, hr, cn AS n_before, tn_all - cn AS n_after,
+        |    abs(cs * 1000000 // cn - (ts_all - cs) * 1000000 // (tn_all - cn)) AS score_q,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY abs(cs * 1000000 // cn - (ts_all - cs) * 1000000 // (tn_all - cn)) DESC,
+        |        hr ASC) AS rn
+        |  FROM c WHERE cn < tn_all)
+        |SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M:%S') AS change_hr,
+        |  CAST(score_q AS BIGINT) AS score_q,
+        |  CAST(n_before AS BIGINT) AS n_before,
+        |  CAST(n_after AS BIGINT) AS n_after
+        |FROM sc WHERE rn = 1 ORDER BY event_type""".stripMargin,
     "q56_decile_lift" ->
       """WITH s AS (
         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_e2,

@@ -1389,6 +1389,57 @@ class OperatorsSpec extends SparkTestBase {
       s"cand_pairs ${out.values.map(_._5).sum} != join rows $joinRows")
   }
 
+  test("q57_changepoint matches a plain-Scala split-scoring replay and finds a planted shift") {
+    val out = SparkEntry.queries("q57_changepoint")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("event_type"),
+        (r.getAs[String]("change_hr"), r.getAs[Long]("score_q"),
+          r.getAs[Long]("n_before"), r.getAs[Long]("n_after")))).toMap
+    val HourUs = 3600000000L
+    val fmt = java.time.format.DateTimeFormatter
+      .ofPattern("yyyy-MM-dd HH:mm:ss").withZone(java.time.ZoneOffset.UTC)
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_type"), col("ts"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getString(0), us / HourUs, math.floor(r.getDouble(2) * 100 + 0.5).toLong)
+      }
+    val expect = evs.groupBy(_._1).map { case (t, rows) =>
+      val hourly = rows.groupBy(_._2).toSeq.sortBy(_._1)
+        .map { case (h, g) => (h, g.map(_._3).sum, g.length.toLong) }
+      val (tsAll, tnAll) = (hourly.map(_._2).sum, hourly.map(_._3).sum)
+      var cs = 0L; var cn = 0L
+      val scored = hourly.dropRight(1).map { case (h, hs, hn) =>
+        cs += hs; cn += hn
+        (h, math.abs(cs * 1000000 / cn - (tsAll - cs) * 1000000 / (tnAll - cn)), cn, tnAll - cn)
+      }
+      val best = scored.maxBy { case (h, sc, _, _) => (sc, -h) }
+      (t, (fmt.format(java.time.Instant.ofEpochSecond(best._1 * 3600)),
+        best._2, best._3, best._4))
+    }
+    assert(out == expect, s"got $out\nwant $expect")
+    // planted shift: a synthetic series that doubles its level at a
+    // known hour must be detected at exactly that hour
+    import spark.implicits._
+    val base = 1700000000000L
+    val planted = (0 until 480).map { i =>
+      val level = if (i < 240) 10.0 else 20.0
+      ("planted", new java.sql.Timestamp(base + i.toLong * 7500_0L * 10), level)
+    }.toDF("event_type", "ts", "value")
+    val found = operators.Relational.changepointOf(planted).collect().head
+    // the argmax prefix ends at the last pre-shift hour, so the
+    // detected hour must sit within one hour of the planted instant
+    val foundMs = java.time.LocalDateTime
+      .parse(found.getAs[String]("change_hr"), fmt.withZone(null))
+      .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+    val shiftMs = base + 240L * 750000L
+    // hour buckets quantize the boundary and the bucket containing the
+    // shift instant is mixed, so the clean split can sit up to two
+    // hours before the instant
+    assert(shiftMs - foundMs >= 0 && shiftMs - foundMs <= 2 * 3600000L,
+      s"planted shift found at ${found.getAs[String]("change_hr")}, want within 2h before $shiftMs")
+  }
+
   test("q56_decile_lift matches a plain-Scala bucket-decile recount") {
     val out = SparkEntry.queries("q56_decile_lift")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("decile"),
