@@ -304,6 +304,39 @@ object Similarity {
       .orderBy(col("query_id"), col("neighbor_id"))
   }
 
+  /** Recall@5 EVALUATION of the approximate retrieval paths — the
+    * "measure, don't guess" counterpart to dd_lsh_stats: an index
+    * structure whose recall you haven't measured on YOUR corpus is a
+    * guess, so the quality dashboard is a first-class operator. Per
+    * (method, query): how many of brute-force's top-5 the LSH
+    * (hamming ≤ 1 multi-probe) and IVF (nprobe 4/16) paths recover,
+    * as exact integer hits + a truncating-div ppm recall. Composes
+    * the REGISTRY operators themselves (annBruteTopk / annLshTopk /
+    * annIvfTopk), so the measurement can never drift from what the
+    * engine actually serves; the evaluation query set is the shared
+    * vec_id < 8 slice — at production scale recall evaluation always
+    * runs on a bounded query sample, so the join sides stay tiny by
+    * construction.
+    */
+  val annRecallEval: Q = (s, d) => {
+    val truth = annBruteTopk(s, d).filter(col("rank") <= 5)
+      .select(col("query_id"), col("neighbor_id"))
+    val qids = truth.select(col("query_id")).distinct()
+    def evalOf(method: String, approx: DataFrame): DataFrame = {
+      val hits = approx.filter(col("rank") <= 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(truth, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("h"))
+      qids.join(hits, Seq("query_id"), "left")
+        .select(lit(method).as("method"), col("query_id"),
+          coalesce(col("h"), lit(0L)).as("hits"),
+          expr("coalesce(h, 0) * 1000000 div 5").as("recall_ppm"))
+    }
+    evalOf("ivf", annIvfTopk(s, d))
+      .unionAll(evalOf("lsh", annLshTopk(s, d)))
+      .orderBy(col("method"), col("query_id"))
+  }
+
   /** The corpus-size lever for the incremental index, wired (the
     * dd_semantic semanticK move applied to IVF): k = max(16, ⌈n/64⌉)
     * keeps expected LIST occupancy ≤ ~64 as the corpus grows, so a
@@ -733,6 +766,7 @@ object Similarity {
     "ann_incremental_adaptive" -> annIncrementalAdaptive,
     "ann_range_search" -> annRangeSearch,
     "ann_range_adaptive" -> annRangeAdaptive,
+    "ann_recall_eval" -> annRecallEval,
     "ann_quantize_int8" -> annQuantizeInt8)
 
   /** Split-oracle aux dump: the k-means-trained centroids. Training is
@@ -777,7 +811,7 @@ object Similarity {
       |    FROM embeddings e CROSS JOIN cw) t
       |  WHERE rn = 1)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "ann_rrf_fusion" ->
       s"""WITH ${TextAnalysis.bm25ScoredCte},
         |lex AS (
@@ -1115,4 +1149,33 @@ object Similarity {
         | CROSS JOIN (SELECT * FROM embeddings WHERE vec_id < 8) q
         | WHERE e.vec_id <> q.vec_id) t
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin)
+
+  /** The recall oracle COMPOSES the brute/lsh/ivf oracles verbatim as
+    * CTEs — a scoring change in any base oracle reaches the evaluation
+    * automatically, mirroring how the operator composes the registry
+    * ops themselves.
+    */
+  val oracles: Map[String, String] = baseOracles + ("ann_recall_eval" ->
+    s"""WITH b AS (${baseOracles("ann_brute_topk")}),
+      |l AS (${baseOracles("ann_lsh_topk")}),
+      |iv AS (${baseOracles("ann_ivf_topk")}),
+      |g AS (SELECT query_id, neighbor_id FROM b WHERE rank <= 5),
+      |qs AS (SELECT DISTINCT query_id FROM g),
+      |hl AS (
+      |  SELECT x.query_id, count(*) AS h
+      |  FROM (SELECT query_id, neighbor_id FROM l WHERE rank <= 5) x
+      |  JOIN g USING (query_id, neighbor_id) GROUP BY 1),
+      |hi AS (
+      |  SELECT x.query_id, count(*) AS h
+      |  FROM (SELECT query_id, neighbor_id FROM iv WHERE rank <= 5) x
+      |  JOIN g USING (query_id, neighbor_id) GROUP BY 1),
+      |u AS (
+      |  SELECT 'ivf' AS method, qs.query_id, coalesce(hi.h, 0) AS hits
+      |  FROM qs LEFT JOIN hi USING (query_id)
+      |  UNION ALL
+      |  SELECT 'lsh' AS method, qs.query_id, coalesce(hl.h, 0) AS hits
+      |  FROM qs LEFT JOIN hl USING (query_id))
+      |SELECT method, query_id, CAST(hits AS BIGINT) AS hits,
+      |  CAST(hits * 1000000 // 5 AS BIGINT) AS recall_ppm
+      |FROM u ORDER BY method, query_id""".stripMargin)
 }

@@ -946,6 +946,28 @@ class OperatorsSpec extends SparkTestBase {
       s"only $shared/${out.length} adaptive pairs overlap the fixed-k set")
   }
 
+  test("ann_recall_eval recounts the registry ops' own intersections") {
+    val out = SparkEntry.queries("ann_recall_eval")(spark, sfDir).collect()
+      .map(r => ((r.getAs[String]("method"), r.getAs[Long]("query_id")),
+        (r.getAs[Long]("hits"), r.getAs[Long]("recall_ppm")))).toMap
+    def top5(df: org.apache.spark.sql.DataFrame): Map[Long, Set[Long]] =
+      df.filter(col("rank") <= 5).collect()
+        .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+        .groupBy(_._1).map { case (q, g) => q -> g.map(_._2).toSet }
+    val truth = top5(operators.Similarity.annBruteTopk(spark, sfDir))
+    val methods = Map(
+      "lsh" -> top5(operators.Similarity.annLshTopk(spark, sfDir)),
+      "ivf" -> top5(operators.Similarity.annIvfTopk(spark, sfDir)))
+    assert(out.keySet == (for (m <- methods.keys; q <- truth.keys) yield (m, q)).toSet)
+    out.foreach { case ((m, q), (hits, ppm)) =>
+      val want = methods(m).getOrElse(q, Set.empty).intersect(truth(q)).size.toLong
+      assert(hits == want && ppm == hits * 1000000 / 5,
+        s"($m,$q): got $hits want $want")
+    }
+    // brute truth always has 5 rows per query, so recall is well-defined
+    truth.values.foreach(s => assert(s.size == 5))
+  }
+
   test("tx_repeated_passages emits 8-word windows spread across >=2 docs") {
     val rows = operators.TextAnalysis.txRepeatedPassages(spark, sfDir).collect()
     assert(rows.nonEmpty)
