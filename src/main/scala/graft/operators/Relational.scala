@@ -1247,7 +1247,42 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** §2.A round 10 — last-touch marketing attribution (the revenue
+    * question behind every campaign report: which touchpoint gets
+    * credit for each purchase?). Each purchase attributes its value to
+    * the user's most recent PRIOR click/view within 24h, else
+    * "organic". The per-purchase lookup is NOT a join: last_value
+    * IGNORE NULLS over a (user | ts, event_id) window carries the
+    * latest touch struct forward along the user's own timeline — one
+    * window on the shuffle key the per-user semantics need anyway,
+    * zero extra exchanges, and the 24h cutoff is a map-side filter on
+    * the carried timestamp. Ties inside one instant break by event_id
+    * via the window order; revenue stays e2-integer. Output is the
+    * per-channel attribution rollup (count + revenue), with purchases
+    * themselves excluded from being touches (a purchase cannot
+    * attribute to another purchase).
+    */
+  val q58Attribution: Q = (s, d) => {
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(s, d)
+      .withColumn("touch", when(col("event_type").isin("click", "view"),
+        struct(unix_micros(col("ts")).as("t_us"), col("event_type").as("ch"))))
+      .withColumn("last_touch", last(col("touch"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "purchase")
+      .withColumn("channel",
+        when(col("last_touch").isNull, "organic")
+          .when(unix_micros(col("ts")) - col("last_touch.t_us") > 86400000000L, "organic")
+          .otherwise(col("last_touch.ch")))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("purchases"),
+        sum(expr("CAST(floor(value * 100 + 0.5) AS BIGINT)")).as("revenue_e2"))
+      .orderBy(col("channel"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "q58_attribution" -> q58Attribution,
     "q57_changepoint" -> q57Changepoint,
     "q56_decile_lift" -> q56DecileLift,
     "q54_ewma_smooth" -> q54EwmaSmooth,
@@ -1340,6 +1375,25 @@ object Relational {
   }
 
   val oracles: Map[String, String] = Map(
+    "q58_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |    last_value(CASE WHEN event_type IN ('click', 'view')
+        |        THEN struct_pack(t_us := CAST(epoch_us(ts) AS BIGINT), ch := event_type)
+        |      END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_touch
+        |  FROM events),
+        |p AS (
+        |  SELECT CASE
+        |      WHEN last_touch IS NULL THEN 'organic'
+        |      WHEN CAST(epoch_us(ts) AS BIGINT) - last_touch.t_us > 86400000000 THEN 'organic'
+        |      ELSE last_touch.ch END AS channel,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
+        |  FROM t WHERE event_type = 'purchase')
+        |SELECT channel, CAST(count(*) AS BIGINT) AS purchases,
+        |  CAST(sum(v_e2) AS BIGINT) AS revenue_e2
+        |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
     "q57_changepoint" ->
       """WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hr,

@@ -1462,6 +1462,40 @@ class OperatorsSpec extends SparkTestBase {
       s"planted shift found at ${found.getAs[String]("change_hr")}, want within 2h before $shiftMs")
   }
 
+  test("q58_attribution matches a plain-Scala last-touch replay") {
+    val out = SparkEntry.queries("q58_attribution")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("channel"),
+        (r.getAs[Long]("purchases"), r.getAs[Long]("revenue_e2")))).toMap
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getAs[Long]("user_id"), us, r.getAs[Long]("event_id"),
+          r.getString(3), math.floor(r.getDouble(4) * 100 + 0.5).toLong)
+      }
+    val expect = evs.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var lastTouch: Option[(Long, String)] = None
+      sorted.flatMap { case (_, us, _, tpe, v) =>
+        val attributed =
+          if (tpe != "purchase") None
+          else lastTouch match {
+            case Some((t, ch)) if us - t <= 86400000000L => Some((ch, v))
+            case _ => Some(("organic", v))
+          }
+        if (tpe == "click" || tpe == "view") lastTouch = Some((us, tpe))
+        attributed
+      }
+    }.groupBy(_._1).map { case (ch, g) =>
+      (ch, (g.size.toLong, g.map(_._2).sum))
+    }
+    assert(out == expect, s"got $out\nwant $expect")
+    // both marketing channels and the organic bucket must be exercised
+    assert(Set("click", "view", "organic").subsetOf(out.keySet))
+  }
+
   test("q56_decile_lift matches a plain-Scala bucket-decile recount") {
     val out = SparkEntry.queries("q56_decile_lift")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("decile"),

@@ -224,6 +224,21 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 1, s"q50_interval_sweep plans $hashEx hash exchanges:\n$plan")
   }
 
+  test("q58_attribution: the touch lookup is a window, never a self-join") {
+    // last-touch per purchase must ride the user-partitioned window
+    // (one exchange the per-user semantics need anyway, plus the tiny
+    // channel rollup) — a purchases×touches self-join formulation
+    // would shuffle the fact table twice and explode on active users
+    val plan = planOf("q58_attribution")
+    assert(!plan.contains("Join"), s"q58_attribution plans a join:\n$plan")
+    assert("windowspecdefinition\\(user_id#\\d+L?, ts#\\d+".r.findFirstIn(plan).isDefined,
+      s"touch carry must partition by user_id:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q58_attribution scans events $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"q58_attribution plans $hashEx hash exchanges:\n$plan")
+  }
+
   test("q56_decile_lift: single-partition work is bucket-bounded, never the fact table") {
     // the only SinglePartition exchanges may carry (a) the 2-value
     // min/max stats and (b) the ≤1024-row bucket histogram; the fact
