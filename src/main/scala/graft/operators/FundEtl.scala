@@ -930,7 +930,39 @@ object FundEtl {
     graft.sources.Avro.navIngest(s, graft.sources.Avro.avroDir)
       .orderBy(col("file_name"))
 
+  private[graft] val statementsFwDir = "/root/repo/data/statements_fw"
+
+  /** Fixed-width statement-export ingest — the mainframe/bank-batch
+    * interchange format next to the CSV/JSON/XLSX/PDF/scan legs: no
+    * delimiters, column POSITIONS are the schema (ledger 1-6,
+    * platform 7-16, fund code 17-22, right-aligned integer cents
+    * 23-34/35-46, yyyymmdd 47-54). Parse is a map-only codegen'd
+    * substring/trim/cast projection over the distributed text scan —
+    * at 100 TB this runs at scan speed with zero shuffle before the
+    * presentation sort. Lines off the 54-char layout surface as
+    * ok=false rows with NULL fields (the etl_pdf_text / xlsx reject
+    * contract), never a mis-parse or a thrown scan. The DuckDB oracle
+    * re-derives every field from read_text + substr — a fully
+    * independent parse path, no sidecar.
+    */
+  val etlFixedWidth: Q = (s, _) => {
+    val ok = length(col("ln")) === 54
+    s.read.text(statementsFwDir)
+      .select(col("value").as("ln"))
+      .filter(length(col("ln")) > 0)
+      .select(
+        when(ok, trim(substring(col("ln"), 1, 6))).as("ledger_id"),
+        when(ok, trim(substring(col("ln"), 7, 10))).as("platform"),
+        when(ok, substring(col("ln"), 17, 6)).as("fund_code"),
+        when(ok, expr("CAST(trim(substring(ln, 23, 12)) AS BIGINT)")).as("amount_e2"),
+        when(ok, expr("CAST(trim(substring(ln, 35, 12)) AS BIGINT)")).as("shares_e2"),
+        when(ok, substring(col("ln"), 47, 8)).as("trade_date"),
+        ok.as("ok"), length(col("ln")).cast("long").as("line_len"))
+      .orderBy(col("ledger_id"), col("fund_code"), col("line_len"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "etl_fixed_width" -> etlFixedWidth,
     "etl_avro_ingest" -> etlAvroIngest,
     "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
@@ -1046,6 +1078,23 @@ object FundEtl {
        |  FROM $from""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "etl_fixed_width" ->
+      s"""WITH f AS (
+        |  SELECT content FROM read_text('$statementsFwDir/*.txt')),
+        |l AS (
+        |  SELECT unnest(string_split(rtrim(content, chr(10)), chr(10))) AS ln FROM f),
+        |p AS (
+        |  SELECT ln, length(ln) = 54 AS ok FROM l WHERE length(ln) > 0)
+        |SELECT
+        |  CASE WHEN ok THEN trim(substr(ln, 1, 6)) END AS ledger_id,
+        |  CASE WHEN ok THEN trim(substr(ln, 7, 10)) END AS platform,
+        |  CASE WHEN ok THEN substr(ln, 17, 6) END AS fund_code,
+        |  CASE WHEN ok THEN CAST(trim(substr(ln, 23, 12)) AS BIGINT) END AS amount_e2,
+        |  CASE WHEN ok THEN CAST(trim(substr(ln, 35, 12)) AS BIGINT) END AS shares_e2,
+        |  CASE WHEN ok THEN substr(ln, 47, 8) END AS trade_date,
+        |  ok, CAST(length(ln) AS BIGINT) AS line_len
+        |FROM p
+        |ORDER BY ledger_id NULLS FIRST, fund_code NULLS FIRST, line_len""".stripMargin,
     "etl_avro_ingest" ->
       s"""SELECT file_name, avro_ok, n_rows, sum_units, nav_e4_sum,
         | first_code, last_code, n_codes

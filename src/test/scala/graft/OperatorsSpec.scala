@@ -1462,6 +1462,24 @@ class OperatorsSpec extends SparkTestBase {
       s"planted shift found at ${found.getAs[String]("change_hr")}, want within 2h before $shiftMs")
   }
 
+  test("etl_fixed_width parses the layout exactly and rejects short lines") {
+    val rows = SparkEntry.queries("etl_fixed_width")(spark, sfDir).collect()
+    assert(rows.length == 1002) // 20 files x 50 rows + 2 malformed lines
+    val (ok, bad) = rows.partition(_.getAs[Boolean]("ok"))
+    assert(bad.length == 2 && bad.forall(r => r.isNullAt(0) && r.isNullAt(3)))
+    // independent replay of the generator's integer formulas
+    ok.foreach { r =>
+      val code = r.getAs[String]("fund_code").toLong
+      // fund_code = (k*37) % 1e6 is injective below 1e6 — invert k
+      val k = (0 until 1000).find(k => (k * 37) % 1000000 == code).get
+      assert(r.getAs[String]("ledger_id") == f"L${k % 997}%04d")
+      assert(r.getAs[Long]("amount_e2") == (k.toLong * 104729 + 13) % 1000000000L)
+      assert(r.getAs[Long]("shares_e2") == (k.toLong * 7919 + 7) % 100000000L)
+      assert(r.getAs[String]("trade_date") == f"2024${1 + k % 2}%02d${1 + k % 28}%02d")
+      assert(Set("haomai", "tiantian", "jingdong", "ant")(r.getAs[String]("platform")))
+    }
+  }
+
   test("q58_attribution matches a plain-Scala last-touch replay") {
     val out = SparkEntry.queries("q58_attribution")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("channel"),
