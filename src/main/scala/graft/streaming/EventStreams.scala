@@ -70,6 +70,16 @@ case class DriftState(base: Array[Long], curr: Array[Long])
 case class DriftOut(event_type: String, n_base: Long, n_curr: Long,
     l1_ppm: Long, chi2_score: Long)
 
+/** Per-user online attribution state: the latest marketing touch plus
+  * the last emitted (ts, event_id) for straggler rejection — four
+  * numbers per key.
+  */
+case class TouchState(touchTsUs: Long, channel: String,
+    lastTsUs: Long, lastEventId: Long)
+
+case class AttribOut(user_id: Long, ts_us: Long, event_id: Long,
+    channel: String, v_e2: Long)
+
 /** A day-clipped interval boundary: `emittable` marks boundaries whose
   * instant falls inside the tagged day (a clipped end at next-day
   * midnight participates in the running count but never in output —
@@ -816,6 +826,53 @@ object EventStreams extends Serializable {
 
     events
       .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** STREAMING last-touch attribution — the online twin of the batch
+    * touch-carry window (Relational.q58Attribution): per-user state is
+    * just the latest marketing touch (click/view) plus the straggler
+    * bound — four numbers per key — and each arriving purchase emits
+    * its attributed (channel, value) row immediately, 24h cutoff and
+    * all. Cumulative per-channel rollups of the emissions equal the
+    * batch twin exactly after in-order batches (spec-asserted);
+    * out-of-order events older than the last emitted (ts, event_id)
+    * drop — attribution is order-defined like the EWMA lag window.
+    */
+  def attributionStream(events: Dataset[Evt]): Dataset[AttribOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evts: Iterator[Evt],
+        state: GroupState[TouchState]): Iterator[AttribOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[AttribOut]
+      var st = state.getOption.getOrElse(
+        TouchState(Long.MinValue, "organic", Long.MinValue, Long.MinValue))
+      evts.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val tUs = microsOf(e.ts)
+        val newer = tUs > st.lastTsUs ||
+          (tUs == st.lastTsUs && e.event_id > st.lastEventId)
+        if (newer) {
+          if (e.event_type == "purchase") {
+            val ch =
+              if (st.touchTsUs == Long.MinValue) "organic"
+              else if (tUs - st.touchTsUs > 86400000000L) "organic"
+              else st.channel
+            out += AttribOut(userId, tUs, e.event_id, ch,
+              math.floor(e.value * 100 + 0.5).toLong)
+          }
+          val touched = e.event_type == "click" || e.event_type == "view"
+          st = TouchState(
+            if (touched) tUs else st.touchTsUs,
+            if (touched) e.event_type else st.channel,
+            tUs, e.event_id)
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
   }
 

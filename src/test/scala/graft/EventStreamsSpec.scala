@@ -155,6 +155,38 @@ class EventStreamsSpec extends SparkTestBase {
       assert(got(k) == v, s"event $k: got ${got.get(k)} want $v") }
   }
 
+  test("streaming attributionStream rolls up to the batch q58 twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.attributionStream(input.toDS())
+      .writeStream.format("memory").queryName("attrib_out")
+      .outputMode("update").start()
+    val third = evs.length / 3
+    input.addData(evs.slice(0, third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(2 * third, evs.length).toSeq); q.processAllAvailable()
+    // straggler: an old purchase must not emit (its touch context is
+    // order-defined history a downstream report already consumed)
+    val n0 = spark.table("attrib_out").count()
+    val victim = evs.maxBy(e => (e.ts.getTime, e.event_id))
+    input.addData(Evt(-1L, new Timestamp(victim.ts.getTime - 1000L),
+      victim.user_id, "purchase", 42.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("attrib_out").count() == n0, "straggler emitted a row")
+    val got = spark.table("attrib_out").collect()
+      .map(r => (r.getAs[String]("channel"), r.getAs[Long]("v_e2")))
+      .groupBy(_._1).map { case (ch, g) => ch -> (g.size.toLong, g.map(_._2).sum) }
+    val expect = operators.Relational.q58Attribution(spark, sfDir).collect()
+      .map(r => r.getAs[String]("channel") ->
+        (r.getAs[Long]("purchases"), r.getAs[Long]("revenue_e2"))).toMap
+    assert(got == expect, s"got $got\nwant $expect")
+  }
+
   test("streaming driftStream converges to the batch q55 twin in any order") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
