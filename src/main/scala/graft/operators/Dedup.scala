@@ -138,6 +138,39 @@ object Dedup {
   private[graft] def bandedForDiagnostics(s: SparkSession, d: String): DataFrame =
     bandedOf(minhashSigTable(s, d))
 
+  /** Estimator-quality audit of the MinHash pair graph — dd_lsh_stats
+    * prices the band join; this op measures whether the 32-perm
+    * estimate the join emits can be TRUSTED: every emitted pair's
+    * est_jaccard is compared against the exact shingle-set Jaccard
+    * (array intersect/union over the same shingles the signatures
+    * hashed), bucketed by estimate decile, with the absolute-error
+    * mass and the false-positive count (estimated ≥ 0.5 but truly
+    * below) per bucket. e4-integer errors (the q4 grid both values
+    * already live on), so the audit is engine-exact. Cost: the pair
+    * graph (output-bounded) joins the shingle table twice by doc_id —
+    * the exact verify only ever runs on emitted candidates, never
+    * all pairs. The "measure, don't guess" rule applied to dedup
+    * itself: at 100 TB you re-run this on a sample before trusting a
+    * threshold.
+    */
+  val ddPairQuality: Q = (s, d) => {
+    val sh = shingled(s, d).select(col("doc_id"), col("sh_hashes"))
+    minhashPairs(s, d)
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), Seq("doc_b"))
+      .withColumn("true_j", q4(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
+      .withColumn("est_e4", expr("CAST(floor(est_jaccard * 10000 + 0.5) AS BIGINT)"))
+      .withColumn("true_e4", expr("CAST(floor(true_j * 10000 + 0.5) AS BIGINT)"))
+      .groupBy(expr("CAST(floor(est_jaccard * 10) AS BIGINT)").as("est_bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(abs(col("est_e4") - col("true_e4"))).as("abs_err_e4"),
+        sum(when(col("true_j") < 0.5, 1L).otherwise(0L)).as("false_positives"),
+        min(col("true_e4")).as("min_true_e4"))
+      .orderBy(col("est_bucket"))
+  }
+
   /** LSH-geometry observability as a first-class operator — the
     * Profile --lsh-skew diagnostic promoted into the registry, because
     * at 100 TB the band-bucket histogram IS the operational dashboard
@@ -1105,6 +1138,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_lsh_stats" -> ddLshStats,
+    "dd_pair_quality" -> ddPairQuality,
     "dd_incremental" -> ddIncremental,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -1155,7 +1189,7 @@ object Dedup {
       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "dd_graph_rank" -> graphRankOracle,
     // the full composed chain re-derived independently: exact keepers
     // from md5 in SQL, banding/threshold over the dumped signature
@@ -1418,4 +1452,28 @@ object Dedup {
          | JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          | WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b2.embedding AS DOUBLE[])) >= 0.3) t
          |ORDER BY cosine DESC, vec_a, vec_b LIMIT 50""".stripMargin)
+
+  /** The pair-quality oracle COMPOSES the dd_minhash_lsh oracle
+    * verbatim as its pair-graph CTE (a banding/threshold change
+    * reaches the audit automatically) and re-derives exact Jaccard
+    * from the shingles dump, the dd_ngram_jaccard formula.
+    */
+  val oracles: Map[String, String] = baseOracles + ("dd_pair_quality" ->
+    s"""WITH pairs AS (${baseOracles("dd_minhash_lsh")}),
+      |sh AS (
+      |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
+      |t AS (
+      |  SELECT p.est_jaccard,
+      |    floor(CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS DOUBLE)
+      |      / len(list_distinct(list_concat(a.sh_hashes, b.sh_hashes))) * 10000 + 0.5) / 10000.0 AS true_j
+      |  FROM pairs p
+      |  JOIN sh a ON p.doc_a = a.doc_id
+      |  JOIN sh b ON p.doc_b = b.doc_id)
+      |SELECT CAST(floor(est_jaccard * 10) AS BIGINT) AS est_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(abs(CAST(floor(est_jaccard * 10000 + 0.5) AS BIGINT)
+      |    - CAST(floor(true_j * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS abs_err_e4,
+      |  CAST(sum(CASE WHEN true_j < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
+      |  CAST(min(CAST(floor(true_j * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS min_true_e4
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -1450,7 +1450,7 @@ object Relational {
         |    sum(responders) OVER (ORDER BY decile
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_r
         |  FROM d)
-        |SELECT decile, n, responders,
+        |SELECT CAST(decile AS BIGINT) AS decile, n, responders,
         |  CAST(responders * 1000000 // n AS BIGINT) AS resp_ppm,
         |  CAST(((cum_r * 1000000 // cum_n) * 1000)
         |    // greatest(total_r * 1000000 // total_n, 1) AS BIGINT) AS cum_lift_e3

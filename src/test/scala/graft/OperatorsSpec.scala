@@ -1384,6 +1384,45 @@ class OperatorsSpec extends SparkTestBase {
       }
   }
 
+  test("dd_pair_quality audits every emitted pair against exact Jaccard") {
+    val out = SparkEntry.queries("dd_pair_quality")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("est_bucket"),
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("abs_err_e4"),
+          r.getAs[Long]("false_positives"), r.getAs[Long]("min_true_e4")))).toMap
+    // independent recount: the emitted pairs joined to exact
+    // shingle-set jaccard computed from raw doc text in plain Scala
+    def shingles(t: String): Set[Seq[String]] = {
+      val w = t.trim.toLowerCase.split("\\s+").toSeq
+      if (w.length < 3) Set(w) else w.sliding(3).toSet
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), shingles(r.getString(1)))).toMap
+    val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Double]("est_jaccard")))
+    assert(pairs.nonEmpty)
+    val expect = pairs.map { case (a, b, est) =>
+      val (sa, sb) = (docs(a), docs(b))
+      val tj = math.floor(sa.intersect(sb).size.toDouble /
+        sa.union(sb).size * 10000 + 0.5) / 10000.0
+      (math.floor(est * 10).toLong, est, tj)
+    }.groupBy(_._1).map { case (bkt, g) =>
+      (bkt, (g.size.toLong,
+        g.map { case (_, e, t) =>
+          math.abs(math.floor(e * 10000 + 0.5).toLong - math.floor(t * 10000 + 0.5).toLong)
+        }.sum,
+        g.count(_._3 < 0.5).toLong,
+        g.map(x => math.floor(x._3 * 10000 + 0.5).toLong).min))
+    }
+    assert(out == expect, s"got $out\nwant $expect")
+    // the estimator must be trustworthy where it matters: mean abs
+    // error under 10 jaccard points in every emitted bucket
+    out.foreach { case (bkt, (n, err, _, _)) =>
+      assert(err / n <= 1000, s"bucket $bkt mean |est-true| = ${err / n} e4")
+    }
+  }
+
   test("dd_lsh_stats matches a plain-Scala bucket recount and prices the band join") {
     val out = SparkEntry.queries("dd_lsh_stats")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("band"),
