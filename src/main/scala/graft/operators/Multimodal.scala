@@ -442,6 +442,40 @@ object Multimodal {
       .select(col("file_name"), col("phash_lo"), col("phash_hi")),
       bandBits = 4, tau = 15)
 
+  /** Image near-dup CLUSTERING — the end of the perceptual pipeline:
+    * mm_phash hashes, mm_phash_pairs pairs, this op closes the
+    * transitive hull and labels every decoded image with its
+    * near-dup family (the grouping a curation pass dedups or
+    * stratifies on). Components come from the SHARED dedup CC kernel
+    * (driver union-find under the edge budget, alternating-star
+    * above — the same router the text pipeline uses, applied to a
+    * different modality's pair graph): file names enter the kernel as
+    * xxhash64 longs, but the emitted label is the component's MIN
+    * file_name via a label-agnostic rollup, so the output never
+    * depends on hash ordering. Unpaired decoded images emit as
+    * singleton clusters of themselves — the full-corpus labeling a
+    * downstream keep-one-per-cluster pass needs.
+    */
+  val mmDedupCluster: Q = (s, _) => {
+    val files = imageDecode(s, imagesDir).filter(col("img_ok"))
+      .select(col("file_name"), col("phash_lo"), col("phash_hi"))
+    val pairs = phashPairs(files, bandBits = 4, tau = 15)
+    val labels = graft.operators.Dedup.connectedComponents(
+      pairs.select(xxhash64(col("file_a")).as("doc_a"),
+        xxhash64(col("file_b")).as("doc_b")))
+      .toDF("node", "label")
+    val named = files.select(col("file_name"), xxhash64(col("file_name")).as("node"))
+      .join(labels, Seq("node"), "left")
+      // unpaired files: their own (singleton) component
+      .withColumn("label", coalesce(col("label"), col("node")))
+    val keys = named.groupBy(col("label"))
+      .agg(min(col("file_name")).as("cluster_key"),
+        count(lit(1)).as("cluster_size"))
+    named.join(keys, Seq("label"))
+      .select(col("file_name"), col("cluster_key"), col("cluster_size"))
+      .orderBy(col("cluster_key"), col("file_name"))
+  }
+
   private[graft] val audioDir = "/root/repo/data/audio"
 
   /** REAL audio decode over a committed corpus of true WAV files —
@@ -508,12 +542,13 @@ object Multimodal {
     "mm_frame_sample" -> mmFrameSample,
     "mm_resize" -> mmResize,
     "mm_feature_extract" -> mmFeatureExtract,
-    "mm_audio_fingerprint" -> mmAudioFingerprint)
+    "mm_audio_fingerprint" -> mmAudioFingerprint,
+    "mm_dedup_cluster" -> mmDedupCluster)
 
   /** The byte histogram is computable in SQL for ASCII text, so this
     * gets a real oracle despite the mapPartitions implementation.
     */
-  val oracles: Map[String, String] = Map(
+  private val baseOracles: Map[String, String] = Map(
     "mm_audio_fingerprint" ->
       s"""SELECT file_name, audio_ok, n_frames, n_peaks, n_landmarks,
         |  lm_xor, lm_sum
@@ -589,4 +624,28 @@ object Multimodal {
         | mean_energy_e4, dyn_range, alphabet
         |FROM read_parquet('$audioDir/expected_features.parquet')
         |ORDER BY file_name""".stripMargin)
+
+  /** The cluster oracle COMPOSES the mm_phash_pairs oracle verbatim as
+    * its pair CTE and closes the hull with an independent recursive
+    * transitive closure over STRING names — no hashing anywhere, so it
+    * also cross-checks the Spark side's hash-then-relabel roundtrip.
+    */
+  val oracles: Map[String, String] = baseOracles + ("mm_dedup_cluster" ->
+    s"""WITH RECURSIVE pairs AS (${baseOracles("mm_phash_pairs")}),
+      |ph AS (
+      |  SELECT file_name FROM read_parquet('$imagesDir/expected.parquet') WHERE img_ok),
+      |edges AS (
+      |  SELECT file_a AS a, file_b AS b FROM pairs
+      |  UNION SELECT file_b, file_a FROM pairs),
+      |reach(node, lab) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+      |cc AS (SELECT node, min(lab) AS cluster_key FROM reach GROUP BY node),
+      |lab AS (
+      |  SELECT ph.file_name, coalesce(cc.cluster_key, ph.file_name) AS cluster_key
+      |  FROM ph LEFT JOIN cc ON ph.file_name = cc.node)
+      |SELECT file_name, cluster_key,
+      |  CAST(count(*) OVER (PARTITION BY cluster_key) AS BIGINT) AS cluster_size
+      |FROM lab ORDER BY cluster_key, file_name""".stripMargin)
 }

@@ -1327,6 +1327,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("mm_dedup_cluster labels every decoded image with its transitive hull") {
+    val out = SparkEntry.queries("mm_dedup_cluster")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("file_name"),
+        (r.getAs[String]("cluster_key"), r.getAs[Long]("cluster_size")))).toMap
+    val files = operators.Multimodal.mmImageDecode(spark, sfDir)
+      .filter(col("img_ok")).select(col("file_name")).collect().map(_.getString(0))
+    val pairs = operators.Multimodal.mmPhashPairs(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("file_a"), r.getAs[String]("file_b")))
+    // independent union-find over string names
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      parent.getOrElseUpdate(x, x)
+      if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    val members = files.groupBy(find)
+    val expect = files.map { f =>
+      val comp = members(find(f))
+      (f, (comp.min, comp.length.toLong))
+    }.toMap
+    assert(out == expect,
+      s"diff=${(out.toSet -- expect.toSet).take(3)} / ${(expect.toSet -- out.toSet).take(3)}")
+    assert(out.values.exists(_._2 > 1), "no near-dup families found")
+    assert(out.size == files.length, "some decoded image lost its label")
+  }
+
   test("mm_feature_extract: decoded-waveform features within PCM16 bounds, corrupt flagged") {
     val rows = operators.Multimodal.mmFeatureExtract(spark, sfDir).collect()
     assert(rows.length == 55) // 40 WAV + 12 AU + 3 corrupt
