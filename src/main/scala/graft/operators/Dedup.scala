@@ -154,8 +154,19 @@ object Dedup {
     * threshold.
     */
   val ddPairQuality: Q = (s, d) => {
+    // ONE shingle materialization feeds both the signature path and
+    // the exact verify (the dd_containment round-9 lesson): calling
+    // minhashPairs(s, d) here would persist a SECOND copy of the same
+    // shingle table through its own shingled() call
     val sh = shingled(s, d).select(col("doc_id"), col("sh_hashes"))
-    minhashPairs(s, d)
+    val banded = bandedOf(sh
+      .withColumn("sig", minhashSig(col("sh_hashes"), 32))
+      .select(col("doc_id"), col("sig")))
+    val pairs = pairsFromCollisions(
+      banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")))
+    pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), Seq("doc_b"))
       .withColumn("true_j", q4(
