@@ -138,6 +138,42 @@ object Dedup {
   private[graft] def bandedForDiagnostics(s: SparkSession, d: String): DataFrame =
     bandedOf(minhashSigTable(s, d))
 
+  /** Triangle census of the near-dup pair graph — the graph-shape
+    * diagnostic next to dd_graph_rank's authority scores: near-dup
+    * components that are CLIQUES (high clustering) are true duplicate
+    * families, while star-shaped components (low clustering, one hub
+    * touching many spokes) usually mean a template/boilerplate hub —
+    * different curation actions, measurable only with a triangle
+    * count. Exact, one row out: edges, wedges Σ deg·(deg−1)/2,
+    * triangles via the canonical two-join (a<b<c ordered edge
+    * orientation — every triangle counted exactly once, and orienting
+    * low→high node bounds the join's per-key fan-out by the MAX
+    * out-degree, the standard skew cap), and the global clustering
+    * coefficient 3·tri/wedges in ppm. The pair graph materializes
+    * once and feeds degrees + both join sides. All integer.
+    */
+  val ddGraphTriangles: Q = (s, d) => {
+    val edges = minhashPairs(s, d)
+      .select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val deg = edges.select(col("doc_a").as("n"))
+      .unionAll(edges.select(col("doc_b").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("dg"))
+    val wedges = deg.agg(
+      sum(expr("dg * (dg - 1) div 2")).as("n_wedges"),
+      count(lit(1)).as("n_nodes"))
+    val tri = edges.as("e1")
+      .join(edges.as("e2"), col("e1.doc_b") === col("e2.doc_a"))
+      .join(edges.as("e3"),
+        col("e1.doc_a") === col("e3.doc_a") && col("e2.doc_b") === col("e3.doc_b"))
+      .agg(count(lit(1)).as("n_triangles"))
+    edges.agg(count(lit(1)).as("n_edges"))
+      .crossJoin(broadcast(wedges))
+      .crossJoin(broadcast(tri))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        expr("CASE WHEN n_wedges > 0 THEN n_triangles * 3 * 1000000 div n_wedges ELSE 0 END")
+          .as("clustering_ppm"))
+  }
+
   /** Estimator-quality audit of the MinHash pair graph — dd_lsh_stats
     * prices the band join; this op measures whether the 32-perm
     * estimate the join emits can be TRUSTED: every emitted pair's
@@ -1150,6 +1186,7 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_lsh_stats" -> ddLshStats,
     "dd_pair_quality" -> ddPairQuality,
+    "dd_graph_triangles" -> ddGraphTriangles,
     "dd_incremental" -> ddIncremental,
     "dd_simhash" -> ddSimhash,
     "dd_ngram_jaccard" -> ddNgramJaccard,
@@ -1201,6 +1238,25 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    "dd_graph_triangles" ->
+      """WITH e AS (
+        |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |deg AS (
+        |  SELECT n, count(*) AS dg FROM (
+        |    SELECT doc_a AS n FROM e UNION ALL SELECT doc_b FROM e) t GROUP BY n),
+        |w AS (
+        |  SELECT CAST(sum(dg * (dg - 1) // 2) AS BIGINT) AS n_wedges,
+        |    CAST(count(*) AS BIGINT) AS n_nodes FROM deg),
+        |tri AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_triangles
+        |  FROM e e1 JOIN e e2 ON e1.doc_b = e2.doc_a
+        |    JOIN e e3 ON e1.doc_a = e3.doc_a AND e2.doc_b = e3.doc_b),
+        |ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e)
+        |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+        |  CAST(CASE WHEN n_wedges > 0
+        |    THEN n_triangles * 3 * 1000000 // n_wedges ELSE 0 END AS BIGINT)
+        |    AS clustering_ppm
+        |FROM ne CROSS JOIN w CROSS JOIN tri""".stripMargin,
     "dd_graph_rank" -> graphRankOracle,
     // the full composed chain re-derived independently: exact keepers
     // from md5 in SQL, banding/threshold over the dumped signature

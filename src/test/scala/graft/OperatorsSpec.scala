@@ -1413,6 +1413,29 @@ class OperatorsSpec extends SparkTestBase {
       }
   }
 
+  test("dd_graph_triangles matches a plain-Scala census of the pair graph") {
+    val row = SparkEntry.queries("dd_graph_triangles")(spark, sfDir).collect().head
+    val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val deg = pairs.toSeq.flatMap { case (a, b) => Seq(a, b) }
+      .groupBy(identity).map { case (_, g) => g.size.toLong }
+    val wedges = deg.map(d => d * (d - 1) / 2).sum
+    val tris = (for {
+      (a, b) <- pairs; (b2, c) <- pairs
+      if b2 == b && pairs((a, c))
+    } yield (a, b, c)).size.toLong
+    assert(row.getAs[Long]("n_nodes") == deg.size.toLong)
+    assert(row.getAs[Long]("n_edges") == pairs.size.toLong)
+    assert(row.getAs[Long]("n_wedges") == wedges)
+    assert(row.getAs[Long]("n_triangles") == tris,
+      s"triangles: got ${row.getAs[Long]("n_triangles")} want $tris")
+    val ppm = if (wedges > 0) tris * 3 * 1000000 / wedges else 0L
+    assert(row.getAs[Long]("clustering_ppm") == ppm)
+    // 3·triangles can never exceed the wedge count (each triangle
+    // closes exactly 3 wedges)
+    assert(3 * tris <= wedges)
+  }
+
   test("dd_pair_quality audits every emitted pair against exact Jaccard") {
     val out = SparkEntry.queries("dd_pair_quality")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("est_bucket"),
