@@ -579,6 +579,35 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE merge-candidate statistics — the first iteration of byte-pair
+    * tokenizer training (the vocabulary-induction step an LLM-data
+    * engine runs before tokenizing a corpus): collapse the corpus to
+    * its word-frequency VOCAB (the aggregate a BPE trainer actually
+    * iterates on — corpus-size-independent once built), explode each
+    * word into adjacent character pairs, and weight every pair by its
+    * word's corpus frequency; the top-20 pairs by weighted count (ties
+    * by symbol) are the merge candidates. Exact integer counts. The
+    * full trainer is this op driver-iterated: merge the top pair into
+    * the vocab's symbol sequences and recompute — each round touches
+    * only the vocab table, never the corpus again, which is why BPE
+    * training scales: the corpus pass happens ONCE (the word count),
+    * bounded-vocab passes happen per merge.
+    */
+  val txBpePairs: Q = (s, d) => {
+    val vocab = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wf"))
+    vocab
+      .select(col("wf"), posexplode(expr(
+        "transform(sequence(1, length(word) - 1), i -> struct(substring(word, i, 1) AS a, substring(word, i + 1, 1) AS b))")))
+      .select(col("wf"), col("col.a").as("sym_a"), col("col.b").as("sym_b"))
+      .groupBy(col("sym_a"), col("sym_b"))
+      .agg(sum(col("wf")).as("pair_count"))
+      .orderBy(col("pair_count").desc, col("sym_a"), col("sym_b"))
+      .limit(20)
+  }
+
   /** BM25 relevance scoring — the full-text-search ranking an
     * analytics engine needs next to embedding retrieval: a literal
     * query relation (4 queries, 2-3 terms) scores every document via
@@ -855,6 +884,7 @@ object TextAnalysis {
     "tx_bm25" -> txBm25,
     "tx_repeated_passages" -> txRepeatedPassages,
     "tx_span_dedup" -> txSpanDedup,
+    "tx_bpe_pairs" -> txBpePairs,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
@@ -1037,6 +1067,17 @@ object TextAnalysis {
         |      ORDER BY score_e6 DESC, doc_id) AS rank
         |  FROM scored) x
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "tx_bpe_pairs" ->
+      """WITH vocab AS (
+        |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+        |  WHERE length(word) >= 2 GROUP BY word),
+        |pairs AS (
+        |  SELECT substr(word, i, 1) AS sym_a, substr(word, i + 1, 1) AS sym_b, wf
+        |  FROM vocab, unnest(range(1, length(word))) AS t(i))
+        |SELECT sym_a, sym_b, CAST(sum(wf) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY pair_count DESC, sym_a, sym_b LIMIT 20""".stripMargin,
     "tx_span_dedup" ->
       """WITH words AS (
         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),

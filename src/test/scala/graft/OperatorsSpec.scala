@@ -1373,6 +1373,28 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx_bpe_pairs matches a plain-Scala vocab-weighted pair recount") {
+    val out = SparkEntry.queries("tx_bpe_pairs")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("sym_a"), r.getAs[String]("sym_b"),
+        r.getAs[Long]("pair_count")))
+    val vocab = sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect()
+      .flatMap(_.getString(0).split(" ", -1))
+      .filter(_.length >= 2)
+      .groupBy(identity).map { case (w, g) => (w, g.length.toLong) }
+    val counts = vocab.toSeq.flatMap { case (w, wf) =>
+      w.sliding(2).map(p => ((p.substring(0, 1), p.substring(1, 2)), wf))
+    }.groupBy(_._1).map { case (p, g) => (p, g.map(_._2).sum) }
+    val expect = counts.toSeq
+      .sortBy { case ((a, b), c) => (-c, a, b) }.take(20)
+      .map { case ((a, b), c) => (a, b, c) }
+    assert(out.toSeq == expect,
+      s"got ${out.take(5).toSeq}\nwant ${expect.take(5)}")
+    // merge candidates must be frequency-sorted and genuinely weighted
+    // (top pair count exceeds any single word's frequency)
+    assert(out.head._3 > vocab.values.max)
+  }
+
   test("tx_span_dedup matches a plain-Scala cut-and-reassemble replay") {
     val out = SparkEntry.queries("tx_span_dedup")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"),
