@@ -608,6 +608,41 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** BPE merge APPLICATION — the other half of the tokenizer
+    * lifecycle (tx_bpe_pairs trains the merge candidates; this op
+    * tokenizes the corpus with a merge list and reports the
+    * compression it buys, the measurement that decides how many
+    * merges a vocabulary is worth). Each word becomes a spaced
+    * character sequence; the 5 merges (this corpus's own top pairs,
+    * literal like txBm25's query set so the oracle re-derives
+    * nothing) apply as SEQUENTIAL literal replaces — exactly the BPE
+    * application rule, order significant; tokens are then the spaced
+    * segments. Everything is codegen'd string/HOF composition inside
+    * one projection — map-only, zero shuffle before the presentation
+    * sort — and the outputs are exact integers (token counts,
+    * truncating-div compression ppm).
+    */
+  val txBpeApply: Q = (s, d) => {
+    val merges = Seq("e" -> "r", "i" -> "n", "o" -> "r", "s" -> "t", "o" -> "w")
+    val spaced = "trim(regexp_replace(w, '(.)', '$1 '))"
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, '$a $b', '$a$b')"
+    }
+    val tokensPerWord =
+      s"length($merged) - length(replace($merged, ' ', '')) + 1"
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        expr("aggregate(transform(words, w -> length(w)), 0L, (acc, x) -> acc + x)")
+          .as("n_chars"),
+        expr(s"aggregate(transform(words, w -> CAST(($tokensPerWord) AS BIGINT)), 0L, (acc, x) -> acc + x)")
+          .as("n_tokens"))
+      .withColumn("compression_ppm", expr(
+        "CASE WHEN n_chars > 0 THEN n_tokens * 1000000 div n_chars ELSE 0 END"))
+      .orderBy(col("doc_id"))
+  }
+
   /** BM25 relevance scoring — the full-text-search ranking an
     * analytics engine needs next to embedding retrieval: a literal
     * query relation (4 queries, 2-3 terms) scores every document via
@@ -885,6 +920,7 @@ object TextAnalysis {
     "tx_repeated_passages" -> txRepeatedPassages,
     "tx_span_dedup" -> txSpanDedup,
     "tx_bpe_pairs" -> txBpePairs,
+    "tx_bpe_apply" -> txBpeApply,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
@@ -979,6 +1015,28 @@ object TextAnalysis {
       "\nORDER BY s5.score_e9 DESC, word LIMIT 30"
   }
 
+  /** tx_bpe_apply oracle: the SAME merge list folded into DuckDB
+    * string functions (regexp_replace needs the 'g' flag there;
+    * replace() is literal-all in both engines).
+    */
+  private val bpeApplyOracle: String = {
+    val merges = Seq("e" -> "r", "i" -> "n", "o" -> "r", "s" -> "t", "o" -> "w")
+    val spaced = "trim(regexp_replace(w, '(.)', '\\1 ', 'g'))"
+    val merged = merges.foldLeft(spaced) { case (acc, (a, b)) =>
+      s"replace($acc, '$a $b', '$a$b')"
+    }
+    val tok = s"length($merged) - length(replace($merged, ' ', '')) + 1"
+    s"""SELECT doc_id,
+      |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), w -> length(w))) AS BIGINT) AS n_chars,
+      |  CAST(list_sum(list_transform(string_split(text, ' '), w -> $tok)) AS BIGINT) AS n_tokens,
+      |  CAST(CASE WHEN list_sum(list_transform(string_split(text, ' '), w -> length(w))) > 0
+      |    THEN list_sum(list_transform(string_split(text, ' '), w -> $tok)) * 1000000
+      |      // list_sum(list_transform(string_split(text, ' '), w -> length(w)))
+      |    ELSE 0 END AS BIGINT) AS compression_ppm
+      |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "tx_textrank" -> textrankOracle,
     "tx_char_diversity" ->
@@ -1067,6 +1125,7 @@ object TextAnalysis {
         |      ORDER BY score_e6 DESC, doc_id) AS rank
         |  FROM scored) x
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "tx_bpe_apply" -> bpeApplyOracle,
     "tx_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (

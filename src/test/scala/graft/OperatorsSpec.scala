@@ -1395,6 +1395,34 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.head._3 > vocab.values.max)
   }
 
+  test("tx_bpe_apply matches a plain-Scala sequential-merge tokenization") {
+    val out = SparkEntry.queries("tx_bpe_apply")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_chars"),
+          r.getAs[Long]("n_tokens"), r.getAs[Long]("compression_ppm")))).toMap
+    val merges = Seq("e" -> "r", "i" -> "n", "o" -> "r", "s" -> "t", "o" -> "w")
+    def tokensOf(w: String): Long = {
+      var spaced = w.toCharArray.mkString(" ")
+      merges.foreach { case (a, b) => spaced = spaced.replace(s"$a $b", s"$a$b") }
+      // tokens = spaced segments = separator count + 1 (1 for "")
+      (spaced.count(_ == ' ') + 1).toLong
+    }
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1)))
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val chars = ws.map(_.length.toLong).sum
+      val toks = ws.map(tokensOf).sum
+      (id, (ws.length.toLong, chars, toks,
+        if (chars > 0) toks * 1000000 / chars else 0L))
+    }.toMap
+    assert(out == expect)
+    // merges must actually compress: global tokens strictly below chars
+    val (tc, cc) = (out.values.map(_._3).sum, out.values.map(_._2).sum)
+    assert(tc < cc, s"merges bought no compression: $tc tokens vs $cc chars")
+  }
+
   test("tx_span_dedup matches a plain-Scala cut-and-reassemble replay") {
     val out = SparkEntry.queries("tx_span_dedup")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"),
