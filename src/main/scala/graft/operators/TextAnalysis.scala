@@ -175,6 +175,32 @@ object TextAnalysis {
         col("rate").cast("long").as("rate"))
       .orderBy(col("doc_id"))
 
+  /** Deterministic text AUGMENTATION (word dropout) — the EDA-style
+    * corpus-expansion pass a training pipeline runs to regularize
+    * small domains: each word survives unless its (doc, position)
+    * selector lands in the 10% dropout band. The selector is the
+    * engine's ONE sampling hash ([[graft.functions.SampleHash]]) over
+    * key = doc_id·4099 + position, so the augmentation is exactly
+    * reproducible across runs AND engines — augmentation that can't
+    * be replayed can't be debugged or deduplicated against its
+    * source. Map-only: one filter+transform HOF chain per document,
+    * zero shuffle; emits the augmented text's md5 plus drop counts
+    * (the md5 pins every byte without doubling the corpus through
+    * the compare). Words, not characters: dropout must respect token
+    * boundaries or it just manufactures OOV noise.
+    */
+  val txAugmentDropout: Q = (s, d) =>
+    Tables.documents(s, d)
+      .withColumn("words", split(col("text"), " "))
+      .withColumn("kept", expr(
+        """filter(transform(words, (w, i) -> struct(w AS w, i AS i)),
+          |  x -> pmod(pmod(doc_id * 4099 + x.i, 1000003) * 2654435761, 10) != 0)""".stripMargin))
+      .select(col("doc_id"),
+        size(col("words")).cast("long").as("n_words"),
+        (size(col("words")) - size(col("kept"))).cast("long").as("n_dropped"),
+        md5(expr("array_join(transform(kept, x -> x.w), ' ')").cast("binary")).as("aug_md5"))
+      .orderBy(col("doc_id"))
+
   /** Document-frequency token pruning — the word-level analog of
     * boilerplate removal: tokens present in > 78% of documents carry
     * no signal (corpus-level stopwords) and are stripped before
@@ -921,6 +947,7 @@ object TextAnalysis {
     "tx_span_dedup" -> txSpanDedup,
     "tx_bpe_pairs" -> txBpePairs,
     "tx_bpe_apply" -> txBpeApply,
+    "tx_augment_dropout" -> txAugmentDropout,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
@@ -1126,6 +1153,19 @@ object TextAnalysis {
         |  FROM scored) x
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "tx_bpe_apply" -> bpeApplyOracle,
+    "tx_augment_dropout" ->
+      """WITH k AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+        |f AS (
+        |  SELECT doc_id, words,
+        |    list_filter(list_transform(words, (w, i) -> struct_pack(w := w, i := i - 1)),
+        |      x -> ((doc_id * 4099 + x.i) % 1000003) * 2654435761 % 10 <> 0) AS kept
+        |  FROM k)
+        |SELECT doc_id,
+        |  CAST(len(words) AS BIGINT) AS n_words,
+        |  CAST(len(words) - len(kept) AS BIGINT) AS n_dropped,
+        |  md5(array_to_string(list_transform(kept, x -> x.w), ' ')) AS aug_md5
+        |FROM f ORDER BY doc_id""".stripMargin,
     "tx_bpe_pairs" ->
       """WITH vocab AS (
         |  SELECT word, CAST(count(*) AS BIGINT) AS wf FROM (

@@ -1395,6 +1395,30 @@ class OperatorsSpec extends SparkTestBase {
     assert(out.head._3 > vocab.values.max)
   }
 
+  test("tx_augment_dropout is reproducible and respects the 10% band") {
+    val out = SparkEntry.queries("tx_augment_dropout")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("n_words"), r.getAs[Long]("n_dropped"),
+          r.getAs[String]("aug_md5")))).toMap
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getString(1)))
+    val expect = docs.map { case (id, t) =>
+      val ws = t.split(" ", -1)
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if ((id * 4099 + i) % 1000003L) * 2654435761L % 10 != 0 => w
+      }
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (id, (ws.length.toLong, (ws.length - kept.length).toLong, md))
+    }.toMap
+    assert(out == expect)
+    // the dropout actually fires, and stays near its 10% band globally
+    val (dropped, total) = (out.values.map(_._2).sum, out.values.map(_._1).sum)
+    assert(dropped > 0 && dropped * 100 / total >= 5 && dropped * 100 / total <= 15,
+      s"dropout rate ${dropped * 100 / total}% outside the band")
+  }
+
   test("tx_bpe_apply matches a plain-Scala sequential-merge tokenization") {
     val out = SparkEntry.queries("tx_bpe_apply")(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_id"),
