@@ -38,12 +38,26 @@ object Bench {
     // A failed query must be a loud error marker, not a plausible wall
     // time — otherwise a regression hides inside a "fast" number.
     val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
-    // MEDIAN OF 3 per query: single-run round-over-round comparisons
-    // carried ±30% machine variance (documented across rounds); the
-    // median absorbs one bad run per query without averaging in its
-    // noise. Each run is cache-isolated like before.
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 3).map { _ =>
+    // MEDIAN OF 3 ACROSS INTERLEAVED SWEEPS (round 11). The previous
+    // shape — 3 back-to-back runs per op — could not absorb the noise
+    // it was built for: JVM state (GC debt, JIT recompilation, malloc
+    // arenas) carries over from the PRECEDING operator, so all three
+    // back-to-back runs of one op share the same bad neighborhood and
+    // the median keeps the bias. Round 10's "3-4x regressions with
+    // untouched code" were exactly this: queries is a hash Map, so
+    // registering 36 new ops reshuffled the sweep order and handed
+    // several ops new expensive predecessors. Two fixes here:
+    // (a) the sweep order is pinned to sorted names — stable as the
+    //     registry grows, so round-over-round neighbors stay fixed;
+    // (b) the 3 runs of an op come from 3 FULL sweeps, so each sample
+    //     sees a different JVM epoch and the median really is a
+    //     median over machine states, not over one state thrice.
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    val samples = scala.collection.mutable.Map.empty[String, List[Double]]
+      .withDefaultValue(Nil)
+    (1 to 3).foreach { _ =>
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         val ok = try { fn(spark, sfDir).count(); true } catch {
           case t: Throwable =>
@@ -53,11 +67,14 @@ object Bench {
         // Each measurement is self-contained: drop this operator's
         // persisted intermediates so they don't distort the next one.
         spark.catalog.clearCache()
-        if (ok) dt else -1.0
+        samples(name) = (if (ok) dt else -1.0) :: samples(name)
       }
+    }
+    val results = names.map { name =>
+      val times = samples(name)
       name -> (if (times.exists(_ < 0)) -1.0 else times.sorted.apply(1))
     }
-    val succeeded = results.filter(_._2 >= 0)
+    val succeeded = results.filter(_._2 >= 0).toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val es = errors.map { case (k, v) => s"\"" + k + "\":\"" + v + "\"" }

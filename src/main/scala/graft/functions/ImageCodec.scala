@@ -98,7 +98,12 @@ object ImageCodec {
       var filled = 0
       while (filled < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, filled, raw.length - filled)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // ANY stalled inflater state maps to not-decodable: truncated
+        // stream (needsInput), preset-dictionary request (FDICT bit —
+        // needsDictionary, which would otherwise loop forever), or any
+        // other zero-progress state. Corrupt bytes must return None,
+        // never hang the scan task.
+        if (n == 0) return None
         filled += n
       }
       if (filled < raw.length) return None

@@ -1089,8 +1089,8 @@ object FundEtl {
         |  CASE WHEN ok THEN trim(substr(ln, 1, 6)) END AS ledger_id,
         |  CASE WHEN ok THEN trim(substr(ln, 7, 10)) END AS platform,
         |  CASE WHEN ok THEN substr(ln, 17, 6) END AS fund_code,
-        |  CASE WHEN ok THEN CAST(trim(substr(ln, 23, 12)) AS BIGINT) END AS amount_e2,
-        |  CASE WHEN ok THEN CAST(trim(substr(ln, 35, 12)) AS BIGINT) END AS shares_e2,
+        |  CASE WHEN ok THEN try_cast(trim(substr(ln, 23, 12)) AS BIGINT) END AS amount_e2,
+        |  CASE WHEN ok THEN try_cast(trim(substr(ln, 35, 12)) AS BIGINT) END AS shares_e2,
         |  CASE WHEN ok THEN substr(ln, 47, 8) END AS trade_date,
         |  ok, CAST(length(ln) AS BIGINT) AS line_len
         |FROM p

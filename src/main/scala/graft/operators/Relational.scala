@@ -1086,7 +1086,11 @@ object Relational {
     * values become e2 integers (floor(v*100+0.5) — exact on the
     * 2-decimal corpus), the weighted sum is integer, and the final
     * mean is one truncating `div` — no float anywhere, so the oracle
-    * hashes exactly. Plan: ONE window over (user_id | ts, event_id) —
+    * hashes exactly. CONTRACT: operands of that div are NON-NEGATIVE
+    * (events.value ≥ 0, spec-pinned in OperatorsSpec) — Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors, and they agree
+    * only on non-negative numerators; a signed series needs both
+    * sides floor-dividing explicitly before this op can ingest it. Plan: ONE window over (user_id | ts, event_id) —
     * the shuffle is the per-key clustering any per-key series op
     * needs, the 8 lags ride the same sorted pass, and everything
     * else is a codegen'd projection. At 100 TB: partition by user,
@@ -1122,6 +1126,10 @@ object Relational {
     * variation ×2, in ppm) and a χ²-style score Σ (p_curr−p_base)²/
     * max(p_base,1) — ALL integer arithmetic (ppm shares by truncating
     * div), so the score is engine-exact rather than log/float-PSI.
+    * CONTRACT: the bucket div runs on non-negative v_e2 (events.value
+    * ≥ 0, spec-pinned) — Spark `div` truncates, DuckDB `//` floors;
+    * they diverge on negatives (the ppm/χ² divs are safe: counts and
+    * squares are non-negative by construction).
     * Plan: one conditional-aggregate shuffle on (event_type, bkt) —
     * period membership is a map-side flag, never two scans — then the
     * ppm/χ² algebra runs over ≤ types×10 tiny rows. At 100 TB: the
@@ -1220,6 +1228,10 @@ object Relational {
   /** The split-scoring kernel behind [[q57Changepoint]], over a
     * caller-supplied (event_type, ts, value) relation — extracted so
     * the spec can plant a known level shift and assert detection.
+    * CONTRACT (shared with q54/q55): the split-mean divs are Spark's
+    * truncating `div` against DuckDB's flooring `//` — they agree only
+    * because value ≥ 0 keeps every numerator non-negative (spec-pinned
+    * in OperatorsSpec); a signed series must floor-divide both sides.
     */
   private[graft] def changepointOf(events: DataFrame): DataFrame = {
     val hourly = events

@@ -72,6 +72,25 @@ class OcrCodecSpec extends SparkTestBase {
     assert(got.get.confPpm == 1000000L)
   }
 
+  test("the committed atlas stays inside ImageCodec's decode contract") {
+    // loadFont FAIL-LOUDLY sys.errors from executor tasks if atlas.png
+    // ever falls outside the self-contained decoder's narrowed contract
+    // (8-bit gray/truecolor, non-interlaced, no palette). That is
+    // acceptable for a trusted committed asset ONLY if contract drift
+    // is caught here at commit time — a regenerated palette/interlaced
+    // atlas must fail this spec, never a 1000-executor scan at runtime.
+    val atlas = Files.readAllBytes(Paths.get(dir, "font", "atlas.png"))
+    val decoded = graft.functions.ImageCodec.decodeRgb(atlas)
+    assert(decoded.isDefined,
+      "data/statements_ocr/font/atlas.png no longer decodes via " +
+        "ImageCodec.decodeRgb — regenerate it as 8-bit gray/truecolor " +
+        "non-interlaced PNG or widen the decoder before shipping")
+    // and its geometry still matches the 16px glyph-cell grid loadFont
+    // slices (a resized atlas would mis-segment every glyph)
+    assert(decoded.get.width % 16 == 0 && decoded.get.height % 16 == 0,
+      s"atlas ${decoded.get.width}x${decoded.get.height} is off the 16px cell grid")
+  }
+
   test("failure contract: bad magic, off-grid dimensions, blank page") {
     assert(OcrCodec.recognize("GIF89a nope".getBytes("UTF-8")).isEmpty)
     assert(OcrCodec.recognize(Array[Byte]()).isEmpty)

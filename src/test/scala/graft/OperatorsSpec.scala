@@ -17,6 +17,23 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("e2-integer div contract: the corpora feeding q54/q55/q57 are non-negative") {
+    // those three ops pair Spark's truncating `div` with DuckDB's
+    // flooring `//`; the engines agree only while every numerator is
+    // non-negative, which floor(value*100+0.5) guarantees iff the raw
+    // value is ≥ -0.005. Pin the corpus-side assumption so a future
+    // testdata edit with signed series fails HERE with the real reason,
+    // not as an opaque oracle hash mismatch (or worse, a silent
+    // divergence class masked by DuckDB's aborting CAST).
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    assert(ev.filter(col("value") < 0).isEmpty,
+      "events.value went negative — q54/q55/q57 must switch both " +
+        "engines to explicit floor division before ingesting this corpus")
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    assert(ord.filter(col("o_totalprice") < 0).isEmpty,
+      "o_totalprice went negative — q56's bucket div shares the same contract")
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")
