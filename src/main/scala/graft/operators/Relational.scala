@@ -801,6 +801,87 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** The shared per-customer RFM aggregate behind [[q46RfmSketch]] —
+    * recency as integer days-since-epoch, frequency, and monetary as
+    * an e2 cents integer (floor(x*100+0.5), exact on the 2-decimal
+    * corpus): all three dimensions integer so cutpoint comparisons are
+    * engine-exact. One partial-aggregating custkey groupBy over the
+    * fact scan — the same reduction q46_rfm_segment opens with.
+    * Persisted: the frame feeds BOTH the cut-point sketch aggregate
+    * and the scoring projection, so without the cache the fact table
+    * would scan twice (CacheManager dedupes the two call sites by
+    * logical-plan identity; Bench clearCache()s between measurements).
+    */
+  private def rfmAggregate(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(datediff(max(col("o_orderdate")), lit("1970-01-01"))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        expr("CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)")
+          .as("monetary_e2"))
+      .persist()
+
+  /** The sketch cut-points for [[q46RfmSketch]]: one global
+    * approx_percentile aggregate (accuracy 10⁴ — mergeable
+    * Greenwald-Khanna, bounded memory, partial-aggregating) over the
+    * per-customer frame, flattened to a single 9-column row. Persisted
+    * because the GK merge is order-sensitive and Verify materializes
+    * this subtree twice (the operator's scoring cross AND the
+    * q46_cutpoints aux dump): the CacheManager serves the second
+    * materialization from the first, so the dumped cut-points are
+    * bit-identical to the ones the operator scored with (the q37
+    * precedent).
+    */
+  private[graft] def rfmCutpoints(s: SparkSession, d: String): DataFrame =
+    rfmAggregate(s, d)
+      .agg(
+        expr("approx_percentile(recency_days, array(0.25D, 0.5D, 0.75D), 10000)").as("rc"),
+        expr("approx_percentile(frequency, array(0.25D, 0.5D, 0.75D), 10000)").as("fc"),
+        expr("approx_percentile(monetary_e2, array(0.25D, 0.5D, 0.75D), 10000)").as("mc"))
+      .select(
+        col("rc")(0).as("r25"), col("rc")(1).as("r50"), col("rc")(2).as("r75"),
+        col("fc")(0).as("f25"), col("fc")(1).as("f50"), col("fc")(2).as("f75"),
+        col("mc")(0).as("m25"), col("mc")(1).as("m50"), col("mc")(2).as("m75"))
+      .persist()
+
+  /** §2.A round 11 — RFM segmentation via SKETCH cut-points, the
+    * at-scale twin q46_rfm_segment's scaladoc promised (and round 10's
+    * verdict demanded runnable): the exact operator's three global
+    * ntile windows single-partition-sort the whole per-customer
+    * aggregate — measured fine at 10⁵-10⁶ customers, a straight
+    * scale-killer at a 10⁸-10⁹-customer warehouse. Here the quartile
+    * cut-points come from ONE approx_percentile aggregate instead (the
+    * q37 mergeable-sketch precedent: bounded memory, partial map-side
+    * merge, never a sort), broadcast as a 1-row frame, and scoring is
+    * a MAP-ONLY projection: score = 1 + Σ (value > cutpoint). No
+    * window node anywhere in the plan — the only SinglePartition
+    * exchange carries three sketch buffers, not data rows (plan-pinned
+    * in PlanHealthSpec). Semantics note: cutpoint scoring gives every
+    * tied value the same quartile (the statistically honest answer),
+    * where exact ntile splits ties to force equal quarter sizes — so
+    * this is a sibling operator, not a re-implementation; the exact
+    * anchor stays registered (the ann_incremental_adaptive playbook).
+    * Oracle: bound-validating split (the q22/q37 pattern) — DuckDB
+    * re-derives the RFM frame, checks each dumped cut-point's tie-aware
+    * rank interval [count(v<c)+1, count(v≤c)] against the p±0.005
+    * rank window, scores with the SAME dumped cut-points, and poisons
+    * the counts to -1 if any cut-point drifted out of bound.
+    */
+  val q46RfmSketch: Q = (s, d) => {
+    val rfm = rfmAggregate(s, d)
+    def sc(v: String, c25: String, c50: String, c75: String) = expr(
+      s"1L + CAST($v > $c25 AS BIGINT) + CAST($v > $c50 AS BIGINT) + CAST($v > $c75 AS BIGINT)")
+    rfm.crossJoin(broadcast(rfmCutpoints(s, d)))
+      .select(
+        sc("recency_days", "r25", "r50", "r75").as("r_score"),
+        sc("frequency", "f25", "f50", "f75").as("f_score"),
+        sc("monetary_e2", "m25", "m50", "m75").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
   /** §2.A round 10 — time-series resampling to OHLC bars (the
     * tick-to-bar downsample every market/telemetry pipeline runs):
     * events bucketed to 15-minute bars per type, each bar carrying
@@ -1307,6 +1388,7 @@ object Relational {
     "q48_profile_table" -> q48ProfileTable,
     "q45_basket_pairs" -> q45BasketPairs,
     "q46_rfm_segment" -> q46RfmSegment,
+    "q46_rfm_sketch" -> q46RfmSketch,
     "q47_ohlc_bars" -> q47OhlcBars,
     "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
@@ -1368,7 +1450,64 @@ object Relational {
   val auxDumps: Map[String, Q] = Map(
     "q22_sketch" -> q22ApproxDistinct,
     "q37_sketch" -> q37ApproxPercentile,
-    "q49_sketch" -> q49FreqSketch)
+    "q49_sketch" -> q49FreqSketch,
+    "q46_cutpoints" -> ((s, d) => rfmCutpoints(s, d)))
+
+  /** q46_rfm_sketch's bound-validating split oracle: DuckDB re-derives
+    * the RFM frame from orders, validates each dumped cut-point's
+    * TIE-AWARE rank interval — a value's rank under ties is the whole
+    * interval [count(v<c)+1, count(v≤c)], which must intersect the
+    * sketch's guaranteed (p ± 0.005)·n rank window; a plain
+    * count(v≤c)/n check would false-alarm whenever a quartile lands
+    * inside a run of tied small-integer frequencies — then scores with
+    * the SAME dumped cut-points (scoring is deterministic given the
+    * cut-points; the sketch itself is merge-order sensitive and never
+    * recomputed here). Any out-of-bound cut-point poisons every
+    * segment count to -1 so the hash fails loudly.
+    */
+  private val rfmSketchOracle: String = {
+    def sc(v: String, c: String) =
+      s"1 + CAST(r.$v > cp.${c}25 AS BIGINT) + CAST(r.$v > cp.${c}50 AS BIGINT) + CAST(r.$v > cp.${c}75 AS BIGINT)"
+    val cuts = Seq("r" -> "recency_days", "f" -> "frequency", "m" -> "monetary_e2")
+      .flatMap { case (dim, _) =>
+        Seq("25" -> "0.25", "50" -> "0.50", "75" -> "0.75").map { case (sfx, p) =>
+          s"SELECT '$dim' AS dim, $p AS p, CAST($dim$sfx AS BIGINT) AS cut FROM cp"
+        }
+      }.mkString("\n  UNION ALL ")
+    s"""WITH cp AS (
+       |  SELECT * FROM read_parquet('__AUX__/q46_cutpoints/*.parquet')),
+       |rfm AS (
+       |  SELECT o_custkey,
+       |    CAST(datediff('day', DATE '1970-01-01', max(o_orderdate)) AS BIGINT) AS recency_days,
+       |    count(*) AS frequency,
+       |    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS monetary_e2
+       |  FROM orders GROUP BY o_custkey),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM rfm),
+       |cuts AS (
+       |  $cuts),
+       |vals AS (
+       |  SELECT 'r' AS dim, recency_days AS v FROM rfm
+       |  UNION ALL SELECT 'f', frequency FROM rfm
+       |  UNION ALL SELECT 'm', monetary_e2 FROM rfm),
+       |chk AS (
+       |  SELECT bool_and(cnt_lt + 1 <= hi AND cnt_le >= lo) AS all_ok FROM (
+       |    SELECT c.dim, c.p, c.cut,
+       |      count(*) FILTER (WHERE v.v < c.cut) AS cnt_lt,
+       |      count(*) FILTER (WHERE v.v <= c.cut) AS cnt_le,
+       |      CAST(floor((c.p - 0.005) * max(n.nn)) AS BIGINT) AS lo,
+       |      CAST(ceil((c.p + 0.005) * max(n.nn)) AS BIGINT) AS hi
+       |    FROM cuts c JOIN vals v ON v.dim = c.dim CROSS JOIN n
+       |    GROUP BY c.dim, c.p, c.cut) t),
+       |s AS (
+       |  SELECT ${sc("recency_days", "r")} AS r_score,
+       |    ${sc("frequency", "f")} AS f_score,
+       |    ${sc("monetary_e2", "m")} AS m_score
+       |  FROM rfm r CROSS JOIN cp)
+       |SELECT r_score, f_score, m_score,
+       |  CASE WHEN (SELECT all_ok FROM chk) THEN CAST(count(*) AS BIGINT)
+       |       ELSE CAST(-1 AS BIGINT) END AS customers
+       |FROM s GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+  }
 
   private val zorderOracle: String = {
     val z = s"(${mortonSpreadSql(norm8Sql("l_suppkey", "s_min", "s_max").replace(" div ", " // "))} << 1)" +
@@ -1629,6 +1768,7 @@ object Relational {
         |SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS support
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b""".stripMargin,
+    "q46_rfm_sketch" -> rfmSketchOracle,
     "q46_rfm_segment" ->
       """WITH rfm AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -898,18 +898,25 @@ object TextAnalysis {
     * over a row-numbered vocabulary, ranked by the SAME all-integer
     * 5-iteration PageRank kernel dd_graph_rank runs
     * ([[Dedup.graphRankScores]] — one kernel, two domains, both
-    * size-routed driver/distributed). The vocabulary id window is a
-    * single-partition sort of the DISTINCT word set — bounded by the
-    * same df-pruning argument as tx_lm_score's model at web scale,
-    * never a sort of the corpus. Top-30 by (score, word); the oracle
-    * re-derives the whole graph and unrolls the five iterations in SQL
-    * (the shared [[Dedup.rankIterCtes]] chain).
+    * size-routed driver/distributed). Vocabulary ids are HASHES
+    * (xxhash64 — round 11, closing the round-10 watch item): the rank
+    * recurrence is purely topological, so ids only need to be distinct
+    * join keys, and the previous row_number id — the text family's
+    * last SinglePartition sort — bought ordering semantics nothing
+    * consumed. The output (word, deg, score_e9) is invariant to the
+    * relabeling, which is why the oracle can keep its own row_number
+    * ids; a 64-bit collision would merge two words, with birthday
+    * probability ~n²/2⁶⁵ — ≪10⁻³ even at a 10⁸-word web vocabulary
+    * (and any collision is caught by the oracle's collision-free
+    * labeling diverging). Plan-pinned window-free in PlanHealthSpec.
+    * Top-30 by (score, word); the oracle re-derives the whole graph
+    * and unrolls the five iterations in SQL (the shared
+    * [[Dedup.rankIterCtes]] chain).
     */
   val txTextrank: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val vocab = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
-      .withColumn("doc_id",
-        row_number().over(Window.orderBy(col("w"))).cast("long"))
+      .withColumn("doc_id", xxhash64(col("w")))
     val bi = docs
       .select(explode(expr(
         """CASE WHEN size(split(text, ' ')) < 2 THEN array()

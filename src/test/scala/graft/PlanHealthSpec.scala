@@ -182,6 +182,28 @@ class PlanHealthSpec extends SparkTestBase {
       s"custkey aggregate is not upstream of the window exchange:\n$plan")
   }
 
+  test("q46_rfm_sketch: no window anywhere — cut-points broadcast, scoring map-only") {
+    // the whole point of the sketch twin: quartile assignment without
+    // ANY sort of the per-customer aggregate. The plan must contain no
+    // Window node at all; the only SinglePartition exchange may carry
+    // the three approx_percentile sketch buffers (one aggregate row),
+    // never data rows — i.e. it must feed a HashAggregate, and no Sort
+    // may sit below a SinglePartition exchange. Scoring reaches the
+    // segment groupBy through a broadcast of the 1-row cut-point frame.
+    val plan = planOf("q46_rfm_sketch")
+    assert(!plan.contains("Window"), s"q46_rfm_sketch plans a window sort:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"q46_rfm_sketch plans $single global exchanges:\n$plan")
+    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
+      s"the cut-point row must broadcast:\n$plan")
+    assert("HashAggregate\\(keys=\\[o_custkey".r.findFirstIn(plan).isDefined,
+      s"no custkey-reducing aggregate in:\n$plan")
+    // approx_percentile partial-aggregates map-side before the global
+    // merge — the mergeable-sketch property the operator rests on
+    assert(plan.contains("partial_approx_percentile"),
+      s"cut-point sketch must partial-aggregate map-side:\n$plan")
+  }
+
   test("q47_ohlc_bars: open/close come from the aggregate, not a per-key sort") {
     // first/last-in-bucket as min/max over a (ts, event_id, value)
     // struct keeps the bar computation ONE grouping aggregate; a
@@ -350,6 +372,31 @@ class PlanHealthSpec extends SparkTestBase {
       s"q51_gap_fill plans a global exchange:\n$plan")
     assert(plan.contains("Generate explode(sequence"),
       s"expected the declarative hour densification in:\n$plan")
+  }
+
+  test("tx_textrank: hash vocab ids leave the text family window-free") {
+    // round 11: the vocab id is xxhash64(word) — the rank kernel is
+    // purely topological, so ids need distinctness, not order. No
+    // Window node and no SinglePartition exchange may appear anywhere
+    // in the final plan (the row_number id this replaced was the text
+    // family's last single-partition sort), and the top-30 must be a
+    // bounded TakeOrdered, never a global sort.
+    val plan = planOf("tx_textrank")
+    assert(!plan.contains("Window"), s"tx_textrank plans a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"tx_textrank plans a single-partition exchange:\n$plan")
+    // the id assignment itself runs inside the kernel's eager routing
+    // jobs, so assert it at the source: the vocab frame's plan carries
+    // the hash projection and no window
+    import org.apache.spark.sql.functions.{col, explode, split, xxhash64}
+    val vocabPlan = graft.sources.Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w")).distinct()
+      .withColumn("doc_id", xxhash64(col("w")))
+      .queryExecution.optimizedPlan.toString
+    assert(vocabPlan.contains("xxhash64") && !vocabPlan.contains("Window"),
+      s"vocab ids must be hash-assigned, window-free:\n$vocabPlan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-30 must TakeOrdered, not globally sort:\n$plan")
   }
 
   test("tx_char_diversity: diversity scoring is one map-only projection") {
