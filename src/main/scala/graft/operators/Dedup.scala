@@ -189,7 +189,29 @@ object Dedup {
     * itself: at 100 TB you re-run this on a sample before trusting a
     * threshold.
     */
-  val ddPairQuality: Q = (s, d) => {
+  val ddPairQuality: Q = (s, d) => pairQualityAudit(s, d, sampleMod = 0)
+
+  /** Deterministic 1-in-`sampleMod` hash sample of the audit's pair
+    * stream (round 11 — the runnable form of the documented 100 TB
+    * design: "the audit runs on a sampled pair set"). The predicate is
+    * content-addressed — md5 over the canonical "a|b" pair key, first
+    * 16 bits mod `sampleMod` — so the SAME pairs are sampled in any
+    * execution order, on re-runs, and in the DuckDB oracle (md5 and
+    * hex-parse are engine-portable; xxhash64 is Spark-only). Crucially
+    * it filters the pair stream BEFORE the two shingle joins and the
+    * exact intersect/union verify, so the expensive stage's cost is
+    * pairFraction-bounded by construction, not by luck.
+    */
+  private def pairSamplePredicate(sampleMod: Int) = expr(
+    s"""CAST(conv(substr(md5(concat(CAST(doc_a AS STRING), '|', CAST(doc_b AS STRING))), 1, 4), 16, 10) AS INT)
+       | % $sampleMod = 0""".stripMargin)
+
+  /** The estimator-quality audit kernel — `sampleMod = 0` audits every
+    * emitted pair (the oracle anchor [[ddPairQuality]]); `sampleMod =
+    * m > 0` audits the deterministic 1/m hash sample
+    * ([[ddPairQualitySampled]], m = 8). Same aggregates either way.
+    */
+  private def pairQualityAudit(s: SparkSession, d: String, sampleMod: Int): DataFrame = {
     // ONE shingle materialization feeds both the signature path and
     // the exact verify (the dd_containment round-9 lesson): calling
     // minhashPairs(s, d) here would persist a SECOND copy of the same
@@ -198,10 +220,12 @@ object Dedup {
     val banded = bandedOf(sh
       .withColumn("sig", minhashSig(col("sh_hashes"), 32))
       .select(col("doc_id"), col("sig")))
-    val pairs = pairsFromCollisions(
+    val all = pairsFromCollisions(
       banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
           col("a.doc_id") < col("b.doc_id")))
+    val pairs =
+      if (sampleMod > 0) all.filter(pairSamplePredicate(sampleMod)) else all
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), Seq("doc_b"))
@@ -217,6 +241,23 @@ object Dedup {
         min(col("true_e4")).as("min_true_e4"))
       .orderBy(col("est_bucket"))
   }
+
+  /** §2.C round 11 — the SAMPLED estimator-quality audit, closing the
+    * round-10 gap ("sampled mode is design prose"): identical
+    * aggregates to [[ddPairQuality]] over the deterministic 1-in-8
+    * md5 hash sample of the emitted pair stream. At 25× the full audit
+    * already costs ~20 s — the inherent exact verify of 1.66M pairs —
+    * and at 100 TB nobody re-verifies every pair to re-trust a
+    * threshold; a content-addressed sample is the operational form,
+    * and because the predicate filters BEFORE the shingle joins, the
+    * verify cost scales with the sample, not the pair graph
+    * (25×/100× points in SURVEY §5). The full-verify twin stays
+    * registered as the oracle anchor; this op's own oracle composes
+    * the dd_minhash_lsh pair CTE + the SAME portable md5 predicate +
+    * the shingles dump, so the sample membership itself is
+    * cross-engine-checked, not just the aggregate.
+    */
+  val ddPairQualitySampled: Q = (s, d) => pairQualityAudit(s, d, sampleMod = 8)
 
   /** LSH-geometry observability as a first-class operator — the
     * Profile --lsh-skew diagnostic promoted into the registry, because
@@ -1186,6 +1227,7 @@ object Dedup {
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_lsh_stats" -> ddLshStats,
     "dd_pair_quality" -> ddPairQuality,
+    "dd_pair_quality_sampled" -> ddPairQualitySampled,
     "dd_graph_triangles" -> ddGraphTriangles,
     "dd_incremental" -> ddIncremental,
     "dd_simhash" -> ddSimhash,
@@ -1525,7 +1567,13 @@ object Dedup {
     * reaches the audit automatically) and re-derives exact Jaccard
     * from the shingles dump, the dd_ngram_jaccard formula.
     */
-  val oracles: Map[String, String] = baseOracles + ("dd_pair_quality" ->
+  /** The (optionally sampled) pair-quality oracle body: `sampleWhere`
+    * is interpolated as the pair-stream predicate — empty for the full
+    * audit, the portable md5 1-in-8 sampler for the sampled twin (the
+    * SAME bits Spark's conv(substr(md5(...)),16,10) reads, so sample
+    * membership is cross-engine-checked, not just the aggregates).
+    */
+  private def pairQualityOracle(sampleWhere: String): String =
     s"""WITH pairs AS (${baseOracles("dd_minhash_lsh")}),
       |sh AS (
       |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
@@ -1535,12 +1583,18 @@ object Dedup {
       |      / len(list_distinct(list_concat(a.sh_hashes, b.sh_hashes))) * 10000 + 0.5) / 10000.0 AS true_j
       |  FROM pairs p
       |  JOIN sh a ON p.doc_a = a.doc_id
-      |  JOIN sh b ON p.doc_b = b.doc_id)
+      |  JOIN sh b ON p.doc_b = b.doc_id
+      |  $sampleWhere)
       |SELECT CAST(floor(est_jaccard * 10) AS BIGINT) AS est_bucket,
       |  CAST(count(*) AS BIGINT) AS n_pairs,
       |  CAST(sum(abs(CAST(floor(est_jaccard * 10000 + 0.5) AS BIGINT)
       |    - CAST(floor(true_j * 10000 + 0.5) AS BIGINT))) AS BIGINT) AS abs_err_e4,
       |  CAST(sum(CASE WHEN true_j < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS false_positives,
       |  CAST(min(CAST(floor(true_j * 10000 + 0.5) AS BIGINT)) AS BIGINT) AS min_true_e4
-      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val oracles: Map[String, String] = baseOracles +
+    ("dd_pair_quality" -> pairQualityOracle("")) +
+    ("dd_pair_quality_sampled" -> pairQualityOracle(
+      """WHERE CAST(('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || '|' || CAST(p.doc_b AS VARCHAR)), 1, 4)) AS INTEGER) % 8 = 0"""))
 }

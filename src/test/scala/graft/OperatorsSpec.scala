@@ -1262,6 +1262,70 @@ class OperatorsSpec extends SparkTestBase {
       s"no weight bias: sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("dd_pair_quality_sampled audits exactly the md5 1-in-8 pair subset") {
+    // the sampler must be content-addressed and engine-independent:
+    // replay the predicate in plain Scala (MessageDigest, no Spark
+    // functions) over the full pair stream and pin that the sampled
+    // audit counted precisely those pairs — determinism AND membership,
+    // not just a plausible fraction
+    val pairs = operators.Dedup.minhashPairs(spark, sfDir)
+      .select(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def sampled(a: Long, b: Long): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"$a|$b".getBytes("UTF-8"))
+        .map(x => f"$x%02x").mkString.substring(0, 4)
+      Integer.parseInt(hex, 16) % 8 == 0
+    }
+    val expect = pairs.count { case (a, b) => sampled(a, b) }
+    val audit = SparkEntry.queries("dd_pair_quality_sampled")(spark, sfDir).collect()
+    assert(audit.map(_.getAs[Long]("n_pairs")).sum == expect.toLong,
+      s"sampled audit counted ${audit.map(_.getAs[Long]("n_pairs")).sum} pairs, predicate selects $expect of ${pairs.length}")
+    // and the full audit counts every pair — the anchor the sample is read against
+    val full = SparkEntry.queries("dd_pair_quality")(spark, sfDir).collect()
+    assert(full.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
+  }
+
+  test("tx_bpe_train: plain-Scala replay reproduces all 8 merges and the token curve") {
+    // independent replay with java.lang.String.replace — the same
+    // left-to-right non-overlapping scan Spark's and DuckDB's literal
+    // replace use; a drift in tie-break order, overlap handling or the
+    // weighted counts shows up as a differing merge list here
+    val out = SparkEntry.queries("tx_bpe_train")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.length == 8)
+    var vocab: Seq[(String, Long)] = sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1)).filter(_.length >= 2)
+      .groupBy(identity).toSeq
+      .map { case (w, g) => (" " + w.map(c => s"$c ").mkString, g.length.toLong) }
+    out.foreach { case (step, symA, symB, cnt, corpusTokens) =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (sp, wf) =>
+        sp.trim.split(" ").sliding(2).foreach {
+          case Array(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + wf
+          case _ =>
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      assert((a, b, c) == ((symA, symB, cnt)),
+        s"step $step: replay picked ($a,$b,$c), op trained ($symA,$symB,$cnt)")
+      vocab = vocab.map { case (sp, wf) =>
+        (sp.replace(s" $a $b ", s" $a$b "), wf)
+      }
+      val toks = vocab.map { case (sp, wf) =>
+        wf * sp.trim.split(" ").length }.sum
+      assert(toks == corpusTokens,
+        s"step $step: replay counts $toks corpus tokens, op reports $corpusTokens")
+    }
+    // the curve is the point of the trainer: strictly decreasing
+    out.map(_._5).sliding(2).foreach {
+      case Array(x, y) => assert(y < x, s"token curve not decreasing: $x -> $y")
+      case _ =>
+    }
+  }
+
   test("tx_textrank ranks via the shared kernel with graph-consistent scores") {
     val out = SparkEntry.queries("tx_textrank")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("word"), r.getAs[Long]("deg"), r.getAs[Long]("score_e9")))
