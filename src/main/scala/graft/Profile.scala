@@ -236,6 +236,24 @@ object Profile {
             f"bloom=$tb%.2f s rows=$re/$rb")
           require(re == rb, s"bloom gate changed the output at bench=$b")
         }
+      case "--mm-pipeline" =>
+        // the composed curation DAG over the committed corpus vs a
+        // factor-scaled generated one (tools/gen_images.py <dst>
+        // <factor>; dir via env) — the claim: cost tracks the decode
+        // pass (file count), the pair join stays bucket-bounded, and
+        // clustering rides the size-routed CC kernel
+        val imgBig = sys.env.getOrElse("SPARK_GRAFT_IMAGES_DIR", "/tmp/images10x")
+        Seq(1, 2).foreach { round =>
+          Seq("1x" -> operators.Multimodal.imagesDir, "big" -> imgBig).foreach {
+            case (lbl, dir) =>
+              val t0 = System.nanoTime()
+              val out = operators.Multimodal.imagePipeline(spark, dir)
+              val n = out.count()
+              val kept = out.filter(col("is_canonical")).count()
+              println(f"[profile] mm-pipeline $lbl r$round files=$n kept=$kept " +
+                f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+        }
       case "--avro-scale" =>
         // container-count amortization for the Avro source: the 1×
         // committed corpus vs a factor-scaled generated dir (tools/

@@ -476,6 +476,65 @@ object Multimodal {
       .orderBy(col("cluster_key"), col("file_name"))
   }
 
+  /** §2.F round 11 — the composed image-curation FLAGSHIP (the mm
+    * mirror of dd_pipeline): decode → phash → banded near-dup pairs →
+    * transitive clustering → canonical keep-one + drop list, as ONE
+    * DAG. The decoded frame localCheckpoints ONCE and feeds all three
+    * consumers (the band join's two sides via phashPairs, the
+    * full-corpus labeling, and the quality signal for keep-one) — no
+    * re-decode, no re-scan; the pair graph is computed once and the
+    * cluster labels ride the shared CC router (driver union-find
+    * under the edge budget, alternating-star above). Keep-one policy:
+    * highest n_pixels (resolution IS the curation quality of a
+    * near-dup image family), tie-broken by file_name, via a
+    * per-cluster window — bounded by cluster size, never global. Each
+    * row carries its cluster, size, its own resolution, whether it
+    * survives, and WHICH file superseded it (keep_file — the
+    * redirect/attribution column a curation manifest needs: every
+    * dropped asset points at its surviving twin). At 100 TB this is
+    * the whole multimodal curation pass in one job: per-stage
+    * exchanges are band-key, label, and the presentation sort only
+    * (exchange-count pinned in PlanHealthSpec). Oracle: composes the
+    * mm_phash_pairs sidecar oracle + an independent recursive string
+    * closure + the same keep-one policy in SQL — nothing of the
+    * Spark-side hash labeling leaks through.
+    */
+  val mmPipeline: Q = (s, _) => imagePipeline(s, imagesDir)
+
+  /** Dir-parameterized pipeline behind [[mmPipeline]] — Profile
+    * --mm-pipeline points it at a factor-scaled corpus for the
+    * codec-corpus scale measurement.
+    */
+  private[graft] def imagePipeline(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = imageDecode(s, dir).filter(col("img_ok"))
+      .select(col("file_name"), col("phash_lo"), col("phash_hi"),
+        col("n_pixels"))
+      .localCheckpoint()
+    val pairs = phashPairs(
+      files.select(col("file_name"), col("phash_lo"), col("phash_hi")),
+      bandBits = 4, tau = 15)
+    val labels = graft.operators.Dedup.connectedComponents(
+      pairs.select(xxhash64(col("file_a")).as("doc_a"),
+        xxhash64(col("file_b")).as("doc_b")))
+      .toDF("node", "label")
+    val named = files
+      .withColumn("node", xxhash64(col("file_name")))
+      .join(labels, Seq("node"), "left")
+      .withColumn("label", coalesce(col("label"), col("node")))
+    val w = Window.partitionBy(col("label"))
+      .orderBy(col("n_pixels").desc, col("file_name"))
+    val ranked = named.withColumn("rk", row_number().over(w))
+    val keys = ranked.groupBy(col("label"))
+      .agg(min(col("file_name")).as("cluster_key"),
+        count(lit(1)).as("cluster_size"),
+        max(when(col("rk") === 1, col("file_name"))).as("keep_file"))
+    ranked.join(keys, Seq("label"))
+      .select(col("file_name"), col("cluster_key"), col("cluster_size"),
+        col("n_pixels"), (col("rk") === 1).as("is_canonical"), col("keep_file"))
+      .orderBy(col("cluster_key"), col("file_name"))
+  }
+
   private[graft] val audioDir = "/root/repo/data/audio"
 
   /** REAL audio decode over a committed corpus of true WAV files —
@@ -543,7 +602,8 @@ object Multimodal {
     "mm_resize" -> mmResize,
     "mm_feature_extract" -> mmFeatureExtract,
     "mm_audio_fingerprint" -> mmAudioFingerprint,
-    "mm_dedup_cluster" -> mmDedupCluster)
+    "mm_dedup_cluster" -> mmDedupCluster,
+    "mm_pipeline" -> mmPipeline)
 
   /** The byte histogram is computable in SQL for ASCII text, so this
     * gets a real oracle despite the mapPartitions implementation.
@@ -630,7 +690,42 @@ object Multimodal {
     * transitive closure over STRING names — no hashing anywhere, so it
     * also cross-checks the Spark side's hash-then-relabel roundtrip.
     */
-  val oracles: Map[String, String] = baseOracles + ("mm_dedup_cluster" ->
+  /** mm_pipeline's oracle: the mm_dedup_cluster recursive closure plus
+    * the keep-one policy (n_pixels DESC, file_name) replayed in SQL
+    * over the sidecar's independent pixel counts.
+    */
+  private val pipelineOracle: String =
+    s"""WITH RECURSIVE pairs AS (${baseOracles("mm_phash_pairs")}),
+      |ph AS (
+      |  SELECT file_name, n_pixels
+      |  FROM read_parquet('$imagesDir/expected.parquet') WHERE img_ok),
+      |edges AS (
+      |  SELECT file_a AS a, file_b AS b FROM pairs
+      |  UNION SELECT file_b, file_a FROM pairs),
+      |reach(node, lab) AS (
+      |  SELECT DISTINCT a, a FROM edges
+      |  UNION
+      |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+      |cc AS (SELECT node, min(lab) AS lab FROM reach GROUP BY node),
+      |l AS (
+      |  SELECT ph.file_name, ph.n_pixels,
+      |    coalesce(cc.lab, ph.file_name) AS lab
+      |  FROM ph LEFT JOIN cc ON ph.file_name = cc.node),
+      |r AS (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY lab ORDER BY n_pixels DESC, file_name) AS rk
+      |  FROM l),
+      |k AS (
+      |  SELECT lab, min(file_name) AS cluster_key,
+      |    CAST(count(*) AS BIGINT) AS cluster_size FROM l GROUP BY lab),
+      |kf AS (SELECT lab, file_name AS keep_file FROM r WHERE rk = 1)
+      |SELECT r.file_name, k.cluster_key, k.cluster_size, r.n_pixels,
+      |  r.rk = 1 AS is_canonical, kf.keep_file
+      |FROM r JOIN k USING (lab) JOIN kf USING (lab)
+      |ORDER BY cluster_key, file_name""".stripMargin
+
+  val oracles: Map[String, String] = baseOracles +
+    ("mm_pipeline" -> pipelineOracle) + ("mm_dedup_cluster" ->
     s"""WITH RECURSIVE pairs AS (${baseOracles("mm_phash_pairs")}),
       |ph AS (
       |  SELECT file_name FROM read_parquet('$imagesDir/expected.parquet') WHERE img_ok),

@@ -347,7 +347,13 @@ object Similarity {
     * only splits lists; exact integer arithmetic, and the DuckDB
     * oracle computes the same k from the same count.
     */
-  private[graft] def annK(n: Long): Int = math.max(16L, (n + 63) / 64).toInt
+  private[graft] def annK(n: Long): Int =
+    // clamped: past n ≈ 1.4e11 vectors k saturates at Int.MaxValue
+    // (occupancy then grows slowly past 64 — still linear probe work,
+    // never the fixed-k quadratic). The unclamped .toInt wrapped to 0
+    // at n = 2^40 and divided the kernel by zero (caught by the
+    // AdaptiveSpec parameter sweep).
+    math.max(16L, math.min((n + 63) / 64, Int.MaxValue.toLong)).toInt
 
   /** ADAPTIVE-k incremental ANN — annIncremental with the quantizer
     * sized to the corpus ([[annK]]), the production parameterization
@@ -402,12 +408,27 @@ object Similarity {
     * callers pick top-k or radius selection on top.
     */
   private def adaptiveProbeScored(s: SparkSession, d: String,
+      storedPred: Column, queryPred: Column): DataFrame =
+    adaptiveProbeScoredOf(s, Tables.embeddings(s, d), storedPred, queryPred)
+
+  /** Corpus-parameterized form of the kernel — AdaptiveSpec's
+    * quadratic-path guard feeds a replicated corpus and asserts the
+    * candidate volume scales with queries×occupancy, not queries×n.
+    */
+  private[graft] def adaptiveProbeScoredOf(s: SparkSession, emb: DataFrame,
       storedPred: Column, queryPred: Column): DataFrame = {
     import s.implicits._
-    val emb = Tables.embeddings(s, d)
     val k = annK(emb.count())
     val kc = math.ceil(math.sqrt(k.toDouble)).toInt
-    val coarseDf = broadcast(fixedCentroids(s, d, kc).toDF("coarse_id", "co_emb"))
+    // same derivation as fixedCentroids, off the caller's corpus: the
+    // first kc vectors by id, ids = vec_id (tie-break identity matters
+    // — the oracle replays sim DESC, id ASC)
+    val coarseDf = broadcast(
+      emb.filter(col("vec_id") < kc)
+        .select(col("vec_id"), col("embedding"))
+        .collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1)))
+        .sortBy(_._1).toSeq.toDF("coarse_id", "co_emb"))
     // coarse-cell assignment: broadcast join + partial-agg argmax
     // (max(struct(sim, -id)) keeps the lowest id on exact ties, the
     // oracle's sim DESC, id ASC window); map-side partial agg collapses

@@ -76,6 +76,27 @@ class PlanHealthSpec extends SparkTestBase {
       s"dd_pipeline joins must all be equi joins:\n$plan")
   }
 
+  test("mm_pipeline composes its stages without redundant shuffles") {
+    // decode → pairs → CC → keep-one as ONE DAG: the decoded frame is
+    // a localCheckpoint barrier feeding every consumer, so the final
+    // plan (downstream of the CC labels, which cross their own
+    // materialization barrier) may exchange only for the label window,
+    // the per-label rollup keying, and the presentation sort — and the
+    // binary corpus must never re-scan past the checkpoint. Like the
+    // dd_pipeline pin, read the runtime-finalized adaptive plan.
+    val df = SparkEntry.queries("mm_pipeline")(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toList
+    assert(exchanges.size <= 4,
+      s"mm_pipeline plans ${exchanges.size} exchanges (${exchanges.mkString(", ")}):\n$plan")
+    assert(!plan.contains("FileScan binaryFile"),
+      s"decode barrier lost — the image corpus re-scans:\n$plan")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      s"mm_pipeline joins must all be equi joins:\n$plan")
+  }
+
   test("dd_semantic: the within-cluster self-join is an equi join, assignment broadcasts") {
     // the Σ cluster² bound rests on the self-join keying on cent_id —
     // if the equi component ever fell out of the condition, Spark
