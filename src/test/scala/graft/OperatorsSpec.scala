@@ -1326,6 +1326,26 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx_bpe_tokenize reconciles with the trainer's token curve") {
+    // the tokenizer applies the trainer's OWN merges, so the corpus
+    // totals must tie out: Σ per-doc tokens = the trainer's final
+    // corpus_tokens (which counts only the len>=2 vocab) + one token
+    // per length-1 word (excluded from the vocab, untouched by merges)
+    val train = SparkEntry.queries("tx_bpe_train")(spark, sfDir).collect()
+    val finalCurve = train.maxBy(_.getAs[Long]("step")).getAs[Long]("corpus_tokens")
+    val tok = SparkEntry.queries("tx_bpe_tokenize")(spark, sfDir).collect()
+    val sumTokens = tok.map(_.getAs[Long]("n_tokens")).sum
+    val sumChars = tok.map(_.getAs[Long]("n_chars")).sum
+    val oneCharWords = sources.Tables.documents(spark, sfDir)
+      .select(col("text")).collect().map(_.getString(0))
+      .flatMap(_.split(" ", -1)).count(_.length == 1).toLong
+    assert(sumTokens == finalCurve + oneCharWords,
+      s"tokenize total $sumTokens != trainer curve $finalCurve + $oneCharWords one-char words")
+    // and the trained vocabulary must actually compress the corpus
+    assert(sumTokens < sumChars,
+      s"8 trained merges bought no compression: $sumTokens tokens / $sumChars chars")
+  }
+
   test("tx_textrank ranks via the shared kernel with graph-consistent scores") {
     val out = SparkEntry.queries("tx_textrank")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("word"), r.getAs[Long]("deg"), r.getAs[Long]("score_e9")))

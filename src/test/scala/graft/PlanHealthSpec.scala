@@ -211,6 +211,10 @@ class PlanHealthSpec extends SparkTestBase {
     // never data rows — i.e. it must feed a HashAggregate, and no Sort
     // may sit below a SinglePartition exchange. Scoring reaches the
     // segment groupBy through a broadcast of the 1-row cut-point frame.
+    // clearCache first: an earlier suite's run of this op leaves the
+    // persisted RFM frame in the CacheManager, and the cached subtree
+    // (InMemoryTableScan) would hide the aggregates this pin reads.
+    spark.catalog.clearCache()
     val plan = planOf("q46_rfm_sketch")
     assert(!plan.contains("Window"), s"q46_rfm_sketch plans a window sort:\n$plan")
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
