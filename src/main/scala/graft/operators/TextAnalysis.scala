@@ -122,6 +122,61 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"), col("quality_score"), col("text_hash"))
       .orderBy(col("doc_id"))
 
+  /** §2.E round 11 — the composed TEXT-CURATION FLAGSHIP, completing
+    * the pipeline triad (dd_pipeline dedups text at scale, mm_pipeline
+    * curates images; this is the per-document curation MANIFEST an
+    * LLM-data run materializes): quality gate → exact dedup among the
+    * survivors → token accounting → pack assignment, ONE DAG over ONE
+    * corpus scan. Every document gets a row — kept rows carry their
+    * pack, dropped rows carry WHY ('quality' | 'duplicate') and, for
+    * duplicates, WHICH keeper superseded them (the keeper_id redirect,
+    * the mm_pipeline keep_file move on the text side). Quality
+    * formulas are tx_clean_corpus's verbatim; the dup keeper is
+    * min(doc_id) over the normalized-text hash among quality-passers
+    * (an unordered window aggregate — no rank, no per-group sort);
+    * packing is tx_pack's per-source running fold restricted to kept
+    * docs (dropped docs contribute zero, so pack boundaries are
+    * exactly what a post-curation pack pass would produce). Plan: one
+    * scan, map-side scoring, two partitioned windows (text_hash,
+    * source) + the presentation sort — plan-pinned ≤3 exchanges, no
+    * join, no SinglePartition. At 100 TB both window keys are the
+    * shuffle keys the semantics need anyway, and the source chain is
+    * salted to (source, shard) exactly as tx_pack documents.
+    */
+  val txPipeline: Q = (s, d) => {
+    val budget = 2000L
+    val kept = col("drop_reason").isNull
+    val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, d)
+      .withColumn("n_len", length(col("text")).cast("double"))
+      .withColumn("n_words", size(split(col("text"), " ")).cast("double"))
+      .withColumn("n_digit", regexp_count(col("text"), lit("[0-9]")).cast("double"))
+      .withColumn("quality_score",
+        q4(least(col("n_words") / 100.0, lit(1.0)) *
+          (lit(1.0) - col("n_digit") / col("n_len"))))
+      .withColumn("q_ok", col("n_words") >= 10 &&
+        col("n_digit") / col("n_len") < 0.3 && col("quality_score") >= 0.1)
+      .withColumn("text_hash",
+        md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+      .withColumn("keeper",
+        min(when(col("q_ok"), col("doc_id")))
+          .over(Window.partitionBy(col("text_hash"))))
+      .withColumn("drop_reason",
+        when(!col("q_ok"), "quality")
+          .when(col("doc_id") =!= col("keeper"), "duplicate"))
+      .withColumn("n_toks",
+        when(kept, size(split(col("text"), " ")).cast("long")))
+      .withColumn("cum_toks",
+        sum(coalesce(col("n_toks"), lit(0L))).over(bySource))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("drop_reason"),
+        when(col("drop_reason") === "duplicate", col("keeper")).as("keeper_id"),
+        col("n_toks"),
+        when(kept, expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** PII-style redaction: digit runs → <NUM>, long hex-ish tokens →
     * <ID>, email-shaped tokens → <EMAIL> — the masking pass a
     * training-data pipeline runs before tokenization. Deterministic,
@@ -1088,6 +1143,7 @@ object TextAnalysis {
     "tx_redact" -> txRedact,
     "tx_bigrams" -> txBigrams,
     "tx_clean_corpus" -> txCleanCorpus,
+    "tx_pipeline" -> txPipeline,
     "tx_langid" -> txLangId,
     "tx_quality" -> txQuality,
     "tx_tokens" -> txTokens,
@@ -1435,6 +1491,42 @@ object TextAnalysis {
         |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
         |  LEFT JOIN targets t ON d.lang = t.lang) x
         |WHERE bucket < rate_e6 ORDER BY doc_id""".stripMargin,
+    "tx_pipeline" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source, text,
+        |   CAST(length(text) AS DOUBLE) AS n_len,
+        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+        |   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+        |  FROM documents),
+        |scored AS (
+        |  SELECT doc_id, source,
+        |    floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 AS quality_score,
+        |    (n_words >= 10 AND n_digit / n_len < 0.3 AND
+        |     floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 >= 0.1) AS q_ok,
+        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM raw),
+        |lab AS (
+        |  SELECT *,
+        |    min(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY text_hash) AS keeper
+        |  FROM scored),
+        |rsn AS (
+        |  SELECT *,
+        |    CASE WHEN NOT q_ok THEN 'quality'
+        |         WHEN doc_id <> keeper THEN 'duplicate' END AS drop_reason
+        |  FROM lab),
+        |packd AS (
+        |  SELECT *,
+        |    CAST(sum(CASE WHEN drop_reason IS NULL THEN toks ELSE 0 END) OVER (
+        |      PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+        |  FROM rsn)
+        |SELECT doc_id, source, quality_score, drop_reason,
+        |  CASE WHEN drop_reason = 'duplicate' THEN keeper END AS keeper_id,
+        |  CASE WHEN drop_reason IS NULL THEN toks END AS n_toks,
+        |  CASE WHEN drop_reason IS NULL
+        |       THEN CAST((cum_toks - 1) // 2000 AS BIGINT) END AS pack_id
+        |FROM packd ORDER BY doc_id""".stripMargin,
     "tx_pack" ->
       """SELECT doc_id, source, n_toks, cum_toks,
         |  CAST((cum_toks - 1) // 2000 AS BIGINT) AS pack_id

@@ -1326,6 +1326,33 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx_pipeline manifest reconciles with its component operators") {
+    val out = SparkEntry.queries("tx_pipeline")(spark, sfDir).collect()
+    val total = sources.Tables.documents(spark, sfDir).count()
+    assert(out.length.toLong == total, "every document must get a manifest row")
+    val kept = out.filter(_.isNullAt(out.head.fieldIndex("drop_reason")))
+    // the kept set IS tx_clean_corpus's output (same gates, same keeper rule)
+    val clean = SparkEntry.queries("tx_clean_corpus")(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(kept.map(_.getAs[Long]("doc_id")).toSet == clean,
+      "kept set diverged from tx_clean_corpus")
+    // every duplicate's keeper is itself kept
+    val keptIds = kept.map(_.getAs[Long]("doc_id")).toSet
+    out.filter(r => r.getAs[String]("drop_reason") == "duplicate").foreach { r =>
+      assert(keptIds.contains(r.getAs[Long]("keeper_id")),
+        s"doc ${r.getAs[Long]("doc_id")}'s keeper is not kept")
+    }
+    // pack budget: no pack exceeds 2000 tokens except by its last doc's
+    // overshoot (greedy fill semantics — a pack closes when it spills)
+    kept.groupBy(r => (r.getAs[String]("source"), r.getAs[Long]("pack_id")))
+      .foreach { case ((src, pid), rows) =>
+        val toks = rows.map(_.getAs[Long]("n_toks")).sum
+        val maxDoc = rows.map(_.getAs[Long]("n_toks")).max
+        assert(toks - maxDoc < 2000L,
+          s"pack ($src, $pid) holds $toks tokens — fill is not greedy")
+      }
+  }
+
   test("tx_bpe_tokenize reconciles with the trainer's token curve") {
     // the tokenizer applies the trainer's OWN merges, so the corpus
     // totals must tie out: Σ per-doc tokens = the trainer's final

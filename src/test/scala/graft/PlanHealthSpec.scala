@@ -424,6 +424,21 @@ class PlanHealthSpec extends SparkTestBase {
       s"top-30 must TakeOrdered, not globally sort:\n$plan")
   }
 
+  test("tx_pipeline: one scan, two partitioned windows, no join, no global sort") {
+    // the curation manifest composes quality → dedup → pack in one
+    // DAG: scoring is map-side, the only exchanges are the text_hash
+    // window, the source window and the presentation sort — a join or
+    // a SinglePartition exchange means a stage stopped composing
+    val plan = planOf("tx_pipeline")
+    assert(!plan.contains("Join"), s"tx_pipeline plans a join:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"tx_pipeline plans a global exchange:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"tx_pipeline scans documents $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"tx_pipeline plans $hashEx hash exchanges:\n$plan")
+  }
+
   test("tx_char_diversity: diversity scoring is one map-only projection") {
     // the per-doc char histogram must NEVER materialize as rows — the
     // sort+run-length fold keeps everything inside a single projection
