@@ -882,6 +882,43 @@ object Relational {
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
   }
 
+  /** §2.A round 11 — first-order Markov transition mining over
+    * per-user event sequences (the sequential-pattern question behind
+    * funnel design and next-action models: "given X, what happens
+    * next, how often?"). The q45 basket move applied to ORDERED
+    * sequences: one grouping shuffle on user_id builds each user's
+    * (ts, event_id)-sorted event list (sort_array over the struct —
+    * the lexicographic struct order IS the tie-broken event order, no
+    * window), adjacent pairs expand MAP-SIDE via zip_with on the
+    * grouped rows — never a self-join of the fact table on user_id,
+    * which would explode on heavy users — and the (from, to) counts
+    * aggregate with map-side partials. Per-from probabilities are
+    * truncating-div ppm over a from_type-partitioned window on the
+    * ≤types² aggregate rows (never the facts). Per-user list size is
+    * bounded by per-user activity in the time range; a 100 TB
+    * pathological user salts to (user, day) exactly like tx_pack's
+    * chain shards — transitions across shard cuts are the documented
+    * loss (one pair per shard boundary). All integer.
+    */
+  val q59MarkovTransitions: Q = (s, d) => {
+    val seqs = Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("ev"))
+    seqs
+      .select(explode(expr(
+        """CASE WHEN size(ev) < 2 THEN array()
+          | ELSE zip_with(slice(ev, 1, size(ev) - 1), slice(ev, 2, size(ev) - 1),
+          |   (a, b) -> struct(a.event_type AS f, b.event_type AS t)) END""".stripMargin))
+        .as("p"))
+      .groupBy(col("p.f").as("from_type"), col("p.t").as("to_type"))
+      .agg(count(lit(1)).as("n_transitions"))
+      .withColumn("total_from",
+        sum(col("n_transitions")).over(Window.partitionBy(col("from_type"))))
+      .withColumn("prob_ppm", expr("n_transitions * 1000000 div total_from"))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
   /** §2.A round 10 — time-series resampling to OHLC bars (the
     * tick-to-bar downsample every market/telemetry pipeline runs):
     * events bucketed to 15-minute bars per type, each bar carrying
@@ -1389,6 +1426,7 @@ object Relational {
     "q45_basket_pairs" -> q45BasketPairs,
     "q46_rfm_segment" -> q46RfmSegment,
     "q46_rfm_sketch" -> q46RfmSketch,
+    "q59_markov_transitions" -> q59MarkovTransitions,
     "q47_ohlc_bars" -> q47OhlcBars,
     "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
@@ -1769,6 +1807,22 @@ object Relational {
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b""".stripMargin,
     "q46_rfm_sketch" -> rfmSketchOracle,
+    "q59_markov_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id,
+        |    array_agg(event_type ORDER BY ts, event_id) AS ev
+        |  FROM events GROUP BY user_id),
+        |tr AS (
+        |  SELECT ev[i] AS from_type, ev[i + 1] AS to_type
+        |  FROM seq, unnest(range(1, len(ev))) AS r(i)),
+        |agg AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+        |  FROM tr GROUP BY 1, 2)
+        |SELECT from_type, to_type, n_transitions,
+        |  CAST(sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS total_from,
+        |  CAST(n_transitions * 1000000 //
+        |    sum(n_transitions) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+        |FROM agg ORDER BY from_type, to_type""".stripMargin,
     "q46_rfm_segment" ->
       """WITH rfm AS (
         |  SELECT o_custkey, max(o_orderdate) AS last_order,

@@ -237,6 +237,45 @@ object Similarity {
   val annIvfTopk: Q = (s, d) =>
     ivfTopkWith(s, d, fixedCentroids(s, d), nprobe = 4, k = 5)
 
+  /** §2.D round 11 — FILTERED vector search (the multi-tenant /
+    * metadata-constrained retrieval every production vector store
+    * serves: "top-k neighbors WHERE label = mine"): the IVF probe with
+    * the metadata predicate applied INSIDE the probed lists, BEFORE
+    * any cosine is computed — filter-then-search, not the
+    * search-then-filter shape that under-fills k and re-probes. The
+    * label equality rides the probe join's condition, so the filter
+    * runs at list-scan time and the predicate is enforced by the join
+    * itself (plan-pinned: the BroadcastHashJoin condition carries the
+    * label equality; no post-scoring filter). Recall contract: probed
+    * lists are label-DENSE on this corpus (3 labels, uniform), so
+    * nprobe=4 fills k; at a selective predicate a production planner
+    * flips to brute-force-over-the-filtered-slice — which here is
+    * exactly ann_brute_topk with a WHERE, the documented fallback.
+    * Oracle: the ann_ivf_topk derivation with the same label
+    * restriction in probes and the candidate join.
+    */
+  val annFilteredTopk: Q = (s, d) => {
+    val centroids = fixedCentroids(s, d)
+    val emb = Tables.embeddings(s, d)
+    val assigned = emb
+      .select(col("vec_id"), col("embedding"), col("label"),
+        nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    val probes = probesOf(
+        queries.select(col("query_id"), col("q_emb")), centroids, nprobe = 4)
+      .join(broadcast(queries.select(col("query_id"), col("q_label"))),
+        Seq("query_id"))
+    val scored = assigned.as("a").join(broadcast(probes).as("p"),
+        col("a.cent_id") === col("p.cent_id") &&
+          col("a.label") === col("p.q_label") &&
+          col("a.vec_id") =!= col("p.query_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+    topkPresent(scored, 5).orderBy(col("query_id"), col("rank"))
+  }
+
   /** INCREMENTAL ANN-index maintenance — the ANN mirror of
     * dd_incremental: vectors arrive in batches, and each batch probes
     * the STORED IVF index (old vectors already assigned to centroid
@@ -782,6 +821,7 @@ object Similarity {
     "ann_brute_topk" -> annBruteTopk,
     "ann_lsh_topk" -> annLshTopk,
     "ann_ivf_topk" -> annIvfTopk,
+    "ann_filtered_topk" -> annFilteredTopk,
     "ann_ivf_kmeans" -> annIvfKmeans,
     "ann_incremental" -> annIncremental,
     "ann_incremental_adaptive" -> annIncrementalAdaptive,
@@ -1146,6 +1186,32 @@ object Similarity {
         |    row_number() OVER (PARTITION BY p.query_id
         |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
         |  FROM assigned a JOIN probes p ON a.cent_id = p.cent_id AND a.vec_id <> p.query_id) t
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "ann_filtered_topk" ->
+      """WITH cents AS (
+        |  SELECT vec_id AS cent_id, CAST(embedding AS DOUBLE[]) AS c_emb
+        |  FROM embeddings WHERE vec_id < 16),
+        |assigned AS (
+        |  SELECT vec_id, embedding, label, cent_id FROM (
+        |    SELECT e.vec_id, e.embedding, e.label, c.cent_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings e CROSS JOIN cents c) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT query_id, q_emb, q_label, cent_id FROM (
+        |    SELECT q.vec_id AS query_id, CAST(q.embedding AS DOUBLE[]) AS q_emb,
+        |      q.label AS q_label, c.cent_id,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), c.c_emb) DESC, c.cent_id) AS rn
+        |    FROM embeddings q CROSS JOIN cents c WHERE q.vec_id < 8) t WHERE rn <= 4)
+        |SELECT query_id, rank, neighbor_id, sim FROM (
+        |  SELECT p.query_id, a.vec_id AS neighbor_id,
+        |    floor(list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) * 10000 + 0.5) / 10000.0 AS sim,
+        |    row_number() OVER (PARTITION BY p.query_id
+        |      ORDER BY list_cosine_similarity(p.q_emb, CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
+        |  FROM assigned a JOIN probes p
+        |    ON a.cent_id = p.cent_id AND a.label = p.q_label
+        |   AND a.vec_id <> p.query_id) t
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "ann_quantize_int8" ->
       """SELECT vec_id,

@@ -1326,6 +1326,61 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q59_markov_transitions: plain-Scala sequence replay") {
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        // full micros, not ms: a same-ms different-us pair must order
+        // exactly as Spark's timestamp sort does
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getLong(0), us, r.getLong(2), r.getString(3))
+      }
+    val expect = evs.groupBy(_._1).values.flatMap { g =>
+      g.sortBy(e => (e._2, e._3)).map(_._4).sliding(2).collect {
+        case Array(a, b) => (a, b)
+      }
+    }.toSeq.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val out = SparkEntry.queries("q59_markov_transitions")(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        (r.getAs[Long]("n_transitions"), r.getAs[Long]("total_from"),
+          r.getAs[Long]("prob_ppm"))).toMap
+    assert(out.keySet == expect.keySet)
+    expect.foreach { case (k, n) =>
+      assert(out(k)._1 == n, s"$k: got ${out(k)._1} want $n")
+    }
+    // per-from rows partition the from-total, and ppm is the exact
+    // truncating share
+    out.groupBy(_._1._1).foreach { case (f, rows) =>
+      val tot = rows.head._2._2
+      assert(rows.values.map(_._1).sum == tot, s"$f rows don't sum to total_from")
+      rows.foreach { case (_, (n, t, p)) => assert(p == n * 1000000L / t) }
+    }
+  }
+
+  test("ann_filtered_topk: every neighbor carries its query's label") {
+    val labels = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = SparkEntry.queries("ann_filtered_topk")(spark, sfDir).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val n = r.getAs[Long]("neighbor_id")
+      assert(labels(n) == labels(q),
+        s"query $q (label ${labels(q)}) got neighbor $n (label ${labels(n)})")
+      assert(n != q, "self-match leaked through")
+    }
+    // ranks are contiguous from 1 per query (the probe fills k on this
+    // label-dense corpus — the documented recall contract)
+    out.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rows) =>
+      assert(rows.map(_.getAs[Long]("rank")).sorted.toSeq ==
+        (1L to rows.length.toLong), s"query $q ranks not contiguous")
+    }
+  }
+
   test("tx_pipeline manifest reconciles with its component operators") {
     val out = SparkEntry.queries("tx_pipeline")(spark, sfDir).collect()
     val total = sources.Tables.documents(spark, sfDir).count()

@@ -203,6 +203,24 @@ class PlanHealthSpec extends SparkTestBase {
       s"custkey aggregate is not upstream of the window exchange:\n$plan")
   }
 
+  test("q59_markov_transitions: map-side pair expansion, no self-join, bounded window") {
+    // the naive formulation self-joins events on user_id (explodes on
+    // heavy users); the q45 shape groups once and expands adjacent
+    // pairs map-side. The only window runs over the <=types^2
+    // aggregate — its input chain must contain the (f, t)-keyed
+    // HashAggregate, never the fact scan directly.
+    val plan = planOf("q59_markov_transitions")
+    assert(!plan.contains("Join"), s"q59 must not join:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q59 scans events $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 3, s"q59 plans $hashEx hash exchanges:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q59 plans a global exchange:\n$plan")
+    assert(plan.contains("Generate explode"),
+      s"expected the declarative pair explode in:\n$plan")
+  }
+
   test("q46_rfm_sketch: no window anywhere — cut-points broadcast, scoring map-only") {
     // the whole point of the sketch twin: quartile assignment without
     // ANY sort of the per-customer aggregate. The plan must contain no
@@ -518,6 +536,18 @@ class PlanHealthSpec extends SparkTestBase {
     val idxTopK = "TopK(Partial|Final)".r.findFirstMatchIn(plan).get.start
     assert(idxWin >= 0 && idxWin < idxTopK,
       s"the rank window must sit above the TopK selection:\n$plan")
+  }
+
+  test("ann_filtered_topk: the label predicate rides the probe join itself") {
+    // filter-then-search: the metadata equality must be part of the
+    // list-probe join's condition (enforced at list-scan time), never
+    // a filter applied after cosines are computed — the
+    // search-then-filter shape that under-fills k and wastes scoring
+    val plan = planOf("ann_filtered_topk")
+    val bhj = plan.linesIterator.find(_.contains("BroadcastHashJoin"))
+    assert(bhj.exists(l => l.contains("label") && l.contains("q_label")),
+      s"label equality is not in the probe join's condition:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
   }
 
   test("ann_incremental: the store side never pays a nested-loop join") {
