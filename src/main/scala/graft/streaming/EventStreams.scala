@@ -61,6 +61,14 @@ case class EwmaState(lastTsUs: Long, lastEventId: Long, recent: List[Long])
 case class EwmaOut(user_id: Long, ts_us: Long, event_id: Long,
     v_e2: Long, ewma_e2: Long)
 
+/** Per-user transition state: the last accepted event's order key and
+  * type — three values per key, independent of stream length.
+  */
+case class TransState(lastTsUs: Long, lastEventId: Long, lastType: String)
+
+case class TransOut(user_id: Long, from_type: String, to_type: String,
+    ts_us: Long, event_id: Long)
+
 /** Per-type online drift state: the 10-bucket value histograms of the
   * baseline and current periods — 20 longs per key, independent of
   * stream length.
@@ -773,6 +781,47 @@ object EventStreams extends Serializable {
         }
       }
       state.update(st)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** STREAMING transition mining — the online twin of the batch
+    * sequence expansion (Relational.q59MarkovTransitions): where the
+    * batch twin sorts each user's whole history and zips adjacent
+    * pairs, the stream carries only the LAST accepted event per user
+    * as state and emits one (from, to) transition row per arriving
+    * event — the downstream count/ppm rollup is then q59's own
+    * aggregate over the emitted rows (spec-asserted: cumulative
+    * emissions grouped by (from, to) equal the batch operator's
+    * n_transitions exactly under in-order batches). Out-of-order
+    * events at or behind the last accepted (ts, event_id) are dropped
+    * — a late event would need to RETRACT an already-emitted
+    * transition and emit two corrected ones, which an append-style
+    * consumer can't honor (the [[ewmaStream]] watermark stance).
+    */
+  def transitionsStream(events: Dataset[Evt]): Dataset[TransOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evts: Iterator[Evt],
+        state: GroupState[TransState]): Iterator[TransOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[TransOut]
+      var st = state.getOption
+      evts.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val tUs = microsOf(e.ts)
+        val newer = st.forall(s => tUs > s.lastTsUs ||
+          (tUs == s.lastTsUs && e.event_id > s.lastEventId))
+        if (newer) {
+          st.foreach { s =>
+            out += TransOut(userId, s.lastType, e.event_type, tUs, e.event_id)
+          }
+          st = Some(TransState(tUs, e.event_id, e.event_type))
+        }
+      }
+      st.foreach(state.update)
       out.iterator
     }
 

@@ -155,6 +155,41 @@ class EventStreamsSpec extends SparkTestBase {
       assert(got(k) == v, s"event $k: got ${got.get(k)} want $v") }
   }
 
+  test("streaming transitionsStream rolls up to the batch q59 twin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.transitionsStream(input.toDS())
+      .writeStream.format("memory").queryName("trans_out")
+      .outputMode("update").start()
+    val third = evs.length / 3
+    input.addData(evs.slice(0, third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(2 * third, evs.length).toSeq); q.processAllAvailable()
+    // a cross-batch straggler must neither emit nor corrupt state
+    val n0 = spark.table("trans_out").count()
+    val victim = evs.maxBy(e => (e.ts.getTime, e.event_id))
+    input.addData(Evt(-1L, new Timestamp(victim.ts.getTime - 1000L),
+      victim.user_id, "click", 42.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("trans_out").count() == n0, "straggler emitted a row")
+    // cumulative (from, to) counts equal the batch operator exactly
+    val got = spark.table("trans_out").collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val expect = operators.Relational.q59MarkovTransitions(spark, sfDir)
+      .collect()
+      .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->
+        r.getAs[Long]("n_transitions")).toMap
+    assert(got == expect,
+      s"transition counts diverged: extra=${(got.toSet -- expect.toSet).take(3)} " +
+        s"missing=${(expect.toSet -- got.toSet).take(3)}")
+  }
+
   test("streaming attributionStream rolls up to the batch q58 twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
