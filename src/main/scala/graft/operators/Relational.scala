@@ -919,6 +919,61 @@ object Relational {
       .orderBy(col("from_type"), col("to_type"))
   }
 
+  /** §2.A round 11 — WINDOWED ordered funnel (the ClickHouse
+    * windowFunnel shape, distinct from st_funnel's unbounded
+    * join-chain): per user, the greedy-earliest march through
+    * view → click → purchase ANCHORED at the user's first view, every
+    * later step required within 24h of that anchor and strictly after
+    * the previous step. Semantics contract: greedy-earliest-anchored —
+    * the fold never retries a later anchor (deterministic, and exactly
+    * what the SQL min-chain derivation computes, so the oracle is an
+    * independent algorithm arriving at the same answer). Spark-first
+    * plan: ONE user_id grouping shuffle builds the (t, id)-sorted
+    * step-event list, the whole state machine runs as a map-side
+    * aggregate-HOF fold over the grouped rows (st_funnel's shape
+    * re-joins the fact table once per step — three scans' worth of
+    * joins this op does in one pass), and the per-step rollup is a
+    * 3-counter conditional aggregate. The only SinglePartition
+    * exchange carries that one counter row (plan-pinned). Integer
+    * conv ppm.
+    */
+  val q60WindowFunnel: Q = (s, d) => {
+    val windowUs = 24L * 3600 * 1000000
+    val seqs = Tables.events(s, d)
+      .filter(col("event_type").isin("view", "click", "purchase"))
+      .groupBy(col("user_id"))
+      .agg(sort_array(collect_list(struct(
+        unix_micros(col("ts")).as("t"), col("event_id").as("id"),
+        col("event_type").as("ty")))).as("ev"))
+    val fold = expr(
+      s"""aggregate(ev,
+         |  named_struct('step', 0, 'anchor', CAST(0 AS BIGINT), 'last', CAST(0 AS BIGINT)),
+         |  (acc, e) -> CASE
+         |    WHEN acc.step = 0 AND e.ty = 'view'
+         |      THEN named_struct('step', 1, 'anchor', e.t, 'last', e.t)
+         |    WHEN acc.step = 1 AND e.ty = 'click'
+         |         AND e.t > acc.last AND e.t <= acc.anchor + ${windowUs}L
+         |      THEN named_struct('step', 2, 'anchor', acc.anchor, 'last', e.t)
+         |    WHEN acc.step = 2 AND e.ty = 'purchase'
+         |         AND e.t > acc.last AND e.t <= acc.anchor + ${windowUs}L
+         |      THEN named_struct('step', 3, 'anchor', acc.anchor, 'last', e.t)
+         |    ELSE acc END,
+         |  acc -> acc.step)""".stripMargin)
+    seqs.select(fold.as("max_step"))
+      .agg(
+        sum(when(col("max_step") >= 1, 1L).otherwise(0L)).as("s1"),
+        sum(when(col("max_step") >= 2, 1L).otherwise(0L)).as("s2"),
+        sum(when(col("max_step") >= 3, 1L).otherwise(0L)).as("s3"))
+      .select(expr(
+        """stack(3, '1_view', s1, '2_click_24h', s2, '3_purchase_24h', s3)
+          | AS (step, n_users)""".stripMargin),
+        col("s1"))
+      .select(col("step"), col("n_users"),
+        expr("CASE WHEN s1 > 0 THEN n_users * 1000000 div s1 ELSE 0 END")
+          .as("conv_ppm"))
+      .orderBy(col("step"))
+  }
+
   /** §2.A round 10 — time-series resampling to OHLC bars (the
     * tick-to-bar downsample every market/telemetry pipeline runs):
     * events bucketed to 15-minute bars per type, each bar carrying
@@ -1427,6 +1482,7 @@ object Relational {
     "q46_rfm_segment" -> q46RfmSegment,
     "q46_rfm_sketch" -> q46RfmSketch,
     "q59_markov_transitions" -> q59MarkovTransitions,
+    "q60_window_funnel" -> q60WindowFunnel,
     "q47_ohlc_bars" -> q47OhlcBars,
     "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
@@ -1807,6 +1863,33 @@ object Relational {
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b""".stripMargin,
     "q46_rfm_sketch" -> rfmSketchOracle,
+    "q60_window_funnel" ->
+      """WITH u1 AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'view' GROUP BY user_id),
+        |u2 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t2
+        |  FROM events e JOIN u1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > u1.t1
+        |    AND epoch_us(e.ts) <= u1.t1 + 86400000000
+        |  GROUP BY e.user_id),
+        |u3 AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS t3
+        |  FROM events e JOIN u1 USING (user_id) JOIN u2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > u2.t2
+        |    AND epoch_us(e.ts) <= u1.t1 + 86400000000
+        |  GROUP BY e.user_id),
+        |c AS (
+        |  SELECT CAST((SELECT count(*) FROM u1) AS BIGINT) AS s1,
+        |         CAST((SELECT count(*) FROM u2) AS BIGINT) AS s2,
+        |         CAST((SELECT count(*) FROM u3) AS BIGINT) AS s3)
+        |SELECT step, n_users,
+        |  CAST(CASE WHEN s1 > 0 THEN n_users * 1000000 // s1 ELSE 0 END AS BIGINT) AS conv_ppm
+        |FROM (
+        |  SELECT '1_view' AS step, s1 AS n_users, s1 FROM c
+        |  UNION ALL SELECT '2_click_24h', s2, s1 FROM c
+        |  UNION ALL SELECT '3_purchase_24h', s3, s1 FROM c) t
+        |ORDER BY step""".stripMargin,
     "q59_markov_transitions" ->
       """WITH seq AS (
         |  SELECT user_id,

@@ -1326,6 +1326,43 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q60_window_funnel: plain-Scala greedy-anchored replay") {
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getLong(0), us, r.getLong(2), r.getString(3))
+      }
+    val w = 24L * 3600 * 1000000
+    val steps = evs.filter(e => Set("view", "click", "purchase")(e._4))
+      .groupBy(_._1).values.map { g =>
+      var step = 0; var anchor = 0L; var last = 0L
+      g.sortBy(e => (e._2, e._3)).foreach { e =>
+        (step, e._4) match {
+          case (0, "view") => step = 1; anchor = e._2; last = e._2
+          case (1, "click") if e._2 > last && e._2 <= anchor + w =>
+            step = 2; last = e._2
+          case (2, "purchase") if e._2 > last && e._2 <= anchor + w =>
+            step = 3; last = e._2
+          case _ =>
+        }
+      }
+      step
+    }.toSeq
+    val expect = (1 to 3).map(k => steps.count(_ >= k).toLong)
+    val out = SparkEntry.queries("q60_window_funnel")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("step") ->
+        (r.getAs[Long]("n_users"), r.getAs[Long]("conv_ppm"))).toMap
+    assert(out("1_view")._1 == expect(0))
+    assert(out("2_click_24h")._1 == expect(1))
+    assert(out("3_purchase_24h")._1 == expect(2))
+    // the window must actually bite: unbounded st_funnel's step-2 count
+    // can only be >= the 24h-windowed one, and conv is exact ppm
+    assert(out("2_click_24h")._2 == expect(1) * 1000000L / math.max(expect(0), 1L))
+  }
+
   test("q59_markov_transitions: plain-Scala sequence replay") {
     val evs = sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))

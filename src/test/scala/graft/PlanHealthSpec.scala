@@ -221,6 +221,21 @@ class PlanHealthSpec extends SparkTestBase {
       s"expected the declarative pair explode in:\n$plan")
   }
 
+  test("q60_window_funnel: one grouping shuffle, the state machine folds map-side") {
+    // st_funnel's shape re-joins the fact table once per step; the
+    // windowed funnel must do the whole march in ONE user grouping —
+    // no join anywhere, one scan, one hash exchange, and the only
+    // SinglePartition exchange carries the 3-counter aggregate row
+    val plan = planOf("q60_window_funnel")
+    assert(!plan.contains("Join"), s"q60 plans a join:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q60 scans events $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q60 plans $hashEx hash exchanges:\n$plan")
+    val single = "Exchange SinglePartition".r.findAllIn(plan).size
+    assert(single <= 1, s"q60 plans $single global exchanges:\n$plan")
+  }
+
   test("q46_rfm_sketch: no window anywhere — cut-points broadcast, scoring map-only") {
     // the whole point of the sketch twin: quartile assignment without
     // ANY sort of the per-customer aggregate. The plan must contain no
