@@ -259,6 +259,40 @@ object Dedup {
     */
   val ddPairQualitySampled: Q = (s, d) => pairQualityAudit(s, d, sampleMod = 8)
 
+  /** §2.C round 11 — cluster-SHAPE observability (the third dedup
+    * dashboard next to dd_lsh_stats' bucket geometry and
+    * dd_pair_quality's estimator audit): the full-corpus near-dup
+    * cluster-size distribution — per power-of-two size bucket, how
+    * many clusters, how many documents they hold, and the largest
+    * cluster. The numbers a curation run reads before acting: a fat
+    * '17+' bucket means boilerplate/template families (dedup saves
+    * real volume, check dd_graph_triangles for hub-vs-clique), an
+    * all-'01' corpus means the LSH threshold is doing nothing.
+    * Singletons count (left join + coalesce to own id) so n_docs sums
+    * to the corpus and the dup ratio reads directly off the output.
+    * Buckets are literal CASE cuts — engine-exact, no float log2.
+    * Cost: the pair graph + CC the dedup pass runs anyway, then a
+    * label-keyed size aggregate (bounded by cluster count) and a
+    * ≤6-row rollup.
+    */
+  val ddClusterStats: Q = (s, d) => {
+    val labels = connectedComponents(
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .toDF("doc_id", "label")
+    val all = Tables.documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("label", coalesce(col("label"), col("doc_id")))
+    all.groupBy(col("label")).agg(count(lit(1)).as("sz"))
+      .withColumn("size_bucket", expr(
+        """CASE WHEN sz = 1 THEN '01' WHEN sz = 2 THEN '02'
+          | WHEN sz <= 4 THEN '03-04' WHEN sz <= 8 THEN '05-08'
+          | WHEN sz <= 16 THEN '09-16' ELSE '17+' END""".stripMargin))
+      .groupBy(col("size_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), sum(col("sz")).as("n_docs"),
+        max(col("sz")).as("max_size"))
+      .orderBy(col("size_bucket"))
+  }
+
   /** LSH-geometry observability as a first-class operator — the
     * Profile --lsh-skew diagnostic promoted into the registry, because
     * at 100 TB the band-bucket histogram IS the operational dashboard
@@ -1226,6 +1260,7 @@ object Dedup {
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
     "dd_lsh_stats" -> ddLshStats,
+    "dd_cluster_stats" -> ddClusterStats,
     "dd_pair_quality" -> ddPairQuality,
     "dd_pair_quality_sampled" -> ddPairQualitySampled,
     "dd_graph_triangles" -> ddGraphTriangles,
@@ -1523,6 +1558,21 @@ object Dedup {
         |SELECT doc_id, cluster_id,
         |  CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT) AS cluster_size
         |FROM cc ORDER BY doc_id""".stripMargin,
+    "dd_cluster_stats" ->
+      s"""WITH RECURSIVE $ccOracleCte,
+        |alldocs AS (
+        |  SELECT d.doc_id, coalesce(cc.cluster_id, d.doc_id) AS label
+        |  FROM documents d LEFT JOIN cc ON d.doc_id = cc.doc_id),
+        |sizes AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS sz
+        |  FROM alldocs GROUP BY label)
+        |SELECT CASE WHEN sz = 1 THEN '01' WHEN sz = 2 THEN '02'
+        |  WHEN sz <= 4 THEN '03-04' WHEN sz <= 8 THEN '05-08'
+        |  WHEN sz <= 16 THEN '09-16' ELSE '17+' END AS size_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(sum(sz) AS BIGINT) AS n_docs,
+        |  CAST(max(sz) AS BIGINT) AS max_size
+        |FROM sizes GROUP BY 1 ORDER BY 1""".stripMargin,
     // the star variant must land on the identical labeling — the oracle
     // is deliberately the same independent transitive closure
     "dd_cluster_star" ->

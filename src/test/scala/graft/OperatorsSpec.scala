@@ -1262,6 +1262,26 @@ class OperatorsSpec extends SparkTestBase {
       s"no weight bias: sample mean $sampleMean vs corpus mean $corpusMean")
   }
 
+  test("dd_cluster_stats reconciles with dd_cluster plus singletons") {
+    val total = sources.Tables.documents(spark, sfDir).count()
+    val clustered = SparkEntry.queries("dd_cluster")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("cluster_size")))
+    val sizes = clustered.groupBy(_._1).map(_._2.head._2).toSeq
+    val singletons = total - clustered.length
+    def bucket(sz: Long): String =
+      if (sz == 1) "01" else if (sz == 2) "02" else if (sz <= 4) "03-04"
+      else if (sz <= 8) "05-08" else if (sz <= 16) "09-16" else "17+"
+    val expect = (sizes ++ Seq.fill(singletons.toInt)(1L))
+      .groupBy(bucket).map { case (b, xs) =>
+        b -> (xs.size.toLong, xs.sum, xs.max) }
+    val got = SparkEntry.queries("dd_cluster_stats")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("size_bucket") ->
+        (r.getAs[Long]("n_clusters"), r.getAs[Long]("n_docs"),
+          r.getAs[Long]("max_size"))).toMap
+    assert(got == expect, s"got $got want $expect")
+    assert(got.values.map(_._2).sum == total, "n_docs must sum to the corpus")
+  }
+
   test("dd_pair_quality_sampled audits exactly the md5 1-in-8 pair subset") {
     // the sampler must be content-addressed and engine-independent:
     // replay the predicate in plain Scala (MessageDigest, no Spark
