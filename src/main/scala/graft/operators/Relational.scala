@@ -974,6 +974,34 @@ object Relational {
       .orderBy(col("step"))
   }
 
+  /** §2.A round 11 — rolling MEDIAN smoothing (the robust-statistics
+    * sibling of q54's EWMA: a median filter rejects single-sample
+    * spikes that any weighted mean — including EWMA — lets through;
+    * the standard telemetry denoiser before alerting). Per user, the
+    * median of the last 5 observations via ONE user-partitioned
+    * window: the 5-row frame collects, sorts, and indexes its LOWER
+    * MEDIAN (element (n+1) div 2 of the sorted e2-integer frame —
+    * exact, engine-portable; float interpolation would not be). The
+    * frame is O(1) per row, the only exchange is the per-key
+    * clustering the semantics need (q54's plan shape — plan-pinned:
+    * one window, one scan, ≤1 hash exchange, no global sort). Window
+    * width is the denoise lever; 5 matches the EWMA op's effective
+    * mass for side-by-side comparison on the same series.
+    */
+  val q61RollingMedian: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
+    Tables.events(s, d)
+      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("win", collect_list(col("v_e2")).over(w))
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
+        col("event_id"), col("v_e2"),
+        expr("element_at(array_sort(win), CAST((size(win) + 1) div 2 AS INT))")
+          .as("median_e2"),
+        size(col("win")).cast("long").as("win_n"))
+      .orderBy(col("user_id"), col("ts_us"), col("event_id"))
+  }
+
   /** §2.A round 10 — time-series resampling to OHLC bars (the
     * tick-to-bar downsample every market/telemetry pipeline runs):
     * events bucketed to 15-minute bars per type, each bar carrying
@@ -1483,6 +1511,7 @@ object Relational {
     "q46_rfm_sketch" -> q46RfmSketch,
     "q59_markov_transitions" -> q59MarkovTransitions,
     "q60_window_funnel" -> q60WindowFunnel,
+    "q61_rolling_median" -> q61RollingMedian,
     "q47_ohlc_bars" -> q47OhlcBars,
     "q44_zorder_layout" -> q44ZorderLayout,
     "q42_dist_windows" -> q42DistWindows,
@@ -1863,6 +1892,18 @@ object Relational {
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b""".stripMargin,
     "q46_rfm_sketch" -> rfmSketchOracle,
+    "q61_rolling_median" ->
+      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
+        |  CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT) AS median_e2,
+        |  CAST(len(win) AS BIGINT) AS win_n
+        |FROM (
+        |  SELECT user_id, ts, event_id, value,
+        |    list(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
+        |  FROM events) t
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q60_window_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t1

@@ -1346,6 +1346,37 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("q61_rolling_median: plain-Scala frame replay and spike rejection") {
+    val out = SparkEntry.queries("q61_rolling_median")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("v_e2"), r.getAs[Long]("median_e2"), r.getAs[Long]("win_n")))
+      .toMap
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value")).collect()
+      .map { r =>
+        val ts = r.getTimestamp(1)
+        val us = ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+        (r.getLong(0), us, r.getLong(2), math.floor(r.getDouble(3) * 100 + 0.5).toLong)
+      }
+    var spikesRejected = 0
+    evs.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(e => (e._2, e._3))
+      sorted.zipWithIndex.foreach { case ((u, us, id, v), i) =>
+        val win = sorted.slice(math.max(0, i - 4), i + 1).map(_._4)
+        val med = win.sorted.apply((win.length + 1) / 2 - 1)
+        val (gv, gm, gn) = out((u, us, id))
+        assert(gv == v && gm == med && gn == win.length,
+          s"row ($u,$us,$id): got ($gv,$gm,$gn) want ($v,$med,${win.length})")
+        // the robustness property the filter exists for: a strict
+        // in-window maximum never becomes the median of a full frame
+        if (win.length == 5 && win.count(_ == win.max) == 1 && v == win.max && med != v)
+          spikesRejected += 1
+      }
+    }
+    assert(spikesRejected > 0, "corpus exercised no spike rejection")
+  }
+
   test("q60_window_funnel: plain-Scala greedy-anchored replay") {
     val evs = sources.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))

@@ -221,6 +221,20 @@ class PlanHealthSpec extends SparkTestBase {
       s"expected the declarative pair explode in:\n$plan")
   }
 
+  test("q61_rolling_median: one user window, one scan, no global sort") {
+    val plan = planOf("q61_rolling_median")
+    assert("windowspecdefinition\\(user_id#\\d+L?, ts#\\d+".r.findFirstIn(plan).isDefined,
+      s"median frame must partition by user_id:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q61 plans a global exchange:\n$plan")
+    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
+    assert(scans == 1, s"q61 scans events $scans times:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q61 plans $hashEx hash exchanges:\n$plan")
+    val windows = "Window ".r.findAllIn(plan).size
+    assert(windows == 1, s"q61 plans $windows window nodes:\n$plan")
+  }
+
   test("q60_window_funnel: one grouping shuffle, the state machine folds map-side") {
     // st_funnel's shape re-joins the fact table once per step; the
     // windowed funnel must do the whole march in ONE user grouping —
