@@ -61,6 +61,15 @@ case class EwmaState(lastTsUs: Long, lastEventId: Long, recent: List[Long])
 case class EwmaOut(user_id: Long, ts_us: Long, event_id: Long,
     v_e2: Long, ewma_e2: Long)
 
+/** Per-user rolling-median state: ≤4 prior e2 observations (newest
+  * first) plus the last emitted order key — ≤6 numbers per key,
+  * independent of stream length.
+  */
+case class MedianState(lastTsUs: Long, lastEventId: Long, recent: List[Long])
+
+case class MedianOut(user_id: Long, ts_us: Long, event_id: Long,
+    v_e2: Long, median_e2: Long, win_n: Long)
+
 /** Per-user transition state: the last accepted event's order key and
   * type — three values per key, independent of stream length.
   */
@@ -778,6 +787,45 @@ object EventStreams extends Serializable {
           }
           out += EwmaOut(userId, tUs, e.event_id, v, num / den)
           st = EwmaState(tUs, e.event_id, (v :: st.recent).take(7))
+        }
+      }
+      state.update(st)
+      out.iterator
+    }
+
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** STREAMING rolling median — the online twin of the batch last-5
+    * median filter (Relational.q61RollingMedian), the [[ewmaStream]]
+    * pattern with a sorted-frame index instead of a weighted fold:
+    * ≤4 prior e2 observations ride as state, each arriving event
+    * emits its lower-median row immediately, so cumulative emissions
+    * after in-order batches equal the batch twin row for row
+    * (spec-asserted). Same straggler contract: out-of-order events at
+    * or behind the last emitted (ts, event_id) drop — the frame is
+    * order-defined and an emitted median can't be rewritten.
+    */
+  def medianStream(events: Dataset[Evt]): Dataset[MedianOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, evts: Iterator[Evt],
+        state: GroupState[MedianState]): Iterator[MedianOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[MedianOut]
+      var st = state.getOption
+        .getOrElse(MedianState(Long.MinValue, Long.MinValue, Nil))
+      evts.toSeq.sortBy(e => (microsOf(e.ts), e.event_id)).foreach { e =>
+        val tUs = microsOf(e.ts)
+        val newer = tUs > st.lastTsUs ||
+          (tUs == st.lastTsUs && e.event_id > st.lastEventId)
+        if (newer) {
+          val v = math.floor(e.value * 100 + 0.5).toLong
+          val win = v :: st.recent.take(4)
+          val med = win.sorted.apply((win.length + 1) / 2 - 1)
+          out += MedianOut(userId, tUs, e.event_id, v, med, win.length.toLong)
+          st = MedianState(tUs, e.event_id, win.take(4))
         }
       }
       state.update(st)

@@ -155,6 +155,43 @@ class EventStreamsSpec extends SparkTestBase {
       assert(got(k) == v, s"event $k: got ${got.get(k)} want $v") }
   }
 
+  test("streaming medianStream matches the batch q61 twin row for row") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val evs = sources.Tables.events(spark, sfDir)
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("value"))
+      .as[Evt].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val input = MemoryStream[Evt]
+    val q = EventStreams.medianStream(input.toDS())
+      .writeStream.format("memory").queryName("median_out")
+      .outputMode("update").start()
+    val third = evs.length / 3
+    input.addData(evs.slice(0, third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(third, 2 * third).toSeq); q.processAllAvailable()
+    input.addData(evs.slice(2 * third, evs.length).toSeq); q.processAllAvailable()
+    val n0 = spark.table("median_out").count()
+    val victim = evs.maxBy(e => (e.ts.getTime, e.event_id))
+    input.addData(Evt(-1L, new Timestamp(victim.ts.getTime - 1000L),
+      victim.user_id, "click", 42.0))
+    q.processAllAvailable(); q.stop()
+    assert(spark.table("median_out").count() == n0, "straggler emitted a row")
+    val got = spark.table("median_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("v_e2"), r.getAs[Long]("median_e2"),
+          r.getAs[Long]("win_n"))).toMap
+    val expect = operators.Relational.q61RollingMedian(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("event_id")) ->
+        (r.getAs[Long]("v_e2"), r.getAs[Long]("median_e2"),
+          r.getAs[Long]("win_n"))).toMap
+    assert(got.size == expect.size,
+      s"row counts differ: got ${got.size} want ${expect.size}")
+    expect.foreach { case (k, v) =>
+      assert(got(k) == v, s"row $k: got ${got.get(k)} want $v") }
+  }
+
   test("streaming transitionsStream rolls up to the batch q59 twin") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
