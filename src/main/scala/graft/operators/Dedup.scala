@@ -1619,9 +1619,16 @@ object Dedup {
     */
   /** The (optionally sampled) pair-quality oracle body: `sampleWhere`
     * is interpolated as the pair-stream predicate — empty for the full
-    * audit, the portable md5 1-in-8 sampler for the sampled twin (the
-    * SAME bits Spark's conv(substr(md5(...)),16,10) reads, so sample
-    * membership is cross-engine-checked, not just the aggregates).
+    * audit, the portable md5 1-in-8 sampler for the sampled twin.
+    * Spark reads the first FOUR hex digits (conv(substr(md5(...),1,4),
+    * 16,10) % 8); the oracle reads only the FOURTH digit's position in
+    * '0123456789abcdef' — mathematically the same predicate, because
+    * 16^k ≡ 0 (mod 8) for every k ≥ 1, so the three higher digits
+    * contribute nothing to the mod. The single-char strpos form uses
+    * no hex-string CAST (a DuckDB-version-dependent behavior the
+    * round-11 advice flagged): substr + strpos + integer arithmetic
+    * are core ANSI-ish SQL on any DuckDB build, so sample membership
+    * stays cross-engine-checked without pinning a DuckDB version.
     */
   private def pairQualityOracle(sampleWhere: String): String =
     s"""WITH pairs AS (${baseOracles("dd_minhash_lsh")}),
@@ -1646,5 +1653,5 @@ object Dedup {
   val oracles: Map[String, String] = baseOracles +
     ("dd_pair_quality" -> pairQualityOracle("")) +
     ("dd_pair_quality_sampled" -> pairQualityOracle(
-      """WHERE CAST(('0x' || substr(md5(CAST(p.doc_a AS VARCHAR) || '|' || CAST(p.doc_b AS VARCHAR)), 1, 4)) AS INTEGER) % 8 = 0"""))
+      """WHERE (strpos('0123456789abcdef', substr(md5(CAST(p.doc_a AS VARCHAR) || '|' || CAST(p.doc_b AS VARCHAR)), 4, 1)) - 1) % 8 = 0"""))
 }

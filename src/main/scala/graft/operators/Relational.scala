@@ -806,11 +806,12 @@ object Relational {
     * an e2 cents integer (floor(x*100+0.5), exact on the 2-decimal
     * corpus): all three dimensions integer so cutpoint comparisons are
     * engine-exact. One partial-aggregating custkey groupBy over the
-    * fact scan — the same reduction q46_rfm_segment opens with.
-    * Persisted: the frame feeds BOTH the cut-point sketch aggregate
-    * and the scoring projection, so without the cache the fact table
-    * would scan twice (CacheManager dedupes the two call sites by
-    * logical-plan identity; Bench clearCache()s between measurements).
+    * fact scan — the same reduction q46_rfm_segment opens with. The
+    * operator localCheckpoints this frame so the cut-point collect and
+    * the scoring projection share ONE materialization without a
+    * CacheManager entry (checkpoint blocks are ContextCleaner-freed
+    * when the frame goes unreachable — no unpersist bookkeeping, no
+    * cross-operator cache retention, the round-11 advice fix).
     */
   private def rfmAggregate(s: SparkSession, d: String): DataFrame =
     Tables.orders(s, d)
@@ -820,21 +821,17 @@ object Relational {
         count(lit(1)).as("frequency"),
         expr("CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)")
           .as("monetary_e2"))
-      .persist()
 
-  /** The sketch cut-points for [[q46RfmSketch]]: one global
+  /** The sketch cut-point FRAME for [[q46RfmSketch]]: one global
     * approx_percentile aggregate (accuracy 10⁴ — mergeable
     * Greenwald-Khanna, bounded memory, partial-aggregating) over the
-    * per-customer frame, flattened to a single 9-column row. Persisted
-    * because the GK merge is order-sensitive and Verify materializes
-    * this subtree twice (the operator's scoring cross AND the
-    * q46_cutpoints aux dump): the CacheManager serves the second
-    * materialization from the first, so the dumped cut-points are
-    * bit-identical to the ones the operator scored with (the q37
-    * precedent).
+    * per-customer frame, flattened to a single 9-column row. The
+    * operator collects this once and scores with the collected LITERAL
+    * values (below); plan health of the sketch itself is pinned on
+    * this frame in PlanHealthSpec.
     */
-  private[graft] def rfmCutpoints(s: SparkSession, d: String): DataFrame =
-    rfmAggregate(s, d)
+  private[graft] def rfmCutpointsFrame(agg: DataFrame): DataFrame =
+    agg
       .agg(
         expr("approx_percentile(recency_days, array(0.25D, 0.5D, 0.75D), 10000)").as("rc"),
         expr("approx_percentile(frequency, array(0.25D, 0.5D, 0.75D), 10000)").as("fc"),
@@ -843,7 +840,56 @@ object Relational {
         col("rc")(0).as("r25"), col("rc")(1).as("r50"), col("rc")(2).as("r75"),
         col("fc")(0).as("f25"), col("fc")(1).as("f50"), col("fc")(2).as("f75"),
         col("mc")(0).as("m25"), col("mc")(1).as("m50"), col("mc")(2).as("m75"))
-      .persist()
+
+  /** The cut-points each [[q46RfmSketch]] run actually scored with,
+    * keyed by (session, corpus). The Greenwald-Khanna merge is
+    * order-sensitive, so two materializations of the same sketch plan
+    * may legitimately differ — round 11 guaranteed dump-equals-scored
+    * via CacheManager identity (persist + pray nothing clearCaches in
+    * between, the round-11 advice finding). Now the operator COLLECTS
+    * the 1-row sketch result once, scores with the collected literals,
+    * and records them here; the q46_cutpoints aux dump rebuilds its
+    * frame from the SAME literals, so dump and scoring share one
+    * sketch result by construction, not by cache luck.
+    */
+  private val rfmCutpointsSeen =
+    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Long]]()
+
+  private def rfmKey(s: SparkSession, d: String): String =
+    System.identityHashCode(s).toString + "|" +
+      new java.io.File(d).getAbsolutePath
+
+  /** Collect the nine cut-points (one job: custkey reduction +
+    * mergeable sketch aggregate) and record them for the aux dump. */
+  private def rfmCollectCutpoints(agg: DataFrame, s: SparkSession,
+      d: String): IndexedSeq[Long] = {
+    val row = rfmCutpointsFrame(agg).head()
+    val cps = IndexedSeq.tabulate(9)(row.getLong)
+    rfmCutpointsSeen.put(rfmKey(s, d), cps)
+    cps
+  }
+
+  /** The full (un-checkpointed) cut-point job plan, for the
+    * PlanHealthSpec pin: fact scan → custkey reduction → mergeable
+    * sketch aggregate. The operator itself runs this exact tree, just
+    * split across the checkpoint barrier.
+    */
+  private[graft] def rfmCutpointsPlanProbe(s: SparkSession, d: String): DataFrame =
+    rfmCutpointsFrame(rfmAggregate(s, d))
+
+  /** The q46_cutpoints aux dump: a literal 1-row frame rebuilt from
+    * the cut-points the operator scored with this session (computed
+    * fresh only if the operator never ran — e.g. a filtered dev
+    * Verify). Bit-identity with the scoring literals is by
+    * construction; no persist, no cache dependency.
+    */
+  private[graft] def rfmCutpoints(s: SparkSession, d: String): DataFrame = {
+    val cps = Option(rfmCutpointsSeen.get(rfmKey(s, d)))
+      .getOrElse(rfmCollectCutpoints(rfmAggregate(s, d).localCheckpoint(), s, d))
+    val names = Seq("r25", "r50", "r75", "f25", "f50", "f75", "m25", "m50", "m75")
+    s.range(1).select(names.zipWithIndex.map { case (n, i) =>
+      lit(cps(i)).as(n) }: _*)
+  }
 
   /** §2.A round 11 — RFM segmentation via SKETCH cut-points, the
     * at-scale twin q46_rfm_segment's scaladoc promised (and round 10's
@@ -853,11 +899,19 @@ object Relational {
     * scale-killer at a 10⁸-10⁹-customer warehouse. Here the quartile
     * cut-points come from ONE approx_percentile aggregate instead (the
     * q37 mergeable-sketch precedent: bounded memory, partial map-side
-    * merge, never a sort), broadcast as a 1-row frame, and scoring is
-    * a MAP-ONLY projection: score = 1 + Σ (value > cutpoint). No
-    * window node anywhere in the plan — the only SinglePartition
-    * exchange carries three sketch buffers, not data rows (plan-pinned
-    * in PlanHealthSpec). Semantics note: cutpoint scoring gives every
+    * merge, never a sort), and scoring is a MAP-ONLY projection:
+    * score = 1 + Σ (value > cutpoint). No window node anywhere — the
+    * only SinglePartition exchange (in the cut-point job) carries
+    * three sketch buffers, not data rows (plan-pinned in
+    * PlanHealthSpec). Round 12: the cut-points are COLLECTED — a
+    * 1-row, 9-long driver read, the CC/rank size-routing precedent
+    * applied to a scalar — and scoring runs with LITERAL columns, so
+    * the scoring plan joins nothing and the q46_cutpoints aux dump
+    * provably shares the operator's sketch result (see
+    * [[rfmCutpointsSeen]]); the per-customer frame is
+    * localCheckpointed once and feeds both the collect and the
+    * scoring — one fact reduction total, zero CacheManager entries
+    * (the round-11 advice fix). Semantics note: cutpoint scoring gives every
     * tied value the same quartile (the statistically honest answer),
     * where exact ntile splits ties to force equal quarter sizes — so
     * this is a sibling operator, not a re-implementation; the exact
@@ -869,14 +923,17 @@ object Relational {
     * the counts to -1 if any cut-point drifted out of bound.
     */
   val q46RfmSketch: Q = (s, d) => {
-    val rfm = rfmAggregate(s, d)
-    def sc(v: String, c25: String, c50: String, c75: String) = expr(
-      s"1L + CAST($v > $c25 AS BIGINT) + CAST($v > $c50 AS BIGINT) + CAST($v > $c75 AS BIGINT)")
-    rfm.crossJoin(broadcast(rfmCutpoints(s, d)))
+    val rfm = rfmAggregate(s, d).localCheckpoint()
+    val cps = rfmCollectCutpoints(rfm, s, d)
+    def sc(v: String, i: Int) =
+      (lit(1L) + (col(v) > lit(cps(i))).cast("bigint") +
+        (col(v) > lit(cps(i + 1))).cast("bigint") +
+        (col(v) > lit(cps(i + 2))).cast("bigint")).cast("bigint")
+    rfm
       .select(
-        sc("recency_days", "r25", "r50", "r75").as("r_score"),
-        sc("frequency", "f25", "f50", "f75").as("f_score"),
-        sc("monetary_e2", "m25", "m50", "m75").as("m_score"))
+        sc("recency_days", 0).as("r_score"),
+        sc("frequency", 3).as("f_score"),
+        sc("monetary_e2", 6).as("m_score"))
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("customers"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
@@ -992,7 +1049,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id"))
       .orderBy(col("ts"), col("event_id")).rowsBetween(-4, 0)
     Tables.events(s, d)
-      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("v_e2", expr(e2Guarded))
       .withColumn("win", collect_list(col("v_e2")).over(w))
       .select(col("user_id"), unix_micros(col("ts")).as("ts_us"),
         col("event_id"), col("v_e2"),
@@ -1275,6 +1332,46 @@ object Relational {
       .orderBy(col("o_orderpriority"), col("rank"))
   }
 
+  /** SIGNED-SERIES GUARD (round 12, verdict ask #7): the q54/q55/q57/
+    * q61 family's engine-exactness rests on every truncating-div
+    * numerator being non-negative — Spark's `div` truncates toward
+    * zero, DuckDB's `//` floors, and they agree only on non-negative
+    * values. The contract used to be comment+spec-pinned against the
+    * CURRENT corpus; nothing failed loudly if a future corpus carried
+    * a negative events.value. Now the e2 ingestion step itself
+    * enforces it in BOTH engines: the Spark side raises via
+    * assert_true (message carries the offending value), the DuckDB
+    * oracle side raises via error() on the same predicate — so a
+    * signed series aborts both runs with the contract named, instead
+    * of silently diverging by ±1 in every div. The guard is one
+    * codegen'd CASE on a comparison the rows already materialize —
+    * free at 100 TB. OperatorsSpec feeds a negative value through
+    * [[changepointOf]] and asserts the loud failure; the oracle-side
+    * guard's presence is asserted on all four SQL strings.
+    */
+  private[graft] val e2Guarded: String =
+    "CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+      "ELSE CAST(assert_true(value >= 0, concat('graft e2 contract: negative " +
+      "events.value ', CAST(value AS STRING), ' breaks the non-negative " +
+      "truncating-div contract (q54/q55/q57/q61)')) AS BIGINT) END"
+
+  /** The DuckDB form of [[e2Guarded]] — error() instead of
+    * assert_true; spliced into the four oracles via [[e2GuardOracle]].
+    */
+  private[graft] val e2GuardedSql: String =
+    "CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+      "ELSE error(concat('graft e2 contract: negative events.value ', " +
+      "CAST(value AS VARCHAR), ' breaks the non-negative truncating-div " +
+      "contract (q54/q55/q57/q61)')) END"
+
+  /** Splice the oracle-side signed-series guard over every e2
+    * ingestion in `sql` (parenthesized, so it composes inside
+    * enclosing arithmetic like q55's bucket div).
+    */
+  private def e2GuardOracle(sql: String): String =
+    sql.replace("CAST(floor(value * 100 + 0.5) AS BIGINT)", s"($e2GuardedSql)")
+
+
   /** §2.A round 10 — EWMA smoothing of a per-key time series (the
     * feature-engineering pass behind trend/denoise columns). True
     * EWMA is a sequential recurrence — unbounded lookback makes it
@@ -1301,7 +1398,7 @@ object Relational {
     val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
     val withLags = (1 to 7).foldLeft(
       Tables.events(s, d)
-        .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))) {
+        .withColumn("v_e2", expr(e2Guarded))) {
       case (df, j) => df.withColumn(s"l$j", lag(col("v_e2"), j).over(w))
     }
     val num = (1 to 7).foldLeft(col("v_e2") * lit(128L)) { case (acc, j) =>
@@ -1339,7 +1436,7 @@ object Relational {
     */
   val q55DriftChi2: Q = (s, d) => {
     val hist = Tables.events(s, d)
-      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("v_e2", expr(e2Guarded))
       .withColumn("bkt", least(expr("v_e2 div 6000"), lit(9L)))
       .withColumn("is_base", col("ts") < lit("2024-01-16 00:00:00").cast("timestamp"))
       .groupBy(col("event_type"), col("bkt"))
@@ -1436,7 +1533,7 @@ object Relational {
     */
   private[graft] def changepointOf(events: DataFrame): DataFrame = {
     val hourly = events
-      .withColumn("v_e2", expr("CAST(floor(value * 100 + 0.5) AS BIGINT)"))
+      .withColumn("v_e2", expr(e2Guarded))
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
       .agg(sum(col("v_e2")).as("hs"), count(lit(1)).as("hn"))
     val byType = Window.partitionBy(col("event_type")).orderBy(col("hr"))
@@ -1668,8 +1765,7 @@ object Relational {
         |SELECT channel, CAST(count(*) AS BIGINT) AS purchases,
         |  CAST(sum(v_e2) AS BIGINT) AS revenue_e2
         |FROM p GROUP BY channel ORDER BY channel""".stripMargin,
-    "q57_changepoint" ->
-      """WITH h AS (
+    "q57_changepoint" -> e2GuardOracle("""WITH h AS (
         |  SELECT event_type, date_trunc('hour', ts) AS hr,
         |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS hs,
         |    CAST(count(*) AS BIGINT) AS hn
@@ -1694,7 +1790,7 @@ object Relational {
         |  CAST(score_q AS BIGINT) AS score_q,
         |  CAST(n_before AS BIGINT) AS n_before,
         |  CAST(n_after AS BIGINT) AS n_after
-        |FROM sc WHERE rn = 1 ORDER BY event_type""".stripMargin,
+        |FROM sc WHERE rn = 1 ORDER BY event_type""".stripMargin),
     "q56_decile_lift" ->
       """WITH s AS (
         |  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS w_e2,
@@ -1729,8 +1825,7 @@ object Relational {
         |  CAST(((cum_r * 1000000 // cum_n) * 1000)
         |    // greatest(total_r * 1000000 // total_n, 1) AS BIGINT) AS cum_lift_e3
         |FROM e ORDER BY decile""".stripMargin,
-    "q54_ewma_smooth" ->
-      """WITH v AS (
+    "q54_ewma_smooth" -> e2GuardOracle("""WITH v AS (
         |  SELECT user_id, ts, event_id,
         |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2
         |  FROM events),
@@ -1752,9 +1847,8 @@ object Relational {
         |     + (CASE WHEN l5 IS NULL THEN 0 ELSE 4 END)
         |     + (CASE WHEN l6 IS NULL THEN 0 ELSE 2 END)
         |     + (CASE WHEN l7 IS NULL THEN 0 ELSE 1 END)) AS ewma_e2
-        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin,
-    "q55_drift_chi2" ->
-      """WITH h AS (
+        |FROM l ORDER BY user_id, ts_us, event_id""".stripMargin),
+    "q55_drift_chi2" -> e2GuardOracle("""WITH h AS (
         |  SELECT event_type,
         |    least(CAST(floor(value * 100 + 0.5) AS BIGINT) // 6000, 9) AS bkt,
         |    sum(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 0 END) AS c_base,
@@ -1776,7 +1870,7 @@ object Relational {
         |  CAST(sum(abs(p_curr - p_base)) AS BIGINT) AS l1_ppm,
         |  CAST(sum((p_curr - p_base) * (p_curr - p_base) // greatest(p_base, 1)) AS BIGINT)
         |    AS chi2_score
-        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin,
+        |FROM q GROUP BY event_type ORDER BY event_type""".stripMargin),
     "q49_freq_sketch" ->
       """WITH sk AS (
         |  SELECT * FROM read_parquet('__AUX__/q49_sketch/*.parquet')),
@@ -1892,8 +1986,7 @@ object Relational {
         |FROM p GROUP BY 1, 2 HAVING count(*) >= 2
         |ORDER BY support DESC, part_a, part_b""".stripMargin,
     "q46_rfm_sketch" -> rfmSketchOracle,
-    "q61_rolling_median" ->
-      """SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+    "q61_rolling_median" -> e2GuardOracle("""SELECT user_id, epoch_us(ts) AS ts_us, event_id,
         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_e2,
         |  CAST(list_sort(win)[CAST((len(win) + 1) // 2 AS INT)] AS BIGINT) AS median_e2,
         |  CAST(len(win) AS BIGINT) AS win_n
@@ -1903,7 +1996,7 @@ object Relational {
         |      PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS win
         |  FROM events) t
-        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+        |ORDER BY user_id, ts_us, event_id""".stripMargin),
     "q60_window_funnel" ->
       """WITH u1 AS (
         |  SELECT user_id, min(epoch_us(ts)) AS t1

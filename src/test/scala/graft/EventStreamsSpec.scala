@@ -207,17 +207,33 @@ class EventStreamsSpec extends SparkTestBase {
     input.addData(evs.slice(0, third).toSeq); q.processAllAvailable()
     input.addData(evs.slice(third, 2 * third).toSeq); q.processAllAvailable()
     input.addData(evs.slice(2 * third, evs.length).toSeq); q.processAllAvailable()
-    // a cross-batch straggler must neither emit nor corrupt state
+    // ordered delivery → the drop counter must read zero everywhere
+    // (the measurable form of the stream/batch equivalence contract)
     val n0 = spark.table("trans_out").count()
+    assert(spark.table("trans_out")
+      .filter(col("dropped_before") =!= 0L).isEmpty,
+      "in-order batches must not count drops")
+    // a cross-batch straggler must neither emit nor corrupt state...
     val victim = evs.maxBy(e => (e.ts.getTime, e.event_id))
     input.addData(Evt(-1L, new Timestamp(victim.ts.getTime - 1000L),
       victim.user_id, "click", 42.0))
-    q.processAllAvailable(); q.stop()
+    q.processAllAvailable()
     assert(spark.table("trans_out").count() == n0, "straggler emitted a row")
     // cumulative (from, to) counts equal the batch operator exactly
+    // (read BEFORE the drop-counter probe below adds its own event)
     val got = spark.table("trans_out").collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")))
       .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    // ...but it must be COUNTED: the victim user's next accepted event
+    // reports the drop in dropped_before, so a consumer can see the
+    // equivalence contract degrading instead of trusting it blind
+    input.addData(Evt(victim.event_id + 1000000L,
+      new Timestamp(victim.ts.getTime + 2000L), victim.user_id, "view", 1.0))
+    q.processAllAvailable(); q.stop()
+    val probe = spark.table("trans_out")
+      .filter(col("event_id") === (victim.event_id + 1000000L)).collect()
+    assert(probe.length == 1 && probe.head.getAs[Long]("dropped_before") == 1L,
+      s"next accepted emission must carry the drop count: ${probe.toSeq}")
     val expect = operators.Relational.q59MarkovTransitions(spark, sfDir)
       .collect()
       .map(r => (r.getAs[String]("from_type"), r.getAs[String]("to_type")) ->

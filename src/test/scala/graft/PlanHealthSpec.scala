@@ -250,30 +250,32 @@ class PlanHealthSpec extends SparkTestBase {
     assert(single <= 1, s"q60 plans $single global exchanges:\n$plan")
   }
 
-  test("q46_rfm_sketch: no window anywhere — cut-points broadcast, scoring map-only") {
+  test("q46_rfm_sketch: no window anywhere — cut-points collected, scoring map-only") {
     // the whole point of the sketch twin: quartile assignment without
-    // ANY sort of the per-customer aggregate. The plan must contain no
-    // Window node at all; the only SinglePartition exchange may carry
-    // the three approx_percentile sketch buffers (one aggregate row),
-    // never data rows — i.e. it must feed a HashAggregate, and no Sort
-    // may sit below a SinglePartition exchange. Scoring reaches the
-    // segment groupBy through a broadcast of the 1-row cut-point frame.
-    // clearCache first: an earlier suite's run of this op leaves the
-    // persisted RFM frame in the CacheManager, and the cached subtree
-    // (InMemoryTableScan) would hide the aggregates this pin reads.
-    spark.catalog.clearCache()
+    // ANY sort of the per-customer aggregate. Round 12 split the op
+    // into two pinned plans. (1) The cut-point JOB (rfmCutpointsFrame
+    // over the per-customer aggregate): its only SinglePartition
+    // exchange carries the three approx_percentile sketch buffers
+    // (one aggregate row), never data rows, and the sketch must
+    // partial-aggregate map-side. (2) The SCORING plan the operator
+    // returns: cut-points are literals, so it may contain no Window,
+    // no Join of any kind, and no SinglePartition exchange at all —
+    // just the checkpointed frame scan, the literal projection, the
+    // segment groupBy and the presentation sort.
+    val sketch = operators.Relational.rfmCutpointsPlanProbe(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate\\(keys=\\[o_custkey".r.findFirstIn(sketch).isDefined,
+      s"no custkey-reducing aggregate in:\n$sketch")
+    assert(sketch.contains("partial_approx_percentile"),
+      s"cut-point sketch must partial-aggregate map-side:\n$sketch")
+    val sketchSingle = "Exchange SinglePartition".r.findAllIn(sketch).size
+    assert(sketchSingle <= 1, s"cut-point job plans $sketchSingle global exchanges:\n$sketch")
+    assert(!sketch.contains("Window"), s"cut-point job plans a window sort:\n$sketch")
     val plan = planOf("q46_rfm_sketch")
     assert(!plan.contains("Window"), s"q46_rfm_sketch plans a window sort:\n$plan")
+    assert(!plan.contains("Join"), s"scoring must use literals, not a join:\n$plan")
     val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single <= 1, s"q46_rfm_sketch plans $single global exchanges:\n$plan")
-    assert(plan.contains("BroadcastExchange") || plan.contains("BroadcastNestedLoopJoin"),
-      s"the cut-point row must broadcast:\n$plan")
-    assert("HashAggregate\\(keys=\\[o_custkey".r.findFirstIn(plan).isDefined,
-      s"no custkey-reducing aggregate in:\n$plan")
-    // approx_percentile partial-aggregates map-side before the global
-    // merge — the mergeable-sketch property the operator rests on
-    assert(plan.contains("partial_approx_percentile"),
-      s"cut-point sketch must partial-aggregate map-side:\n$plan")
+    assert(single == 0, s"scoring plans $single global exchanges:\n$plan")
   }
 
   test("q47_ohlc_bars: open/close come from the aggregate, not a per-key sort") {
