@@ -69,13 +69,15 @@ object Dedup {
     * estimate, threshold — in independent SQL. The kernel itself is
     * pinned bit-for-bit against its HOF twin in HashExprsSpec, so
     * between the two checks the whole operator is covered without
-    * DuckDB needing xxhash64.
+    * DuckDB needing xxhash64. Round 12: derived FROM the store (each
+    * doc's band-0 row carries its full signature), so the dumped
+    * signatures are literally the stored ones every operator banded
+    * against — the oracle audits the store, not a parallel recompute.
     */
   private def minhashSigTable(s: SparkSession, d: String): DataFrame =
-    shingled(s, d)
-      .withColumn("sig", minhashSig(col("sh_hashes"), 32))
+    bandedStore(s, d)
+      .filter(col("band_key").startsWith("0,"))
       .select(col("doc_id"), col("sig"))
-      .persist()
 
   /** (doc_id, sig, band_key) — the LSH band index rows for a signature
     * table: 8 bands × 4 sig positions, one exploded row per band. This
