@@ -32,10 +32,14 @@ object Bench {
 
   /** Operators whose SEMANTICS changed this round: their bench deltas
     * vs the prior round are operator changes, not perf regressions
-    * (the q22/q37 lesson — reset each round). Round 12: empty — the
-    * signature store, the rfm-sketch literal collect and the e2 guard
-    * all leave every operator's OUTPUT bit-identical; new ops are
-    * additive.
+    * (the q22/q37 lesson — reset each round). Round 13: empty — the
+    * persisted band store (now actually in the tree: Dedup.bandedStore)
+    * changes WHERE the dd_* family's signatures come from (an external
+    * bucketed table instead of an in-session recompute), not their
+    * values, so every operator's OUTPUT stays bit-identical; the e2
+    * guard's new NULL branch only differs on corpora with NULL
+    * events.value, which the committed corpora don't carry. dd_* TIME
+    * deltas this round are the store amortization, by design.
     */
   val semanticsChanged: Seq[String] = Seq.empty
 
@@ -47,7 +51,8 @@ object Bench {
     * full per-batch cost (this probe measures the foreachBatch body,
     * not a warm store).
     */
-  private def timeStatementBatch(spark: SparkSession): Double = {
+  private def timeStatementBatch(spark: SparkSession,
+      errors: scala.collection.mutable.Map[String, String]): Double = {
     import org.apache.spark.sql.functions._
     val fe = graft.operators.FundEtl
     val docs = fe.loadStatements(spark, fe.statementsDir)
@@ -69,10 +74,25 @@ object Bench {
         docs, 0L, s"$tmp/extracted", ddTbl, s"$tmp/pairs", centroids,
         annTbl, s"$tmp/topk", nprobe = 2, k = 3)
       (System.nanoTime() - t0) / 1e9
-    } catch { case _: Throwable => -1.0 } finally {
+    } catch { case t: Throwable =>
+      // record WHAT broke (round-12 advice: a silent -1.0 made a dead
+      // streaming flagship undiagnosable from BENCH json); sanitize so
+      // the message can't break the hand-built JSON
+      errors.getOrElseUpdate("statement_batch_probe",
+        t.toString.replaceAll("[\"\\\\\\n\\r\\t]", " ").take(160))
+      -1.0
+    } finally {
       spark.sql(s"DROP TABLE IF EXISTS $ddTbl")
       spark.sql(s"DROP TABLE IF EXISTS $annTbl")
-      ()
+      // each sample creates its own temp dir — delete it (round-12
+      // advice: three leaked parquet-filled dirs per bench run)
+      try {
+        val root = java.nio.file.Paths.get(tmp)
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq
+          .sortBy(-_.getNameCount)
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () }
     }
   }
 
@@ -144,7 +164,7 @@ object Bench {
     val succeeded = results.filter(_._2 >= 0).toMap
     // Flagship probe: min of 3 cold applies (after the sweeps so its
     // JVM state matches the sweep samples' steady state).
-    val stmtProbe = (1 to 3).map(_ => timeStatementBatch(spark))
+    val stmtProbe = (1 to 3).map(_ => timeStatementBatch(spark, errors))
     val stmtBatch =
       if (stmtProbe.exists(_ < 0)) -1.0 else stmtProbe.min
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

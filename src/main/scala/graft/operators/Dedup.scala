@@ -69,7 +69,7 @@ object Dedup {
     * estimate, threshold — in independent SQL. The kernel itself is
     * pinned bit-for-bit against its HOF twin in HashExprsSpec, so
     * between the two checks the whole operator is covered without
-    * DuckDB needing xxhash64. Round 12: derived FROM the store (each
+    * DuckDB needing xxhash64. Round 13: derived FROM the store (each
     * doc's band-0 row carries its full signature), so the dumped
     * signatures are literally the stored ones every operator banded
     * against — the oracle audits the store, not a parallel recompute.
@@ -78,6 +78,124 @@ object Dedup {
     bandedStore(s, d)
       .filter(col("band_key").startsWith("0,"))
       .select(col("doc_id"), col("sig"))
+
+  /** PERSISTED band-bucketed signature store — the default batch
+    * pair-generation path for the whole dd_* family (round-13 flagship;
+    * the batch twin of the streaming index at
+    * EventStreams.dedupIndexMaintain, which proved the
+    * `bucketBy(n, "band_key")` shape first).
+    *
+    * Why a STORE and not a persist(): `persist()` amortizes the
+    * shingle→MinHash→band compute within one session only — every new
+    * driver run re-pays it (93 s warm at 100×, SURVEY §5). The store
+    * materializes the band index ONCE per corpus as an external
+    * bucketed parquet table; subsequent runs — including fresh JVMs —
+    * re-register the table definition over the existing files
+    * (footer-read cheap) and the band self-join reads two bucketed
+    * scans co-partitioned on band_key, so the join needs NO exchange
+    * (the bucket spec IS the hash partitioning). At cluster scale this
+    * is exactly the "materialize the signature table before LSH joins"
+    * rule, made durable.
+    *
+    * Freshness: the store carries a `_SOURCE_FINGERPRINT` sidecar —
+    * md5 over the source parquet's (name, length, mtime) listing —
+    * checked on every access; a rewritten corpus rebuilds the store
+    * instead of serving stale signatures. The sidecar is written LAST
+    * (marker-last, same as the streaming index's `_APPLIED`), so a
+    * crashed build is indistinguishable from no build. Writes take a
+    * JVM-global lock; concurrent readers in other processes of a
+    * VALID store are safe (they only list + read).
+    *
+    * Layout: repartition(32, band_key) before bucketBy(32, band_key)
+    * makes partition i hold exactly bucket i's rows (same murmur3
+    * hash) — one file per bucket, not tasks×buckets small files.
+    */
+  private val storeLock = new Object
+  private[graft] def bandStoreName(d: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    s"graft_dd_band_store_$digest"
+  }
+
+  private def hadoopFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
+    p.getFileSystem(s.sparkContext.hadoopConfiguration)
+
+  /** md5 over the sorted (name, length, mtime) listing of the source
+    * documents parquet — a metadata-only staleness probe (one FS list,
+    * no data read).
+    */
+  private def corpusFingerprint(s: SparkSession, d: String): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+    val fs = hadoopFs(s, src)
+    val st = fs.getFileStatus(src)
+    val parts =
+      if (st.isDirectory)
+        fs.listStatus(src).filter(_.isFile)
+          .map(f => s"${f.getPath.getName}:${f.getLen}:${f.getModificationTime}")
+          .sorted
+      else Array(s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(parts.mkString("\n").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+  }
+
+  private[graft] def bandStorePath(s: SparkSession, name: String): org.apache.hadoop.fs.Path = {
+    val wh = s.conf.get("spark.sql.warehouse.dir")
+    new org.apache.hadoop.fs.Path(wh, name)
+  }
+
+  private[graft] def bandedStore(s: SparkSession, d: String): DataFrame = storeLock.synchronized {
+    val name = bandStoreName(d)
+    val path = bandStorePath(s, name)
+    val fs = hadoopFs(s, path)
+    val marker = new org.apache.hadoop.fs.Path(path, "_SOURCE_FINGERPRINT")
+    val fp = corpusFingerprint(s, d)
+    val stored =
+      if (!fs.exists(marker)) None
+      else {
+        val in = fs.open(marker)
+        try {
+          val buf = new Array[Byte](64) // md5 hex is 32 chars
+          val n = in.read(buf)
+          Some(new String(buf, 0, math.max(n, 0), "UTF-8").trim)
+        } finally in.close()
+      }
+    if (!stored.contains(fp)) {
+      // build (or rebuild after a corpus change): one pass over the
+      // documents — the only place the shingle/MinHash kernel runs
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      bandedOf(minhashSigTableOf(Tables.documents(s, d)))
+        .repartition(32, col("band_key"))
+        .write.mode("overwrite").format("parquet")
+        .bucketBy(32, "band_key")
+        .option("path", path.toString)
+        .saveAsTable(name)
+      val out = fs.create(marker, true)
+      try out.write(fp.getBytes("UTF-8")) finally out.close()
+    } else if (!s.catalog.tableExists(name)) {
+      // valid store from an earlier run, fresh session: re-register the
+      // external bucketed table over the existing files (no data write)
+      val ddl = bandedOf(minhashSigTableOf(Tables.documents(s, d))).schema.toDDL
+      s.sql(
+        s"""CREATE TABLE $name ($ddl) USING PARQUET
+           |CLUSTERED BY (band_key) INTO 32 BUCKETS
+           |LOCATION '${path.toString}'""".stripMargin)
+    }
+    s.table(name)
+  }
+
+  /** Drop the band store for a corpus dir — the explicit invalidation
+    * path for callers that rewrote the corpus in place and don't want
+    * to wait for the fingerprint check (which would also catch it).
+    */
+  private[graft] def invalidateBandStore(s: SparkSession, d: String): Unit = storeLock.synchronized {
+    val name = bandStoreName(d)
+    s.sql(s"DROP TABLE IF EXISTS $name")
+    val path = bandStorePath(s, name)
+    hadoopFs(s, path).delete(path, true)
+    ()
+  }
 
   /** (doc_id, sig, band_key) — the LSH band index rows for a signature
     * table: 8 bands × 4 sig positions, one exploded row per band. This
@@ -120,13 +238,12 @@ object Dedup {
       .filter(col("est_jaccard") >= 0.5)
 
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    val sigs = minhashSigTable(s, d)
-    // Carry the signature through the band join: the estimate is
-    // computed inline on band-collided rows and duplicates (a pair can
-    // collide in up to 8 bands) collapse in one groupBy — one shuffle
-    // stage instead of a distinct + two signature re-joins, and the
-    // shingling subtree is evaluated once per side instead of thrice.
-    val banded = bandedOf(sigs)
+    // Both join sides are the SAME bucketed table scan, co-partitioned
+    // on band_key — no exchange under the join. The signature rides
+    // along in the store rows, so the estimate is computed inline on
+    // band-collided rows and duplicates (a pair can collide in up to
+    // 8 bands) collapse in one groupBy.
+    val banded = bandedStore(s, d)
     pairsFromCollisions(
       banded.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
@@ -136,9 +253,11 @@ object Dedup {
   /** The banded signature table alone — Profile --lsh-skew reads the
     * band-bucket size distribution off it (Σ bucket² is the join's
     * real cost; no AQE split changes that, only the parallelism).
+    * Reads the store — the diagnostic prices the rows the join
+    * actually banded against, never a second recompute.
     */
   private[graft] def bandedForDiagnostics(s: SparkSession, d: String): DataFrame =
-    bandedOf(minhashSigTable(s, d))
+    bandedStore(s, d)
 
   /** Triangle census of the near-dup pair graph — the graph-shape
     * diagnostic next to dd_graph_rank's authority scores: near-dup
@@ -214,18 +333,12 @@ object Dedup {
     * ([[ddPairQualitySampled]], m = 8). Same aggregates either way.
     */
   private def pairQualityAudit(s: SparkSession, d: String, sampleMod: Int): DataFrame = {
-    // ONE shingle materialization feeds both the signature path and
-    // the exact verify (the dd_containment round-9 lesson): calling
-    // minhashPairs(s, d) here would persist a SECOND copy of the same
-    // shingle table through its own shingled() call
+    // Pairs come from the band store (no signature recompute at all —
+    // round 13 superseded the round-9 "share one shingle persist"
+    // compromise); the shingle table is materialized ONLY for the
+    // exact intersect/union verify, which genuinely needs raw shingles.
     val sh = shingled(s, d).select(col("doc_id"), col("sh_hashes"))
-    val banded = bandedOf(sh
-      .withColumn("sig", minhashSig(col("sh_hashes"), 32))
-      .select(col("doc_id"), col("sig")))
-    val all = pairsFromCollisions(
-      banded.as("a").join(banded.as("b"),
-        col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id")))
+    val all = minhashPairs(s, d)
     val pairs =
       if (sampleMod > 0) all.filter(pairSamplePredicate(sampleMod)) else all
     pairs
@@ -350,7 +463,7 @@ object Dedup {
     * i.e. the delta an index maintainer appends.
     */
   val ddIncremental: Q = (s, d) => {
-    val banded = bandedOf(minhashSigTable(s, d))
+    val banded = bandedStore(s, d)
     val newSide = banded.filter(pmod(col("doc_id"), lit(4)) === 0)
     // probe: new docs vs the whole index (old + this batch); both-new
     // pairs collide twice and collapse in the canonical groupBy

@@ -851,13 +851,26 @@ object Relational {
     * and records them here; the q46_cutpoints aux dump rebuilds its
     * frame from the SAME literals, so dump and scoring share one
     * sketch result by construction, not by cache luck.
+    *
+    * Lifecycle (round-13 advice fix): WEAK session keys — a GC'd
+    * session's entries vanish with it (no unbounded growth across
+    * sessions in a long-lived driver, no identityHashCode collision
+    * with a dead session's key), and the per-session corpus map is
+    * capped (overflow clears; a miss just recomputes). A corpus
+    * rewritten mid-session intentionally still serves the RECORDED
+    * cut-points — the dump's contract is "what the operator scored
+    * with", not "what the corpus holds now"; re-running the operator
+    * re-collects and overwrites.
     */
   private val rfmCutpointsSeen =
-    new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[Long]]()
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.mutable.Map[String, IndexedSeq[Long]]]()
 
-  private def rfmKey(s: SparkSession, d: String): String =
-    System.identityHashCode(s).toString + "|" +
-      new java.io.File(d).getAbsolutePath
+  private def rfmLookup(s: SparkSession, d: String): Option[IndexedSeq[Long]] =
+    rfmCutpointsSeen.synchronized {
+      Option(rfmCutpointsSeen.get(s))
+        .flatMap(_.get(new java.io.File(d).getAbsolutePath))
+    }
 
   /** Collect the nine cut-points (one job: custkey reduction +
     * mergeable sketch aggregate) and record them for the aux dump. */
@@ -865,7 +878,15 @@ object Relational {
       d: String): IndexedSeq[Long] = {
     val row = rfmCutpointsFrame(agg).head()
     val cps = IndexedSeq.tabulate(9)(row.getLong)
-    rfmCutpointsSeen.put(rfmKey(s, d), cps)
+    rfmCutpointsSeen.synchronized {
+      val inner = Option(rfmCutpointsSeen.get(s)).getOrElse {
+        val m = scala.collection.mutable.Map.empty[String, IndexedSeq[Long]]
+        rfmCutpointsSeen.put(s, m)
+        m
+      }
+      if (inner.size >= 16) inner.clear() // corpus-count bound
+      inner(new java.io.File(d).getAbsolutePath) = cps
+    }
     cps
   }
 
@@ -884,7 +905,7 @@ object Relational {
     * construction; no persist, no cache dependency.
     */
   private[graft] def rfmCutpoints(s: SparkSession, d: String): DataFrame = {
-    val cps = Option(rfmCutpointsSeen.get(rfmKey(s, d)))
+    val cps = rfmLookup(s, d)
       .getOrElse(rfmCollectCutpoints(rfmAggregate(s, d).localCheckpoint(), s, d))
     val names = Seq("r25", "r50", "r75", "f25", "f50", "f75", "m25", "m50", "m75")
     s.range(1).select(names.zipWithIndex.map { case (n, i) =>
@@ -1348,9 +1369,18 @@ object Relational {
     * free at 100 TB. OperatorsSpec feeds a negative value through
     * [[changepointOf]] and asserts the loud failure; the oracle-side
     * guard's presence is asserted on all four SQL strings.
+    *
+    * NULL contract (round-13 advice fix): a NULL events.value passes
+    * through as NULL v_e2 — the pre-guard behavior in BOTH engines.
+    * Without the explicit branch, `value >= 0` evaluates NULL, the
+    * CASE falls to ELSE, and both engines would abort claiming the
+    * value is "negative" — a guard lying about what it caught. NULLs
+    * are not a contract violation (the truncating divs never see
+    * them); only a genuinely negative value aborts.
     */
   private[graft] val e2Guarded: String =
-    "CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+    "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+      "WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) " +
       "ELSE CAST(assert_true(value >= 0, concat('graft e2 contract: negative " +
       "events.value ', CAST(value AS STRING), ' breaks the non-negative " +
       "truncating-div contract (q54/q55/q57/q61)')) AS BIGINT) END"
@@ -1359,7 +1389,8 @@ object Relational {
     * assert_true; spliced into the four oracles via [[e2GuardOracle]].
     */
   private[graft] val e2GuardedSql: String =
-    "CASE WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) " +
+    "CASE WHEN value IS NULL THEN CAST(NULL AS BIGINT) " +
+      "WHEN value >= 0 THEN CAST(floor(value * 100 + 0.5) AS BIGINT) " +
       "ELSE error(concat('graft e2 contract: negative events.value ', " +
       "CAST(value AS VARCHAR), ' breaks the non-negative truncating-div " +
       "contract (q54/q55/q57/q61)')) END"

@@ -885,6 +885,14 @@ object EventStreams extends Serializable {
     * equivalence has lost; zero means the batch twin's numbers are
     * exact (spec-asserted both ways: all-zero on an ordered corpus,
     * counted on a planted straggler).
+    *
+    * CHECKPOINT COMPATIBILITY: adding `dropped` to [[TransState]]
+    * (round 12) changed the flatMapGroupsWithState state encoder
+    * schema — a query restarted from a checkpoint written BEFORE that
+    * change fails state-schema compatibility (or misreads state).
+    * Consumers upgrading across it must restart from a fresh
+    * checkpoint, as with the other state-schema evolutions in this
+    * file.
     */
   def transitionsStream(events: Dataset[Evt]): Dataset[TransOut] = {
     import events.sparkSession.implicits._

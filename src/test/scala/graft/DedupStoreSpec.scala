@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Lifecycle of the persisted band-bucketed signature store
+  * ([[graft.operators.Dedup.bandedStore]], the round-13 flagship):
+  * build-on-first-use with a marker-last fingerprint sidecar,
+  * fresh-session re-registration WITHOUT a data rewrite, rebuild on a
+  * corpus change, pair-graph equivalence with the direct recompute,
+  * and explicit invalidation.
+  */
+class DedupStoreSpec extends SparkTestBase {
+
+  private def writeCorpus(dir: String, docs: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text").coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+  }
+
+  /** (file name, length, mtime) of the store's data files — the probe
+    * for "reused without rewrite" vs "rebuilt".
+    */
+  private def storeListing(dir: String): Seq[(String, Long, Long)] = {
+    val name = operators.Dedup.bandStoreName(dir)
+    val path = operators.Dedup.bandStorePath(spark, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(path).filter(_.isFile)
+      .map(st => (st.getPath.getName, st.getLen, st.getModificationTime))
+      .toSeq.sortBy(_._1)
+  }
+
+  private val corpusA = Seq(
+    1L -> "aa bb cc dd ee ff gg hh ii jj",
+    2L -> "aa bb cc dd ee ff gg hh ii jj",
+    3L -> "zz yy xx ww vv uu tt ss rr qq")
+
+  test("band store: builds once with a fingerprint sidecar, fresh session reuses files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-spec").toString
+    writeCorpus(dir, corpusA)
+    val name = operators.Dedup.bandStoreName(dir)
+    try {
+      val pairs1 = operators.Dedup.minhashPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val listing1 = storeListing(dir)
+      assert(listing1.exists(_._1 == "_SOURCE_FINGERPRINT"),
+        "store missing its marker-last fingerprint sidecar")
+      assert(listing1.exists(_._1.startsWith("part-")), "store has no data files")
+
+      // fresh-session path: the catalog entry is gone (new JVM), the
+      // files are not — re-registration must NOT rewrite any data file
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      val pairs2 = operators.Dedup.minhashPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(storeListing(dir) == listing1,
+        "re-registration rewrote store files — the warm path recomputed")
+      assert(pairs2 == pairs1)
+
+      // equivalence: the store-fed pair graph IS the direct recompute's
+      import spark.implicits._
+      val direct = operators.Dedup
+        .minhashPairsOf(corpusA.toDF("doc_id", "text"))
+        .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(pairs1 == direct,
+        "store-fed pairs diverge from the direct full recompute")
+      assert(pairs1.contains((1L, 2L)), "the planted near-dup pair is missing")
+    } finally operators.Dedup.invalidateBandStore(spark, dir)
+  }
+
+  test("band store: a rewritten corpus changes the fingerprint and rebuilds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-spec").toString
+    writeCorpus(dir, corpusA)
+    try {
+      val before = operators.Dedup.minhashPairs(spark, dir).count()
+      assert(before >= 1)
+      // rewrite: 2 is no longer 1's duplicate, 3 gains one
+      writeCorpus(dir, Seq(
+        1L -> "aa bb cc dd ee ff gg hh ii jj",
+        2L -> "mm nn oo pp qq rr ss tt uu vv",
+        3L -> "zz yy xx ww vv uu tt ss rr qq",
+        4L -> "zz yy xx ww vv uu tt ss rr qq"))
+      val after = operators.Dedup.minhashPairs(spark, dir)
+        .select(col("doc_a"), col("doc_b")).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after.contains((3L, 4L)),
+        "store served stale signatures after a corpus rewrite")
+      assert(!after.contains((1L, 2L)),
+        "stale pair survived the rebuild — fingerprint check is dead")
+    } finally operators.Dedup.invalidateBandStore(spark, dir)
+  }
+
+  test("band store: invalidation drops both the table and the files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-spec").toString
+    writeCorpus(dir, corpusA)
+    val name = operators.Dedup.bandStoreName(dir)
+    operators.Dedup.bandedStore(spark, dir).count()
+    operators.Dedup.invalidateBandStore(spark, dir)
+    assert(!spark.catalog.tableExists(name))
+    val path = operators.Dedup.bandStorePath(spark, name)
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(path), "invalidation left store files behind")
+  }
+
+  test("band store: both sides of the pair join scan the bucketed table") {
+    // the scale property the store exists for: the band self-join reads
+    // two co-bucketed scans (Bucketed: true), never a recomputed
+    // shingle/MinHash subtree — and at real sizes needs no exchange
+    val pairs = operators.Dedup.minhashPairs(spark, sfDir)
+    pairs.queryExecution.toRdd.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    val bucketedScans = "Bucketed: true".r.findAllIn(plan).size
+    assert(bucketedScans >= 2,
+      s"expected two bucketed store scans under the band join, plan:\n$plan")
+    assert(!plan.contains("MinHashSignature"),
+      "pair generation still recomputes signatures instead of reading the store")
+  }
+}

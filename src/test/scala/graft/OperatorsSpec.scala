@@ -62,6 +62,29 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("signed-series guard: a NULL value passes through, no false abort") {
+    // round 13 (advice): `value >= 0` is NULL on a NULL value, so
+    // without an explicit branch the CASE fell to ELSE and both
+    // engines aborted claiming the value was "negative". NULLs are not
+    // a contract violation (the truncating divs never see them) —
+    // they must ride through as NULL v_e2.
+    import spark.implicits._
+    val planted = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-15 10:00:00"), 1L, "click",
+        Some(5.0)),
+      (2L, java.sql.Timestamp.valueOf("2024-01-15 11:00:00"), 1L, "click",
+        None: Option[Double]),
+      (3L, java.sql.Timestamp.valueOf("2024-01-15 12:00:00"), 1L, "click",
+        Some(7.5)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    operators.Relational.changepointOf(planted).collect() // must not throw
+    Seq(operators.Relational.e2Guarded -> "Spark",
+      operators.Relational.e2GuardedSql -> "DuckDB").foreach { case (g, eng) =>
+      assert(g.contains("WHEN value IS NULL THEN CAST(NULL AS BIGINT)"),
+        s"$eng-side e2 guard lost its NULL-passthrough branch")
+    }
+  }
+
   test("SURVEY §2's inventory is set-exact with the registry, both directions") {
     // the judge set-diffs the §2 table against SparkEntry.queries every
     // round; a forgotten table row (or a stale one after a rename) is
