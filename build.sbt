@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output normally routes through sbt's logger, which
+// prefixes every line with "[info] " — so Bench's contract line never
+// starts with '{' and the driver's JSON parse of the stdout tail has
+// come back null every round (BENCH_r01..r12 all have parsed:null).
+// StdoutOutput passes the forked process's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

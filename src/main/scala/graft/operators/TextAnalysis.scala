@@ -148,7 +148,36 @@ object TextAnalysis {
     val kept = col("drop_reason").isNull
     val bySource = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    Tables.documents(s, d)
+    curationScored(Tables.documents(s, d))
+      .withColumn("keeper",
+        min(when(col("q_ok"), col("doc_id")))
+          .over(Window.partitionBy(col("text_hash"))))
+      .withColumn("drop_reason",
+        when(!col("q_ok"), "quality")
+          .when(col("doc_id") =!= col("keeper"), "duplicate"))
+      .withColumn("n_toks", when(kept, col("toks")))
+      .withColumn("cum_toks",
+        sum(coalesce(col("n_toks"), lit(0L))).over(bySource))
+      .select(col("doc_id"), col("source"), col("quality_score"),
+        col("drop_reason"),
+        when(col("drop_reason") === "duplicate", col("keeper")).as("keeper_id"),
+        col("n_toks"),
+        when(kept, expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The per-document scoring kernel [[txPipeline]] and the
+    * incremental curation twin (EventStreams.curationApplyBatch /
+    * [[txCurationIncremental]]) share — ONE implementation of the
+    * quality formulas, the normalized-text hash and the token count,
+    * so the batch flagship and its stream-shaped twin can never
+    * diverge (the Dedup.minhashSigTableOf precedent). Map-only: at
+    * 100 TB this runs at scan speed on whatever slice it's handed.
+    * Input needs (doc_id, source, text); `toks` is the whitespace
+    * token count kept documents carry as n_toks.
+    */
+  private[graft] def curationScored(docs: DataFrame): DataFrame =
+    docs
       .withColumn("n_len", length(col("text")).cast("double"))
       .withColumn("n_words", size(split(col("text"), " ")).cast("double"))
       .withColumn("n_digit", regexp_count(col("text"), lit("[0-9]")).cast("double"))
@@ -159,22 +188,60 @@ object TextAnalysis {
         col("n_digit") / col("n_len") < 0.3 && col("quality_score") >= 0.1)
       .withColumn("text_hash",
         md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
-      .withColumn("keeper",
-        min(when(col("q_ok"), col("doc_id")))
-          .over(Window.partitionBy(col("text_hash"))))
-      .withColumn("drop_reason",
-        when(!col("q_ok"), "quality")
-          .when(col("doc_id") =!= col("keeper"), "duplicate"))
-      .withColumn("n_toks",
-        when(kept, size(split(col("text"), " ")).cast("long")))
-      .withColumn("cum_toks",
-        sum(coalesce(col("n_toks"), lit(0L))).over(bySource))
+      .withColumn("toks", col("n_words").cast("long"))
       .select(col("doc_id"), col("source"), col("quality_score"),
-        col("drop_reason"),
-        when(col("drop_reason") === "duplicate", col("keeper")).as("keeper_id"),
-        col("n_toks"),
-        when(kept, expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
-      .orderBy(col("doc_id"))
+        col("q_ok"), col("text_hash"), col("toks"))
+
+  /** §2.E round 13 — INCREMENTAL curation (the SURVEY §9 backlog item,
+    * landed as the batch-apply variant §9 blessed: chained
+    * flatMapGroupsWithState can't express keeper-state + pack-cursor
+    * in update mode, so a foreachBatch-shaped apply hosts both as
+    * plain joins against persisted state). The corpus arrives in
+    * ascending-doc_id batches; each batch curates against a keeper
+    * store (text_hash → first q_ok doc_id — a bucketed managed table,
+    * so at scale the probe join co-partitions against the store
+    * without reshuffling it) and a per-source pack cursor (one row
+    * per source, rewritten whole per batch), emitting batch by batch
+    * EXACTLY the manifest the one-shot [[txPipeline]] flagship
+    * computes over the full corpus. The arrival-order contract makes
+    * the equivalence exact: batches are doc_id ranges, so first-seen
+    * q_ok == min(doc_id) and the cursor offsets reproduce the global
+    * per-source running fold. The ORACLE IS THE BATCH FLAGSHIP'S SQL
+    * — the driver gate checks stream/batch equivalence end-to-end,
+    * not just a spec. Here the batch split is thirds of the doc_id
+    * range (two 1-row bounded collects: min/max id); state and
+    * batch outputs live under a per-call temp dir and the result is
+    * localCheckpoint'd before cleanup so the returned frame owns its
+    * data (no dangling temp-file lineage).
+    */
+  val txCurationIncremental: Q = (s, d) => {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"), col("text"))
+    val bounds = docs.agg(min(col("doc_id")), max(col("doc_id"))).head()
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val keeperTbl = s"graft_curation_keeper_$tag"
+    val tmp = java.nio.file.Files.createTempDirectory("graft-curation").toString
+    try {
+      Seq(docs.filter(col("doc_id") <= cut1),
+          docs.filter(col("doc_id") > cut1 && col("doc_id") <= cut2),
+          docs.filter(col("doc_id") > cut2))
+        .zipWithIndex.foreach { case (b, i) =>
+          graft.streaming.EventStreams.curationApplyBatch(
+            b, i.toLong, keeperTbl, s"$tmp/cursor", s"$tmp/out")
+        }
+      s.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+        .orderBy(col("doc_id"))
+        .localCheckpoint()
+    } finally {
+      s.sql(s"DROP TABLE IF EXISTS $keeperTbl")
+      try {
+        import scala.jdk.CollectionConverters._
+        val root = java.nio.file.Paths.get(tmp)
+        java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      } catch { case _: Throwable => () } // best-effort temp cleanup
+    }
   }
 
   /** PII-style redaction: digit runs → <NUM>, long hex-ish tokens →
@@ -1144,6 +1211,7 @@ object TextAnalysis {
     "tx_bigrams" -> txBigrams,
     "tx_clean_corpus" -> txCleanCorpus,
     "tx_pipeline" -> txPipeline,
+    "tx_curation_incremental" -> txCurationIncremental,
     "tx_langid" -> txLangId,
     "tx_quality" -> txQuality,
     "tx_tokens" -> txTokens,
@@ -1327,6 +1395,47 @@ object TextAnalysis {
       |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** The curation-manifest oracle — shared verbatim by tx_pipeline and
+    * tx_curation_incremental (whose contract is exact equivalence with
+    * the batch flagship; one SQL string so the two can never desync).
+    */
+  private val txPipelineSql: String =
+    """WITH raw AS (
+      |  SELECT doc_id, source, text,
+      |   CAST(length(text) AS DOUBLE) AS n_len,
+      |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+      |   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
+      |  FROM documents),
+      |scored AS (
+      |  SELECT doc_id, source,
+      |    floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 AS quality_score,
+      |    (n_words >= 10 AND n_digit / n_len < 0.3 AND
+      |     floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 >= 0.1) AS q_ok,
+      |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+      |  FROM raw),
+      |lab AS (
+      |  SELECT *,
+      |    min(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY text_hash) AS keeper
+      |  FROM scored),
+      |rsn AS (
+      |  SELECT *,
+      |    CASE WHEN NOT q_ok THEN 'quality'
+      |         WHEN doc_id <> keeper THEN 'duplicate' END AS drop_reason
+      |  FROM lab),
+      |packd AS (
+      |  SELECT *,
+      |    CAST(sum(CASE WHEN drop_reason IS NULL THEN toks ELSE 0 END) OVER (
+      |      PARTITION BY source ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
+      |  FROM rsn)
+      |SELECT doc_id, source, quality_score, drop_reason,
+      |  CASE WHEN drop_reason = 'duplicate' THEN keeper END AS keeper_id,
+      |  CASE WHEN drop_reason IS NULL THEN toks END AS n_toks,
+      |  CASE WHEN drop_reason IS NULL
+      |       THEN CAST((cum_toks - 1) // 2000 AS BIGINT) END AS pack_id
+      |FROM packd ORDER BY doc_id""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "tx_textrank" -> textrankOracle,
     "tx_char_diversity" ->
@@ -1491,42 +1600,12 @@ object TextAnalysis {
         |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
         |  LEFT JOIN targets t ON d.lang = t.lang) x
         |WHERE bucket < rate_e6 ORDER BY doc_id""".stripMargin,
-    "tx_pipeline" ->
-      """WITH raw AS (
-        |  SELECT doc_id, source, text,
-        |   CAST(length(text) AS DOUBLE) AS n_len,
-        |   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
-        |   CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS n_digit
-        |  FROM documents),
-        |scored AS (
-        |  SELECT doc_id, source,
-        |    floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 AS quality_score,
-        |    (n_words >= 10 AND n_digit / n_len < 0.3 AND
-        |     floor(least(n_words / 100.0, 1.0) * (1.0 - n_digit / n_len) * 10000 + 0.5) / 10000.0 >= 0.1) AS q_ok,
-        |    md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS text_hash,
-        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        |  FROM raw),
-        |lab AS (
-        |  SELECT *,
-        |    min(CASE WHEN q_ok THEN doc_id END) OVER (PARTITION BY text_hash) AS keeper
-        |  FROM scored),
-        |rsn AS (
-        |  SELECT *,
-        |    CASE WHEN NOT q_ok THEN 'quality'
-        |         WHEN doc_id <> keeper THEN 'duplicate' END AS drop_reason
-        |  FROM lab),
-        |packd AS (
-        |  SELECT *,
-        |    CAST(sum(CASE WHEN drop_reason IS NULL THEN toks ELSE 0 END) OVER (
-        |      PARTITION BY source ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_toks
-        |  FROM rsn)
-        |SELECT doc_id, source, quality_score, drop_reason,
-        |  CASE WHEN drop_reason = 'duplicate' THEN keeper END AS keeper_id,
-        |  CASE WHEN drop_reason IS NULL THEN toks END AS n_toks,
-        |  CASE WHEN drop_reason IS NULL
-        |       THEN CAST((cum_toks - 1) // 2000 AS BIGINT) END AS pack_id
-        |FROM packd ORDER BY doc_id""".stripMargin,
+    "tx_pipeline" -> txPipelineSql,
+    // the incremental twin's oracle IS the batch flagship's SQL: the
+    // operator's contract is exact equivalence with txPipeline under
+    // the ascending-doc_id arrival order, so the driver gate checks
+    // the stream/batch equivalence end-to-end
+    "tx_curation_incremental" -> txPipelineSql,
     "tx_pack" ->
       """SELECT doc_id, source, n_toks, cum_toks,
         |  CAST((cum_toks - 1) // 2000 AS BIGINT) AS pack_id

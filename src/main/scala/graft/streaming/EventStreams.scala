@@ -562,6 +562,138 @@ object EventStreams extends Serializable {
     }
   }
 
+  /** INCREMENTAL curation — the streaming twin of the
+    * TextAnalysis.txPipeline flagship (SURVEY §9's curationStream
+    * backlog item, landed as the batch-apply variant §9 blessed:
+    * chained flatMapGroupsWithState — keeper state feeding a pack
+    * cursor — is not supported in update mode, so a foreachBatch host
+    * applies both states as plain batch joins). Documents arrive in
+    * micro-batches IN ASCENDING doc_id ORDER (the arrival-order
+    * contract: first-seen q_ok == corpus-wide min(doc_id), which is
+    * what makes per-batch output equal the one-shot flagship's rows);
+    * each batch emits its slice of the curation manifest and advances
+    * two persisted states:
+    *
+    *   - KEEPER STORE (managed table BUCKETED on text_hash): the
+    *     first q_ok doc_id per normalized-text hash. The batch probes
+    *     it with one left join (at scale the stored side reads in
+    *     place, co-partitioned — the dedupIndexMaintain shape) and
+    *     appends only hashes it introduced (left_anti against the
+    *     store, localCheckpoint'd before the append so the write
+    *     never reads the table it writes).
+    *   - PACK CURSOR (one row per source, rewritten whole per batch
+    *     into a batch-scoped file): the cumulative kept-token count
+    *     feeding pack_id. Driver-side it is a bounded collect — one
+    *     row per SOURCE, the same bounded-literal contract as the
+    *     ANN centroids — broadcast back as a map literal.
+    *
+    * Replay contract (a failed batch re-runs with the same batchId):
+    * output and cursor are batch-scoped whole-directory rewrites; the
+    * keeper append is idempotent BY the left_anti (a crashed attempt
+    * that already appended makes the replay's anti-join empty, and a
+    * replayed probe reads the crashed attempt's keepers — its own
+    * batch's values, so the output is identical). _APPLIED marker
+    * written last short-circuits fully-applied batches.
+    * Batch-vs-stream equivalence is driver-gated end-to-end: the
+    * registered tx_curation_incremental operator applies this very
+    * function over doc_id-range batches and its oracle is the batch
+    * flagship's own SQL.
+    */
+  def curationMaintain(docs: DataFrame, keeperTable: String,
+      cursorDir: String, outDir: String, checkpointDir: String,
+      budget: Long = 2000L, nBuckets: Int = 8): org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        curationApplyBatch(batch, batchId, keeperTable, cursorDir, outDir,
+          budget, nBuckets)
+      }
+      .start()
+
+  /** One micro-batch of [[curationMaintain]] — see the replay contract
+    * there. Factored out so the registered batch-apply operator and
+    * the spec drive the exact code the stream runs.
+    */
+  private[graft] def curationApplyBatch(batch: DataFrame, batchId: Long,
+      keeperTable: String, cursorDir: String, outDir: String,
+      budget: Long = 2000L, nBuckets: Int = 8): Unit = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    val batchDir = new org.apache.hadoop.fs.Path(s"$outDir/batch-$batchId")
+    val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
+    if (fs.exists(marker)) return
+    val scored = graft.operators.TextAnalysis.curationScored(batch).persist()
+    try {
+      val storeExists = spark.catalog.tableExists(keeperTable)
+      // the batch's own keeper candidates: first q_ok doc per hash
+      val batchKeeper = scored.filter(col("q_ok"))
+        .groupBy(col("text_hash")).agg(min(col("doc_id")).as("batch_keeper"))
+      val keyed =
+        if (storeExists) {
+          // min() absorbs crash-window duplicate rows in the store
+          val stored = spark.table(keeperTable)
+            .groupBy(col("text_hash")).agg(min(col("keeper_id")).as("stored_keeper"))
+          scored.join(stored, Seq("text_hash"), "left")
+        } else scored.withColumn("stored_keeper", lit(null).cast("long"))
+      val labeled = keyed.join(batchKeeper, Seq("text_hash"), "left")
+        // a stored keeper arrived in an earlier batch → smaller doc_id
+        .withColumn("keeper", coalesce(col("stored_keeper"), col("batch_keeper")))
+        .withColumn("drop_reason",
+          when(!col("q_ok"), "quality")
+            .when(col("doc_id") =!= col("keeper"), "duplicate"))
+      // pack cursor after the previous batch: bounded — one row per source
+      val prevCursor = new org.apache.hadoop.fs.Path(s"$cursorDir/batch-${batchId - 1}")
+      val cursor: Map[String, Long] =
+        if (batchId > 0 && fs.exists(prevCursor))
+          spark.read.parquet(prevCursor.toString).collect()
+            .map(r => r.getString(0) -> r.getLong(1)).toMap
+        else Map.empty
+      val offset =
+        if (cursor.isEmpty) lit(0L)
+        else coalesce(element_at(typedLit(cursor), col("source")), lit(0L))
+      val bySource = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      labeled
+        .withColumn("n_toks", when(col("drop_reason").isNull, col("toks")))
+        .withColumn("cum_toks",
+          sum(coalesce(col("n_toks"), lit(0L))).over(bySource) + offset)
+        .select(col("doc_id"), col("source"), col("quality_score"),
+          col("drop_reason"),
+          when(col("drop_reason") === "duplicate", col("keeper")).as("keeper_id"),
+          col("n_toks"),
+          when(col("drop_reason").isNull,
+            expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
+        .write.mode("overwrite").parquet(batchDir.toString)
+      // advance the cursor: previous totals + this batch's kept tokens,
+      // rewritten whole (replay-safe)
+      val batchTotals = labeled.filter(col("drop_reason").isNull)
+        .groupBy(col("source")).agg(sum(col("toks")).as("t"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      (cursor.keySet ++ batchTotals.keySet).toSeq.sorted
+        .map(k => (k, cursor.getOrElse(k, 0L) + batchTotals.getOrElse(k, 0L)))
+        .toDF("source", "cum").repartition(1)
+        .write.mode("overwrite").parquet(s"$cursorDir/batch-$batchId")
+      // grow the keeper store: only hashes this batch introduced.
+      // localCheckpoint truncates lineage so the append never reads
+      // the table it writes (and is replay-idempotent: a crashed
+      // attempt's append makes this anti-join empty)
+      val newKeepers =
+        (if (storeExists)
+           batchKeeper.join(spark.table(keeperTable), Seq("text_hash"), "left_anti")
+         else batchKeeper)
+          .select(col("text_hash"), col("batch_keeper").as("keeper_id"))
+          .repartition(nBuckets, col("text_hash"))
+          .localCheckpoint()
+      newKeepers.write.mode("append").format("parquet")
+        .bucketBy(nBuckets, "text_hash")
+        .saveAsTable(keeperTable)
+      fs.create(marker, true).close()
+    } finally { scored.unpersist(); () }
+  }
+
   /** STREAMING FLAGSHIP — the incremental twin of the composed batch
     * flagships (etl_e2e's ingest DAG + dd_pipeline's dedup chain +
     * the ANN index): ONE file stream of dropped statement files feeds

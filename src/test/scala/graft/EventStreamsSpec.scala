@@ -1103,4 +1103,71 @@ class EventStreamsSpec extends SparkTestBase {
     assert(sessions.contains((2L, 3.0)), s"got ${sessions.toSeq}")
     assert(sessions.contains((1L, 3.0)), s"got ${sessions.toSeq}")
   }
+
+  test("curationMaintain streams the exact txPipeline manifest, replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val tag = java.lang.Long.toHexString(System.nanoTime())
+    val tbl = s"curation_keeper_spec_$tag"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_curation_spec").toString
+    val ck = java.nio.file.Files.createTempDirectory("graft_curation_ck").toString
+    // stream the corpus in three ASCENDING doc_id ranges (the
+    // arrival-order contract) and require the unioned batch outputs to
+    // equal the one-shot batch flagship row-for-row
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val n = docs.length
+    val batches = Seq(docs.take(n / 3), docs.slice(n / 3, 2 * n / 3), docs.drop(2 * n / 3))
+    val input = MemoryStream[(Long, String, String)]
+    val q = EventStreams.curationMaintain(
+      input.toDF().toDF("doc_id", "source", "text"), tbl, s"$tmp/cursor", s"$tmp/out", ck)
+    batches.foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    q.stop()
+    val cols = Seq("doc_id", "source", "quality_score", "drop_reason",
+      "keeper_id", "n_toks", "pack_id")
+    def manifest(): Seq[String] =
+      spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+        .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+    val streamed = manifest()
+    val batch = SparkEntry.queries("tx_pipeline")(spark, sf01)
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+    assert(streamed.size == n, s"manifest has ${streamed.size} of $n rows")
+    assert(streamed == batch, {
+      val miss = batch.toSet -- streamed.toSet; val extra = streamed.toSet -- batch.toSet
+      s"stream/batch manifests differ: missing=${miss.take(3)} extra=${extra.take(3)}"
+    })
+    // the corpus must actually exercise both states: cross-batch dups + packs
+    assert(spark.table(tbl).count() > 0)
+    // REPLAY: marker-guarded no-op
+    val keeperRows = spark.table(tbl).count()
+    def replayLast(): Unit = EventStreams.curationApplyBatch(
+      batches(2).toSeq.toDF("doc_id", "source", "text"), 2L, tbl, s"$tmp/cursor", s"$tmp/out")
+    replayLast()
+    assert(manifest() == streamed, "marker-guarded replay changed the manifest")
+    assert(spark.table(tbl).count() == keeperRows,
+      "marker-guarded replay appended keeper rows")
+    // CRASH-WINDOW replay (keepers appended, marker lost): the batch
+    // probes its own crashed attempt's keepers — same values — and the
+    // left_anti append is empty, so output AND store are unchanged
+    assert(new java.io.File(s"$tmp/out/batch-2/_APPLIED").delete())
+    replayLast()
+    assert(manifest() == streamed, "crash-window replay changed the manifest")
+    assert(spark.table(tbl).count() == keeperRows,
+      "crash-window replay appended keeper rows")
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("tx_curation_incremental equals tx_pipeline at sf0.001") {
+    val cols = Seq("doc_id", "source", "quality_score", "drop_reason",
+      "keeper_id", "n_toks", "pack_id")
+    val inc = SparkEntry.queries("tx_curation_incremental")(spark, sfDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("tx_pipeline")(spark, sfDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq
+    assert(inc == batch,
+      s"incremental/batch manifests differ: ${inc.diff(batch).take(3)} vs ${batch.diff(inc).take(3)}")
+  }
 }
