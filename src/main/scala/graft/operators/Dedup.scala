@@ -237,17 +237,45 @@ object Dedup {
       .agg(first(col("est_jaccard")).as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
 
+  /** FIRST-BAND-WINS pair generation: a pair colliding in several
+    * bands is emitted only at its minimum colliding band — both sides
+    * carry their full signatures, so "this is the first band that
+    * collides" is a per-collision-row check, and the join's output is
+    * exactly ONE row per pair. This removes the canonical groupBy
+    * from full-corpus pair generation ENTIRELY: at 100× the collision
+    * stream is ~8 rows per near-identical pair (≈218M rows for a 27M-
+    * pair graph), and shuffling that into a collapse was the dominant
+    * cost once the store had removed the signature recompute
+    * (measured 66-81 s warm at 100× with the groupBy, vs 93 s
+    * pre-store). The check runs once per collision row, so it is the
+    * native codegen'd [[graft.functions.HashExprs]] kernel
+    * first_colliding_band (early exit at band 0 for near-identical
+    * docs — the dominant collision source); an HOF
+    * `filter(sequence(0,7), ...)` form of the same predicate was
+    * measured SLOWER than the groupBy it replaced (120-149 s at 100×:
+    * HOFs are interpreted per row). The estimate numerator is the
+    * same story (sig_match_count replacing aggregate∘zip_with). The
+    * row's own band index is projected once per SCAN row (4M at 100×)
+    * from the band_key prefix, never per collision row.
+    * (The incremental/stream probes keep the canonical-groupBy form,
+    * [[pairsFromCollisions]]: their stored side can legitimately carry
+    * crash-window duplicate rows, which only a collapse absorbs.)
+    */
   private[graft] def minhashPairs(s: SparkSession, d: String): DataFrame = {
     // Both join sides are the SAME bucketed table scan, co-partitioned
-    // on band_key — no exchange under the join. The signature rides
-    // along in the store rows, so the estimate is computed inline on
-    // band-collided rows and duplicates (a pair can collide in up to
-    // 8 bands) collapse in one groupBy.
+    // on band_key — no exchange anywhere in pair generation.
+    import graft.functions.HashFunctions.{firstCollidingBand, sigMatchCount}
     val banded = bandedStore(s, d)
-    pairsFromCollisions(
-      banded.as("a").join(banded.as("b"),
+    val probe = banded.withColumn("band_idx",
+      expr("cast(substring_index(band_key, ',', 1) as int)"))
+    probe.as("a").join(banded.as("b"),
         col("a.band_key") === col("b.band_key") &&
-          col("a.doc_id") < col("b.doc_id")))
+          col("a.doc_id") < col("b.doc_id") &&
+          firstCollidingBand(col("a.sig"), col("b.sig")) === col("a.band_idx"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        q4(sigMatchCount(col("a.sig"), col("b.sig")).cast("double") / 32.0)
+          .as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
   }
 
   /** The banded signature table alone — Profile --lsh-skew reads the

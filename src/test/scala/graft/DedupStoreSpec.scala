@@ -102,14 +102,23 @@ class DedupStoreSpec extends SparkTestBase {
   test("band store: both sides of the pair join scan the bucketed table") {
     // the scale property the store exists for: the band self-join reads
     // two co-bucketed scans (Bucketed: true), never a recomputed
-    // shingle/MinHash subtree — and at real sizes needs no exchange
-    val pairs = operators.Dedup.minhashPairs(spark, sfDir)
-    pairs.queryExecution.toRdd.count()
-    val plan = pairs.queryExecution.executedPlan.toString
-    val bucketedScans = "Bucketed: true".r.findAllIn(plan).size
-    assert(bucketedScans >= 2,
-      s"expected two bucketed store scans under the band join, plan:\n$plan")
-    assert(!plan.contains("MinHashSignature"),
-      "pair generation still recomputes signatures instead of reading the store")
+    // shingle/MinHash subtree — and at real sizes needs no exchange.
+    // At the spec's toy SF the store fits under the broadcast
+    // threshold and AQE rightly broadcasts (bucketing moot) — disable
+    // broadcast here to expose and pin the AT-SCALE plan shape.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val pairs = operators.Dedup.minhashPairs(spark, sfDir)
+      pairs.queryExecution.toRdd.count()
+      val plan = pairs.queryExecution.executedPlan.toString
+      val bucketedScans = "Bucketed: true".r.findAllIn(plan).size
+      assert(bucketedScans >= 2,
+        s"expected two bucketed store scans under the band join, plan:\n$plan")
+      assert(!plan.contains("MinHashSignature"),
+        "pair generation still recomputes signatures instead of reading the store")
+      assert(!plan.contains("Exchange"),
+        s"co-bucketed band self-join should need no exchange, plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 }

@@ -79,4 +79,56 @@ class HashExprsSpec extends SparkTestBase {
         |FROM hx_docs""".stripMargin).count()
     assert(n > 0)
   }
+
+  test("sigMatchCount matches the aggregate/zip_with HOF chain") {
+    // exercise on every cross-doc signature pair of the corpus — the
+    // exact rows pair emission feeds it
+    val sig = docs
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("sig", minhashSig(shingleHashes(split(col("norm"), " "), 3), 32))
+      .select(col("doc_id"), col("sig"))
+    val cmp = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        sigMatchCount(col("a.sig"), col("b.sig")).as("native"),
+        expr("aggregate(zip_with(a.sig, b.sig, (x, y) -> if(x = y, 1, 0)), 0, (acc, v) -> acc + v)")
+          .as("composed"))
+    assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
+    assert(cmp.filter(col("native") === 32).count() > 0,
+      "corpus should contain at least one identical-signature pair")
+  }
+
+  test("firstCollidingBand matches the HOF band scan, 8 when no band collides") {
+    val sig = docs
+      .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+      .withColumn("sig", minhashSig(shingleHashes(split(col("norm"), " "), 3), 32))
+      .select(col("doc_id"), col("sig"))
+    val cmp = sig.as("a").join(sig.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        firstCollidingBand(col("a.sig"), col("b.sig")).as("native"),
+        expr("""coalesce(array_min(filter(sequence(0, 7), j ->
+               |  a.sig[j*4]   = b.sig[j*4]   AND a.sig[j*4+1] = b.sig[j*4+1] AND
+               |  a.sig[j*4+2] = b.sig[j*4+2] AND a.sig[j*4+3] = b.sig[j*4+3])), 8)""".stripMargin)
+          .as("composed"))
+    assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
+    // both emission-relevant regimes are present in the corpus
+    assert(cmp.filter(col("native") === 0).count() > 0)
+    assert(cmp.filter(col("native") === 8).count() > 0)
+  }
+
+  test("first-band-wins pair generation equals the canonical-collapse form") {
+    // the refactor contract: minhashPairs' emit-once join must produce
+    // EXACTLY the pair set (and estimates) of the groupBy collapse the
+    // incremental paths still use
+    val banded = operators.Dedup.bandedOf(
+      operators.Dedup.minhashSigTableOf(docs.select(col("doc_id"), col("text"))))
+    val collapsed = operators.Dedup.pairsFromCollisions(
+      banded.as("a").join(banded.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.doc_id") < col("b.doc_id")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val emitted = operators.Dedup.minhashPairs(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(emitted == collapsed,
+      s"missing=${(collapsed -- emitted).take(3)} extra=${(emitted -- collapsed).take(3)}")
+  }
 }
