@@ -33,13 +33,17 @@ object Bench {
   /** Operators whose SEMANTICS changed this round: their bench deltas
     * vs the prior round are operator changes, not perf regressions
     * (the q22/q37 lesson — reset each round). Round 13: empty — the
-    * persisted band store (now actually in the tree: Dedup.bandedStore)
-    * changes WHERE the dd_* family's signatures come from (an external
-    * bucketed table instead of an in-session recompute), not their
-    * values, so every operator's OUTPUT stays bit-identical; the e2
-    * guard's new NULL branch only differs on corpora with NULL
-    * events.value, which the committed corpora don't carry. dd_* TIME
-    * deltas this round are the store amortization, by design.
+    * persisted band store (Dedup.bandedStore) changes WHERE the dd_*
+    * family's signatures come from (an external bucketed table instead
+    * of an in-session recompute) and first-band-wins emission changes
+    * HOW pairs leave the band join (once at the minimum colliding band
+    * instead of groupBy-collapsed), but neither changes any operator's
+    * OUTPUT — the pair set and estimates are bit-identical
+    * (HashExprsSpec pins emit-once == canonical-collapse); the e2
+    * guard's NULL branch only differs on corpora with NULL
+    * events.value, which the committed corpora don't carry;
+    * tx_curation_incremental is NEW, not changed. dd_* TIME deltas
+    * this round are the store + emit-once wins, by design.
     */
   val semanticsChanged: Seq[String] = Seq.empty
 
