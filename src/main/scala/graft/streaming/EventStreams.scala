@@ -624,31 +624,41 @@ object EventStreams extends Serializable {
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
     if (fs.exists(marker)) return
     val scored = graft.operators.TextAnalysis.curationScored(batch).persist()
+    val storeExists = spark.catalog.tableExists(keeperTable)
+    // the batch's own keeper candidates: first q_ok doc per hash
+    val batchKeeper = scored.filter(col("q_ok"))
+      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("batch_keeper"))
+    val keyed =
+      if (storeExists) {
+        // min() absorbs crash-window duplicate rows in the store
+        val stored = spark.table(keeperTable)
+          .groupBy(col("text_hash")).agg(min(col("keeper_id")).as("stored_keeper"))
+        scored.join(stored, Seq("text_hash"), "left")
+      } else scored.withColumn("stored_keeper", lit(null).cast("long"))
+    // persisted: the manifest write and the cursor-advance aggregate
+    // both read it — without the cache the join pipeline runs twice
+    val labeled = keyed.join(batchKeeper, Seq("text_hash"), "left")
+      // a stored keeper arrived in an earlier batch → smaller doc_id
+      .withColumn("keeper", coalesce(col("stored_keeper"), col("batch_keeper")))
+      .withColumn("drop_reason",
+        when(!col("q_ok"), "quality")
+          .when(col("doc_id") =!= col("keeper"), "duplicate"))
+      .persist()
     try {
-      val storeExists = spark.catalog.tableExists(keeperTable)
-      // the batch's own keeper candidates: first q_ok doc per hash
-      val batchKeeper = scored.filter(col("q_ok"))
-        .groupBy(col("text_hash")).agg(min(col("doc_id")).as("batch_keeper"))
-      val keyed =
-        if (storeExists) {
-          // min() absorbs crash-window duplicate rows in the store
-          val stored = spark.table(keeperTable)
-            .groupBy(col("text_hash")).agg(min(col("keeper_id")).as("stored_keeper"))
-          scored.join(stored, Seq("text_hash"), "left")
-        } else scored.withColumn("stored_keeper", lit(null).cast("long"))
-      val labeled = keyed.join(batchKeeper, Seq("text_hash"), "left")
-        // a stored keeper arrived in an earlier batch → smaller doc_id
-        .withColumn("keeper", coalesce(col("stored_keeper"), col("batch_keeper")))
-        .withColumn("drop_reason",
-          when(!col("q_ok"), "quality")
-            .when(col("doc_id") =!= col("keeper"), "duplicate"))
-      // pack cursor after the previous batch: bounded — one row per source
-      val prevCursor = new org.apache.hadoop.fs.Path(s"$cursorDir/batch-${batchId - 1}")
+      // pack cursor after the previous batch: one row per SOURCE —
+      // driver-bounded by contract (the ANN-centroid bounded-literal
+      // precedent), so it lives as a plain FS sidecar read/written
+      // driver-side: no Spark job to read it, none to write it
+      def cursorFile(id: Long) =
+        new org.apache.hadoop.fs.Path(s"$cursorDir/batch-$id.tsv")
       val cursor: Map[String, Long] =
-        if (batchId > 0 && fs.exists(prevCursor))
-          spark.read.parquet(prevCursor.toString).collect()
-            .map(r => r.getString(0) -> r.getLong(1)).toMap
-        else Map.empty
+        if (batchId > 0 && fs.exists(cursorFile(batchId - 1))) {
+          val in = fs.open(cursorFile(batchId - 1))
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
+            .filter(_.nonEmpty)
+            .map { l => val t = l.split("\t", 2); t(0) -> t(1).toLong }.toMap
+          finally in.close()
+        } else Map.empty
       val offset =
         if (cursor.isEmpty) lit(0L)
         else coalesce(element_at(typedLit(cursor), col("source")), lit(0L))
@@ -668,14 +678,15 @@ object EventStreams extends Serializable {
             expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
         .write.mode("overwrite").parquet(batchDir.toString)
       // advance the cursor: previous totals + this batch's kept tokens,
-      // rewritten whole (replay-safe)
+      // rewritten whole (replay-safe), sorted for determinism
       val batchTotals = labeled.filter(col("drop_reason").isNull)
         .groupBy(col("source")).agg(sum(col("toks")).as("t"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      (cursor.keySet ++ batchTotals.keySet).toSeq.sorted
-        .map(k => (k, cursor.getOrElse(k, 0L) + batchTotals.getOrElse(k, 0L)))
-        .toDF("source", "cum").repartition(1)
-        .write.mode("overwrite").parquet(s"$cursorDir/batch-$batchId")
+      val mergedTsv = (cursor.keySet ++ batchTotals.keySet).toSeq.sorted
+        .map(k => s"$k\t${cursor.getOrElse(k, 0L) + batchTotals.getOrElse(k, 0L)}")
+        .mkString("\n")
+      val co = fs.create(cursorFile(batchId), true)
+      try co.write(mergedTsv.getBytes("UTF-8")) finally co.close()
       // grow the keeper store: only hashes this batch introduced.
       // localCheckpoint truncates lineage so the append never reads
       // the table it writes (and is replay-idempotent: a crashed
@@ -691,7 +702,7 @@ object EventStreams extends Serializable {
         .bucketBy(nBuckets, "text_hash")
         .saveAsTable(keeperTable)
       fs.create(marker, true).close()
-    } finally { scored.unpersist(); () }
+    } finally { labeled.unpersist(); scored.unpersist(); () }
   }
 
   /** STREAMING FLAGSHIP — the incremental twin of the composed batch
