@@ -1299,11 +1299,24 @@ object Dedup {
     // iterative stages ride it: connected components (cluster labels)
     // and the authority power iteration. The canonical and split
     // stages consume the resulting labels, not the graph.
-    val pairs = minhashPairsOf(
-      docs.select(col("doc_id"), col("text"))
-        .join(survivors, Seq("doc_id"), "left_semi"))
-      .select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
+    // Round 13: signatures are PER-DOC (no cross-doc dependence), so
+    // pairs-among-survivors == the store-backed full-corpus pair
+    // stream restricted to survivor endpoints — two semi-joins on the
+    // emitted pairs instead of a survivor-subset signature recompute
+    // + band self-join. Reads the persisted band store + the
+    // first-band-wins join (minhashPairs), so the pipeline inherits
+    // both amortizations; the semi-joins shuffle the PAIR graph
+    // (narrow rows), never the banded collision stream. Identical
+    // pair set (restriction commutes with emission — spec-pinned).
+    val pairs = {
+      val sa = survivors.select(col("doc_id").as("doc_a"))
+      val sb = survivors.select(col("doc_id").as("doc_b"))
+      minhashPairs(s, d)
+        .join(sa, Seq("doc_a"), "left_semi")
+        .join(sb, Seq("doc_b"), "left_semi")
+        .select(col("doc_a"), col("doc_b"))
+        .localCheckpoint()
+    }
     val labels = connectedComponents(pairs, materialized = true)
       .select(col("node").as("doc_id"), col("label").as("cluster_id"))
     // authority scoring over the SAME materialized pair graph (the

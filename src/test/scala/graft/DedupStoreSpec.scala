@@ -99,6 +99,27 @@ class DedupStoreSpec extends SparkTestBase {
     assert(!fs.exists(path), "invalidation left store files behind")
   }
 
+  test("pair restriction commutes with emission (dd_pipeline's survivor stage)") {
+    // signatures are per-doc, so the store-backed full-corpus pair
+    // stream semi-joined to a subset's endpoints must equal a direct
+    // recompute over that subset — the property dd_pipeline's pair
+    // stage rests on since round 13
+    import org.apache.spark.sql.functions.pmod
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val survivors = docs.filter(pmod(col("doc_id"), org.apache.spark.sql.functions.lit(3)) === 0)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_a"), col("doc_b")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val direct = pairSet(operators.Dedup.minhashPairsOf(survivors))
+    val restricted = pairSet(operators.Dedup.minhashPairs(spark, sfDir)
+      .join(survivors.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+      .join(survivors.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi"))
+    assert(restricted == direct,
+      s"missing=${(direct -- restricted).take(3)} extra=${(restricted -- direct).take(3)}")
+    assert(direct.nonEmpty, "subset should still carry near-dup pairs")
+  }
+
   test("band store: both sides of the pair join scan the bucketed table") {
     // the scale property the store exists for: the band self-join reads
     // two co-bucketed scans (Bucketed: true), never a recomputed
