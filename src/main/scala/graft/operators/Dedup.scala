@@ -523,13 +523,24 @@ object Dedup {
     val chunked = sim.withColumn("c", explode(sequence(lit(0), lit(3))))
       .withColumn("chunk_key", concat_ws(":", col("c"),
         expr("shiftright(simhash, c * 16) & 65535")))
-      .select(col("doc_id"), col("simhash"), col("chunk_key"))
+      .select(col("doc_id"), col("simhash"), col("c"), col("chunk_key"))
+    // FIRST-CHUNK-WINS emission (round 13 — the minhashPairs lesson
+    // applied to the 16-bit chunk bands): a pair sharing several
+    // chunks is emitted only at its minimum shared chunk, so the join
+    // outputs each candidate pair exactly once and the post-join
+    // DISTINCT (a shuffle of the whole collision stream, up to 4 rows
+    // per near-identical pair) disappears. The predicate is pure
+    // integer shift/mask arithmetic on the two 64-bit signatures —
+    // codegen'd builtins, no HOF, no native expression needed.
+    val noEarlierChunk = expr(
+      """NOT ((a.c >= 1 AND (shiftright(a.simhash,  0) & 65535) = (shiftright(b.simhash,  0) & 65535))
+        |  OR (a.c >= 2 AND (shiftright(a.simhash, 16) & 65535) = (shiftright(b.simhash, 16) & 65535))
+        |  OR (a.c >= 3 AND (shiftright(a.simhash, 32) & 65535) = (shiftright(b.simhash, 32) & 65535)))""".stripMargin)
     chunked.as("a")
       .join(chunked.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
-        col("a.doc_id") < col("b.doc_id"))
+        col("a.doc_id") < col("b.doc_id") && noEarlierChunk)
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
-      .distinct()
       .filter(col("hamming") <= 4)
       .orderBy(col("doc_a"), col("doc_b"))
   }
