@@ -1170,4 +1170,41 @@ class EventStreamsSpec extends SparkTestBase {
     assert(inc == batch,
       s"incremental/batch manifests differ: ${inc.diff(batch).take(3)} vs ${batch.diff(inc).take(3)}")
   }
+
+  test("curation batch-apply equals the flagship under ARBITRARY ascending splits") {
+    // the arrival-order contract says ANY partition of the corpus into
+    // ascending doc_id ranges yields the flagship manifest — not just
+    // thirds. Deterministic pseudo-random cut sets (including skewed
+    // and singleton batches) over the sf0.001 corpus.
+    import spark.implicits._
+    val cols = Seq("doc_id", "source", "quality_score", "drop_reason",
+      "keeper_id", "n_toks", "pack_id")
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .sortBy(_._1)
+    val expect = SparkEntry.queries("tx_pipeline")(spark, sfDir)
+      .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+    val rng = new scala.util.Random(13)
+    (1 to 3).foreach { trial =>
+      val k = 2 + rng.nextInt(4) // 2..5 batches
+      val cuts = Seq.fill(k - 1)(rng.nextInt(docs.length)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(docs.length))
+        .sliding(2).map { case Seq(a, b) => docs.slice(a, b) }.toSeq
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val tbl = s"curation_split_spec_$tag"
+      val tmp = java.nio.file.Files.createTempDirectory("graft_curation_rand").toString
+      batches.zipWithIndex.foreach { case (b, i) =>
+        EventStreams.curationApplyBatch(
+          b.toSeq.toDF("doc_id", "source", "text"), i.toLong,
+          tbl, s"$tmp/cursor", s"$tmp/out")
+      }
+      val got = spark.read.option("recursiveFileLookup", "true").parquet(s"$tmp/out")
+        .select(cols.map(col): _*).collect().map(_.toString).toSeq.sorted
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      assert(got == expect,
+        s"trial $trial (cuts=$cuts): missing=${(expect.toSet -- got.toSet).take(2)} " +
+          s"extra=${(got.toSet -- expect.toSet).take(2)}")
+    }
+  }
 }
