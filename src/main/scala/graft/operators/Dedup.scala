@@ -847,6 +847,14 @@ object Dedup {
     var isoScore = 1000000000L / n
     var scores = nodes
       .withColumn("score_e9", lit(1000000000L / n)).localCheckpoint()
+    // The contrib side broadcasts (node-bounded, well under the 64MB
+    // threshold), so the union mirror streams straight off the wpairs
+    // cache and the ONLY per-iteration exchange is the map-side
+    // partially-aggregated inflow. Pre-partitioning the mirrored edges
+    // by destination to elide that exchange measured SLOWER at every
+    // scale (1×/25×/100× A/B in SURVEY §5's negative-result note) —
+    // the up-front 2n-edge shuffle + second cache cost more than five
+    // partial-agg exchanges save. Don't retry it.
     (1 to iters).foreach { _ =>
       val perNodeDangling = (nIso * isoScore) / n
       val inflow = scores.filter(col("deg") > 0)
