@@ -609,6 +609,52 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** TEMPERATURE-based corpus mixing — the other standard mixing
+    * contract next to [[txMixRebalance]]'s explicit target table: no
+    * targets are given, the mix is DERIVED from the measured corpus
+    * itself as p(lang) ∝ n^(1/τ) with τ = 2 (the multilingual
+    * temperature-sampling rule — up-weights low-resource languages,
+    * flattens the natural-size distribution without discarding it;
+    * on this corpus en is ~3× every other language and comes out
+    * rate-capped lowest). Integer contract: weight = floor(sqrt(n)) —
+    * IEEE-754 sqrt of an exactly representable integer is correctly
+    * rounded in both engines, so the floor is engine-exact — and the
+    * per-language keep rate for a half-corpus budget is the pure
+    * integer-division chain ((10⁶·w) div Σw) · (N div 2) div n,
+    * staged so no intermediate exceeds bigint below Σn ≈ 8·10²⁵
+    * documents. rate_ppm_raw > 10⁶ marks a language the recipe would
+    * UPSAMPLE (epoch repetition at training time — selection here
+    * caps at keep-all); selection reuses the engine's reproducible
+    * sampling hash. Shape: two tiny lang-level aggregates broadcast
+    * back over one corpus scan, the
+    * summary groupBy is the only corpus-width shuffle — scan speed at
+    * any scale.
+    */
+  val txMixTemperature: Q = (s, d) => {
+    val docs = Tables.documents(s, d)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("weight", floor(sqrt(col("cnt"))).cast("long"))
+    val tot = counts.agg(sum(col("cnt")).as("n_total"),
+      sum(col("weight")).as("w_total"))
+    val rates = counts.crossJoin(broadcast(tot))
+      .withColumn("rate_ppm_raw",
+        expr("((1000000 * weight) div w_total) * (n_total div 2) div cnt"))
+      .withColumn("rate_ppm", least(lit(1000000L), col("rate_ppm_raw")))
+      .select(col("lang"), col("cnt"), col("weight"),
+        col("rate_ppm_raw"), col("rate_ppm"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(broadcast(rates), "lang")
+      .withColumn("keep",
+        graft.functions.SampleHash.bucket(col("doc_id"), 1000000L)
+          < col("rate_ppm"))
+      .groupBy(col("lang"))
+      .agg(max(col("cnt")).as("n_docs"), max(col("weight")).as("weight"),
+        max(col("rate_ppm_raw")).as("rate_ppm_raw"),
+        max(col("rate_ppm")).as("rate_ppm"),
+        sum(col("keep").cast("long")).as("n_sampled"))
+      .orderBy(col("lang"))
+  }
+
   /** Sequence PACKING — assign documents to fixed-token-budget packs
     * (the sample-packing stage before training): per source, documents
     * fill packs greedily in doc_id order via a running token sum;
@@ -1200,6 +1246,7 @@ object TextAnalysis {
     "tx_bpe_tokenize" -> txBpeTokenize,
     "tx_augment_dropout" -> txAugmentDropout,
     "tx_mix_rebalance" -> txMixRebalance,
+    "tx_mix_temperature" -> txMixTemperature,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
     "tx_decontaminate" -> txDecontaminate,
@@ -1600,6 +1647,29 @@ object TextAnalysis {
         |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
         |  LEFT JOIN targets t ON d.lang = t.lang) x
         |WHERE bucket < rate_e6 ORDER BY doc_id""".stripMargin,
+    "tx_mix_temperature" ->
+      """WITH counts AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS weight
+        |  FROM documents GROUP BY lang),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total,
+        |               CAST(sum(weight) AS BIGINT) AS w_total FROM counts),
+        |rates AS (
+        |  SELECT lang, cnt, weight,
+        |    ((1000000 * weight) // w_total) * (n_total // 2) // cnt
+        |      AS rate_ppm_raw,
+        |    least(1000000,
+        |      ((1000000 * weight) // w_total) * (n_total // 2) // cnt)
+        |      AS rate_ppm
+        |  FROM counts CROSS JOIN tot)
+        |SELECT r.lang, r.cnt AS n_docs, r.weight,
+        |  r.rate_ppm_raw, r.rate_ppm,
+        |  CAST(sum(CASE WHEN ((d.doc_id % 1000003) * 2654435761) % 1000000
+        |                     < r.rate_ppm THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_sampled
+        |FROM documents d JOIN rates r ON d.lang = r.lang
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY r.lang""".stripMargin,
     "tx_pipeline" -> txPipelineSql,
     // the incremental twin's oracle IS the batch flagship's SQL: the
     // operator's contract is exact equivalence with txPipeline under

@@ -2143,4 +2143,38 @@ class OperatorsSpec extends SparkTestBase {
       assert(expect(t) == got, s"type $t: got $got want ${expect(t)}")
     }
   }
+
+  test("tx_mix_temperature matches a plain-Scala replay; bigger langs get lower rates") {
+    val out = SparkEntry.queries("tx_mix_temperature")(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"),
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("weight"),
+          r.getAs[Long]("rate_ppm_raw"), r.getAs[Long]("rate_ppm"),
+          r.getAs[Long]("n_sampled")))).toMap
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val counts = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val nTotal = docs.length.toLong
+    val weights = counts.view.mapValues(n => math.sqrt(n.toDouble).toLong).toMap
+    val wTotal = weights.values.sum
+    val expect = counts.map { case (lang, n) =>
+      val raw = ((1000000L * weights(lang)) / wTotal) * (nTotal / 2) / n
+      val rate = math.min(1000000L, raw)
+      val sampled = docs.count { case (id, l) =>
+        l == lang && ((id % 1000003L) * 2654435761L) % 1000000L < rate
+      }.toLong
+      (lang, (n, weights(lang), raw, rate, sampled))
+    }
+    assert(out.keySet == expect.keySet)
+    out.foreach { case (l, got) =>
+      assert(expect(l) == got, s"lang $l: got $got want ${expect(l)}")
+    }
+    // the temperature property: rate orders INVERSELY to corpus size —
+    // but floor(sqrt) granularity can locally invert near-equal sizes
+    // (w(80)/80 = 8/80 < w(82)/82 = 9/82), so assert it only where the
+    // integer math guarantees it: size ratio ≥ 2
+    for ((la, a) <- out; (lb, b) <- out if a._1 * 2 <= b._1)
+      assert(a._4 >= b._4,
+        s"$la (${a._1} docs) got a lower rate than ≥2× larger $lb (${b._1})")
+  }
 }
