@@ -32,20 +32,19 @@ object Bench {
 
   /** Operators whose SEMANTICS changed this round: their bench deltas
     * vs the prior round are operator changes, not perf regressions
-    * (the q22/q37 lesson — reset each round). Round 13: empty — the
-    * persisted band store (Dedup.bandedStore) changes WHERE the dd_*
-    * family's signatures come from (an external bucketed table instead
-    * of an in-session recompute) and first-band-wins emission changes
-    * HOW pairs leave the band join (once at the minimum colliding band
-    * instead of groupBy-collapsed), but neither changes any operator's
-    * OUTPUT — the pair set and estimates are bit-identical
-    * (HashExprsSpec pins emit-once == canonical-collapse); the e2
-    * guard's NULL branch only differs on corpora with NULL
-    * events.value, which the committed corpora don't carry;
-    * tx_curation_incremental is NEW, not changed. dd_* TIME deltas
-    * this round are the store + emit-once wins, by design.
+    * (the q22/q37 lesson — reset each round). Round 13: the band
+    * store + first-band-wins emission left every dd_* OUTPUT
+    * bit-identical (HashExprsSpec pins emit-once ==
+    * canonical-collapse) and the e2 NULL branch never fires on the
+    * committed corpora, so neither is listed; tx_curation_incremental,
+    * tx_mix_temperature and etl_fuzzy_product_match are NEW, not
+    * changed. The two listed ops read the statements_ocr corpus,
+    * which the round-13 value-destroyed generator leg regenerated
+    * (5 scans now carry a '?' inside the 产品名称 value), so their
+    * OUTPUT rows changed with the corpus.
     */
-  val semanticsChanged: Seq[String] = Seq.empty
+  val semanticsChanged: Seq[String] =
+    Seq("etl_ocr_real", "etl_ocr_fuzzy_extract")
 
   /** One COLD apply of the streaming flagship's micro-batch kernel:
     * the whole statement corpus as batch 0 — extract + classify, the

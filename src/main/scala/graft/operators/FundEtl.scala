@@ -795,6 +795,58 @@ object FundEtl {
       .orderBy(col("file_name"))
   }
 
+  /** OCR VALUE recovery against the canonical product dictionary —
+    * completes the fuzzy-OCR story: [[etlOcrFuzzyExtract]] recovers
+    * garbled LABELS, this recovers garbled VALUES (the reference's
+    * product-code-manager semantics: a statement's product name must
+    * resolve to a dictionary entry even when a glyph was destroyed).
+    * The dictionary derives from the PLAIN statement corpus (never
+    * garbled), so recovery is self-contained. Glyph destruction is
+    * cell-for-cell ('?' replaces exactly one glyph), so the garbled
+    * value has the SAME character length as its original and HAMMING
+    * distance is the exact edit metric — char-positional comparison is
+    * engine-portable (both engines index characters) where
+    * levenshtein is not (DuckDB's counts BYTES on CJK). Match =
+    * same-length dict entries within distance ≤2, argmin by
+    * (distance, name); files whose value resolves nowhere keep a row
+    * with matched_name NULL. Shape: dict is tiny → broadcast
+    * hash-join on the length key; distance is a per-candidate-row
+    * fold (≤|dict| rows per file); one (file) argmin collapse — at
+    * 100 TB of statements this is map-side against a broadcast dict
+    * plus one narrow groupBy.
+    */
+  val etlFuzzyProductMatch: Q = (s, _) => {
+    val label = "产品名称："
+    val lines = ocrRealRouted(s)
+      .filter(col("ocr_ok"))
+      .select(col("file_name"), col("ocr_used"),
+        posexplode(split(col("content"), "\n")).as(Seq("line_no", "line")))
+      .filter(col("line").startsWith(label))
+      .groupBy(col("file_name"), col("ocr_used"))
+      .agg(min(struct(col("line_no"), col("line"))).as("f"))
+      .select(col("file_name"), col("ocr_used"),
+        expr("substring(f.line, 6)").as("raw_name"))
+      .withColumn("len", length(col("raw_name")))
+    val dict = loadStatements(s, "*.txt", statementsDir)
+      .select(explode(split(col("content"), "\n")).as("line"))
+      .filter(col("line").startsWith(label))
+      .select(expr("substring(line, 6)").as("canon")).distinct()
+      .withColumn("len", length(col("canon")))
+    val best = lines.join(broadcast(dict), "len")
+      .withColumn("ham", expr(
+        "aggregate(sequence(1, len), 0L, (acc, i) -> acc + " +
+          "IF(substring(raw_name, i, 1) = substring(canon, i, 1), 0L, 1L))"))
+      .filter(col("ham") <= 2)
+      .groupBy(col("file_name"))
+      .agg(min(struct(col("ham"), col("canon"))).as("best"))
+    lines.join(best, Seq("file_name"), "left")
+      .select(col("file_name"), col("ocr_used"), col("raw_name"),
+        col("best.canon").as("matched_name"),
+        col("best.ham").cast("long").as("hamming"),
+        coalesce(col("best.ham") > 0, lit(false)).as("recovered"))
+      .orderBy(col("file_name"))
+  }
+
   /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:
     * every input shape (plain text statements, scanned images through
     * the OCR-stub route, binary containers through the codec) decodes
@@ -969,6 +1021,7 @@ object FundEtl {
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
     "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
+    "etl_fuzzy_product_match" -> etlFuzzyProductMatch,
     "etl_pdf_decode" -> etlPdfDecode,
     "etl_pdf_text" -> etlPdfText,
     "etl_xlsx_ingest" -> etlXlsxIngest,
@@ -1172,6 +1225,48 @@ object FundEtl {
          |    AS n_fuzzy_recovered
          |FROM ranked WHERE rn = 1
          |GROUP BY file_name ORDER BY file_name""".stripMargin,
+    "etl_fuzzy_product_match" ->
+      s"""WITH files AS (
+         |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+         |    false AS ocr_used, true AS ocr_ok, content
+         |  FROM read_text('$statementsDir/*/*.txt')
+         |  UNION ALL
+         |  SELECT file_name, true AS ocr_used, ocr_ok, content
+         |  FROM read_parquet('$statementsOcrDir/expected.parquet')),
+         |plines AS (
+         |  SELECT file_name, ocr_used, u.line_no, u.line
+         |  FROM (SELECT file_name, ocr_used, unnest(list_transform(
+         |      string_split(content, chr(10)),
+         |      (x, i) -> struct_pack(line_no := i, line := x))) AS u
+         |    FROM files WHERE ocr_ok) t
+         |  WHERE starts_with(u.line, '产品名称：')),
+         |vals AS (
+         |  SELECT file_name, ocr_used, substr(line, 6) AS raw_name
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY file_name
+         |      ORDER BY line_no) AS rn FROM plines) x
+         |  WHERE rn = 1),
+         |dict AS (
+         |  SELECT DISTINCT substr(line, 6) AS canon
+         |  FROM (SELECT unnest(string_split(content, chr(10))) AS line
+         |        FROM read_text('$statementsDir/*/*.txt')) t
+         |  WHERE starts_with(line, '产品名称：')),
+         |best AS (
+         |  SELECT file_name, canon, ham, row_number() OVER (
+         |      PARTITION BY file_name ORDER BY ham, canon) AS rn
+         |  FROM (
+         |    SELECT v.file_name, d.canon,
+         |      CAST(list_sum(list_transform(range(length(v.raw_name)),
+         |        i -> CASE WHEN v.raw_name[i+1] = d.canon[i+1]
+         |             THEN 0 ELSE 1 END)) AS BIGINT) AS ham
+         |    FROM vals v JOIN dict d
+         |      ON length(v.raw_name) = length(d.canon)) s
+         |  WHERE ham <= 2)
+         |SELECT v.file_name, v.ocr_used, v.raw_name,
+         |  b.canon AS matched_name, b.ham AS hamming,
+         |  coalesce(b.ham > 0, false) AS recovered
+         |FROM vals v LEFT JOIN best b
+         |  ON v.file_name = b.file_name AND b.rn = 1
+         |ORDER BY v.file_name""".stripMargin,
     "etl_ocr_real" -> ingestOracleSql(
       s"""files AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

@@ -2144,6 +2144,35 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("etl_fuzzy_product_match: recovery is exact-positional and only fires on garbles") {
+    val rows = SparkEntry.queries("etl_fuzzy_product_match")(spark, sfDir)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val raw = r.getAs[String]("raw_name")
+      val matched = r.getAs[String]("matched_name")
+      val recovered = r.getAs[Boolean]("recovered")
+      if (matched != null) {
+        val ham = r.getAs[Long]("hamming")
+        assert(matched.length == raw.length)
+        assert(raw.zip(matched).count { case (a, b) => a != b } == ham,
+          s"${r.getAs[String]("file_name")}: hamming off")
+        assert(recovered == (ham > 0))
+        // recovery only ever bridges destroyed cells, never rewrites
+        // a recognized glyph
+        if (ham > 0) assert(raw.contains('?'),
+          s"recovered a value with no '?' glyph: $raw")
+        // a recovered value's non-destroyed glyphs all agree with the
+        // dictionary entry
+        raw.zip(matched).foreach { case (a, b) =>
+          if (a != '?') assert(a == b) }
+      } else assert(!recovered)
+      // plain-text rows are never garbled, so they match themselves
+      if (!r.getAs[Boolean]("ocr_used"))
+        assert(matched == raw && !recovered)
+    }
+  }
+
   test("tx_mix_temperature matches a plain-Scala replay; bigger langs get lower rates") {
     val out = SparkEntry.queries("tx_mix_temperature")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("lang"),

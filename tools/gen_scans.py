@@ -22,7 +22,11 @@ than equality lookup:
     bits.
   * DESTROYED cells: a scribble pattern validated to sit > THRESH bits
     from EVERY template — the matcher must reject (emit '?', score 0)
-    rather than guess.
+    rather than guess. Two disjoint sub-legs: LABEL cells (i%10==7 —
+    exact-label extraction loses the field; etl_ocr_fuzzy_extract's
+    input) and 产品名称 VALUE cells (i%10==3, round 13 — the label
+    survives but the extracted value carries '?';
+    etl_fuzzy_product_match's input).
   * CORRUPT files: bad magic / truncated stream / corrupted IDAT —
     the decoder must surface ocr_ok=false rows, never a thrown scan.
 
@@ -239,6 +243,27 @@ def main():
             # charging the full 256 (destruction overwrote those flips)
             score -= 256 - flipped.get((r, c), 0)
             expected[r][c] = "?"
+        if i % 10 == 3:  # VALUE-DESTROYED leg: one unrecognizable cell
+            # INSIDE the 产品名称 value (label left intact) — the input
+            # the fuzzy dictionary-recovery operator exists for. Mod-10
+            # residues keep this leg disjoint from the label-destroyed
+            # leg above; the noisy leg may overlap (same backout rule).
+            pl = next((ri for ri, l in enumerate(lines)
+                       if l.startswith("产品名称：")), None)
+            vstart = len("产品名称：")
+            if pl is not None and len(lines[pl]) > vstart:
+                r2 = pl
+                c2 = vstart + rng.randrange(len(lines[pl]) - vstart)
+                if lines[r2][c2] == " ":
+                    c2 = next(ci for ci in range(vstart, len(lines[r2]))
+                              if lines[r2][ci] != " ")
+                v = scribble_bits(name, r2, c2, templates)
+                for k in range(256):
+                    y = r2 * CELL + k // CELL
+                    x = c2 * CELL + k % CELL
+                    ras[y * w + x] = 0 if (v >> (255 - k)) & 1 else 255
+                score -= 256 - flipped.get((r2, c2), 0)
+                expected[r2][c2] = "?"
 
         rows = [bytes(ras[y * w:(y + 1) * w]) for y in range(h)]
         with open(os.path.join(odir, name), "wb") as f:
