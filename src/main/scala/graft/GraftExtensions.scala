@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, FirstCollidingBand, MinHashSignature, ShingleHashes, SigMatchCount, SimHash64, TokenModeCount, TopKValues}
+import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, FirstCollidingBand, IntersectCount, MinHashSignature, ShingleHashes, SigMatchCount, SimHash64, TokenModeCount, TopKValues}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... graft_cosine(a, b)
@@ -54,6 +54,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_sig_match_count"),
       new ExpressionInfo(classOf[SigMatchCount].getName, "graft_sig_match_count"),
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_intersect_count"),
+      new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
+      (children: Seq[Expression]) => IntersectCount(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

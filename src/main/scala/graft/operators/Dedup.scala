@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.VectorFunctions.cosineSim
-import graft.functions.HashFunctions.{minhashSig, simhash64}
+import graft.functions.HashFunctions.{intersectCount, minhashSig, simhash64}
 import graft.sources.Tables
 
 /** §2.C — deduplication family for a training-data pipeline.
@@ -29,7 +29,7 @@ object Dedup {
     * before LSH joins for exactly the same reason; identical plans
     * share one cache entry via the CacheManager.
     */
-  private def shingled(s: SparkSession, d: String): DataFrame =
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
       .withColumn("sh_hashes",
@@ -372,9 +372,14 @@ object Dedup {
     pairs
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), Seq("doc_a"))
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), Seq("doc_b"))
-      .withColumn("true_j", q4(
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double")))
+      // |∩| once via the allocation-free native kernel; |∪| derives as
+      // |a| + |b| − |∩| (arrays are construction-distinct) — bit-equal
+      // to the array_intersect/array_union form, kernel-pinned in spec
+      .withColumn("n_shared_k",
+        intersectCount(col("sh_a"), col("sh_b")))
+      .withColumn("true_j", q4(col("n_shared_k").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("n_shared_k"))
+          .cast("double")))
       .withColumn("est_e4", expr("CAST(floor(est_jaccard * 10000 + 0.5) AS BIGINT)"))
       .withColumn("true_e4", expr("CAST(floor(true_j * 10000 + 0.5) AS BIGINT)"))
       .groupBy(expr("CAST(floor(est_jaccard * 10) AS BIGINT)").as("est_bucket"))
@@ -566,9 +571,10 @@ object Dedup {
         col("a.blk1") === col("b.blk1") && col("a.blk2") === col("b.blk2") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.n_sh") * 5 >= col("a.n_sh") * 4 && col("a.n_sh") * 5 >= col("b.n_sh") * 4)
+      .withColumn("ic", intersectCount(col("a.sh_hashes"), col("b.sh_hashes")))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        q4(size(array_intersect(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double") /
-          size(array_union(col("a.sh_hashes"), col("b.sh_hashes"))).cast("double")).as("jaccard"))
+        q4(col("ic").cast("double") /
+          (col("a.n_sh") + col("b.n_sh") - col("ic")).cast("double")).as("jaccard"))
       .filter(col("jaccard") >= 0.8)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -1235,8 +1241,7 @@ object Dedup {
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
-      .withColumn("n_shared",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("n_shared", intersectCount(col("sh_a"), col("sh_b")))
       .withColumn("n_a", size(col("sh_a")).cast("long"))
       .withColumn("containment",
         q4(col("n_shared").cast("double") / col("n_a")))

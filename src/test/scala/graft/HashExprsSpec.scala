@@ -131,4 +131,41 @@ class HashExprsSpec extends SparkTestBase {
     assert(emitted == collapsed,
       s"missing=${(collapsed -- emitted).take(3)} extra=${(emitted -- collapsed).take(3)}")
   }
+
+  test("intersectCount equals size(array_intersect) on corpus shingles and adversarial arrays") {
+    // corpus side: every candidate-ish pairing over real shingle arrays
+    val sh = operators.Dedup.shingled(spark, sfDir)
+      .select(col("doc_id"), col("sh_hashes"))
+    val cmp = sh.as("a").join(sh.as("b"),
+        col("a.doc_id") < col("b.doc_id") &&
+          pmod(col("a.doc_id") + col("b.doc_id"), lit(7)) === 0)
+      .select(
+        intersectCount(col("a.sh_hashes"), col("b.sh_hashes")).as("native"),
+        size(array_intersect(col("a.sh_hashes"), col("b.sh_hashes")))
+          .cast("long").as("composed"),
+        (size(col("a.sh_hashes")) + size(col("b.sh_hashes")) -
+          intersectCount(col("a.sh_hashes"), col("b.sh_hashes")))
+          .cast("long").as("union_native"),
+        size(array_union(col("a.sh_hashes"), col("b.sh_hashes")))
+          .cast("long").as("union_composed"))
+    assert(cmp.count() > 0)
+    assert(cmp.filter(col("native") =!= col("composed")).count() === 0)
+    assert(cmp.filter(col("union_native") =!= col("union_composed")).count() === 0)
+    // adversarial side: the reserved empty-slot sentinel (0L), empty
+    // arrays, disjoint and identical arrays — driver-exact vs Scala sets
+    val cases = Seq(
+      (Array(0L, 1L, 2L), Array(0L, 3L)),
+      (Array.empty[Long], Array(1L, 2L)),
+      (Array(5L), Array.empty[Long]),
+      (Array(1L, 2L, 3L), Array(4L, 5L)),
+      (Array(-1L, Long.MinValue, 0L), Array(Long.MinValue, -1L, 7L)),
+      (Array(9L, 8L, 7L), Array(7L, 8L, 9L)))
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    cases.foreach { case (a, b) =>
+      val got = functions.IntersectCount.compute(
+        ArrayData.toArrayData(a), ArrayData.toArrayData(b))
+      val want = a.toSet.intersect(b.toSet).size.toLong
+      assert(got == want, s"${a.mkString(",")} ∩ ${b.mkString(",")}: got $got want $want")
+    }
+  }
 }
