@@ -625,18 +625,27 @@ object TextAnalysis {
     * documents. rate_ppm_raw > 10⁶ marks a language the recipe would
     * UPSAMPLE (epoch repetition at training time — selection here
     * caps at keep-all); selection reuses the engine's reproducible
-    * sampling hash. Shape: two tiny lang-level aggregates broadcast
-    * back over one corpus scan, the
-    * summary groupBy is the only corpus-width shuffle — scan speed at
-    * any scale.
+    * sampling hash. Shape: ONE lang-level aggregate (totals derive
+    * from it via a global window whose SinglePartition frame carries
+    * ~|langs| rows — never a second corpus scan) broadcast back over
+    * the corpus; the summary groupBy is the only other corpus-width
+    * shuffle — two scans, two hash exchanges at any scale
+    * (plan-pinned).
     */
   val txMixTemperature: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
       .withColumn("weight", floor(sqrt(col("cnt"))).cast("long"))
-    val tot = counts.agg(sum(col("cnt")).as("n_total"),
-      sum(col("weight")).as("w_total"))
-    val rates = counts.crossJoin(broadcast(tot))
+    // totals via a global window over the LANG-CARDINALITY aggregate —
+    // the SinglePartition exchange carries ~|langs| rows, and deriving
+    // them from `counts` itself (instead of a second docs.agg) keeps
+    // the corpus at exactly two scans: Catalyst doesn't share an
+    // uncached subtree, so a separate total aggregate re-scans
+    val wAll = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = counts
+      .withColumn("n_total", sum(col("cnt")).over(wAll))
+      .withColumn("w_total", sum(col("weight")).over(wAll))
       .withColumn("rate_ppm_raw",
         expr("((1000000 * weight) div w_total) * (n_total div 2) div cnt"))
       .withColumn("rate_ppm", least(lit(1000000L), col("rate_ppm_raw")))

@@ -640,6 +640,36 @@ class PlanHealthSpec extends SparkTestBase {
       s"the stats row must broadcast:\n$plan")
   }
 
+  test("tx_mix_temperature: rates broadcast back, one corpus-width exchange") {
+    // the lang-count and total aggregates are lang-cardinality tiny and
+    // must come back as broadcasts; the corpus itself reaches exactly
+    // one hash exchange (the summary groupBy, partial map-side) — a
+    // second one means the rate join stopped broadcasting and
+    // reshuffled the corpus
+    val plan = planOf("tx_mix_temperature")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the rate table must broadcast:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"tx_mix_temperature plans $hashEx hash exchanges:\n$plan")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"summary must partial-aggregate map-side:\n$plan")
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 2, s"tx_mix_temperature scans the corpus $scans times:\n$plan")
+  }
+
+  test("etl_fuzzy_product_match: the dictionary broadcasts, distance is map-side") {
+    // candidates = lines ⋈ dict on the length key — the dict is
+    // product-cardinality tiny and must broadcast. The optimizer folds
+    // the hamming filter into that join's residual condition; that HOF
+    // runs once per (file × same-length dict entry) row — dict-bounded
+    // (≤3 candidates/file), NOT the collision-stream shape the
+    // HOF-in-join-condition lesson bans. The file-keyed fan-back join
+    // (lines ⟕ best) is file-cardinality both sides and may shuffle.
+    val plan = planOf("etl_fuzzy_product_match")
+    assert("BroadcastHashJoin \\[len#\\d+\\], \\[len#\\d+\\]".r.findFirstIn(plan).isDefined,
+      s"the dict join must broadcast on the length key:\n$plan")
+  }
+
   test("narrow projections prune the scan schema") {
     val plan = planOf("q02_filter_project")
     // q02 reads 3 output columns + 3 filter columns; the full lineitem
