@@ -609,6 +609,39 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Fixed-window token CHUNKING with overlap — the pretraining/RAG
+    * chunker [[txPack]] is the complement of: packing concatenates
+    * SHORT documents up to the budget, chunking splits LONG documents
+    * across it. Window = 64 tokens, stride = 48 (16-token overlap so
+    * no boundary context is lost); chunk i covers tokens
+    * [i·48, i·48+64), the last chunk may be short, and an n ≤ 64
+    * document is exactly one chunk. All integer: n_chunks =
+    * 1 + ⌈(n−64)/48⌉ via the (a+b−1) div b form. Shape: one map-side
+    * posexplode + native array slice/join per chunk — zero shuffles
+    * except the presentation sort, scan-speed at any corpus size, and
+    * the explode factor is bounded by corpus tokens / stride by
+    * construction.
+    */
+  val txChunk: Q = (s, d) => {
+    val (win, stride) = (64, 48)
+    Tables.documents(s, d)
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_toks_doc", size(col("toks")))
+      .withColumn("n_chunks", expr(
+        s"CASE WHEN n_toks_doc <= $win THEN 1 " +
+          s"ELSE 1 + (n_toks_doc - $win + ${stride - 1}) div $stride END"))
+      .select(col("doc_id"), col("toks"), col("n_toks_doc"),
+        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_idx", "i")))
+      .withColumn("start_tok", col("i") * stride)
+      .withColumn("chunk_toks",
+        expr(s"slice(toks, start_tok + 1, $win)"))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(col("chunk_toks")).cast("long").as("n_toks"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
   /** TEMPERATURE-based corpus mixing — the other standard mixing
     * contract next to [[txMixRebalance]]'s explicit target table: no
     * targets are given, the mix is DERIVED from the measured corpus
@@ -1256,6 +1289,7 @@ object TextAnalysis {
     "tx_augment_dropout" -> txAugmentDropout,
     "tx_mix_rebalance" -> txMixRebalance,
     "tx_mix_temperature" -> txMixTemperature,
+    "tx_chunk" -> txChunk,
     "tx_pack" -> txPack,
     "tx_repetition" -> txRepetition,
     "tx_decontaminate" -> txDecontaminate,
@@ -1656,6 +1690,28 @@ object TextAnalysis {
         |  FROM documents d JOIN counts c ON d.lang = c.lang CROSS JOIN tot
         |  LEFT JOIN targets t ON d.lang = t.lang) x
         |WHERE bucket < rate_e6 ORDER BY doc_id""".stripMargin,
+    "tx_chunk" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents),
+        |counted AS (
+        |  SELECT doc_id, toks, n,
+        |    CASE WHEN n <= 64 THEN 1
+        |         ELSE 1 + (n - 64 + 47) // 48 END AS n_chunks
+        |  FROM docs),
+        |exploded AS (
+        |  SELECT doc_id, toks, n,
+        |    unnest(generate_series(0, n_chunks - 1)) AS chunk_idx
+        |  FROM counted)
+        |SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |  CAST(chunk_idx * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_toks,
+        |  array_to_string(
+        |    list_slice(toks, chunk_idx * 48 + 1,
+        |               least(n, chunk_idx * 48 + 64)), ' ') AS chunk_text
+        |FROM exploded
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
     "tx_mix_temperature" ->
       """WITH counts AS (
         |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt,

@@ -2173,6 +2173,36 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("tx_chunk tiles every document: stride-48 starts, full coverage, exact slices") {
+    val chunks = SparkEntry.queries("tx_chunk")(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"),
+        (r.getAs[Long]("chunk_idx"), r.getAs[Long]("start_tok"),
+          r.getAs[Long]("n_toks"), r.getAs[String]("chunk_text"))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1)).toMap
+    val docs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1).split(" ", -1))).toMap
+    assert(chunks.keySet == docs.keySet)
+    docs.foreach { case (id, toks) =>
+      val cs = chunks(id)
+      val n = toks.length
+      // starts advance by exactly the stride; the last window reaches
+      // the end of the document and no further window would add tokens
+      cs.zipWithIndex.foreach { case ((idx, start, nt, text), i) =>
+        assert(idx == i && start == 48L * i)
+        assert(nt == math.min(64, n - start), s"doc $id chunk $i length")
+        assert(text == toks.slice(start.toInt, start.toInt + 64).mkString(" "),
+          s"doc $id chunk $i slice mismatch")
+      }
+      val (_, lastStart, lastN, _) = cs.last
+      assert(lastStart + lastN == n, s"doc $id: chunks stop before the end")
+      assert(cs.length == (if (n <= 64) 1 else 1 + (n - 64 + 47) / 48))
+      // consecutive full windows overlap by exactly 16 tokens
+      if (cs.length > 1)
+        assert(cs(0)._2 + 64 - cs(1)._2 == 16)
+    }
+  }
+
   test("tx_mix_temperature matches a plain-Scala replay; bigger langs get lower rates") {
     val out = SparkEntry.queries("tx_mix_temperature")(spark, sfDir).collect()
       .map(r => (r.getAs[String]("lang"),
