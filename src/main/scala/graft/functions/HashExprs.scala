@@ -296,9 +296,10 @@ case class SigMatchCount(left: Expression, right: Expression)
   * arrays — bit-equal to `size(array_intersect(a, b))` on such inputs
   * (spec-pinned), without materializing the intersection array; the
   * union size then derives arithmetically as |a| + |b| − |∩|, so a
-  * Jaccard/containment verify allocates NOTHING per pair where the
-  * array_intersect + array_union form builds two hash sets and two
-  * output arrays. Written native because this runs once per VERIFIED
+  * Jaccard/containment verify allocates ONE flat long table per pair
+  * where the array_intersect + array_union form builds two boxed hash
+  * sets and two output arrays. Written native because this runs once
+  * per VERIFIED
   * CANDIDATE PAIR — the dominant per-pair cost of the exact-verify
   * family (dd_pair_quality*, dd_ngram_jaccard, dd_containment):
   * tens of millions of pairs × ~100-element arrays at 100×. The
@@ -333,6 +334,19 @@ object IntersectCount {
       if (a.numElements() <= b.numElements()) (a, b) else (b, a)
     val n = small.numElements()
     if (n == 0) return 0L
+    // the function is SQL-registered, so guard the open table against
+    // a pathological single-row array: past 2^29 elements the
+    // power-of-two capacity would overflow Int (and a 2× table would
+    // be ≥8 GiB); count via a boxed set instead of looping forever
+    if (n >= (1 << 29)) {
+      val set = new java.util.HashSet[java.lang.Long](1 << 20)
+      var i = 0
+      while (i < n) { set.add(small.getLong(i)); i += 1 }
+      var c = 0L; var j = 0
+      val m = large.numElements()
+      while (j < m) { if (set.contains(large.getLong(j))) c += 1; j += 1 }
+      return c
+    }
     var cap = 2
     while (cap < n * 2) cap <<= 1
     val mask = cap - 1

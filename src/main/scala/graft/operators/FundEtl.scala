@@ -817,6 +817,10 @@ object FundEtl {
     */
   val etlFuzzyProductMatch: Q = (s, _) => {
     val label = "产品名称："
+    // persisted: the frame feeds BOTH the candidate aggregate and the
+    // final fan-back join, and Catalyst does not share uncached
+    // subtrees — without the persist every run would decode and
+    // glyph-match the whole PNG corpus twice
     val lines = ocrRealRouted(s)
       .filter(col("ocr_ok"))
       .select(col("file_name"), col("ocr_used"),
@@ -827,11 +831,18 @@ object FundEtl {
       .select(col("file_name"), col("ocr_used"),
         expr("substring(f.line, 6)").as("raw_name"))
       .withColumn("len", length(col("raw_name")))
+      .persist()
+    // length > 0 keeps the degenerate empty-value case out of the
+    // candidate join entirely (an empty raw then left-joins to a NULL
+    // match, the honest answer) — and keeps the per-position fold off
+    // the sequence(1, 0) descending-sequence edge where Spark and
+    // DuckDB list_sum(NULL-on-empty) semantics diverge
     val dict = loadStatements(s, "*.txt", statementsDir)
       .select(explode(split(col("content"), "\n")).as("line"))
       .filter(col("line").startsWith(label))
       .select(expr("substring(line, 6)").as("canon")).distinct()
       .withColumn("len", length(col("canon")))
+      .filter(col("len") > 0)
     val best = lines.join(broadcast(dict), "len")
       .withColumn("ham", expr(
         "aggregate(sequence(1, len), 0L, (acc, i) -> acc + " +
@@ -1249,7 +1260,7 @@ object FundEtl {
          |  SELECT DISTINCT substr(line, 6) AS canon
          |  FROM (SELECT unnest(string_split(content, chr(10))) AS line
          |        FROM read_text('$statementsDir/*/*.txt')) t
-         |  WHERE starts_with(line, '产品名称：')),
+         |  WHERE starts_with(line, '产品名称：') AND length(substr(line, 6)) > 0),
          |best AS (
          |  SELECT file_name, canon, ham, row_number() OVER (
          |      PARTITION BY file_name ORDER BY ham, canon) AS rn

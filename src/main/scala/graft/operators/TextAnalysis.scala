@@ -631,8 +631,8 @@ object TextAnalysis {
         s"CASE WHEN n_toks_doc <= $win THEN 1 " +
           s"ELSE 1 + (n_toks_doc - $win + ${stride - 1}) div $stride END"))
       .select(col("doc_id"), col("toks"), col("n_toks_doc"),
-        posexplode(expr("sequence(0, n_chunks - 1)")).as(Seq("chunk_idx", "i")))
-      .withColumn("start_tok", col("i") * stride)
+        explode(expr("sequence(0, n_chunks - 1)")).as("chunk_idx"))
+      .withColumn("start_tok", col("chunk_idx") * stride)
       .withColumn("chunk_toks",
         expr(s"slice(toks, start_tok + 1, $win)"))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),

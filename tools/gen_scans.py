@@ -249,12 +249,15 @@ def main():
             # residues keep this leg disjoint from the label-destroyed
             # leg above; the noisy leg may overlap (same backout rule).
             pl = next((ri for ri, l in enumerate(lines)
-                       if l.startswith("产品名称：")), None)
+                       if l.startswith("产品名称：")
+                       and l[len("产品名称："):].strip()), None)
             vstart = len("产品名称：")
-            if pl is not None and len(lines[pl]) > vstart:
+            if pl is not None:
                 r2 = pl
                 c2 = vstart + rng.randrange(len(lines[pl]) - vstart)
                 if lines[r2][c2] == " ":
+                    # a non-space exists past the label by the strip()
+                    # in the line selection above
                     c2 = next(ci for ci in range(vstart, len(lines[r2]))
                               if lines[r2][ci] != " ")
                 v = scribble_bits(name, r2, c2, templates)
