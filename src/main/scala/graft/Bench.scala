@@ -15,6 +15,25 @@ object Bench {
     "dd_exact", "dd_minhash_lsh", "ann_brute_topk",
     "tx_clean_corpus", "st_sessionize")
 
+  /** DRIFT SENTINELS (round 14, the r13 verdict's ask #2): ten ops
+    * whose code has been untouched for many rounds, paired with their
+    * official BENCH_QUERIES_r13 min values. Two same-code runs in
+    * round 13 differed 24% (builder 5.667 s vs driver 7.03 s headline)
+    * with the shift uniform across files without commits — machine
+    * state, not plans. drift_factor = median(current/r13 reference)
+    * over these ops names that machine state explicitly, so
+    * `headline_drift_normalized = headline / drift_factor` compares
+    * rounds on identical terms. The references are the DRIVER's r13
+    * numbers (the gating artifact), so a driver-run r14 bench under
+    * the same machine state reads drift ≈ 1.
+    */
+  val driftSentinels: Seq[(String, Double)] = Seq(
+    "q01_pricing_summary" -> 0.387, "q03_shipping_priority" -> 0.960,
+    "q05_local_supplier" -> 0.841, "q06_revenue_filter" -> 0.244,
+    "q16_having" -> 0.396, "q34_stats" -> 0.316,
+    "etl_classify" -> 0.206, "mm_resize" -> 0.136,
+    "tx_clean_corpus" -> 0.485, "ann_brute_topk" -> 0.328)
+
   /** SECOND headline list (round 12, the verdict's ask #5): the
     * composed flagship DAGs, benched alongside the stable headline so
     * a regression in operator COMPOSITION (a lost cache barrier, a
@@ -30,21 +49,34 @@ object Bench {
   val flagships: Seq[String] =
     Seq("etl_e2e", "dd_pipeline", "mm_pipeline", "tx_pipeline")
 
+  /** FROZEN flagship headline set (round 14, the r13 verdict's ask
+    * #5): the six composed DAGs — the four registry flagships plus the
+    * stateful curation twin and the streaming batch probe — as a FIXED
+    * cross-round list, separate from `flagships` (whose total has
+    * r11-r13 continuity). flagshipHeadlineR13 is the back-reference:
+    * the sum of BENCH_r13.json's values for exactly these six
+    * (etl_e2e 1.007 + dd_pipeline 3.869 + mm_pipeline 0.982 +
+    * tx_pipeline 0.131 + tx_curation_incremental 4.094 +
+    * statement_batch_probe 2.107).
+    */
+  val flagshipHeadline: Seq[String] =
+    Seq("etl_e2e", "dd_pipeline", "mm_pipeline", "tx_pipeline",
+      "tx_curation_incremental")
+  val flagshipHeadlineR13: Double = 12.190
+
   /** Operators whose SEMANTICS changed this round: their bench deltas
     * vs the prior round are operator changes, not perf regressions
-    * (the q22/q37 lesson — reset each round). Round 13: the band
-    * store + first-band-wins emission left every dd_* OUTPUT
-    * bit-identical (HashExprsSpec pins emit-once ==
-    * canonical-collapse) and the e2 NULL branch never fires on the
-    * committed corpora, so neither is listed; tx_curation_incremental,
-    * tx_mix_temperature and etl_fuzzy_product_match are NEW, not
-    * changed. The two listed ops read the statements_ocr corpus,
-    * which the round-13 value-destroyed generator leg regenerated
-    * (5 scans now carry a '?' inside the 产品名称 value), so their
-    * OUTPUT rows changed with the corpus.
+    * (the q22/q37 lesson — reset each round). Round 14: dd_simhash's
+    * output GREW — the r13 4×16-bit banding was pigeonhole-exact only
+    * to hamming ≤ 3 while the verify admitted ≤ 4, so hamming-4 pairs
+    * spread one-bit-per-chunk were unreachable (85,014 such pairs at
+    * 25×: 2,114,379 → 2,199,393 rows). The round-14 exact banding
+    * emits ALL pairs at hamming ≤ 4, so its rows (and the sf0.1
+    * bench delta) reflect a recall fix, not a perf regression.
+    * etl_dict_maintain is NEW, not changed.
     */
   val semanticsChanged: Seq[String] =
-    Seq("etl_ocr_real", "etl_ocr_fuzzy_extract")
+    Seq("dd_simhash")
 
   /** One COLD apply of the streaming flagship's micro-batch kernel:
     * the whole statement corpus as batch 0 — extract + classify, the
@@ -193,12 +225,31 @@ object Bench {
       if (flagshipComplete) flagshipMap.map(_._2).sum else -1.0
     val fj = flagshipMap.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    // The frozen 6-op flagship headline (registry five + the probe)
+    // with its r13 back-reference — see flagshipHeadline's scaladoc.
+    val fhMap = flagshipHeadline.map(k =>
+      k -> succeeded.getOrElse(k, -1.0)) :+ ("statement_batch_probe" -> stmtBatch)
+    val fhTotal = if (fhMap.forall(_._2 >= 0)) fhMap.map(_._2).sum else -1.0
+    // Drift normalization: median(current min / r13 driver reference)
+    // over the sentinel ops; -1 when fewer than 5 sentinels succeeded
+    // (a drift factor from a broken sweep would be noise, not signal).
+    val driftRatios = driftSentinels.flatMap { case (k, ref) =>
+      succeeded.get(k).filter(_ > 0).map(_ / ref)
+    }.sorted
+    val driftFactor =
+      if (driftRatios.size < 5) -1.0
+      else driftRatios(driftRatios.size / 2)
+    val headlineNorm =
+      if (driftFactor > 0 && headlineComplete) headlineTotal / driftFactor else -1.0
+    val driftJson = driftSentinels.map { case (k, ref) =>
+      s"\"" + k + "\":{\"ref_r13\":" + ref + ",\"cur\":" + succeeded.getOrElse(k, -1.0) + "}"
+    }.mkString("{", ",", "}")
     // "stat" names the headline statistic EXPLICITLY (the round-11
     // advice): min across 3 interleaved full sweeps, pinned sorted
     // order — round-over-round deltas are only meaningful against a
     // BENCH_r*.json carrying the same marker. queries_median is the
     // conservative steady-state companion from the same samples.
-    val fullJson = s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"queries":$qs,""" +
+    val fullJson = s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"drift_factor":$driftFactor,"headline_drift_normalized":$headlineNorm,"drift_sentinels":$driftJson,"flagship_headline_total":$fhTotal,"flagship_headline_r13":$flagshipHeadlineR13,"queries":$qs,""" +
       s""""queries_median":$qsMed,"errors":$es,"headline":$hs,"flagship_total":$flagshipTotal,"flagship_complete":$flagshipComplete,"flagship_queries":$fj,"semantics_changed":$sc,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's stdout tail capture is character-bounded and has
@@ -243,7 +294,7 @@ object Bench {
     // Compact repeat on its own FINAL line: the driver's tail capture is
     // character-bounded and once truncated the leading "value" field out
     // of the long line above. This line is short enough to always survive.
-    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"flagship_total":$flagshipTotal,"all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"drift_factor":$driftFactor,"headline_drift_normalized":$headlineNorm,"flagship_total":$flagshipTotal,"flagship_headline_total":$fhTotal,"all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

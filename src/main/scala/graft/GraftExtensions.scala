@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, FirstCollidingBand, IntersectCount, MinHashSignature, ShingleHashes, SigMatchCount, SimHash64, TokenModeCount, TopKValues}
+import graft.functions.{BpeTokenCount, CosineSimilarity, DotProduct, FirstCollidingBand, FirstMatchingChunk, IntersectCount, MinHashSignature, ShingleHashes, SigMatchCount, SimHash64, TokenModeCount, TopKValues}
 
 /** SparkSessionExtensions entry point: registers the native vector
   * expressions as SQL functions so `spark.sql("... graft_cosine(a, b)
@@ -56,8 +56,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => SigMatchCount(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_intersect_count"),
-      new ExpressionInfo(classOf[IntersectCount].getName, "graft_intersect_count"),
+      // the usage text carries the DISTINCT-INPUT precondition to SQL
+      // callers: on duplicate-bearing arrays the count exceeds
+      // size(array_intersect) (each duplicate probe-side hit counts),
+      // so the bit-equality contract is scoped to distinct inputs
+      new ExpressionInfo(classOf[IntersectCount].getName, null,
+        "graft_intersect_count",
+        "graft_intersect_count(a, b) - |a ∩ b| for two DISTINCT-element " +
+          "bigint arrays; equals size(array_intersect(a, b)) only when " +
+          "each input has no duplicate elements (duplicates are counted " +
+          "per occurrence on the probe side).", ""),
       (children: Seq[Expression]) => IntersectCount(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("graft_first_matching_chunk"),
+      new ExpressionInfo(classOf[FirstMatchingChunk].getName, "graft_first_matching_chunk"),
+      (children: Seq[Expression]) => FirstMatchingChunk(children(0), children(1))))
     ext.injectFunction((
       FunctionIdentifier("graft_shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "graft_shingle_hashes"),

@@ -268,6 +268,29 @@ object Profile {
             println(f"[profile] avro-scale $lbl r$round files=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
           }
         }
+      case "--simhash-legs" =>
+        // stage split of the two-leg simhash pair emission: identical-
+        // value grid join vs distinct-value chunk join + fan-out
+        val sigs = operators.Dedup.simhashStore(spark, d)
+        val t0 = System.nanoTime()
+        val nSig = sigs.count()
+        val t1 = System.nanoTime()
+        val eq = operators.Dedup.simhashEqPairs(sigs).count()
+        val t2 = System.nanoTime()
+        val groups = operators.Dedup.simhashGroups(sigs)
+        val t3 = System.nanoTime()
+        val vp = operators.Dedup.simhashValuePairs(groups).count()
+        val t4 = System.nanoTime()
+        val cross = operators.Dedup.simhashCrossPairs(groups).count()
+        val t5 = System.nanoTime()
+        val full = SparkEntry.queries("dd_simhash")(spark, d).count()
+        val t6 = System.nanoTime()
+        println(f"[profile] simhash-legs sigs=$nSig (${(t1 - t0) / 1e9}%.2f s) " +
+          f"eq=$eq (${(t2 - t1) / 1e9}%.2f s) " +
+          f"groups (${(t3 - t2) / 1e9}%.2f s) " +
+          f"vpairs=$vp (${(t4 - t3) / 1e9}%.2f s) " +
+          f"cross=$cross (${(t5 - t4) / 1e9}%.2f s) " +
+          f"full=$full (${(t6 - t5) / 1e9}%.2f s)")
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)

@@ -218,6 +218,7 @@ case class FirstCollidingBand(left: Expression, right: Expression)
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val sa = a.asInstanceOf[ArrayData]; val sb = b.asInstanceOf[ArrayData]
+    FirstCollidingBand.checkLength(sa.numElements(), sb.numElements())
     var band = 0
     while (band < 8) {
       val o = band * 4
@@ -235,6 +236,7 @@ case class FirstCollidingBand(left: Expression, right: Expression)
       val band = ctx.freshName("band"); val o = ctx.freshName("o")
       val res = ctx.freshName("res")
       s"""
+         |graft.functions.FirstCollidingBand.checkLength($a.numElements(), $b.numElements());
          |int $res = 8;
          |for (int $band = 0; $band < 8; $band++) {
          |  int $o = $band * 4;
@@ -250,6 +252,91 @@ case class FirstCollidingBand(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+object FirstCollidingBand {
+  /** The expression reads positions 0..31 of both signatures, and it is
+    * SQL-registered (graft_first_colliding_band), so a caller CAN hand
+    * it shorter arrays — without this guard that is an unchecked
+    * out-of-bounds read on UnsafeArrayData (garbage or a JVM crash),
+    * while the sibling kernels (SigMatchCount, IntersectCount) all
+    * bound their loops by numElements. Internal callers always pass
+    * 32-long MinHash signatures, so the branch never fires in-engine
+    * and costs two loads per row.
+    */
+  def checkLength(na: Int, nb: Int): Unit =
+    if (na < 32 || nb < 32)
+      throw new IllegalArgumentException(
+        s"graft_first_colliding_band requires two signatures of length >= 32, got $na and $nb")
+}
+
+/** first_matching_chunk(simA, simB): the minimum PAIR-BAND index k in
+  * 0..14 where the two 64-bit SimHash words agree on every bit of BOTH
+  * chunks of pair k, or 15 if no pair band matches. The layout is 6
+  * chunks of 11/11/11/11/10/10 bits (starts 0,11,22,33,44,54); the 15
+  * bands are the C(6,2) ordered chunk pairs enumerated (0,1),(0,2),…,
+  * (4,5). Drives FIRST-BAND-WINS emission in Dedup.ddSimhash (round
+  * 14 — the [[FirstCollidingBand]] pattern on packed words): a pair
+  * sharing several bands is emitted only at its minimum band, so the
+  * band-key self-join outputs each candidate pair exactly once.
+  *
+  * WHY pair bands: hamming ≤ 4 dirties at most 4 of the 6 chunks, so
+  * every pair at the verify threshold has ≥ 2 clean chunks — i.e. at
+  * least one clean PAIR band (pigeonhole; exact recall at τ ≤ 4,
+  * closing the r13 asymmetry where 4×16 single-chunk banding was
+  * exact only to ≤ 3). The 21-22-bit composite keys are what keep
+  * candidate volume down on a clustered corpus: measured at 25× over
+  * 69k distinct signatures, single 13-bit chunks (exactness minimum
+  * for τ=4 at 5 bands) put 137M value pairs through the join predicate
+  * where the pair bands admit 35M; 8-bit chunks were 10× worse still
+  * (~75M probes at doc level, 110 s end-to-end). Early exit at band 0
+  * for identical signatures.
+  */
+case class FirstMatchingChunk(left: Expression, right: Expression)
+    extends BinaryExpression with Serializable {
+  override def prettyName: String = "graft_first_matching_chunk"
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    FirstMatchingChunk.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.FirstMatchingChunk.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object FirstMatchingChunk {
+  /** (start, width) of the 6 chunks over the 64-bit word. */
+  val chunks: IndexedSeq[(Int, Int)] =
+    IndexedSeq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+  /** The 15 ordered chunk pairs, band k = pairs(k). */
+  val pairs: IndexedSeq[(Int, Int)] =
+    for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+  private val pi = pairs.map(_._1).toArray
+  private val pj = pairs.map(_._2).toArray
+
+  def compute(a: Long, b: Long): Int = {
+    val x = a ^ b
+    // cleanliness bitmap of the 6 chunks, one pass
+    var clean = 0
+    var c = 0
+    while (c < 6) {
+      val (st, w) = chunks(c)
+      if (((x >>> st) & ((1L << w) - 1L)) == 0L) clean |= 1 << c
+      c += 1
+    }
+    var k = 0
+    while (k < 15) {
+      if ((clean & (1 << pi(k))) != 0 && (clean & (1 << pj(k))) != 0) return k
+      k += 1
+    }
+    15
+  }
 }
 
 /** sig_match_count(sigA, sigB): number of equal positions between two
@@ -386,6 +473,9 @@ object HashFunctions {
 
   def firstCollidingBand(a: Column, b: Column): Column =
     Bridge.column(FirstCollidingBand(Bridge.expression(a), Bridge.expression(b)))
+
+  def firstMatchingChunk(a: Column, b: Column): Column =
+    Bridge.column(FirstMatchingChunk(Bridge.expression(a), Bridge.expression(b)))
 
   def sigMatchCount(a: Column, b: Column): Column =
     Bridge.column(SigMatchCount(Bridge.expression(a), Bridge.expression(b)))

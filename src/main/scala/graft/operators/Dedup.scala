@@ -20,22 +20,29 @@ object Dedup {
 
   private def q4(c: Column): Column = floor(c * 10000 + 0.5) / lit(10000.0)
 
-  /** doc_id + normalized text + word-3-gram shingle hashes.
-    *
-    * Persisted: every consumer self-joins, and joining on keys derived
-    * from interpreted higher-order-function chains re-evaluates the
-    * whole chain per probe (measured 50.8s → 0.35s at sf0.1 with the
-    * barrier). At cluster scale you materialize the signature table
-    * before LSH joins for exactly the same reason; identical plans
-    * share one cache entry via the CacheManager.
+  /** doc_id + word-3-gram shingle hashes, from the PERSISTED shingle
+    * store (round 14 — the band-store pattern generalized; see
+    * [[corpusArtifactStore]]): a session `persist()` amortized the
+    * tokenize+hash pass within one session only, so every fresh JVM
+    * re-paid it for the whole exact-verify family (dd_ngram_jaccard /
+    * dd_containment / dd_pair_quality*). The store materializes the
+    * shingle table once per corpus, bucketed on doc_id — so
+    * dd_containment's fan-back joins (candidates → full shingle sets
+    * by doc_a/doc_b) read a pre-hashed side, and fresh sessions
+    * re-register over the existing files footer-read cheap. No
+    * session cache left behind (the old persist lived for the session
+    * lifetime).
     */
-  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[graft] def shingleStoreName(d: String): String = storeName("shingle", d)
+  private[graft] def shingledOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("norm", lower(regexp_replace(trim(col("text")), "\\s+", " ")))
       .withColumn("sh_hashes",
         graft.functions.HashFunctions.shingleHashes(split(col("norm"), " "), 3))
-      .select(col("doc_id"), col("norm"), col("sh_hashes"))
-      .persist()
+      .select(col("doc_id"), col("sh_hashes"))
+  private[graft] def shingled(s: SparkSession, d: String): DataFrame =
+    corpusArtifactStore(s, d, shingleStoreName(d), "doc_id")(
+      shingledOf(Tables.documents(s, d)))
 
   /** Exact dedup: md5 of whitespace-normalized lowercase text, keep the
     * smallest doc_id per hash — a partial-aggregating groupBy (map-side
@@ -111,12 +118,20 @@ object Dedup {
     * hash) — one file per bucket, not tasks×buckets small files.
     */
   private val storeLock = new Object
-  private[graft] def bandStoreName(d: String): String = {
+
+  /** Store-table name for a (kind, corpus dir): the digest keys the
+    * corpus PATH so stores for different dirs coexist in one
+    * warehouse; `kind` separates the artifact families (band = MinHash
+    * band index, simchunk = SimHash chunk index, shingle = shingle
+    * table) built over the same corpus.
+    */
+  private[graft] def storeName(kind: String, d: String): String = {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(new java.io.File(d).getCanonicalPath.getBytes("UTF-8"))
       .take(6).map("%02x".format(_)).mkString
-    s"graft_dd_band_store_$digest"
+    s"graft_dd_${kind}_store_$digest"
   }
+  private[graft] def bandStoreName(d: String): String = storeName("band", d)
 
   private def hadoopFs(s: SparkSession, p: org.apache.hadoop.fs.Path) =
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -145,8 +160,18 @@ object Dedup {
     new org.apache.hadoop.fs.Path(wh, name)
   }
 
-  private[graft] def bandedStore(s: SparkSession, d: String): DataFrame = storeLock.synchronized {
-    val name = bandStoreName(d)
+  /** The generic persisted corpus-artifact store (round 14 — the
+    * round-13 band-store machinery factored out so every per-doc
+    * signature/shingle table shares ONE fingerprint/marker/bucketing
+    * implementation): build `artifact` once per corpus as an external
+    * parquet table bucketed on `bucketCol`, guard freshness with the
+    * marker-last `_SOURCE_FINGERPRINT` sidecar, and re-register (not
+    * rebuild) on fresh sessions. `artifact` is by-name so the build
+    * plan is only constructed when (re)building or for its schema DDL.
+    */
+  private[graft] def corpusArtifactStore(
+      s: SparkSession, d: String, name: String, bucketCol: String)(
+      artifact: => DataFrame): DataFrame = storeLock.synchronized {
     val path = bandStorePath(s, name)
     val fs = hadoopFs(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, "_SOURCE_FINGERPRINT")
@@ -163,12 +188,12 @@ object Dedup {
       }
     if (!stored.contains(fp)) {
       // build (or rebuild after a corpus change): one pass over the
-      // documents — the only place the shingle/MinHash kernel runs
+      // documents — the only place the signature/shingle kernel runs
       s.sql(s"DROP TABLE IF EXISTS $name")
-      bandedOf(minhashSigTableOf(Tables.documents(s, d)))
-        .repartition(32, col("band_key"))
+      artifact
+        .repartition(32, col(bucketCol))
         .write.mode("overwrite").format("parquet")
-        .bucketBy(32, "band_key")
+        .bucketBy(32, bucketCol)
         .option("path", path.toString)
         .saveAsTable(name)
       val out = fs.create(marker, true)
@@ -176,26 +201,36 @@ object Dedup {
     } else if (!s.catalog.tableExists(name)) {
       // valid store from an earlier run, fresh session: re-register the
       // external bucketed table over the existing files (no data write)
-      val ddl = bandedOf(minhashSigTableOf(Tables.documents(s, d))).schema.toDDL
+      val ddl = artifact.schema.toDDL
       s.sql(
         s"""CREATE TABLE $name ($ddl) USING PARQUET
-           |CLUSTERED BY (band_key) INTO 32 BUCKETS
+           |CLUSTERED BY ($bucketCol) INTO 32 BUCKETS
            |LOCATION '${path.toString}'""".stripMargin)
     }
     s.table(name)
   }
 
-  /** Drop the band store for a corpus dir — the explicit invalidation
-    * path for callers that rewrote the corpus in place and don't want
-    * to wait for the fingerprint check (which would also catch it).
+  private[graft] def bandedStore(s: SparkSession, d: String): DataFrame =
+    corpusArtifactStore(s, d, bandStoreName(d), "band_key")(
+      bandedOf(minhashSigTableOf(Tables.documents(s, d))))
+
+  /** Drop one store table+dir — the explicit invalidation path for
+    * callers that rewrote the corpus in place and don't want to wait
+    * for the fingerprint check (which would also catch it).
     */
-  private[graft] def invalidateBandStore(s: SparkSession, d: String): Unit = storeLock.synchronized {
-    val name = bandStoreName(d)
+  private[graft] def invalidateStore(s: SparkSession, name: String): Unit = storeLock.synchronized {
     s.sql(s"DROP TABLE IF EXISTS $name")
     val path = bandStorePath(s, name)
     hadoopFs(s, path).delete(path, true)
     ()
   }
+
+  /** Drop ALL artifact stores for a corpus dir (band, simhash-chunk,
+    * shingle) — what a corpus rewrite invalidates.
+    */
+  private[graft] def invalidateBandStore(s: SparkSession, d: String): Unit =
+    Seq(bandStoreName(d), simhashStoreName(d), shingleStoreName(d))
+      .foreach(invalidateStore(s, _))
 
   /** (doc_id, sig, band_key) — the LSH band index rows for a signature
     * table: 8 bands × 4 sig positions, one exploded row per band. This
@@ -509,44 +544,169 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes (native codegen'd SimHash64
     * expression — one pass over tokens instead of an interpreted
-    * O(64×tokens) aggregate/zip_with chain); candidates from 16-bit
-    * chunk bands (any hamming-≤3 pair shares a chunk), verified by
+    * O(64×tokens) aggregate/zip_with chain); candidates from the
+    * PERSISTED 8×8-bit chunk-band store, verified by
     * bit_count(xor) ≤ 4.
+    *
+    * RECALL CONTRACT (round 14 — fixes the r13 asymmetry where 4×16-bit
+    * banding was pigeonhole-exact only to hamming ≤ 3 while the verify
+    * admitted ≤ 4, leaving hamming-4 pairs spread one-bit-per-chunk
+    * silently unreachable): with 8 chunks of 8 bits, any pair at
+    * hamming ≤ 7 shares at least one whole chunk (pigeonhole — the
+    * mm_phash_pairs τ ≤ bands−1 argument), so banding is provably
+    * exact for the emitted hamming ≤ 4 threshold with margin. The
+    * operator's output IS "all pairs at hamming ≤ 4", not "pairs the
+    * banding happened to catch".
     */
-  /** SimHash signature table — split-oracle boundary, same as
-    * [[minhashSigTable]]: the kernel is spec-pinned, the chunk-banding
-    * and hamming verify are re-run by the DuckDB oracle over this dump.
+  /** The persisted SimHash signature store — the bandedStore pattern
+    * ([[corpusArtifactStore]]): one (doc_id, simhash) row per
+    * document, built once per corpus, fingerprint-guarded,
+    * re-registered footer-read-cheap by fresh sessions. Closes the
+    * last session-local signature recompute in the dedup family (the
+    * r13 `weak`): the old `persist()` re-paid the tokenize+SimHash
+    * pass in every fresh JVM.
     */
-  private def simhashSigTable(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+  private[graft] def simhashStoreName(d: String): String = storeName("simsig", d)
+  private[graft] def simhashSigTableOf(docs: DataFrame): DataFrame =
+    docs
       .withColumn("simhash", simhash64(split(lower(trim(col("text"))), " ")))
       .select(col("doc_id"), col("simhash"))
-      .persist()
+  private[graft] def simhashStore(s: SparkSession, d: String): DataFrame =
+    corpusArtifactStore(s, d, simhashStoreName(d), "doc_id")(
+      simhashSigTableOf(Tables.documents(s, d)))
 
-  val ddSimhash: Q = (s, d) => {
-    val sim = simhashSigTable(s, d)
-    val chunked = sim.withColumn("c", explode(sequence(lit(0), lit(3))))
-      .withColumn("chunk_key", concat_ws(":", col("c"),
-        expr("shiftright(simhash, c * 16) & 65535")))
-      .select(col("doc_id"), col("simhash"), col("c"), col("chunk_key"))
-    // FIRST-CHUNK-WINS emission (round 13 — the minhashPairs lesson
-    // applied to the 16-bit chunk bands): a pair sharing several
-    // chunks is emitted only at its minimum shared chunk, so the join
-    // outputs each candidate pair exactly once and the post-join
-    // DISTINCT (a shuffle of the whole collision stream, up to 4 rows
-    // per near-identical pair) disappears. The predicate is pure
-    // integer shift/mask arithmetic on the two 64-bit signatures —
-    // codegen'd builtins, no HOF, no native expression needed.
-    val noEarlierChunk = expr(
-      """NOT ((a.c >= 1 AND (shiftright(a.simhash,  0) & 65535) = (shiftright(b.simhash,  0) & 65535))
-        |  OR (a.c >= 2 AND (shiftright(a.simhash, 16) & 65535) = (shiftright(b.simhash, 16) & 65535))
-        |  OR (a.c >= 3 AND (shiftright(a.simhash, 32) & 65535) = (shiftright(b.simhash, 32) & 65535)))""".stripMargin)
-    chunked.as("a")
-      .join(chunked.as("b"), col("a.chunk_key") === col("b.chunk_key") &&
-        col("a.doc_id") < col("b.doc_id") && noEarlierChunk)
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+  /** SimHash signature table — split-oracle boundary, same as
+    * [[minhashSigTable]]: the dump IS the store, so the dumped
+    * signatures are literally the ones the operator derived its pairs
+    * from — the DuckDB oracle audits the store, then re-runs the 8×8
+    * chunking and hamming verify independently over the dump.
+    */
+  private def simhashSigTable(s: SparkSession, d: String): DataFrame =
+    simhashStore(s, d)
+
+  /** Pair emission in two disjoint legs, split on VALUE identity —
+    * the round-14 redesign that removed the quadratic-in-one-task
+    * skew of a chunk-key self-join over doc rows. On a near-dup-heavy
+    * corpus most near-dup docs carry IDENTICAL simhash words (a
+    * majority vote over near-identical token sets), so doc-level
+    * chunk buckets contain whole cliques and a chunk self-join pays
+    * bands × C(clique, 2) probe work serialized inside single tasks
+    * (measured 21 s warm at 25× for 4×16 banding; 39 s for 8×8 —
+    * banding width only scaled the constant). Instead:
+    *
+    * LEG 1 (identical values, hamming = 0, the dominant output): a
+    * GRID-PARALLELIZED equality self-join. Each doc gets a block id
+    * blk = hash(doc_id) mod B; side a replicates each row to grid
+    * columns j in blk..B−1; the join key is (simhash, j=blk_b), so
+    * one clique's C(n,2) work spreads over B(B+1)/2 grid cells ×
+    * hash-distributed values instead of one task — the shuffle this
+    * adds is rows × B/2 small rows, bought deliberately for
+    * parallelism. Emission: blk_a < blk_b, or doc order inside the
+    * diagonal cell — each unordered pair exactly once.
+    *
+    * LEG 2 (different values, hamming 1..4): a PAIR-BAND join over
+    * DISTINCT simhash VALUES only — a table smaller than the corpus
+    * by the clique factor, with no identical-value mega-bucket. Bands
+    * are the 15 C(6,2) pairs of 11/10-bit chunks (see
+    * [[graft.functions.FirstMatchingChunk]]), with FIRST-BAND-WINS
+    * emission via that native kernel. Surviving value pairs fan out
+    * to doc pairs through two group joins + two explodes
+    * (output-bound by construction). Band geometry is MEASURED, not
+    * assumed, on the 25× corpus (69k distinct signatures, clustered):
+    * 8×8-bit single chunks → ~272 values per bucket, ~75M doc-level
+    * probes, 110 s end-to-end; 5×13-bit single chunks (the exactness
+    * minimum for single-chunk bands at τ=4) → 137M value-pair probes,
+    * 12 s; 15 two-chunk bands (21-22 composite bits) → 35M probes —
+    * requiring TWO clean chunks is what prices candidates on a
+    * clustered value space.
+    *
+    * RECALL: leg 1 is exact by definition; leg 2 is pigeonhole-exact
+    * for hamming ≤ 4 — at most 4 of the 6 chunks are dirty, so at
+    * least one pair band is clean (the mm_phash_pairs τ ≤ bands−1
+    * argument lifted to pair bands) — exactly the emitted threshold,
+    * closing the r13 asymmetry where 4×16 banding was exact only to
+    * ≤ 3 while verify admitted ≤ 4. Output == ALL pairs at hamming
+    * ≤ 4, spec-pinned against brute force in DedupRecallSpec; the
+    * DuckDB oracle re-derives the same output through a DIFFERENT
+    * exact banding (5×13 single chunks) — equivalence of the two
+    * bandings is exactly the recall contract.
+    */
+  /** Leg 1: identical-value pairs via the grid-parallelized equality
+    * self-join (see [[ddSimhash]] scaladoc).
+    */
+  private[graft] def simhashEqPairs(sigs: DataFrame): DataFrame = {
+    val B = 16
+    val blocked = sigs
+      .withColumn("blk", pmod(hash(col("doc_id")), lit(B)).cast("int"))
+    val gridA = blocked
+      .withColumn("j", explode(sequence(col("blk"), lit(B - 1))))
+    gridA.as("a").join(blocked.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.j") === col("b.blk") &&
+          (col("a.blk") < col("b.blk") || col("a.doc_id") < col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+        lit(0L).as("hamming"))
+  }
+
+  /** Leg 2: cross-value pairs — distinct-value chunk-band join +
+    * group fan-out (see [[ddSimhash]] scaladoc). `groups` must be the
+    * materialized (simhash, ids) table.
+    */
+  /** The pair-band join over distinct values alone — the candidate
+    * stage of leg 2, exposed for the Profile stage split. Band keys
+    * are the 15 C(6,2) chunk pairs of
+    * [[graft.functions.FirstMatchingChunk]] (21-22 composite bits per
+    * key), generated by one CASE over the exploded band index.
+    */
+  private[graft] def simhashValuePairs(groups: DataFrame): DataFrame = {
+    import graft.functions.HashFunctions.firstMatchingChunk
+    import graft.functions.{FirstMatchingChunk => FMC}
+    // band_key packed into ONE long — (k << 22) | (chunk_i << 11) |
+    // chunk_j; chunks are ≤ 11 bits and k < 15, so the packing is
+    // collision-free — because the join hashes and compares this key
+    // once per probe and long keys beat strings there
+    def chunkSql(c: Int): String = {
+      val (st, w) = FMC.chunks(c)
+      s"(shiftright(simhash, $st) & ${(1L << w) - 1L})"
+    }
+    val keyCases = FMC.pairs.zipWithIndex.map { case ((i, j), k) =>
+      s"WHEN $k THEN ${k.toLong << 22} + ${chunkSql(i)} * 2048 + ${chunkSql(j)}"
+    }.mkString(" ")
+    val vchunk = groups.select(col("simhash"))
+      .withColumn("k", explode(sequence(lit(0), lit(14))))
+      .withColumn("band_key", expr(s"CASE k $keyCases END"))
+    vchunk.as("a").join(vchunk.as("b"),
+        col("a.band_key") === col("b.band_key") &&
+          col("a.simhash") < col("b.simhash") &&
+          firstMatchingChunk(col("a.simhash"), col("b.simhash")) === col("a.k"))
+      .select(col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"),
         expr("bit_count(a.simhash ^ b.simhash)").cast("long").as("hamming"))
       .filter(col("hamming") <= 4)
+  }
+
+  private[graft] def simhashCrossPairs(groups: DataFrame): DataFrame = {
+    simhashValuePairs(groups)
+      .join(groups.select(col("simhash").as("sim_a"), col("ids").as("ids_a")), "sim_a")
+      .join(groups.select(col("simhash").as("sim_b"), col("ids").as("ids_b")), "sim_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("hamming"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("hamming"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"), col("hamming"))
+  }
+
+  /** distinct-value groups: materialized once (localCheckpoint — read
+    * by the chunk join's two sides and both fan-out joins; no session
+    * cache left behind)
+    */
+  private[graft] def simhashGroups(sigs: DataFrame): DataFrame =
+    sigs.groupBy(col("simhash"))
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .localCheckpoint()
+
+  val ddSimhash: Q = (s, d) => {
+    val sigs = simhashStore(s, d)
+    simhashEqPairs(sigs)
+      .unionAll(simhashCrossPairs(simhashGroups(sigs)))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -1235,8 +1395,12 @@ object Dedup {
   }
 
   val ddContainment: Q = (s, d) => {
+    // the shingle store replaces the old session persist(): each of the
+    // three reads below (df-index explode, fan-back a, fan-back b) is a
+    // bucketed scan of pre-hashed arrays, not a kernel recompute — and
+    // nothing is left cached in the session afterwards
     val sh = shingled(s, d)
-      .select(col("doc_id"), col("sh_hashes")).persist()
+      .select(col("doc_id"), col("sh_hashes"))
     val candidates = containmentCandidates(s, d, sh)
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
@@ -1705,12 +1869,20 @@ object Dedup {
         |    ON a.b = b2.b AND a.band = b2.band AND a.doc_id < b2.doc_id) t
         |WHERE est_jaccard >= 0.5 AND (doc_a % 4 = 0 OR doc_b % 4 = 0)
         |ORDER BY doc_a, doc_b""".stripMargin,
+    // 5×13/12-bit chunk banding (round 14): pigeonhole-exact for the
+    // emitted hamming ≤ 4 threshold (5 chunks — any pair at hamming
+    // ≤ 4 shares a whole chunk). The sigs dump IS the signature store,
+    // so this audits the stored signatures; the banded candidate join
+    // + hamming verify re-run independently here (the arithmetic-
+    // shift-then-mask chunk extraction is engine-agnostic: the mask
+    // keeps only bits below the sign-fill).
     "dd_simhash" ->
       """WITH s AS (
         |  SELECT doc_id, simhash FROM read_parquet('__AUX__/dd_simhash_sigs/*.parquet')),
         |chunked AS (
-        |  SELECT doc_id, simhash, b, (simhash >> (b * 16)) & 65535 AS chunk
-        |  FROM s CROSS JOIN (SELECT unnest(range(0, 4)) AS b) bands)
+        |  SELECT doc_id, simhash, b,
+        |    (simhash >> (b * 13)) & (CASE WHEN b = 4 THEN 4095 ELSE 8191 END) AS chunk
+        |  FROM s CROSS JOIN (SELECT unnest(range(0, 5)) AS b) bands)
         |SELECT doc_a, doc_b, hamming FROM (
         |  SELECT DISTINCT a.doc_id AS doc_a, b2.doc_id AS doc_b,
         |    CAST(bit_count(xor(a.simhash, b2.simhash)) AS BIGINT) AS hamming

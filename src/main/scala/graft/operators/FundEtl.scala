@@ -437,6 +437,90 @@ object FundEtl {
       .orderBy(col("custkey"), col("valid_from"))
   }
 
+  /** The dict-maintenance ops batch for [[etlDictMaintain]] — a
+    * literal (the platformRules/productLedger precedent: one Scala
+    * Seq renders both the Spark frame and the oracle's VALUES), with
+    * every validation branch of the reference UI covered at least
+    * once. Empty strings mean "absent" (the reference's
+    * `if not pname: return` falsiness checks). AT MOST ONE APPLIED op
+    * per product name, so the batch is order-independent by
+    * construction and validation runs against the PRE-batch dict (the
+    * etl_cdc_apply batch contract — op 6's rename-conflict against
+    * 货币增值宝B is judged before op 9 deletes it).
+    */
+  private[graft] val dictOps: Seq[(Int, String, String, String, String)] = Seq(
+    (1, "add", "新兴产业灵活配置", "", "L005"), // new name → applied
+    (2, "add", "安鑫回报混合A", "", "L009"), // name exists → rejected (:172-174)
+    (3, "add", "", "", "L010"), // empty name → rejected (:159-161)
+    (4, "add", "价值精选混合C", "", ""), // empty code → rejected (:162-164)
+    (5, "edit", "稳健增利债券C", "稳健增利二号", "L012"), // rename, target free → applied
+    (6, "edit", "创新成长股票", "货币增值宝B", "L013"), // rename onto existing → rejected (:199-201)
+    (7, "edit", "未知产品X", "未知产品Y", "L014"), // name not in dict → rejected (no selection, :181-183)
+    (8, "edit", "安鑫回报混合A", "安鑫回报混合A", "L015"), // same-name code update → applied (:199 passes)
+    (9, "delete", "货币增值宝B", "", ""), // exists → applied (:206-214)
+    (10, "delete", "不存在产品", "", "")) // not in dict → rejected
+
+  /** DICT MAINTENANCE — the reference's product-code-manager semantics
+    * (ui/product_code_manager.py:158-221: add rejected on empty
+    * name/code or existing name; edit rejected on missing entry,
+    * empty fields, or rename onto an existing other name; delete
+    * rejected on missing entry) re-expressed as a BATCH CDC apply
+    * over the product dict: one pass validates every op against the
+    * pre-batch dict (two broadcast lookups — name and rename-target),
+    * applied ops fold into the post-state. Output is the full
+    * provenance picture in one frame: kind='op' rows audit every op
+    * with its status; kind='state' rows are the post-batch dict with
+    * per-entry provenance (kept/updated/renamed/added). Closes the
+    * last reference file with executable semantics (the UI shell
+    * around it is out of scope for an engine).
+    */
+  val etlDictMaintain: Q = (s, _) => {
+    import s.implicits._
+    val dict = productLedger.toDF("name", "code")
+    val ops = dictOps.toDF("seq", "action", "name", "new_name", "new_code")
+    val byName = dict.select(col("name"), col("code").as("old_code"))
+    val byTarget = dict.select(col("name").as("new_name"), lit(true).as("tgt"))
+    val audit = ops
+      .join(broadcast(byName), Seq("name"), "left")
+      .join(broadcast(byTarget), Seq("new_name"), "left")
+      .withColumn("status",
+        when(col("action") === "add" &&
+          (col("name") === "" || col("new_code") === ""), "rejected_empty")
+        .when(col("action") === "add" && col("old_code").isNotNull, "rejected_exists")
+        .when(col("action") === "add", "applied")
+        .when(col("action") === "edit" && col("old_code").isNull, "rejected_missing")
+        .when(col("action") === "edit" &&
+          (col("new_name") === "" || col("new_code") === ""), "rejected_empty")
+        .when(col("action") === "edit" && col("new_name") =!= col("name") &&
+          coalesce(col("tgt"), lit(false)), "rejected_conflict")
+        .when(col("action") === "edit", "applied")
+        .when(col("action") === "delete" && col("old_code").isNull, "rejected_missing")
+        .otherwise("applied"))
+      .select(col("seq"), col("action"), col("name"), col("new_name"),
+        col("new_code"), col("status"))
+    val applied = audit.filter(col("status") === "applied")
+    // names an applied edit or delete removes from the pre-state (a
+    // same-name edit removes and re-adds, landing as 'updated')
+    val removed = applied.filter(col("action").isin("edit", "delete"))
+      .select(col("name"))
+    val kept = dict.join(broadcast(removed), Seq("name"), "left_anti")
+      .select(col("name"), col("code"), lit("kept").as("status"))
+    val edited = applied.filter(col("action") === "edit")
+      .select(col("new_name").as("name"), col("new_code").as("code"),
+        when(col("new_name") === col("name"), "updated")
+          .otherwise("renamed").as("status"))
+    val added = applied.filter(col("action") === "add")
+      .select(col("name"), col("new_code").as("code"), lit("added").as("status"))
+    val opRows = audit.select(lit("op").as("kind"), col("seq").cast("long").as("seq"),
+      col("action"), col("name"), col("new_name"), col("new_code").as("code"),
+      col("status"))
+    val stateRows = kept.unionByName(edited).unionByName(added)
+      .select(lit("state").as("kind"), lit(-1L).as("seq"), lit("").as("action"),
+        col("name"), lit("").as("new_name"), col("code"), col("status"))
+    opRows.unionByName(stateRows)
+      .orderBy(col("kind"), col("seq"), col("name"))
+  }
+
   /** VARIANT-typed semi-structured path — parse_json once into the
     * binary columnar VARIANT encoding, shred typed fields out with
     * variant_get. Same semantics as the string get_json_object op
@@ -816,6 +900,25 @@ object FundEtl {
     * plus one narrow groupBy.
     */
   val etlFuzzyProductMatch: Q = (s, _) => {
+    // localCheckpoint materializes the result (both `lines` consumers
+    // run here, against the cache), so the cached PNG-decode frame can
+    // be released before returning — without this, every invocation
+    // leaked `lines` into the session cache for the session lifetime
+    // (the curationApplyBatch finally-unpersist precedent).
+    val (plan, lines) = etlFuzzyProductMatchPlan(s)
+    val out = plan.localCheckpoint()
+    lines.unpersist()
+    out
+  }
+
+  /** The un-checkpointed fuzzy-match frame + its cached decode frame —
+    * exposed so PlanHealthSpec can pin the broadcast shape of the dict
+    * join (the public operator returns a localCheckpoint, whose plan
+    * is an opaque ExistingRDD scan). Caller owns the persist lifecycle
+    * of the returned `lines`.
+    */
+  private[graft] def etlFuzzyProductMatchPlan(
+      s: SparkSession): (DataFrame, DataFrame) = {
     val label = "产品名称："
     // persisted: the frame feeds BOTH the candidate aggregate and the
     // final fan-back join, and Catalyst does not share uncached
@@ -850,12 +953,13 @@ object FundEtl {
       .filter(col("ham") <= 2)
       .groupBy(col("file_name"))
       .agg(min(struct(col("ham"), col("canon"))).as("best"))
-    lines.join(best, Seq("file_name"), "left")
+    val out = lines.join(best, Seq("file_name"), "left")
       .select(col("file_name"), col("ocr_used"), col("raw_name"),
         col("best.canon").as("matched_name"),
         col("best.ham").cast("long").as("hamming"),
         coalesce(col("best.ham") > 0, lit(false)).as("recovered"))
       .orderBy(col("file_name"))
+    (out, lines)
   }
 
   /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:
@@ -1025,6 +1129,7 @@ object FundEtl {
   }
 
   val queries: Map[String, Q] = Map(
+    "etl_dict_maintain" -> etlDictMaintain,
     "etl_fixed_width" -> etlFixedWidth,
     "etl_avro_ingest" -> etlAvroIngest,
     "etl_cdc_apply" -> etlCdcApply,
@@ -1068,6 +1173,10 @@ object FundEtl {
 
   private def dictValuesSql: String = productLedger
     .map { case (n, l) => s"('$n', '$l')" }.mkString(", ")
+
+  private def dictOpsSql: String = dictOps
+    .map { case (q, a, n, nn, nc) => s"($q, '$a', '$n', '$nn', '$nc')" }
+    .mkString(", ")
 
   /** One shared ingest-oracle body for the whole ingest family
     * (etl_ingest_files / etl_ocr_route / etl_pdf_decode): the caller
@@ -1142,6 +1251,46 @@ object FundEtl {
        |  FROM $from""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // the same pre-batch validation + fold, re-derived over the same
+    // VALUES literals (dict and ops render from one Scala Seq each)
+    "etl_dict_maintain" ->
+      s"""WITH dict(name, code) AS (VALUES $dictValuesSql),
+        |ops(seq, action, name, new_name, new_code) AS (VALUES $dictOpsSql),
+        |st AS (
+        |  SELECT o.seq, o.action, o.name, o.new_name, o.new_code,
+        |    d.code AS old_code, (d2.name IS NOT NULL) AS tgt
+        |  FROM ops o
+        |  LEFT JOIN dict d ON o.name = d.name
+        |  LEFT JOIN dict d2 ON o.new_name = d2.name),
+        |audit AS (
+        |  SELECT seq, action, name, new_name, new_code,
+        |    CASE WHEN action = 'add' AND (name = '' OR new_code = '') THEN 'rejected_empty'
+        |         WHEN action = 'add' AND old_code IS NOT NULL THEN 'rejected_exists'
+        |         WHEN action = 'add' THEN 'applied'
+        |         WHEN action = 'edit' AND old_code IS NULL THEN 'rejected_missing'
+        |         WHEN action = 'edit' AND (new_name = '' OR new_code = '') THEN 'rejected_empty'
+        |         WHEN action = 'edit' AND new_name <> name AND tgt THEN 'rejected_conflict'
+        |         WHEN action = 'edit' THEN 'applied'
+        |         WHEN action = 'delete' AND old_code IS NULL THEN 'rejected_missing'
+        |         ELSE 'applied' END AS status
+        |  FROM st),
+        |app AS (SELECT * FROM audit WHERE status = 'applied'),
+        |removed AS (SELECT name FROM app WHERE action IN ('edit', 'delete')),
+        |post AS (
+        |  SELECT d.name, d.code, 'kept' AS status FROM dict d
+        |  WHERE d.name NOT IN (SELECT name FROM removed)
+        |  UNION ALL
+        |  SELECT new_name, new_code,
+        |    CASE WHEN new_name = name THEN 'updated' ELSE 'renamed' END
+        |  FROM app WHERE action = 'edit'
+        |  UNION ALL
+        |  SELECT name, new_code, 'added' FROM app WHERE action = 'add')
+        |SELECT kind, seq, action, name, new_name, code, status FROM (
+        |  SELECT 'op' AS kind, CAST(seq AS BIGINT) AS seq, action, name,
+        |    new_name, new_code AS code, status FROM audit
+        |  UNION ALL
+        |  SELECT 'state', CAST(-1 AS BIGINT), '', name, '', code, status FROM post) t
+        |ORDER BY kind, seq, name""".stripMargin,
     "etl_fixed_width" ->
       s"""WITH f AS (
         |  SELECT content FROM read_text('$statementsFwDir/*.txt')),

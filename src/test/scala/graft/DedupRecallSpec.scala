@@ -38,6 +38,26 @@ class DedupRecallSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed ${missed.size}/${trueHighPairs.size}: ${missed.take(5)}")
   }
 
+  test("simhash 8x8 chunk banding is pigeonhole-exact at the hamming<=4 verify") {
+    // the round-14 recall contract: output == ALL pairs at hamming <= 4
+    // (any pair at hamming <= 7 shares a whole 8-bit chunk, so banding
+    // cannot miss the emitted threshold — the r13 4x16 asymmetry, where
+    // hamming-4 pairs spread one-per-chunk were unreachable, is closed)
+    val sigs = sources.Tables.documents(spark, sfDir)
+      .transform(operators.Dedup.simhashSigTableOf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val brute = (for {
+      (ida, ha) <- sigs.iterator
+      (idb, hb) <- sigs.iterator if ida < idb
+      h = java.lang.Long.bitCount(ha ^ hb) if h <= 4
+    } yield (ida, idb, h.toLong)).toSet
+    val found = operators.Dedup.ddSimhash(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(brute.nonEmpty, "corpus should contain simhash near-dups")
+    assert(found == brute,
+      s"missed=${(brute -- found).take(5)} extra=${(found -- brute).take(5)}")
+  }
+
   test("ngram-jaccard blocking finds nearly all true pairs") {
     val found = operators.Dedup.ddNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet

@@ -120,6 +120,73 @@ class DedupStoreSpec extends SparkTestBase {
     assert(direct.nonEmpty, "subset should still carry near-dup pairs")
   }
 
+  test("simhash chunk store: builds once, fresh session reuses files, output matches direct recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-spec").toString
+    writeCorpus(dir, corpusA)
+    val name = operators.Dedup.simhashStoreName(dir)
+    try {
+      def pairSet() = operators.Dedup.ddSimhash(spark, dir).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val pairs1 = pairSet()
+      val path = operators.Dedup.bandStorePath(spark, name)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def listing() = fs.listStatus(path).filter(_.isFile)
+        .map(st => (st.getPath.getName, st.getLen, st.getModificationTime)).toSeq.sortBy(_._1)
+      val l1 = listing()
+      assert(l1.exists(_._1 == "_SOURCE_FINGERPRINT"))
+      // fresh-session path: catalog entry gone, files reused
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      assert(pairSet() == pairs1)
+      assert(listing() == l1, "re-registration rewrote simhash store files")
+      // direct recompute over the same corpus: brute-force hamming <= 4
+      import spark.implicits._
+      val sigs = operators.Dedup
+        .simhashSigTableOf(corpusA.toDF("doc_id", "text"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val brute = (for {
+        (ida, ha) <- sigs.iterator
+        (idb, hb) <- sigs.iterator if ida < idb
+        h = java.lang.Long.bitCount(ha ^ hb) if h <= 4
+      } yield (ida, idb, h.toLong)).toSet
+      assert(pairs1 == brute, s"store-fed simhash pairs diverge from brute force: $pairs1 vs $brute")
+      assert(pairs1.exists(p => p._1 == 1L && p._2 == 2L), "planted identical pair missing")
+    } finally operators.Dedup.invalidateBandStore(spark, dir)
+  }
+
+  test("shingle store: fresh session reuses files, arrays match direct recompute") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-store-spec").toString
+    writeCorpus(dir, corpusA)
+    val name = operators.Dedup.shingleStoreName(dir)
+    try {
+      def shingleMap() = operators.Dedup.shingled(spark, dir).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      val m1 = shingleMap()
+      spark.sql(s"DROP TABLE IF EXISTS $name")
+      assert(shingleMap() == m1, "fresh-session shingle store read diverged")
+      import spark.implicits._
+      val direct = operators.Dedup.shingledOf(corpusA.toDF("doc_id", "text"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+      assert(m1 == direct, "stored shingle arrays diverge from direct recompute")
+    } finally operators.Dedup.invalidateBandStore(spark, dir)
+  }
+
+  test("simhash store: pair generation reads the store, never recomputes signatures") {
+    // the plan property the store exists for — no SimHash64 kernel
+    // anywhere in the executed pair plan (both legs derive from the
+    // stored signature table). The grid/value exchanges are BY DESIGN:
+    // leg 1 shuffles rows×B/2 small rows to spread one clique's
+    // C(n,2) work across grid cells (parallelism bought with a tiny
+    // shuffle), leg 2 shuffles the distinct-value table (corpus /
+    // clique-factor rows).
+    val pairs = operators.Dedup.ddSimhash(spark, sfDir)
+    pairs.queryExecution.toRdd.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.contains("SimHash64"),
+      s"pair generation still recomputes simhash signatures instead of reading the store:\n$plan")
+    assert(plan.contains("Bucketed: true") || plan.contains("graft_dd_simsig_store"),
+      s"expected a simhash store scan in the pair plan:\n$plan")
+  }
+
   test("band store: both sides of the pair join scan the bucketed table") {
     // the scale property the store exists for: the band self-join reads
     // two co-bucketed scans (Bucketed: true), never a recomputed

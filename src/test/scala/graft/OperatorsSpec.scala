@@ -102,6 +102,45 @@ class OperatorsSpec extends SparkTestBase {
       s"registered operators missing from SURVEY §2: ${(reg -- rows).toSeq.sorted}")
   }
 
+  test("etl_dict_maintain matches a sequential replay of the reference dict editor") {
+    // the operator validates the whole batch against the PRE-batch
+    // dict (order-independent CDC contract); the reference UI applies
+    // ops one at a time against the LIVE dict. On an ops log with at
+    // most one applied op per name the two contracts must coincide —
+    // this replays the reference's sequential algorithm
+    // (ui/product_code_manager.py:158-221) verbatim and pins both the
+    // per-op statuses and the post-state.
+    val dict = scala.collection.mutable.LinkedHashMap(
+      operators.FundEtl.productLedger: _*)
+    val expected = operators.FundEtl.dictOps.map {
+      case (seq, "add", name, _, newCode) =>
+        if (name.isEmpty || newCode.isEmpty) seq -> "rejected_empty"
+        else if (dict.contains(name)) seq -> "rejected_exists"
+        else { dict(name) = newCode; seq -> "applied" }
+      case (seq, "edit", name, newName, newCode) =>
+        if (!dict.contains(name)) seq -> "rejected_missing"
+        else if (newName.isEmpty || newCode.isEmpty) seq -> "rejected_empty"
+        else if (newName != name && dict.contains(newName)) seq -> "rejected_conflict"
+        else { dict.remove(name); dict(newName) = newCode; seq -> "applied" }
+      case (seq, "delete", name, _, _) =>
+        if (!dict.contains(name)) seq -> "rejected_missing"
+        else { dict.remove(name); seq -> "applied" }
+    }.toMap
+    val out = operators.FundEtl.etlDictMaintain(spark, sfDir).collect()
+    val opStatuses = out.filter(_.getString(0) == "op")
+      .map(r => r.getLong(1).toInt -> r.getString(6)).toMap
+    assert(opStatuses == expected,
+      s"batch statuses diverge from the sequential replay: $opStatuses vs $expected")
+    val state = out.filter(_.getString(0) == "state")
+      .map(r => r.getString(3) -> r.getString(5)).toMap
+    assert(state == dict.toMap,
+      s"post-state diverges from the sequential replay: $state vs ${dict.toMap}")
+    // every validation branch is exercised at least once
+    val branches = opStatuses.values.toSet
+    assert(branches == Set("applied", "rejected_empty", "rejected_exists",
+      "rejected_missing", "rejected_conflict"))
+  }
+
   test("every oracle key has a matching query") {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracles without queries: $missing")

@@ -665,7 +665,13 @@ class PlanHealthSpec extends SparkTestBase {
     // (≤3 candidates/file), NOT the collision-stream shape the
     // HOF-in-join-condition lesson bans. The file-keyed fan-back join
     // (lines ⟕ best) is file-cardinality both sides and may shuffle.
-    val plan = planOf("etl_fuzzy_product_match")
+    // the public operator returns a localCheckpoint (so it can release
+    // its cached decode frame — round-14 advice fix); pin the plan of
+    // the exposed pre-checkpoint frame instead
+    val (frame, lines) = operators.FundEtl.etlFuzzyProductMatchPlan(spark)
+    frame.queryExecution.toRdd.count()
+    val plan = frame.queryExecution.executedPlan.toString
+    lines.unpersist()
     assert("BroadcastHashJoin \\[len#\\d+\\], \\[len#\\d+\\]".r.findFirstIn(plan).isDefined,
       s"the dict join must broadcast on the length key:\n$plan")
   }
