@@ -291,6 +291,50 @@ object Profile {
           f"vpairs=$vp (${(t4 - t3) / 1e9}%.2f s) " +
           f"cross=$cross (${(t5 - t4) / 1e9}%.2f s) " +
           f"full=$full (${(t6 - t5) / 1e9}%.2f s)")
+      case "--cc-floor" =>
+        // The r13 verdict's CC-floor experiment: dd_cluster/dd_canonical
+        // are the dedup family's 100× tail (~70 s each), dominated by
+        // alternating large-star/small-star rounds over the 27.3M-edge
+        // clique-dense pair graph. A/B: the routed star path vs the
+        // driver union-find with its edge budget raised past the graph
+        // (the verdict's suggested lever — Tuple2 of longs specializes
+        // to raw fields, so 27M edges collect to ~1 GB transient).
+        // Labels must agree exactly; driver heap delta is printed so
+        // the budget decision is a measured number, not a guess.
+        val pairs = operators.Dedup.minhashPairs(spark, d)
+          .select(org.apache.spark.sql.functions.col("doc_a"),
+            org.apache.spark.sql.functions.col("doc_b"))
+          .localCheckpoint()
+        val nEdges = pairs.count()
+        def heapMB: Long = {
+          System.gc()
+          val r = Runtime.getRuntime
+          (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+        }
+        Seq(1, 2).foreach { round =>
+          val t0 = System.nanoTime()
+          val star = operators.Dedup.connectedComponents(pairs, materialized = true)
+            .localCheckpoint()
+          val nStar = star.count()
+          val t1 = System.nanoTime()
+          val h0 = heapMB
+          val t2 = System.nanoTime()
+          val uf = operators.Dedup.connectedComponents(pairs,
+            driverPathMaxEdges = 128000000L, materialized = true)
+            .localCheckpoint()
+          val nUf = uf.count()
+          val t3 = System.nanoTime()
+          val h1 = heapMB
+          val diff = star.as("a").join(uf.as("b"),
+            org.apache.spark.sql.functions.col("a.node") ===
+              org.apache.spark.sql.functions.col("b.node") &&
+            org.apache.spark.sql.functions.col("a.label") =!=
+              org.apache.spark.sql.functions.col("b.label")).count()
+          println(f"[profile] cc-floor r$round edges=$nEdges " +
+            f"star=$nStar (${(t1 - t0) / 1e9}%.2f s) " +
+            f"uf=$nUf (${(t3 - t2) / 1e9}%.2f s, heap $h0%d->$h1%d MB) " +
+            f"label_diff=$diff")
+        }
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)

@@ -1054,9 +1054,23 @@ object Dedup {
     * [[connectedComponentsPointerJump]] (spec-equal on chain / cycle /
     * corpus graphs; head-to-head re-measurable via Profile
     * --cc-compare).
+    *
+    * BUDGET (round 14 — the verdict's CC-floor experiment, measured
+    * via Profile --cc-floor): raised 1M → 64M directed edges. On the
+    * 27.3M-edge 100× pair graph the union-find labels in 10.9-14.4 s
+    * where the star path takes 30.9 s warm (90.8 s cold) — the star
+    * rounds' fixed multi-job overhead dominates far beyond the old
+    * budget, and the driver cost is modest: Tuple2[Long,Long]
+    * specializes to raw fields (~32 B/pair, ~1 GB transient at the
+    * 32M-pair budget ceiling), LongMap keeps primitives, measured
+    * in-flight heap stayed under 4 GB total JVM with labels exactly
+    * equal (label_diff=0 both runs). The budget therefore assumes a
+    * driver with ≥4 GB headroom — standard for any real cluster
+    * driver — and a billion-edge 100 TB graph still routes to the
+    * distributed star path.
     */
   private[graft] def connectedComponents(pairs: DataFrame,
-      driverPathMaxEdges: Long = 1000000L,
+      driverPathMaxEdges: Long = 64000000L,
       materialized: Boolean = false): DataFrame = {
     // materialize the (expensive, LSH-joined) pair graph once: the
     // routing count and whichever path runs read this checkpoint.
@@ -1065,17 +1079,17 @@ object Dedup {
     // localCheckpoint would store and scan a redundant full copy.
     val p = if (materialized) pairs else pairs.localCheckpoint()
     // Small-graph fast path: the right tool changes with scale. Below
-    // the threshold (counted as DIRECTED edges — 2× the pair count,
-    // same budget as before the router) a union-find labels the graph
-    // in well under a second, where a distributed iteration pays a
-    // fixed multi-job overhead PER ROUND — measured 9.6s vs 0.9s on a
-    // 450k-edge graph. The budget is driver heap: the collected edge
-    // array is ~40 B/edge of boxed tuples (transient) and the LongMap
-    // keeps keys/values in primitive arrays, so 1M edges costs tens of
-    // MB — comfortably inside any driver, with the cap well clear of
-    // heap pressure. Above it, the distributed star path is the only
-    // option — a 100 TB near-dup graph has billions of edges and never
-    // fits a driver. Labels are identical by construction: union
+    // the threshold (counted as DIRECTED edges — 2× the pair count) a
+    // union-find labels the graph in seconds, where a distributed
+    // iteration pays a fixed multi-job overhead PER ROUND — measured
+    // 9.6s vs 0.9s on a 450k-edge graph, and 30.9s vs 10.9s on the
+    // 27.3M-edge 100× graph (Profile --cc-floor; see the scaladoc
+    // budget note). The budget is driver heap: specialized long-pair
+    // tuples (~32 B/pair transient) + primitive-array LongMap — ~1 GB
+    // transient at the 32M-pair ceiling, measured under 4 GB total
+    // in-flight JVM heap. Above it, the distributed star path is the
+    // only option — a 100 TB near-dup graph has billions of edges and
+    // never fits a driver. Labels are identical by construction: union
     // always parents the larger root under the smaller, so every root
     // IS its component minimum — the same labeling both distributed
     // fixpoints converge to (spec-asserted equal on the corpus graph).
