@@ -335,6 +335,50 @@ object Profile {
             f"uf=$nUf (${(t3 - t2) / 1e9}%.2f s, heap $h0%d->$h1%d MB) " +
             f"label_diff=$diff")
         }
+      case "--rank-floor" =>
+        // The rank sibling of --cc-floor: the integer PageRank kernel
+        // has the same two routes (driver replay vs distributed
+        // iteration, bit-identical by spec), same 1M-directed-edge
+        // budget, and the same question at 100× — does the per-round
+        // multi-job overhead dominate past the old budget? A/B over
+        // the 27.3M-pair graph with score equality asserted.
+        val pairs = operators.Dedup.minhashPairs(spark, d)
+          .select(org.apache.spark.sql.functions.col("doc_a"),
+            org.apache.spark.sql.functions.col("doc_b"))
+          .localCheckpoint()
+        val nPairs = pairs.count()
+        val nodeIds = sources.Tables.documents(spark, d)
+          .select(org.apache.spark.sql.functions.col("doc_id"))
+        def heapMB: Long = {
+          System.gc()
+          val r = Runtime.getRuntime
+          (r.totalMemory() - r.freeMemory()) / (1024 * 1024)
+        }
+        Seq(1, 2).foreach { round =>
+          val t0 = System.nanoTime()
+          val dist = operators.Dedup.graphRankScores(nodeIds, pairs,
+            driverPathMaxEdges = 0L).localCheckpoint()
+          val nDist = dist.count()
+          val t1 = System.nanoTime()
+          val h0 = heapMB
+          val t2 = System.nanoTime()
+          val drv = operators.Dedup.graphRankScores(nodeIds, pairs,
+            driverPathMaxEdges = 128000000L).localCheckpoint()
+          val nDrv = drv.count()
+          val t3 = System.nanoTime()
+          val h1 = heapMB
+          val diff = dist.as("a").join(drv.as("b"),
+            org.apache.spark.sql.functions.col("a.doc_id") ===
+              org.apache.spark.sql.functions.col("b.doc_id") &&
+            (org.apache.spark.sql.functions.col("a.score_e9") =!=
+              org.apache.spark.sql.functions.col("b.score_e9") ||
+             org.apache.spark.sql.functions.col("a.deg") =!=
+              org.apache.spark.sql.functions.col("b.deg"))).count()
+          println(f"[profile] rank-floor r$round pairs=$nPairs " +
+            f"dist=$nDist (${(t1 - t0) / 1e9}%.2f s) " +
+            f"driver=$nDrv (${(t3 - t2) / 1e9}%.2f s, heap $h0%d->$h1%d MB) " +
+            f"score_diff=$diff")
+        }
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)
