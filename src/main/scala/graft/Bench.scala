@@ -73,10 +73,14 @@ object Bench {
     * 25×: 2,114,379 → 2,199,393 rows). The round-14 exact banding
     * emits ALL pairs at hamming ≤ 4, so its rows (and the sf0.1
     * bench delta) reflect a recall fix, not a perf regression.
-    * etl_dict_maintain is NEW, not changed.
+    * etl_dict_maintain is NEW, not changed. dd_pair_quality_sampled's
+    * sample predicate moved from md5 to the shared integer hash (the
+    * per-pair md5 out-costed the verify stage it gates — see
+    * Dedup.pairSamplePredicate), so its sample membership, and
+    * therefore its output rows, changed.
     */
   val semanticsChanged: Seq[String] =
-    Seq("dd_simhash")
+    Seq("dd_simhash", "dd_pair_quality_sampled")
 
   /** One COLD apply of the streaming flagship's micro-batch kernel:
     * the whole statement corpus as batch 0 — extract + classify, the

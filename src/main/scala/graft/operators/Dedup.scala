@@ -378,17 +378,27 @@ object Dedup {
   /** Deterministic 1-in-`sampleMod` hash sample of the audit's pair
     * stream (round 11 — the runnable form of the documented 100 TB
     * design: "the audit runs on a sampled pair set"). The predicate is
-    * content-addressed — md5 over the canonical "a|b" pair key, first
-    * 16 bits mod `sampleMod` — so the SAME pairs are sampled in any
-    * execution order, on re-runs, and in the DuckDB oracle (md5 and
-    * hex-parse are engine-portable; xxhash64 is Spark-only). Crucially
-    * it filters the pair stream BEFORE the two shingle joins and the
-    * exact intersect/union verify, so the expensive stage's cost is
-    * pairFraction-bounded by construction, not by luck.
+    * content-addressed — the repo's shared Knuth multiplicative hash
+    * over the combined pair key — so the SAME pairs are sampled in any
+    * execution order, on re-runs, and in the DuckDB oracle (pure
+    * BIGINT arithmetic, engine-portable where xxhash64 is Spark-only).
+    * Crucially it filters the pair stream BEFORE the two shingle joins
+    * and the exact intersect/union verify, so the expensive stage's
+    * cost is pairFraction-bounded by construction, not by luck.
+    *
+    * Round 14: this was md5-per-pair (conv(substr(md5(concat(...)))));
+    * once the native IntersectCount kernel + the shingle store cut the
+    * FULL audit to 3.8 s warm@100×, the sampler's md5 measured 18.1 s
+    * on the same graph — the predicate out-costed the verify stage it
+    * gates by ~4×, inverting the operator's purpose. The integer hash
+    * (the tx_sample_stratified / q53 family) restores sampled < full.
+    * The selection test uses the product's bits 0..19 via a range
+    * compare (< 2^20/m), not `% m` — 2654435761 ≡ 1 (mod 8), so a
+    * low-bit modulus would degenerate to the unscrambled key.
     */
   private def pairSamplePredicate(sampleMod: Int) = expr(
-    s"""CAST(conv(substr(md5(concat(CAST(doc_a AS STRING), '|', CAST(doc_b AS STRING))), 1, 4), 16, 10) AS INT)
-       | % $sampleMod = 0""".stripMargin)
+    s"""((((doc_a % 1000003) * 4099 + doc_b % 1000003) % 1000003)
+       |  * 2654435761) % 1048576 < ${1048576 / sampleMod}""".stripMargin)
 
   /** The estimator-quality audit kernel — `sampleMod = 0` audits every
     * emitted pair (the oracle anchor [[ddPairQuality]]); `sampleMod =
@@ -428,17 +438,18 @@ object Dedup {
   /** §2.C round 11 — the SAMPLED estimator-quality audit, closing the
     * round-10 gap ("sampled mode is design prose"): identical
     * aggregates to [[ddPairQuality]] over the deterministic 1-in-8
-    * md5 hash sample of the emitted pair stream. At 25× the full audit
-    * already costs ~20 s — the inherent exact verify of 1.66M pairs —
-    * and at 100 TB nobody re-verifies every pair to re-trust a
-    * threshold; a content-addressed sample is the operational form,
-    * and because the predicate filters BEFORE the shingle joins, the
-    * verify cost scales with the sample, not the pair graph
-    * (25×/100× points in SURVEY §5). The full-verify twin stays
-    * registered as the oracle anchor; this op's own oracle composes
-    * the dd_minhash_lsh pair CTE + the SAME portable md5 predicate +
-    * the shingles dump, so the sample membership itself is
-    * cross-engine-checked, not just the aggregate.
+    * content-addressed hash sample of the emitted pair stream (the
+    * shared integer hash since round 14 — see [[pairSamplePredicate]]
+    * for the measured md5 inversion it fixes). At 100 TB nobody
+    * re-verifies every pair to re-trust a threshold; a
+    * content-addressed sample is the operational form, and because
+    * the predicate filters BEFORE the shingle joins, the verify cost
+    * scales with the sample, not the pair graph (25×/100× points in
+    * SURVEY §5). The full-verify twin stays registered as the oracle
+    * anchor; this op's own oracle composes the dd_minhash_lsh pair
+    * CTE + the SAME portable integer predicate + the shingles dump,
+    * so the sample membership itself is cross-engine-checked, not
+    * just the aggregate.
     */
   val ddPairQualitySampled: Q = (s, d) => pairQualityAudit(s, d, sampleMod = 8)
 
@@ -2019,5 +2030,5 @@ object Dedup {
   val oracles: Map[String, String] = baseOracles +
     ("dd_pair_quality" -> pairQualityOracle("")) +
     ("dd_pair_quality_sampled" -> pairQualityOracle(
-      """WHERE (strpos('0123456789abcdef', substr(md5(CAST(p.doc_a AS VARCHAR) || '|' || CAST(p.doc_b AS VARCHAR)), 4, 1)) - 1) % 8 = 0"""))
+      """WHERE ((((p.doc_a % 1000003) * 4099 + p.doc_b % 1000003) % 1000003) * 2654435761) % 1048576 < 131072"""))
 }

@@ -1406,21 +1406,17 @@ class OperatorsSpec extends SparkTestBase {
     assert(got.values.map(_._2).sum == total, "n_docs must sum to the corpus")
   }
 
-  test("dd_pair_quality_sampled audits exactly the md5 1-in-8 pair subset") {
+  test("dd_pair_quality_sampled audits exactly the integer-hash 1-in-8 pair subset") {
     // the sampler must be content-addressed and engine-independent:
-    // replay the predicate in plain Scala (MessageDigest, no Spark
-    // functions) over the full pair stream and pin that the sampled
-    // audit counted precisely those pairs — determinism AND membership,
-    // not just a plausible fraction
+    // replay the predicate in plain Scala (no Spark functions) over
+    // the full pair stream and pin that the sampled audit counted
+    // precisely those pairs — determinism AND membership, not just a
+    // plausible fraction
     val pairs = operators.Dedup.minhashPairs(spark, sfDir)
       .select(col("doc_a"), col("doc_b")).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
-    def sampled(a: Long, b: Long): Boolean = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val hex = md.digest(s"$a|$b".getBytes("UTF-8"))
-        .map(x => f"$x%02x").mkString.substring(0, 4)
-      Integer.parseInt(hex, 16) % 8 == 0
-    }
+    def sampled(a: Long, b: Long): Boolean =
+      (((a % 1000003L) * 4099L + b % 1000003L) % 1000003L) * 2654435761L % 1048576L < 131072L
     val expect = pairs.count { case (a, b) => sampled(a, b) }
     val audit = SparkEntry.queries("dd_pair_quality_sampled")(spark, sfDir).collect()
     assert(audit.map(_.getAs[Long]("n_pairs")).sum == expect.toLong,
