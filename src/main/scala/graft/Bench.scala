@@ -240,9 +240,13 @@ object Bench {
     val driftRatios = driftSentinels.flatMap { case (k, ref) =>
       succeeded.get(k).filter(_ > 0).map(_ / ref)
     }.sorted
+    // true median: even counts average the middle two — taking only
+    // the upper-middle order statistic would shift the normalized
+    // headline by the gap between them
     val driftFactor =
       if (driftRatios.size < 5) -1.0
-      else driftRatios(driftRatios.size / 2)
+      else if (driftRatios.size % 2 == 1) driftRatios(driftRatios.size / 2)
+      else (driftRatios(driftRatios.size / 2 - 1) + driftRatios(driftRatios.size / 2)) / 2.0
     val headlineNorm =
       if (driftFactor > 0 && headlineComplete) headlineTotal / driftFactor else -1.0
     val driftJson = driftSentinels.map { case (k, ref) =>

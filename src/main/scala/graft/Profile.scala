@@ -275,9 +275,9 @@ object Profile {
         val t0 = System.nanoTime()
         val nSig = sigs.count()
         val t1 = System.nanoTime()
-        val eq = operators.Dedup.simhashEqPairs(sigs).count()
-        val t2 = System.nanoTime()
         val groups = operators.Dedup.simhashGroups(sigs)
+        val eq = operators.Dedup.simhashEqPairs(groups).count()
+        val t2 = System.nanoTime()
         val t3 = System.nanoTime()
         val vp = operators.Dedup.simhashValuePairs(groups).count()
         val t4 = System.nanoTime()
@@ -313,7 +313,11 @@ object Profile {
         }
         Seq(1, 2).foreach { round =>
           val t0 = System.nanoTime()
-          val star = operators.Dedup.connectedComponents(pairs, materialized = true)
+          // budget 0 FORCES the distributed star path (the default was
+          // raised to 64M off this very experiment, so relying on it
+          // would compare union-find against union-find)
+          val star = operators.Dedup.connectedComponents(pairs,
+            driverPathMaxEdges = 0L, materialized = true)
             .localCheckpoint()
           val nStar = star.count()
           val t1 = System.nanoTime()

@@ -319,6 +319,12 @@ object FirstMatchingChunk {
     for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
   private val pi = pairs.map(_._1).toArray
   private val pj = pairs.map(_._2).toArray
+  // chunk starts/widths flattened to primitive arrays: compute() runs
+  // once per band-key join probe (tens of millions per sweep), and
+  // destructuring boxed (Int, Int) tuples from the IndexedSeq there
+  // costs real allocations in the candidate hot loop
+  private val chunkStart = chunks.map(_._1).toArray
+  private val chunkMask = chunks.map { case (_, w) => (1L << w) - 1L }.toArray
 
   def compute(a: Long, b: Long): Int = {
     val x = a ^ b
@@ -326,8 +332,7 @@ object FirstMatchingChunk {
     var clean = 0
     var c = 0
     while (c < 6) {
-      val (st, w) = chunks(c)
-      if (((x >>> st) & ((1L << w) - 1L)) == 0L) clean |= 1 << c
+      if (((x >>> chunkStart(c)) & chunkMask(c)) == 0L) clean |= 1 << c
       c += 1
     }
     var k = 0

@@ -122,7 +122,7 @@ object Dedup {
   /** Store-table name for a (kind, corpus dir): the digest keys the
     * corpus PATH so stores for different dirs coexist in one
     * warehouse; `kind` separates the artifact families (band = MinHash
-    * band index, simchunk = SimHash chunk index, shingle = shingle
+    * band index, simsig = SimHash signature table, shingle = shingle
     * table) built over the same corpus.
     */
   private[graft] def storeName(kind: String, d: String): String = {
@@ -555,19 +555,25 @@ object Dedup {
 
   /** 64-bit SimHash over token hashes (native codegen'd SimHash64
     * expression — one pass over tokens instead of an interpreted
-    * O(64×tokens) aggregate/zip_with chain); candidates from the
-    * PERSISTED 8×8-bit chunk-band store, verified by
-    * bit_count(xor) ≤ 4.
+    * O(64×tokens) aggregate/zip_with chain); signatures from the
+    * PERSISTED signature store, pairs from the two-leg emission below,
+    * verified by bit_count(xor) ≤ 4.
     *
     * RECALL CONTRACT (round 14 — fixes the r13 asymmetry where 4×16-bit
     * banding was pigeonhole-exact only to hamming ≤ 3 while the verify
     * admitted ≤ 4, leaving hamming-4 pairs spread one-bit-per-chunk
-    * silently unreachable): with 8 chunks of 8 bits, any pair at
-    * hamming ≤ 7 shares at least one whole chunk (pigeonhole — the
-    * mm_phash_pairs τ ≤ bands−1 argument), so banding is provably
-    * exact for the emitted hamming ≤ 4 threshold with margin. The
-    * operator's output IS "all pairs at hamming ≤ 4", not "pairs the
-    * banding happened to catch".
+    * silently unreachable): identical signatures are an equality join
+    * (exact by definition), and cross-value candidates come from 15
+    * C(6,2) two-chunk pair bands over the 6-chunk 11/11/11/11/10/10
+    * layout — hamming ≤ 4 dirties at most 4 of the 6 chunks, leaving
+    * ≥ 2 clean chunks = ≥ 1 clean pair band (pigeonhole), so banding
+    * is provably exact for the emitted hamming ≤ 4 threshold. The
+    * bound is TIGHT: a hamming-5 pair can dirty 5 chunks and leave no
+    * clean pair band, so raising the verify threshold past 4 REQUIRES
+    * re-deriving the band scheme (single chunks are exact to
+    * bands−1; pair bands over c chunks to c−2). The operator's output
+    * IS "all pairs at hamming ≤ 4", not "pairs the banding happened
+    * to catch".
     */
   /** The persisted SimHash signature store — the bandedStore pattern
     * ([[corpusArtifactStore]]): one (doc_id, simhash) row per
@@ -589,8 +595,9 @@ object Dedup {
   /** SimHash signature table — split-oracle boundary, same as
     * [[minhashSigTable]]: the dump IS the store, so the dumped
     * signatures are literally the ones the operator derived its pairs
-    * from — the DuckDB oracle audits the store, then re-runs the 8×8
-    * chunking and hamming verify independently over the dump.
+    * from — the DuckDB oracle audits the store, then re-derives the
+    * full output through an INDEPENDENT exact banding (5×13/12-bit
+    * single chunks) + hamming verify over the dump.
     */
   private def simhashSigTable(s: SparkSession, d: String): DataFrame =
     simhashStore(s, d)
@@ -605,15 +612,28 @@ object Dedup {
     * (measured 21 s warm at 25× for 4×16 banding; 39 s for 8×8 —
     * banding width only scaled the constant). Instead:
     *
-    * LEG 1 (identical values, hamming = 0, the dominant output): a
-    * GRID-PARALLELIZED equality self-join. Each doc gets a block id
-    * blk = hash(doc_id) mod B; side a replicates each row to grid
-    * columns j in blk..B−1; the join key is (simhash, j=blk_b), so
-    * one clique's C(n,2) work spreads over B(B+1)/2 grid cells ×
-    * hash-distributed values instead of one task — the shuffle this
-    * adds is rows × B/2 small rows, bought deliberately for
-    * parallelism. Emission: blk_a < blk_b, or doc order inside the
-    * diagonal cell — each unordered pair exactly once.
+    * LEG 1 (identical values, hamming = 0, the dominant output):
+    * MAP-SIDE C(n,2) expansion over each signature group's sorted ids
+    * array — the q45_basket_pairs move (posexplode + explode(slice),
+    * chained codegen'd generators, never a nested-transform HOF), and
+    * NO JOIN AT ALL: the (simhash → ids) groups table is already
+    * materialized for leg 2's fan-out, so identical-value pairs cost
+    * zero additional shuffles. Every identical pair is in the OUTPUT
+    * anyway, so C(clique, 2) work is inherent to emission; the only
+    * skew exposure is one giant group expanding in one task, which
+    * the family's documented exact-dedup-first pipeline order bounds
+    * (dd_exact collapses identical TEXTS before near-dup analysis, so
+    * identical-signature groups are near-dup families, not byte-dup
+    * floods). Two join designs were MEASURED before settling here: a
+    * one-side-replicated grid equality join (B-way clique spread,
+    * 5.0-7.2s warm@100×) and a triangular-blocked (lo, hi)-cell join
+    * (uniform n²/B² spread, 9.1s — the doubled rows×(B+1) shuffle
+    * out-costs the extra spread on bounded cliques). The map-side
+    * expansion measures at parity with the grid (5.8s warm@100×,
+    * within machine noise) and is chosen for the structurally
+    * simplest plan: zero extra exchanges, no row replication, and the
+    * skew story reduces to the one documented pipeline-order
+    * contract instead of a tuning parameter B.
     *
     * LEG 2 (different values, hamming 1..4): a PAIR-BAND join over
     * DISTINCT simhash VALUES only — a table smaller than the corpus
@@ -642,22 +662,20 @@ object Dedup {
     * exact banding (5×13 single chunks) — equivalence of the two
     * bandings is exactly the recall contract.
     */
-  /** Leg 1: identical-value pairs via the grid-parallelized equality
-    * self-join (see [[ddSimhash]] scaladoc).
+  /** Leg 1: identical-value pairs via map-side C(n,2) expansion over
+    * each group's sorted ids (see [[ddSimhash]] scaladoc). `groups`
+    * must be the materialized (simhash, ids) table — the same frame
+    * leg 2 fans out through, so this leg adds zero shuffles. Sorted
+    * ids make doc_a < doc_b by construction.
     */
-  private[graft] def simhashEqPairs(sigs: DataFrame): DataFrame = {
-    val B = 16
-    val blocked = sigs
-      .withColumn("blk", pmod(hash(col("doc_id")), lit(B)).cast("int"))
-    val gridA = blocked
-      .withColumn("j", explode(sequence(col("blk"), lit(B - 1))))
-    gridA.as("a").join(blocked.as("b"),
-        col("a.simhash") === col("b.simhash") && col("a.j") === col("b.blk") &&
-          (col("a.blk") < col("b.blk") || col("a.doc_id") < col("b.doc_id")))
-      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
-        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"),
+  private[graft] def simhashEqPairs(groups: DataFrame): DataFrame =
+    groups
+      .filter(size(col("ids")) > 1)
+      .select(array_sort(col("ids")).as("s"))
+      .select(col("s"), posexplode(col("s")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("s"), col("i") + 2, size(col("s")))).as("doc_b"),
         lit(0L).as("hamming"))
-  }
 
   /** Leg 2: cross-value pairs — distinct-value chunk-band join +
     * group fan-out (see [[ddSimhash]] scaladoc). `groups` must be the
@@ -715,9 +733,9 @@ object Dedup {
       .localCheckpoint()
 
   val ddSimhash: Q = (s, d) => {
-    val sigs = simhashStore(s, d)
-    simhashEqPairs(sigs)
-      .unionAll(simhashCrossPairs(simhashGroups(sigs)))
+    val groups = simhashGroups(simhashStore(s, d))
+    simhashEqPairs(groups)
+      .unionAll(simhashCrossPairs(groups))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

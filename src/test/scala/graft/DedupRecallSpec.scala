@@ -38,11 +38,14 @@ class DedupRecallSpec extends SparkTestBase {
     assert(missed.isEmpty, s"LSH missed ${missed.size}/${trueHighPairs.size}: ${missed.take(5)}")
   }
 
-  test("simhash 8x8 chunk banding is pigeonhole-exact at the hamming<=4 verify") {
-    // the round-14 recall contract: output == ALL pairs at hamming <= 4
-    // (any pair at hamming <= 7 shares a whole 8-bit chunk, so banding
-    // cannot miss the emitted threshold — the r13 4x16 asymmetry, where
-    // hamming-4 pairs spread one-per-chunk were unreachable, is closed)
+  test("simhash two-leg emission is pigeonhole-exact at the hamming<=4 verify") {
+    // the round-14 recall contract: output == ALL pairs at hamming <= 4.
+    // Identical signatures are an equality join (exact by definition);
+    // cross-value pairs come from 15 C(6,2) two-chunk pair bands —
+    // hamming <= 4 dirties at most 4 of the 6 chunks, leaving >= 1
+    // clean pair band, so banding cannot miss the emitted threshold
+    // (the r13 4x16 asymmetry, where hamming-4 pairs spread
+    // one-per-chunk were unreachable, is closed)
     val sigs = sources.Tables.documents(spark, sfDir)
       .transform(operators.Dedup.simhashSigTableOf)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)

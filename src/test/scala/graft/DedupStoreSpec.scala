@@ -172,19 +172,23 @@ class DedupStoreSpec extends SparkTestBase {
 
   test("simhash store: pair generation reads the store, never recomputes signatures") {
     // the plan property the store exists for — no SimHash64 kernel
-    // anywhere in the executed pair plan (both legs derive from the
-    // stored signature table). The grid/value exchanges are BY DESIGN:
-    // leg 1 shuffles rows×B/2 small rows to spread one clique's
-    // C(n,2) work across grid cells (parallelism bought with a tiny
-    // shuffle), leg 2 shuffles the distinct-value table (corpus /
-    // clique-factor rows).
+    // anywhere in the executed pair plan. Both legs derive from the
+    // localCheckpoint'd groups frame, so the pair plan starts at an
+    // ExistingRDD and the store scan is pinned on the SIGNATURE frame
+    // instead: together, kernel-absence in the pair plan + store-scan
+    // in the only signature source prove pairs come from stored
+    // signatures. Leg 2's distinct-value shuffle (corpus /
+    // clique-factor rows) is BY DESIGN; leg 1 adds no shuffle at all
+    // (map-side expansion over the groups rows).
+    val sigsPlan = operators.Dedup.simhashStore(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(sigsPlan.contains("graft_dd_simsig_store"),
+      s"expected the signature frame to scan the simhash store:\n$sigsPlan")
     val pairs = operators.Dedup.ddSimhash(spark, sfDir)
     pairs.queryExecution.toRdd.count()
     val plan = pairs.queryExecution.executedPlan.toString
     assert(!plan.contains("SimHash64"),
       s"pair generation still recomputes simhash signatures instead of reading the store:\n$plan")
-    assert(plan.contains("Bucketed: true") || plan.contains("graft_dd_simsig_store"),
-      s"expected a simhash store scan in the pair plan:\n$plan")
   }
 
   test("band store: both sides of the pair join scan the bucketed table") {
