@@ -657,6 +657,32 @@ class PlanHealthSpec extends SparkTestBase {
     assert(scans <= 2, s"tx_mix_temperature scans the corpus $scans times:\n$plan")
   }
 
+  test("dd_simhash: eq leg is join-free generators, cross leg equi-joins the packed band key") {
+    // the round-14 two-leg shape: identical-signature pairs expand
+    // through chained generators (posexplode + explode(slice) — never
+    // a self-join), and the cross-value candidate join is an EQUI
+    // join on the packed band_key long with the native
+    // first-matching-chunk kernel as its residual (an HOF there was
+    // the measured r13 disaster class). The plan starts at the
+    // localCheckpoint'd groups, so these pins see exactly the pair
+    // emission stages.
+    val pairs = operators.Dedup.ddSimhash(spark, sfDir)
+    pairs.queryExecution.toRdd.count()
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("posexplode"),
+      s"eq leg must expand map-side through generators:\n$plan")
+    assert(plan.contains("band_key"),
+      s"cross leg must join on the packed band key:\n$plan")
+    assert(plan.contains("graft_first_matching_chunk"),
+      s"first-band-wins emission must be the native kernel:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"no nested-loop join anywhere in pair emission:\n$plan")
+    assert(!plan.toLowerCase.contains("lambdafunction") ||
+      "lambdafunction".r.findAllIn(plan.toLowerCase).size <=
+        "array_sort".r.findAllIn(plan.toLowerCase).size * 2,
+      s"no interpreted HOF beyond array_sort's comparator in the hot path:\n$plan")
+  }
+
   test("etl_fuzzy_product_match: the dictionary broadcasts, distance is map-side") {
     // candidates = lines ⋈ dict on the length key — the dict is
     // product-cardinality tiny and must broadcast. The optimizer folds
