@@ -269,15 +269,18 @@ object Profile {
           }
         }
       case "--simhash-legs" =>
-        // stage split of the two-leg simhash pair emission: identical-
-        // value grid join vs distinct-value chunk join + fan-out
+        // stage split of the two-leg simhash pair emission: groups
+        // build, map-side eq expansion, distinct-value band join,
+        // group fan-out, full operator
         val sigs = operators.Dedup.simhashStore(spark, d)
         val t0 = System.nanoTime()
         val nSig = sigs.count()
         val t1 = System.nanoTime()
+        // groups materializes HERE (simhashGroups localCheckpoints
+        // eagerly), so its interval is real, not folded into eq's
         val groups = operators.Dedup.simhashGroups(sigs)
-        val eq = operators.Dedup.simhashEqPairs(groups).count()
         val t2 = System.nanoTime()
+        val eq = operators.Dedup.simhashEqPairs(groups).count()
         val t3 = System.nanoTime()
         val vp = operators.Dedup.simhashValuePairs(groups).count()
         val t4 = System.nanoTime()
@@ -286,8 +289,8 @@ object Profile {
         val full = SparkEntry.queries("dd_simhash")(spark, d).count()
         val t6 = System.nanoTime()
         println(f"[profile] simhash-legs sigs=$nSig (${(t1 - t0) / 1e9}%.2f s) " +
-          f"eq=$eq (${(t2 - t1) / 1e9}%.2f s) " +
-          f"groups (${(t3 - t2) / 1e9}%.2f s) " +
+          f"groups (${(t2 - t1) / 1e9}%.2f s) " +
+          f"eq=$eq (${(t3 - t2) / 1e9}%.2f s) " +
           f"vpairs=$vp (${(t4 - t3) / 1e9}%.2f s) " +
           f"cross=$cross (${(t5 - t4) / 1e9}%.2f s) " +
           f"full=$full (${(t6 - t5) / 1e9}%.2f s)")

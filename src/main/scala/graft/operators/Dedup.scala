@@ -728,7 +728,13 @@ object Dedup {
     * cache left behind)
     */
   private[graft] def simhashGroups(sigs: DataFrame): DataFrame =
-    sigs.groupBy(col("simhash"))
+    // NULL signatures (a NULL text row) are dropped here: the old
+    // hamming verify filtered them (bit_count(NULL ^ NULL) = NULL),
+    // and the oracle's chunk joins never match on NULL — without this
+    // filter the eq leg would group NULL-signature docs together and
+    // emit them as hamming-0 pairs
+    sigs.filter(col("simhash").isNotNull)
+      .groupBy(col("simhash"))
       .agg(collect_list(col("doc_id")).as("ids"))
       .localCheckpoint()
 

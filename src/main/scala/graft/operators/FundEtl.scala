@@ -900,30 +900,17 @@ object FundEtl {
     * plus one narrow groupBy.
     */
   val etlFuzzyProductMatch: Q = (s, _) => {
-    // localCheckpoint materializes the result (both `lines` consumers
-    // run here, against the cache), so the cached PNG-decode frame can
-    // be released before returning — without this, every invocation
-    // leaked `lines` into the session cache for the session lifetime
-    // (the curationApplyBatch finally-unpersist precedent).
-    val (plan, lines) = etlFuzzyProductMatchPlan(s)
-    val out = plan.localCheckpoint()
-    lines.unpersist()
-    out
-  }
-
-  /** The un-checkpointed fuzzy-match frame + its cached decode frame —
-    * exposed so PlanHealthSpec can pin the broadcast shape of the dict
-    * join (the public operator returns a localCheckpoint, whose plan
-    * is an opaque ExistingRDD scan). Caller owns the persist lifecycle
-    * of the returned `lines`.
-    */
-  private[graft] def etlFuzzyProductMatchPlan(
-      s: SparkSession): (DataFrame, DataFrame) = {
     val label = "产品名称："
-    // persisted: the frame feeds BOTH the candidate aggregate and the
-    // final fan-back join, and Catalyst does not share uncached
-    // subtrees — without the persist every run would decode and
-    // glyph-match the whole PNG corpus twice
+    // localCheckpoint (NOT persist): the frame feeds BOTH the
+    // candidate aggregate and the final fan-back join, and Catalyst
+    // does not share uncached subtrees — without a barrier every run
+    // would decode and glyph-match the whole PNG corpus twice. A
+    // persist() would have to be manually released (the session-cache
+    // leak an earlier round shipped and a review caught); the
+    // checkpoint's blocks free with the RDD on GC, need no finally,
+    // and keep the OPERATOR's returned plan a real plan — the generic
+    // PlanHealthSpec guards (no CartesianProduct, broadcast shapes)
+    // keep seeing the joins instead of an opaque ExistingRDD scan.
     val lines = ocrRealRouted(s)
       .filter(col("ocr_ok"))
       .select(col("file_name"), col("ocr_used"),
@@ -934,7 +921,7 @@ object FundEtl {
       .select(col("file_name"), col("ocr_used"),
         expr("substring(f.line, 6)").as("raw_name"))
       .withColumn("len", length(col("raw_name")))
-      .persist()
+      .localCheckpoint()
     // length > 0 keeps the degenerate empty-value case out of the
     // candidate join entirely (an empty raw then left-joins to a NULL
     // match, the honest answer) — and keeps the per-position fold off
@@ -953,13 +940,12 @@ object FundEtl {
       .filter(col("ham") <= 2)
       .groupBy(col("file_name"))
       .agg(min(struct(col("ham"), col("canon"))).as("best"))
-    val out = lines.join(best, Seq("file_name"), "left")
+    lines.join(best, Seq("file_name"), "left")
       .select(col("file_name"), col("ocr_used"), col("raw_name"),
         col("best.canon").as("matched_name"),
         col("best.ham").cast("long").as("hamming"),
         coalesce(col("best.ham") > 0, lit(false)).as("recovered"))
       .orderBy(col("file_name"))
-    (out, lines)
   }
 
   /** END-TO-END FLAGSHIP — the reference's whole program as ONE DAG:

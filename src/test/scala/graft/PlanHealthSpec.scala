@@ -691,13 +691,10 @@ class PlanHealthSpec extends SparkTestBase {
     // (≤3 candidates/file), NOT the collision-stream shape the
     // HOF-in-join-condition lesson bans. The file-keyed fan-back join
     // (lines ⟕ best) is file-cardinality both sides and may shuffle.
-    // the public operator returns a localCheckpoint (so it can release
-    // its cached decode frame — round-14 advice fix); pin the plan of
-    // the exposed pre-checkpoint frame instead
-    val (frame, lines) = operators.FundEtl.etlFuzzyProductMatchPlan(spark)
-    frame.queryExecution.toRdd.count()
-    val plan = frame.queryExecution.executedPlan.toString
-    lines.unpersist()
+    // The decode frame is a localCheckpoint inside the operator, so
+    // the public plan shows the real joins (only the decode subtree
+    // is an ExistingRDD scan).
+    val plan = planOf("etl_fuzzy_product_match")
     assert("BroadcastHashJoin \\[len#\\d+\\], \\[len#\\d+\\]".r.findFirstIn(plan).isDefined,
       s"the dict join must broadcast on the length key:\n$plan")
   }
