@@ -336,6 +336,98 @@ object Dedup {
     * coefficient 3·tri/wedges in ppm. The pair graph materializes
     * once and feeds degrees + both join sides. All integer.
     */
+  /** K-CORE decomposition of the near-dup pair graph (round 14 — the
+    * §9 backlog item unblocked by a CERTIFICATE oracle): the k-core is
+    * the unique maximal subgraph of minimum degree ≥ k, computed by
+    * the canonical simultaneous peel — each round removes EVERY node
+    * whose degree in the remaining graph is < k, until a fixpoint.
+    * At the registered k = 2 the core is exactly the cycle-containing
+    * duplicate structure (true multi-member FAMILIES), while trees,
+    * chains and isolated pairs peel — the structural complement of
+    * dd_graph_triangles' census (k = 2 is also what the committed
+    * corpora exercise non-trivially: the sf0.1 pair graph's 2-core
+    * has 31 members where its 3-core has 4). Output is TOTAL over
+    * documents: (doc_id, removed_round, in_core) — core members carry
+    * removed_round = −1; docs with no near-dup edge peel in round 1.
+    *
+    * THE ORACLE PROBLEM SOLVED (why this was backlogged): the peel
+    * fixpoint's round count is data-dependent, so DuckDB cannot replay
+    * it with a bounded recursive CTE. Instead of replaying, the oracle
+    * VERIFIES A CERTIFICATE — the dumped (node, round) table is
+    * re-emitted only if four pure-SQL checks all hold, else every row
+    * poisons (the q22/q37/q49 bound-validating pattern lifted to
+    * graph algorithms): (a) SOUNDNESS — every core member has ≥ k
+    * neighbors inside the core (⇒ core ⊆ true k-core, by maximality);
+    * (b) PEEL VALIDITY — every node removed at round t has < k
+    * neighbors among {core ∪ removed_round ≥ t} (⇒ by induction on t,
+    * no removed node is in the true k-core — so core = k-core
+    * EXACTLY); (c) CANONICITY — every node removed at round t > 1 had
+    * ≥ k neighbors among {core ∪ removed_round ≥ t−1} (it could not
+    * have been removed earlier ⇒ rounds are exactly the simultaneous-
+    * peel rounds, not merely a valid order); (d) TOTALITY — exactly
+    * one row per document, flags consistent. Together the certificate
+    * pins the unique canonical answer without ever running the
+    * fixpoint in SQL.
+    *
+    * Scale: each round is one degree aggregate + two semi-joins over
+    * the shrinking edge set (localCheckpoint per round, the CC
+    * contract). Clique-dense near-dup graphs converge in 1-3 rounds;
+    * the adversarial worst case (a path peels from the ends at k=2)
+    * is Θ(n/2) rounds — inherent to peeling — so the loop fails
+    * loudly at 64 rounds rather than emitting a non-fixpoint.
+    */
+  private[graft] def kcoreAssign(nodes: DataFrame, pairs: DataFrame,
+      k: Int = 2, maxRounds: Int = 64): DataFrame = {
+    // ONE static mirrored-edge checkpoint; each round filters it by
+    // the (node-cardinality) alive set instead of re-materializing a
+    // shrunken edge copy — on a clique-dense graph the edge set barely
+    // shrinks, so per-round edge checkpoints accumulate near-full
+    // copies and blew executor memory at the 54.6M-edge 100× point.
+    // Per-round state that IS checkpointed (flagged/remaining/removed)
+    // is bounded by the document count, not the edge count.
+    val edges = pairs.unionAll(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .localCheckpoint()
+    var remaining = nodes.localCheckpoint()
+    var removedAcc: Option[DataFrame] = None
+    var round = 1L
+    var done = false
+    while (!done) {
+      if (round > maxRounds)
+        sys.error(s"k-core peel did not converge in $maxRounds rounds")
+      val liveDeg = edges
+        .join(remaining.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
+        .join(remaining.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
+        .groupBy(col("doc_a").as("doc_id"))
+        .agg(count(lit(1)).as("deg"))
+      val flagged = remaining.join(liveDeg, Seq("doc_id"), "left")
+        .withColumn("deg", coalesce(col("deg"), lit(0L)))
+        .localCheckpoint()
+      val removed = flagged.filter(col("deg") < k)
+        .select(col("doc_id"), lit(round).as("removed_round"))
+        .localCheckpoint()
+      if (removed.isEmpty) done = true
+      else {
+        removedAcc = Some(removedAcc.fold(removed)(
+          _.unionAll(removed).localCheckpoint()))
+        remaining = flagged.filter(col("deg") >= k)
+          .select(col("doc_id")).localCheckpoint()
+        round += 1
+      }
+    }
+    val core = remaining.select(col("doc_id"),
+      lit(-1L).as("removed_round"), lit(true).as("in_core"))
+    removedAcc.fold(core)(acc => core.unionByName(
+      acc.select(col("doc_id"), col("removed_round"),
+        lit(false).as("in_core"))))
+  }
+
+  val ddKcore: Q = (s, d) =>
+    kcoreAssign(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
   val ddGraphTriangles: Q = (s, d) => {
     val edges = minhashPairs(s, d)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
@@ -1643,6 +1735,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "dd_kcore" -> ddKcore,
     "dd_graph_rank" -> ddGraphRank,
     "dd_pipeline" -> ddPipeline,
     "dd_containment" -> ddContainment,
@@ -1678,7 +1771,11 @@ object Dedup {
     "dd_minhash_sigs" -> ((s, d) => minhashSigTable(s, d)),
     "dd_simhash_sigs" -> ((s, d) => simhashSigTable(s, d)),
     "dd_shingles" -> ((s, d) => shingled(s, d).select(col("doc_id"), col("sh_hashes"))),
-    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))))
+    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))),
+    // the k-core CERTIFICATE dump: the oracle re-emits these rows only
+    // after its four pure-SQL checks pass (see ddKcore scaladoc) — a
+    // second run of the deterministic peel in the same session
+    "dd_kcore_result" -> ((s, d) => ddKcore(s, d)))
 
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
@@ -1708,6 +1805,62 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    // CERTIFICATE oracle (see ddKcore scaladoc): the dumped
+    // (doc_id, removed_round, in_core) table is re-emitted only if
+    // (a) every core member has >= k in-core neighbors, (b) every
+    // removed node has < k neighbors at-or-after its round, (c) every
+    // node removed after round 1 could NOT have been removed earlier,
+    // and (d) the table covers each document exactly once with
+    // consistent flags — four pure-SQL checks that together pin the
+    // unique canonical k-core peel without replaying the fixpoint.
+    // Any violation poisons every row (-999 / NULL) so the hash
+    // compare fails loudly.
+    "dd_kcore" ->
+      """WITH res AS (
+        |  SELECT doc_id, removed_round, in_core
+        |  FROM read_parquet('__AUX__/dd_kcore_result/*.parquet')),
+        |p AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+        |      UNION ALL SELECT doc_b, doc_a FROM p),
+        |core_deg AS (
+        |  SELECT r.doc_id, count(*) AS dg
+        |  FROM res r JOIN e ON e.u = r.doc_id
+        |  JOIN res r2 ON r2.doc_id = e.v AND r2.in_core
+        |  WHERE r.in_core GROUP BY 1),
+        |viol_sound AS (
+        |  SELECT r.doc_id FROM res r LEFT JOIN core_deg cd USING (doc_id)
+        |  WHERE r.in_core AND coalesce(cd.dg, 0) < 2),
+        |rem_deg_now AS (
+        |  SELECT r.doc_id, count(r2.doc_id) AS dg
+        |  FROM res r LEFT JOIN e ON e.u = r.doc_id
+        |  LEFT JOIN res r2 ON r2.doc_id = e.v
+        |    AND (r2.in_core OR r2.removed_round >= r.removed_round)
+        |  WHERE NOT r.in_core GROUP BY 1),
+        |viol_peel AS (SELECT doc_id FROM rem_deg_now WHERE dg >= 2),
+        |rem_deg_prev AS (
+        |  SELECT r.doc_id, count(r2.doc_id) AS dg
+        |  FROM res r LEFT JOIN e ON e.u = r.doc_id
+        |  LEFT JOIN res r2 ON r2.doc_id = e.v
+        |    AND (r2.in_core OR r2.removed_round >= r.removed_round - 1)
+        |  WHERE NOT r.in_core AND r.removed_round > 1 GROUP BY 1),
+        |viol_canon AS (SELECT doc_id FROM rem_deg_prev WHERE dg < 2),
+        |viol_total AS (
+        |  SELECT d.doc_id FROM documents d LEFT JOIN res r USING (doc_id)
+        |  WHERE r.doc_id IS NULL
+        |  UNION ALL SELECT doc_id FROM res GROUP BY doc_id HAVING count(*) > 1
+        |  UNION ALL SELECT doc_id FROM res
+        |  WHERE (in_core AND removed_round <> -1)
+        |     OR (NOT in_core AND removed_round < 1)),
+        |poison AS (SELECT
+        |  (SELECT count(*) FROM viol_sound) + (SELECT count(*) FROM viol_peel)
+        |  + (SELECT count(*) FROM viol_canon) + (SELECT count(*) FROM viol_total)
+        |  AS n)
+        |SELECT r.doc_id,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.removed_round ELSE -999 END AS BIGINT)
+        |    AS removed_round,
+        |  CASE WHEN pz.n = 0 THEN r.in_core END AS in_core
+        |FROM res r CROSS JOIN poison pz
+        |ORDER BY doc_id""".stripMargin,
     "dd_graph_triangles" ->
       """WITH e AS (
         |  SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),

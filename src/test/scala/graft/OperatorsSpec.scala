@@ -288,6 +288,59 @@ class OperatorsSpec extends SparkTestBase {
     assert(operators.Dedup.ddExact(spark, sfDir).count() == distinctTexts)
   }
 
+  test("dd_kcore matches a plain-Scala simultaneous peel on the corpus graph") {
+    val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val allDocs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val k = 2
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    pairs.foreach { case (a, b) =>
+      adj.getOrElseUpdate(a, scala.collection.mutable.Set.empty) += b
+      adj.getOrElseUpdate(b, scala.collection.mutable.Set.empty) += a
+    }
+    var alive = allDocs
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+    var round = 1L
+    var changed = true
+    while (changed) {
+      val rem = alive.filter(n => adj.get(n).map(_.count(alive)).getOrElse(0) < k)
+      changed = rem.nonEmpty
+      if (changed) { rem.foreach(expect(_) = round); alive --= rem; round += 1 }
+    }
+    val out = SparkEntry.queries("dd_kcore")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out.keySet == allDocs, "output must be total over documents")
+    assert(out.filter(_._2._2).keySet == alive,
+      s"core diverges: got ${out.count(_._2._2)} want ${alive.size}")
+    out.foreach { case (id, (r, inCore)) =>
+      if (inCore) assert(r == -1L)
+      else assert(r == expect(id), s"doc $id: round $r want ${expect(id)}")
+    }
+    assert(alive.nonEmpty, "the corpus 2-core should be non-empty, or the test is vacuous")
+  }
+
+  test("k-core peel cascades down a chain and keeps the cycle, loud past maxRounds") {
+    import spark.implicits._
+    // chain 1-2-3-4-5 peels from the ends (rounds 1,2,3); the triangle
+    // is the 2-core; node 6 has no edge and peels in round 1
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("doc_a", "doc_b")
+    val nodes = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L, 12L)).toDF("doc_id")
+    val out = operators.Dedup.kcoreAssign(nodes, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val want = Map(
+      1L -> (1L, false), 5L -> (1L, false), 6L -> (1L, false),
+      2L -> (2L, false), 4L -> (2L, false), 3L -> (3L, false),
+      10L -> (-1L, true), 11L -> (-1L, true), 12L -> (-1L, true))
+    assert(out == want, s"got $out")
+    // non-convergence within the cap must fail loudly, never emit
+    val err = intercept[Exception] {
+      operators.Dedup.kcoreAssign(nodes, pairs, maxRounds = 2).collect()
+    }
+    assert(err.getMessage.contains("did not converge"))
+  }
+
   test("dd_cluster labels every paired doc with its component minimum") {
     val pairs = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
