@@ -83,8 +83,14 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // __OUT__ points an oracle at a PRIMARY result dump — the
+    // certificate-oracle pattern (dd_kcore) audits the very table the
+    // driver hash-compares, instead of paying a second run of the
+    // operator into an aux dump
+    val outAbs = new java.io.File(outDir).getAbsolutePath
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__AUX__", auxBase))}" }
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace("__AUX__", auxBase).replace("__OUT__", outAbs))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -389,12 +389,14 @@ object Dedup {
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     var remaining = nodes.localCheckpoint()
-    var removedAcc: Option[DataFrame] = None
+    // per-round removed frames are each localCheckpoint'd (lineage
+    // already truncated), so they fold into ONE union after the loop —
+    // re-unioning the growing accumulator every round rewrote
+    // O(rounds × removed) rows for no lineage benefit
+    val removedRounds = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var round = 1L
     var done = false
     while (!done) {
-      if (round > maxRounds)
-        sys.error(s"k-core peel did not converge in $maxRounds rounds")
       val liveDeg = edges
         .join(remaining.select(col("doc_id").as("doc_a")), Seq("doc_a"), "left_semi")
         .join(remaining.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
@@ -408,8 +410,13 @@ object Dedup {
         .localCheckpoint()
       if (removed.isEmpty) done = true
       else {
-        removedAcc = Some(removedAcc.fold(removed)(
-          _.unionAll(removed).localCheckpoint()))
+        // the cap guards REMOVAL rounds: a peel converging in exactly
+        // maxRounds removal rounds is fine (its confirming empty round
+        // lands above); only a round past the cap that still removes
+        // something is non-convergence
+        if (round > maxRounds)
+          sys.error(s"k-core peel did not converge within $maxRounds removal rounds")
+        removedRounds += removed
         remaining = flagged.filter(col("deg") >= k)
           .select(col("doc_id")).localCheckpoint()
         round += 1
@@ -417,15 +424,22 @@ object Dedup {
     }
     val core = remaining.select(col("doc_id"),
       lit(-1L).as("removed_round"), lit(true).as("in_core"))
-    removedAcc.fold(core)(acc => core.unionByName(
-      acc.select(col("doc_id"), col("removed_round"),
+    removedRounds.foldLeft(core)((acc, r) => acc.unionByName(
+      r.select(col("doc_id"), col("removed_round"),
         lit(false).as("in_core"))))
   }
+
+  /** The registered k — ONE constant feeding both the Spark peel and
+    * the certificate oracle's three threshold literals, so they can
+    * never desynchronize (a k change with a stale oracle would poison
+    * a correct result).
+    */
+  private[graft] val kcoreK = 2
 
   val ddKcore: Q = (s, d) =>
     kcoreAssign(
       Tables.documents(s, d).select(col("doc_id")),
-      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")), k = kcoreK)
       .orderBy(col("doc_id"))
 
   val ddGraphTriangles: Q = (s, d) => {
@@ -1771,11 +1785,7 @@ object Dedup {
     "dd_minhash_sigs" -> ((s, d) => minhashSigTable(s, d)),
     "dd_simhash_sigs" -> ((s, d) => simhashSigTable(s, d)),
     "dd_shingles" -> ((s, d) => shingled(s, d).select(col("doc_id"), col("sh_hashes"))),
-    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))),
-    // the k-core CERTIFICATE dump: the oracle re-emits these rows only
-    // after its four pure-SQL checks pass (see ddKcore scaladoc) — a
-    // second run of the deterministic peel in the same session
-    "dd_kcore_result" -> ((s, d) => ddKcore(s, d)))
+    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))))
 
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
@@ -1805,20 +1815,26 @@ object Dedup {
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
-    // CERTIFICATE oracle (see ddKcore scaladoc): the dumped
-    // (doc_id, removed_round, in_core) table is re-emitted only if
-    // (a) every core member has >= k in-core neighbors, (b) every
-    // removed node has < k neighbors at-or-after its round, (c) every
-    // node removed after round 1 could NOT have been removed earlier,
-    // and (d) the table covers each document exactly once with
-    // consistent flags — four pure-SQL checks that together pin the
-    // unique canonical k-core peel without replaying the fixpoint.
-    // Any violation poisons every row (-999 / NULL) so the hash
-    // compare fails loudly.
+    // CERTIFICATE oracle (see ddKcore scaladoc): the operator's OWN
+    // primary dump (the __OUT__ token — no second peel run) is
+    // re-emitted only if (a) every core member has >= k in-core
+    // neighbors, (b) every removed node has < k neighbors
+    // at-or-after its round, (c) every node removed after round 1
+    // could NOT have been removed earlier, and (d) the table is
+    // WELL-FORMED AND TOTAL: one row per document, no row outside the
+    // document set, no NULL field, flags consistent — four pure-SQL
+    // checks that together pin the unique canonical k-core peel
+    // without replaying the fixpoint. Any violation poisons every
+    // row (-999 / NULL) so the hash compare fails loudly. The k
+    // literals interpolate from the SAME constant the Spark peel
+    // uses (kcoreK), so they cannot desynchronize. Review-hardened:
+    // out-of-domain rows and NULL fields (invisible to the
+    // flag-consistency predicates, whose NULL comparisons don't
+    // flag) are explicit viol_total legs.
     "dd_kcore" ->
-      """WITH res AS (
+      s"""WITH res AS (
         |  SELECT doc_id, removed_round, in_core
-        |  FROM read_parquet('__AUX__/dd_kcore_result/*.parquet')),
+        |  FROM read_parquet('__OUT__/dd_kcore/*.parquet')),
         |p AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
         |e AS (SELECT doc_a AS u, doc_b AS v FROM p
         |      UNION ALL SELECT doc_b, doc_a FROM p),
@@ -1829,27 +1845,31 @@ object Dedup {
         |  WHERE r.in_core GROUP BY 1),
         |viol_sound AS (
         |  SELECT r.doc_id FROM res r LEFT JOIN core_deg cd USING (doc_id)
-        |  WHERE r.in_core AND coalesce(cd.dg, 0) < 2),
+        |  WHERE r.in_core AND coalesce(cd.dg, 0) < $kcoreK),
         |rem_deg_now AS (
         |  SELECT r.doc_id, count(r2.doc_id) AS dg
         |  FROM res r LEFT JOIN e ON e.u = r.doc_id
         |  LEFT JOIN res r2 ON r2.doc_id = e.v
         |    AND (r2.in_core OR r2.removed_round >= r.removed_round)
         |  WHERE NOT r.in_core GROUP BY 1),
-        |viol_peel AS (SELECT doc_id FROM rem_deg_now WHERE dg >= 2),
+        |viol_peel AS (SELECT doc_id FROM rem_deg_now WHERE dg >= $kcoreK),
         |rem_deg_prev AS (
         |  SELECT r.doc_id, count(r2.doc_id) AS dg
         |  FROM res r LEFT JOIN e ON e.u = r.doc_id
         |  LEFT JOIN res r2 ON r2.doc_id = e.v
         |    AND (r2.in_core OR r2.removed_round >= r.removed_round - 1)
         |  WHERE NOT r.in_core AND r.removed_round > 1 GROUP BY 1),
-        |viol_canon AS (SELECT doc_id FROM rem_deg_prev WHERE dg < 2),
+        |viol_canon AS (SELECT doc_id FROM rem_deg_prev WHERE dg < $kcoreK),
         |viol_total AS (
         |  SELECT d.doc_id FROM documents d LEFT JOIN res r USING (doc_id)
         |  WHERE r.doc_id IS NULL
+        |  UNION ALL
+        |  SELECT r.doc_id FROM res r LEFT JOIN documents d USING (doc_id)
+        |  WHERE d.doc_id IS NULL
         |  UNION ALL SELECT doc_id FROM res GROUP BY doc_id HAVING count(*) > 1
         |  UNION ALL SELECT doc_id FROM res
-        |  WHERE (in_core AND removed_round <> -1)
+        |  WHERE doc_id IS NULL OR removed_round IS NULL OR in_core IS NULL
+        |     OR (in_core AND removed_round <> -1)
         |     OR (NOT in_core AND removed_round < 1)),
         |poison AS (SELECT
         |  (SELECT count(*) FROM viol_sound) + (SELECT count(*) FROM viol_peel)

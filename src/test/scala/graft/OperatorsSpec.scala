@@ -165,6 +165,18 @@ class OperatorsSpec extends SparkTestBase {
     assert((dumped -- referenced).isEmpty, s"aux dumped but never read: ${dumped -- referenced}")
   }
 
+  test("every __OUT__ oracle reference names a registered query's own dump") {
+    // the certificate-oracle pattern: __OUT__/<name> must be the
+    // oracle's OWN primary result dir, which Verify writes for every
+    // registered query — a reference to another query's dump would
+    // silently couple two operators' verification
+    SparkEntry.oracleSql.foreach { case (name, sql) =>
+      val refs = "__OUT__/([a-z0-9_]+)/".r.findAllMatchIn(sql).map(_.group(1)).toSet
+      assert(refs.subsetOf(Set(name)),
+        s"oracle $name reads __OUT__ dirs $refs — only its own dump is allowed")
+    }
+  }
+
   test("entry returns nonzero rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
