@@ -23,6 +23,15 @@ object GraftSession {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", (64L * 1024 * 1024).toString)
+      // The CC router's driver union-find path collects up to 32M
+      // (Long, Long) pairs (Dedup.connectedComponents, budget 64M
+      // directed edges ≈ 1 GB of collected rows). The default
+      // maxResultSize (1g) would abort a job near that ceiling instead
+      // of ever reaching the union-find — so the budget's documented
+      // ≥4 GB-driver-headroom assumption is ENFORCED here, where every
+      // session (Bench/Verify/Profile/tests) is built. A deploy that
+      // lowers this must lower the union-find budget with it.
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // runtime row-group pruning on large joins: the selective side

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.Bridge
@@ -293,10 +293,16 @@ object FirstCollidingBand {
   * for identical signatures.
   */
 case class FirstMatchingChunk(left: Expression, right: Expression)
-    extends BinaryExpression with Serializable {
+    extends BinaryExpression with ExpectsInputTypes with Serializable {
   override def prettyName: String = "graft_first_matching_chunk"
   override def dataType: DataType = IntegerType
   override def nullable: Boolean = left.nullable || right.nullable
+  // SQL-registered (graft_first_matching_chunk): without declared input
+  // types an external caller passing non-bigint args compiles garbage
+  // codegen and then ClassCastExceptions in the interpreted path — the
+  // same external-caller hardening FirstCollidingBand's checkLength does
+  // for array bounds, done here at analysis time where it belongs
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
 
   override def nullSafeEval(a: Any, b: Any): Any =
     FirstMatchingChunk.compute(a.asInstanceOf[Long], b.asInstanceOf[Long])

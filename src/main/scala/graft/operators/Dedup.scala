@@ -137,11 +137,12 @@ object Dedup {
     p.getFileSystem(s.sparkContext.hadoopConfiguration)
 
   /** md5 over the sorted (name, length, mtime) listing of the source
-    * documents parquet — a metadata-only staleness probe (one FS list,
-    * no data read).
+    * parquet (`srcFile`, default the documents table) — a metadata-only
+    * staleness probe (one FS list, no data read).
     */
-  private def corpusFingerprint(s: SparkSession, d: String): String = {
-    val src = new org.apache.hadoop.fs.Path(s"$d/documents.parquet")
+  private def corpusFingerprint(s: SparkSession, d: String,
+      srcFile: String = "documents.parquet"): String = {
+    val src = new org.apache.hadoop.fs.Path(s"$d/$srcFile")
     val fs = hadoopFs(s, src)
     val st = fs.getFileStatus(src)
     val parts =
@@ -170,12 +171,13 @@ object Dedup {
     * plan is only constructed when (re)building or for its schema DDL.
     */
   private[graft] def corpusArtifactStore(
-      s: SparkSession, d: String, name: String, bucketCol: String)(
+      s: SparkSession, d: String, name: String, bucketCol: String,
+      srcFile: String = "documents.parquet")(
       artifact: => DataFrame): DataFrame = storeLock.synchronized {
     val path = bandStorePath(s, name)
     val fs = hadoopFs(s, path)
     val marker = new org.apache.hadoop.fs.Path(path, "_SOURCE_FINGERPRINT")
-    val fp = corpusFingerprint(s, d)
+    val fp = corpusFingerprint(s, d, srcFile)
     val stored =
       if (!fs.exists(marker)) None
       else {
@@ -226,10 +228,12 @@ object Dedup {
   }
 
   /** Drop ALL artifact stores for a corpus dir (band, simhash-chunk,
-    * shingle) — what a corpus rewrite invalidates.
+    * shingle, and the ANN assignment store keyed on the same dir) —
+    * what a corpus rewrite invalidates.
     */
   private[graft] def invalidateBandStore(s: SparkSession, d: String): Unit =
-    Seq(bandStoreName(d), simhashStoreName(d), shingleStoreName(d))
+    Seq(bandStoreName(d), simhashStoreName(d), shingleStoreName(d),
+        storeName("annivf", d))
       .foreach(invalidateStore(s, _))
 
   /** (doc_id, sig, band_key) — the LSH band index rows for a signature
@@ -1208,7 +1212,12 @@ object Dedup {
     * equal (label_diff=0 both runs). The budget therefore assumes a
     * driver with ≥4 GB headroom — standard for any real cluster
     * driver — and a billion-edge 100 TB graph still routes to the
-    * distributed star path.
+    * distributed star path. The assumption is ENFORCED, not just
+    * documented (round-15 advice): GraftSession sets
+    * spark.driver.maxResultSize=4g — at the Spark default (1g) a graph
+    * near this ceiling would abort on the collect instead of labeling,
+    * and a deploy that lowers maxResultSize must lower this budget
+    * with it (budget_edges ≈ maxResultSize / 16 B per directed edge).
     */
   private[graft] def connectedComponents(pairs: DataFrame,
       driverPathMaxEdges: Long = 64000000L,
@@ -1549,14 +1558,12 @@ object Dedup {
       .distinct()
   }
 
-  val ddContainment: Q = (s, d) => {
-    // the shingle store replaces the old session persist(): each of the
-    // three reads below (df-index explode, fan-back a, fan-back b) is a
-    // bucketed scan of pre-hashed arrays, not a kernel recompute — and
-    // nothing is left cached in the session afterwards
-    val sh = shingled(s, d)
-      .select(col("doc_id"), col("sh_hashes"))
-    val candidates = containmentCandidates(s, d, sh)
+  /** The exact verify + emit tail shared by [[ddContainment]] and
+    * [[ddContainmentSampled]]: fan the candidate pairs back to their
+    * full shingle sets, compute |A∩B|/|A| with the native kernel, keep
+    * ≥ 0.9.
+    */
+  private def containmentVerified(sh: DataFrame, candidates: DataFrame): DataFrame =
     candidates
       .join(sh.select(col("doc_id").as("doc_a"), col("sh_hashes").as("sh_a")), "doc_a")
       .join(sh.select(col("doc_id").as("doc_b"), col("sh_hashes").as("sh_b")), "doc_b")
@@ -1568,6 +1575,42 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_shared"), col("n_a"),
         col("containment"))
       .orderBy(col("doc_a"), col("doc_b"))
+
+  val ddContainment: Q = (s, d) => {
+    // the shingle store replaces the old session persist(): each of the
+    // three reads below (df-index explode, fan-back a, fan-back b) is a
+    // bucketed scan of pre-hashed arrays, not a kernel recompute — and
+    // nothing is left cached in the session afterwards
+    val sh = shingled(s, d)
+      .select(col("doc_id"), col("sh_hashes"))
+    containmentVerified(sh, containmentCandidates(s, d, sh))
+  }
+
+  /** §2.C round 15 — the SAMPLED containment audit (the r14 verdict's
+    * ask #3, via the q46_rfm_sketch / dd_pair_quality_sampled
+    * sibling-operator playbook): dd_containment's 100× floor is
+    * OUTPUT-bound (53.7M verified pairs on the make_scale clique
+    * corpus — per-pair verify cost fell round over round while the
+    * emission volume is the output's own size), so the only lever left
+    * is emitting LESS, honestly. This op runs the identical
+    * prefix-filter candidate stage, then keeps the deterministic
+    * content-addressed 1-in-8 pair sample ([[pairSamplePredicate]] —
+    * the shared portable integer hash) BEFORE the two shingle fan-back
+    * joins and the exact verify, so verify cost AND output volume are
+    * sample-bounded by construction. Because verify is a pure per-pair
+    * predicate, the output is exactly the same 1-in-8 hash slice of
+    * the full operator's output — the containment-rate estimate reads
+    * off it with a ×8 scale-up, which is how a 100 TB quote-detection
+    * audit actually runs (nobody materializes every containment pair
+    * to decide whether a corpus has a quoting problem). The full
+    * operator stays registered as the exact anchor; the A/B numbers
+    * (SURVEY §5) are the ask's deliverable either way.
+    */
+  val ddContainmentSampled: Q = (s, d) => {
+    val sh = shingled(s, d)
+      .select(col("doc_id"), col("sh_hashes"))
+    containmentVerified(sh,
+      containmentCandidates(s, d, sh).filter(pairSamplePredicate(8)))
   }
 
   /** LEAKAGE-FREE SPLIT ASSIGNMENT — the train/val/test split a
@@ -1753,6 +1796,7 @@ object Dedup {
     "dd_graph_rank" -> ddGraphRank,
     "dd_pipeline" -> ddPipeline,
     "dd_containment" -> ddContainment,
+    "dd_containment_sampled" -> ddContainmentSampled,
     "dd_split_leakfree" -> ddSplitLeakfree,
     "dd_canonical" -> ddCanonical,
     "dd_cluster" -> ddCluster,
@@ -2034,6 +2078,39 @@ object Dedup {
         |    floor(len(list_intersect(a.sh_hashes, b.sh_hashes))
         |      / CAST(len(a.sh_hashes) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
         |  FROM cand c
+        |  JOIN sh a ON c.doc_a = a.doc_id
+        |  JOIN sh b ON c.doc_b = b.doc_id) t
+        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    // the sampled sibling: identical derivation with the shared
+    // portable integer-hash predicate on the CANDIDATE pairs (the same
+    // place the Spark side filters), so sample membership itself is
+    // cross-engine-checked, not just the surviving rows
+    "dd_containment_sampled" ->
+      """WITH sh AS (
+        |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
+        |ex AS (SELECT doc_id, unnest(sh_hashes) AS h FROM sh),
+        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h
+        |  HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) * 2 // 100)),
+        |indexed AS (SELECT ex.doc_id, ex.h, df.df FROM ex JOIN df ON ex.h = df.h),
+        |probes AS (
+        |  SELECT doc_id AS doc_a, h FROM (
+        |    SELECT doc_id, h,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn
+        |    FROM indexed) t
+        |  WHERE rn <= 4),
+        |cand AS (
+        |  SELECT DISTINCT p.doc_a, i.doc_id AS doc_b
+        |  FROM probes p JOIN indexed i ON p.h = i.h AND p.doc_a <> i.doc_id),
+        |scand AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  WHERE ((((doc_a % 1000003) * 4099 + doc_b % 1000003) % 1000003) * 2654435761) % 1048576 < 131072)
+        |SELECT doc_a, doc_b, n_shared, n_a, containment FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |    CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS BIGINT) AS n_shared,
+        |    CAST(len(a.sh_hashes) AS BIGINT) AS n_a,
+        |    floor(len(list_intersect(a.sh_hashes, b.sh_hashes))
+        |      / CAST(len(a.sh_hashes) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
+        |  FROM scand c
         |  JOIN sh a ON c.doc_a = a.doc_id
         |  JOIN sh b ON c.doc_b = b.doc_id) t
         |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,

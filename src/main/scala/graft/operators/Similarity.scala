@@ -290,13 +290,35 @@ object Similarity {
     * pairs belong to the batch's own intra-batch pass, not the index
     * probe (asserted by the oracle's old-side restriction).
     */
+  /** The PERSISTED stored-side IVF assignment (round 15, the r14
+    * verdict's ask #5 — session-cold parity with the dedup stores):
+    * (vec_id, embedding, cent_id) under the fixed k=16 quantizer as a
+    * corpus artifact, bucketed on cent_id so probe joins against it
+    * are co-located at scale, fingerprinted on embeddings.parquet
+    * (the dd stores' machinery with the source table swapped), fresh
+    * sessions re-register without recomputing the n×16 argmax
+    * assignment. The FULL corpus is stored once; [[annIncremental]]
+    * filters its old-side slice from it (assignment is per-row, so
+    * restriction commutes with it) and [[annRangeSearch]] reads it
+    * whole — one store serves both registered consumers.
+    */
+  private[graft] def annAssignStoreName(d: String): String =
+    Dedup.storeName("annivf", d)
+  private[graft] def assignedStore(s: SparkSession, d: String): DataFrame =
+    Dedup.corpusArtifactStore(s, d, annAssignStoreName(d), "cent_id",
+        srcFile = "embeddings.parquet") {
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"),
+          nearestCentroidCol(col("embedding"), fixedCentroids(s, d)).as("cent_id"))
+    }
+
   val annIncremental: Q = (s, d) => {
     val centroids = fixedCentroids(s, d)
     val emb = Tables.embeddings(s, d)
     val isNew = pmod(col("vec_id"), lit(5)) === 0
-    val stored = emb.filter(!isNew)
-      .select(col("vec_id"), col("embedding"),
-        nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+    // stored side reads the persisted assignment (filter commutes with
+    // the per-row assignment; the store holds the full corpus)
+    val stored = assignedStore(s, d).filter(!isNew)
     val probes = probesOf(
       emb.filter(isNew)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
@@ -329,8 +351,7 @@ object Similarity {
   val annRangeSearch: Q = (s, d) => {
     val centroids = fixedCentroids(s, d)
     val emb = Tables.embeddings(s, d)
-    val stored = emb.select(col("vec_id"), col("embedding"),
-      nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+    val stored = assignedStore(s, d)
     val probes = probesOf(
       emb.filter(pmod(col("vec_id"), lit(101)) === 0)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),

@@ -46,8 +46,14 @@ class DedupRecallSpec extends SparkTestBase {
     // clean pair band, so banding cannot miss the emitted threshold
     // (the r13 4x16 asymmetry, where hamming-4 pairs spread
     // one-per-chunk were unreachable, is closed)
+    // NULL signatures (NULL-text docs) emit no pairs by the operator's
+    // documented contract (simhashGroups filters them) — mirror that
+    // filter here so the replay states the same domain instead of
+    // crashing on getLong(1); the NULL path itself is pinned with a
+    // planted NULL-text doc in DedupStoreSpec
     val sigs = sources.Tables.documents(spark, sfDir)
       .transform(operators.Dedup.simhashSigTableOf)
+      .filter(col("simhash").isNotNull)
       .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
     val brute = (for {
       (ida, ha) <- sigs.iterator

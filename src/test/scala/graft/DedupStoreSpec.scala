@@ -122,7 +122,11 @@ class DedupStoreSpec extends SparkTestBase {
 
   test("simhash chunk store: builds once, fresh session reuses files, output matches direct recompute") {
     val dir = java.nio.file.Files.createTempDirectory("graft-store-spec").toString
-    writeCorpus(dir, corpusA)
+    // corpusA plus one NULL-text document: simhashSigTableOf gives it a
+    // NULL signature, and the operator's contract (simhashGroups drops
+    // NULL signatures) says it must emit NO pairs — previously the
+    // contract was coded for but never exercised by any corpus
+    writeCorpus(dir, corpusA :+ (9L -> null.asInstanceOf[String]))
     val name = operators.Dedup.simhashStoreName(dir)
     try {
       def pairSet() = operators.Dedup.ddSimhash(spark, dir).collect()
@@ -139,10 +143,16 @@ class DedupStoreSpec extends SparkTestBase {
       assert(pairSet() == pairs1)
       assert(listing() == l1, "re-registration rewrote simhash store files")
       // direct recompute over the same corpus: brute-force hamming <= 4
+      // over the NON-NULL signatures (the operator's documented domain)
       import spark.implicits._
-      val sigs = operators.Dedup
-        .simhashSigTableOf(corpusA.toDF("doc_id", "text"))
-        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val sigRows = operators.Dedup
+        .simhashSigTableOf((corpusA :+ (9L -> null.asInstanceOf[String]))
+          .toDF("doc_id", "text"))
+        .collect()
+      assert(sigRows.exists(r => r.getLong(0) == 9L && r.isNullAt(1)),
+        "NULL-text doc should carry a NULL signature")
+      val sigs = sigRows.filter(!_.isNullAt(1))
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
       val brute = (for {
         (ida, ha) <- sigs.iterator
         (idb, hb) <- sigs.iterator if ida < idb
@@ -150,6 +160,8 @@ class DedupStoreSpec extends SparkTestBase {
       } yield (ida, idb, h.toLong)).toSet
       assert(pairs1 == brute, s"store-fed simhash pairs diverge from brute force: $pairs1 vs $brute")
       assert(pairs1.exists(p => p._1 == 1L && p._2 == 2L), "planted identical pair missing")
+      assert(!pairs1.exists(p => p._1 == 9L || p._2 == 9L),
+        "NULL-signature doc must emit no pairs (simhashGroups contract)")
     } finally operators.Dedup.invalidateBandStore(spark, dir)
   }
 

@@ -1491,6 +1491,25 @@ class OperatorsSpec extends SparkTestBase {
     assert(full.map(_.getAs[Long]("n_pairs")).sum == pairs.length.toLong)
   }
 
+  test("dd_containment_sampled emits exactly the integer-hash 1-in-8 slice of the full output") {
+    // verify is a pure per-pair predicate, so sampling candidates
+    // BEFORE the fan-back joins must yield precisely the full
+    // operator's rows whose (doc_a, doc_b) key the shared predicate
+    // selects — membership replayed in plain Scala, no Spark functions
+    def sampled(a: Long, b: Long): Boolean =
+      (((a % 1000003L) * 4099L + b % 1000003L) % 1000003L) * 2654435761L % 1048576L < 131072L
+    val full = SparkEntry.queries("dd_containment")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    val expect = full.filter { case (a, b, _, _, _) => sampled(a, b) }.toSet
+    val got = SparkEntry.queries("dd_containment_sampled")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSet
+    assert(got == expect,
+      s"missing=${(expect -- got).take(3)} extra=${(got -- expect).take(3)}")
+    assert(full.nonEmpty, "corpus should contain containment pairs")
+  }
+
   test("tx_bpe_train: plain-Scala replay reproduces all 8 merges and the token curve") {
     // independent replay with java.lang.String.replace — the same
     // left-to-right non-overlapping scan Spark's and DuckDB's literal

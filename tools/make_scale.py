@@ -5,10 +5,19 @@ per copy so join/dedup cardinality STRUCTURE is preserved (each copy is
 its own world) — growth in runtime should then be ~linear in N for a
 scale-healthy operator.
 
-Usage: python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/sf_big 5
+Usage: python3 tools/make_scale.py <src> <dst> <n> [tables]
+  tables: optional comma-separated subset to scale (e.g.
+  "documents,embeddings,events"); the rest are copied at base size.
+  Round 15: copies STREAM to one ParquetWriter per table instead of a
+  pandas concat — a 400x lineitem concat is a >20 GB single DataFrame,
+  while streaming holds exactly one jittered copy in memory.
+
+Example: python3 tools/make_scale.py /root/testdata/sf0.1 /tmp/sf_big 5
 """
 import sys
 import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
 
 # Small row groups so Spark can split the scan: pandas/pyarrow's
 # default (1Mi rows) packs a 500k-row table into ONE row group, which
@@ -30,15 +39,10 @@ KEY_OFFSETS = {
 DIMS = ["region", "nation"]
 
 
-def main(src, dst, n):
-    import os
-    os.makedirs(dst, exist_ok=True)
-    for t in DIMS:
-        pd.read_parquet(f"{src}/{t}.parquet").to_parquet(f"{dst}/{t}.parquet", index=False)
-        print(f"{t}: dim copied")
-    for t, offs in KEY_OFFSETS.items():
-        base = pd.read_parquet(f"{src}/{t}.parquet")
-        copies = []
+def write_scaled(src, dst, t, offs, n):
+    base = pd.read_parquet(f"{src}/{t}.parquet")
+    writer = None
+    try:
         for i in range(n):
             c = base.copy()
             for col, off in offs.items():
@@ -47,11 +51,31 @@ def main(src, dst, n):
                 # distinct token prefix per copy: near-dup structure is
                 # preserved within a copy, not collapsed across copies
                 c["text"] = f"copy{i} " + c["text"]
-            copies.append(c)
-        big = pd.concat(copies, ignore_index=True)
-        big.to_parquet(f"{dst}/{t}.parquet", index=False, row_group_size=ROW_GROUP)
-        print(f"{t}: {len(base)} -> {len(big)}")
+            tbl = pa.Table.from_pandas(c, preserve_index=False)
+            if writer is None:
+                writer = pq.ParquetWriter(f"{dst}/{t}.parquet", tbl.schema)
+            writer.write_table(tbl, row_group_size=ROW_GROUP)
+    finally:
+        if writer is not None:
+            writer.close()
+    print(f"{t}: {len(base)} -> {len(base) * n}")
+
+
+def main(src, dst, n, scale_tables=None):
+    import os
+    os.makedirs(dst, exist_ok=True)
+    for t in DIMS:
+        pd.read_parquet(f"{src}/{t}.parquet").to_parquet(f"{dst}/{t}.parquet", index=False)
+        print(f"{t}: dim copied")
+    for t, offs in KEY_OFFSETS.items():
+        if scale_tables is not None and t not in scale_tables:
+            pd.read_parquet(f"{src}/{t}.parquet").to_parquet(
+                f"{dst}/{t}.parquet", index=False, row_group_size=ROW_GROUP)
+            print(f"{t}: copied at base size (not in scale set)")
+            continue
+        write_scaled(src, dst, t, offs, n)
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]))
+    tables = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else None
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]), tables)
