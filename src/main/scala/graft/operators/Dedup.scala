@@ -446,6 +446,202 @@ object Dedup {
       minhashPairs(s, d).select(col("doc_a"), col("doc_b")), k = kcoreK)
       .orderBy(col("doc_id"))
 
+  /** One row of the palm-tree (DFS) certificate emitted by
+    * [[articulationAssign]]: `parent`/`disc`/`fin`/`low` are Tarjan's
+    * DFS-tree fields, `is_articulation` the verdict they prove. Kept
+    * as a static case class so the flatMapGroups encoder resolves.
+    */
+  private[graft] case class PalmCert(doc_id: Long, comp: Long,
+      parent: Option[Long], disc: Long, fin: Long, low: Long,
+      is_articulation: Boolean)
+
+  /** ARTICULATION POINTS of the near-dup pair graph (round 15 — the
+    * last §9 graph-backlog item, unblocked by the certificate idea the
+    * r14 verdict asked to mature first): a node is an articulation
+    * point iff removing it disconnects its component — in a dedup
+    * pipeline these are the TEMPLATE HUBS whose removal splits a
+    * near-dup family into independent sub-families (keep-one-per-
+    * cluster decisions through a hub are fragile: the hub is often
+    * boilerplate gluing unrelated documents, the structural refinement
+    * of dd_graph_triangles' star-vs-clique census). Output is TOTAL
+    * over documents: (doc_id, comp, parent, disc, fin, low,
+    * is_articulation) — the verdict PLUS the certificate that proves
+    * it (kcore's dump-the-evidence convention).
+    *
+    * THE ORACLE PROBLEM SOLVED (why this was backlogged): "removing v
+    * disconnects" quantifies over connectivity — the recursive-CTE
+    * problem again, per v. Instead of replaying Tarjan, the oracle
+    * VERIFIES A PALM-TREE CERTIFICATE in pure SQL: (a) WELL-FORMED —
+    * one row per document, no NULL fields, parent NULL ⇔ doc_id =
+    * comp; (b) COMPONENTS — comp = min(doc_id) of its class, exactly
+    * one root per class, no pair-graph edge crosses classes, every
+    * parent edge is a real edge in the same class (parent chains are
+    * then real paths to the root ⇒ classes are connected ⇒ classes
+    * are EXACTLY the connected components — the connectivity
+    * certificate the §9 note said this operator needed); (c) TREE
+    * INTERVALS — disc < fin, all 2n timestamps distinct per comp,
+    * child interval strictly inside parent interval, sibling intervals
+    * disjoint ⇒ intervals form a laminar family in which containment ⇔
+    * tree ancestry; (d) PALM PROPERTY — every non-tree pair-graph edge
+    * connects an ancestor-descendant pair (nested intervals): a
+    * spanning tree all of whose non-tree edges nest IS a DFS tree
+    * (Tarjan 1972), so Tarjan's low-link theory applies to the dumped
+    * tree no matter how it was produced; (e) LOW FIXPOINT — low(u) =
+    * min(disc(u), disc of ancestors reached by a non-tree edge from u,
+    * low of children), a structural recursion on the tree (children
+    * before parents), so LOCAL consistency pins the unique solution;
+    * (f) VERDICT — root ⇔ ≥2 children, non-root ⇔ some child's low ≥
+    * its disc. Articulation verdicts are DFS-ORDER-INVARIANT, so ANY
+    * certificate passing (a)-(e) proves the one true verdict — the
+    * oracle never needs to reproduce Spark's traversal order. Any
+    * violation poisons every row.
+    *
+    * Scale: candidate edges come from the banded store (never n²);
+    * components label via the size-routed CC; each component's DFS
+    * runs INSIDE ITS OWN TASK (groupByKey(comp) → flatMapGroups — the
+    * per-partition imperative escape hatch, used exactly where Spark's
+    * operators genuinely can't express a DFS), so components
+    * parallelize across the cluster and per-task memory is one
+    * component's adjacency, guarded by maxCompEdges (default 8M
+    * directed ≈ ~200 MB transient) with a LOUD error — a 100 TB graph
+    * whose single component exceeds the budget needs a contracted
+    * variant, the dd_kcore 64-round-cap posture. DFS is O(V+E) per
+    * component vs the remove-one-recompute definition's O(V·E).
+    */
+  private[graft] def articulationAssign(nodes: DataFrame, pairs: DataFrame,
+      maxCompEdges: Long = 8000000L): DataFrame = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val labels = connectedComponents(p, materialized = true)
+    val edged = p
+      .join(labels.select(col("node").as("doc_a"), col("label").as("comp")),
+        Seq("doc_a"))
+      .select(col("comp"), col("doc_a"), col("doc_b"))
+      .as[(Long, Long, Long)]
+    val cert = edged.groupByKey(_._1)
+      .flatMapGroups((comp, it) => tarjanPalmTree(comp, it, maxCompEdges))
+      .toDF()
+    val isolated = nodes
+      .join(labels.select(col("node").as("doc_id")), Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("doc_id").as("comp"),
+        lit(null).cast("long").as("parent"), lit(1L).as("disc"),
+        lit(2L).as("fin"), lit(1L).as("low"),
+        lit(false).as("is_articulation"))
+    cert.select(col("doc_id"), col("comp"), col("parent"), col("disc"),
+        col("fin"), col("low"), col("is_articulation"))
+      .unionByName(isolated)
+  }
+
+  /** Iterative Tarjan over one component's edge list: explicit stack
+    * (a recursive DFS overflows on long chains), adjacency sorted
+    * ascending and rooted at the component minimum so the dump is
+    * byte-stable run-to-run. disc and fin draw from ONE counter so the
+    * intervals nest the way the oracle's laminarity checks expect.
+    * Edges arrive as (comp, doc_a, doc_b) with doc_a < doc_b distinct
+    * (the minhashPairs contract); adjacency is deduped defensively for
+    * other callers — a duplicate edge would make "skip the parent
+    * once" skip a real back edge.
+    */
+  private def tarjanPalmTree(comp: Long, edgeIt: Iterator[(Long, Long, Long)],
+      maxEdges: Long): Iterator[PalmCert] = {
+    val adj = scala.collection.mutable.LongMap
+      .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    var ne = 0L
+    edgeIt.foreach { case (_, a, b) =>
+      ne += 2
+      if (ne > maxEdges)
+        sys.error(s"component $comp exceeds $maxEdges directed edges — " +
+          "articulationAssign needs a contracted variant at this scale")
+      if (a != b) {
+        adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty[Long]) += b
+        adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty[Long]) += a
+      }
+    }
+    val keys = adj.keys.toArray
+    java.util.Arrays.sort(keys)
+    if (keys.isEmpty) return Iterator.empty
+    keys.foreach { k => adj(k) = adj(k).distinct.sorted }
+    val root = keys(0)
+    require(root == comp,
+      s"CC label $comp is not the component minimum $root — labeling contract broken")
+    val disc = scala.collection.mutable.LongMap.empty[Long]
+    val fin = scala.collection.mutable.LongMap.empty[Long]
+    val low = scala.collection.mutable.LongMap.empty[Long]
+    val parent = scala.collection.mutable.LongMap.empty[Long]
+    val nchild = scala.collection.mutable.LongMap.empty[Long]
+    val artic = scala.collection.mutable.LongMap.empty[Boolean]
+    var timer = 1L
+    val stackN = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val stackI = scala.collection.mutable.ArrayBuffer.empty[Int]
+    disc(root) = timer; low(root) = timer; timer += 1
+    stackN += root; stackI += 0
+    while (stackN.nonEmpty) {
+      val u = stackN.last
+      val i = stackI.last
+      val nb = adj(u)
+      if (i < nb.length) {
+        stackI(stackI.length - 1) = i + 1
+        val v = nb(i)
+        if (!disc.contains(v)) {
+          parent(v) = u
+          nchild(u) = nchild.getOrElse(u, 0L) + 1
+          disc(v) = timer; low(v) = timer; timer += 1
+          stackN += v; stackI += 0
+        } else if (!parent.get(u).contains(v)) {
+          // back edge (or the descendant side of one): disc(v) > disc(u)
+          // contributes nothing, exactly as in the oracle's equation
+          if (disc(v) < low(u)) low(u) = disc(v)
+        }
+      } else {
+        stackN.remove(stackN.length - 1)
+        stackI.remove(stackI.length - 1)
+        fin(u) = timer; timer += 1
+        parent.get(u).foreach { pu =>
+          if (low(u) < low(pu)) low(pu) = low(u)
+          if (pu != root && low(u) >= disc(pu)) artic(pu) = true
+        }
+      }
+    }
+    if (nchild.getOrElse(root, 0L) >= 2) artic(root) = true
+    keys.iterator.map { n =>
+      PalmCert(n, comp, parent.get(n), disc(n), fin(n), low(n),
+        artic.getOrElse(n, false))
+    }
+  }
+
+  val ddArticulation: Q = (s, d) =>
+    articulationAssign(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .orderBy(col("doc_id"))
+
+  /** BRIDGE EDGES of the near-dup pair graph — the edge-side sibling
+    * of [[ddArticulation]] from the SAME palm-tree certificate: a tree
+    * edge (parent(u), u) is a bridge iff low(u) > disc(parent(u)) (no
+    * back edge climbs over it), and non-tree edges are never bridges
+    * (they close a cycle with the tree path). Bridges are the
+    * SPURIOUS-LINK audit: a near-dup family held together by one pair
+    * is usually one banding accident away from being two families.
+    * The oracle validates the dumped DFS certificate (__AUX__/dd_dfs —
+    * the same assign re-run by Verify; byte-identical because the
+    * traversal is deterministic) with the full check set, then derives
+    * the bridge list from the VALIDATED certificate in SQL.
+    */
+  val ddBridges: Q = (s, d) => {
+    val cert = articulationAssign(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .localCheckpoint()
+    cert.as("c")
+      .join(cert.as("p"), col("c.parent") === col("p.doc_id"))
+      .filter(col("c.low") > col("p.disc"))
+      .select(least(col("c.doc_id"), col("c.parent")).as("doc_a"),
+        greatest(col("c.doc_id"), col("c.parent")).as("doc_b"),
+        col("c.comp").as("comp"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   val ddGraphTriangles: Q = (s, d) => {
     val edges = minhashPairs(s, d)
       .select(col("doc_a"), col("doc_b")).localCheckpoint()
@@ -1792,6 +1988,8 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "dd_articulation" -> ddArticulation,
+    "dd_bridges" -> ddBridges,
     "dd_kcore" -> ddKcore,
     "dd_graph_rank" -> ddGraphRank,
     "dd_pipeline" -> ddPipeline,
@@ -1829,7 +2027,8 @@ object Dedup {
     "dd_minhash_sigs" -> ((s, d) => minhashSigTable(s, d)),
     "dd_simhash_sigs" -> ((s, d) => simhashSigTable(s, d)),
     "dd_shingles" -> ((s, d) => shingled(s, d).select(col("doc_id"), col("sh_hashes"))),
-    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))))
+    "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))),
+    "dd_dfs" -> ((s, d) => ddArticulation(s, d)))
 
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
@@ -1858,7 +2057,124 @@ object Dedup {
       |  SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
       |cc AS (SELECT node AS doc_id, min(lab) AS cluster_id FROM reach GROUP BY node)""".stripMargin
 
+  /** The palm-tree certificate validator shared by the dd_articulation
+    * and dd_bridges oracles (see [[articulationAssign]]'s scaladoc for
+    * the proof sketch of each check): `src` is the parquet glob of the
+    * dumped certificate (dd_articulation reads its OWN output via
+    * __OUT__; dd_bridges reads the __AUX__/dd_dfs re-run). Produces the
+    * WITH-block up to `poison(n)`; the caller appends its emit SELECT.
+    * One copy, so a check fix cannot reach one oracle and miss the
+    * other (the ccOracleCte convention).
+    */
+  private def palmCertCte(src: String): String =
+    s"""WITH res AS (
+      |  SELECT doc_id, comp, parent, disc, fin, low, is_articulation
+      |  FROM read_parquet('$src')),
+      |p AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+      |e AS (SELECT doc_a AS u, doc_b AS v FROM p
+      |      UNION ALL SELECT doc_b, doc_a FROM p),
+      |viol_total AS (
+      |  SELECT d.doc_id FROM documents d LEFT JOIN res r USING (doc_id)
+      |  WHERE r.doc_id IS NULL
+      |  UNION ALL
+      |  SELECT r.doc_id FROM res r LEFT JOIN documents d USING (doc_id)
+      |  WHERE d.doc_id IS NULL
+      |  UNION ALL SELECT doc_id FROM res GROUP BY doc_id HAVING count(*) > 1
+      |  UNION ALL SELECT doc_id FROM res
+      |  WHERE doc_id IS NULL OR comp IS NULL OR disc IS NULL OR fin IS NULL
+      |     OR low IS NULL OR is_articulation IS NULL OR disc >= fin
+      |     OR (parent IS NULL) <> (doc_id = comp)),
+      |viol_comp AS (
+      |  SELECT comp AS doc_id FROM res GROUP BY comp
+      |  HAVING comp <> min(doc_id)
+      |      OR sum(CASE WHEN parent IS NULL THEN 1 ELSE 0 END) <> 1
+      |  UNION ALL
+      |  SELECT e.u FROM e JOIN res ra ON ra.doc_id = e.u
+      |  JOIN res rb ON rb.doc_id = e.v WHERE ra.comp <> rb.comp),
+      |viol_parent AS (
+      |  SELECT r.doc_id FROM res r LEFT JOIN res pr ON pr.doc_id = r.parent
+      |  WHERE r.parent IS NOT NULL AND (pr.doc_id IS NULL
+      |     OR pr.comp <> r.comp
+      |     OR NOT (pr.disc < r.disc AND r.fin < pr.fin))
+      |  UNION ALL
+      |  SELECT r.doc_id FROM res r
+      |  WHERE r.parent IS NOT NULL AND NOT EXISTS (
+      |    SELECT 1 FROM e WHERE e.u = r.doc_id AND e.v = r.parent)),
+      |viol_time AS (
+      |  SELECT comp AS doc_id FROM (
+      |    SELECT comp, disc AS t FROM res
+      |    UNION ALL SELECT comp, fin FROM res) z
+      |  GROUP BY comp, t HAVING count(*) > 1),
+      |viol_sib AS (
+      |  SELECT a.doc_id FROM res a JOIN res b
+      |    ON a.parent = b.parent AND a.doc_id < b.doc_id
+      |  WHERE NOT (a.fin < b.disc OR b.fin < a.disc)),
+      |viol_palm AS (
+      |  SELECT ra.doc_id FROM p
+      |  JOIN res ra ON ra.doc_id = p.doc_a
+      |  JOIN res rb ON rb.doc_id = p.doc_b
+      |  WHERE coalesce(ra.parent, -1) <> p.doc_b
+      |    AND coalesce(rb.parent, -1) <> p.doc_a
+      |    AND NOT ((ra.disc < rb.disc AND rb.fin < ra.fin)
+      |          OR (rb.disc < ra.disc AND ra.fin < rb.fin))),
+      |back AS (
+      |  SELECT r.doc_id, min(w.disc) AS be FROM res r
+      |  JOIN e ON e.u = r.doc_id JOIN res w ON w.doc_id = e.v
+      |  WHERE w.doc_id <> coalesce(r.parent, -1)
+      |    AND w.disc < r.disc AND r.fin < w.fin
+      |  GROUP BY r.doc_id),
+      |childagg AS (
+      |  SELECT c.parent AS doc_id, count(*) AS nchild, min(c.low) AS cl,
+      |    max(CASE WHEN c.low >= pr.disc THEN 1 ELSE 0 END) AS anyhigh
+      |  FROM res c JOIN res pr ON pr.doc_id = c.parent
+      |  GROUP BY c.parent),
+      |viol_low AS (
+      |  SELECT r.doc_id FROM res r
+      |  LEFT JOIN back USING (doc_id) LEFT JOIN childagg USING (doc_id)
+      |  WHERE r.low <> least(r.disc, coalesce(be, r.disc), coalesce(cl, r.disc))),
+      |viol_verdict AS (
+      |  SELECT r.doc_id FROM res r LEFT JOIN childagg ca USING (doc_id)
+      |  WHERE r.is_articulation <> (CASE WHEN r.parent IS NULL
+      |    THEN coalesce(ca.nchild, 0) >= 2
+      |    ELSE coalesce(ca.anyhigh, 0) = 1 END)),
+      |poison AS (SELECT
+      |  (SELECT count(*) FROM viol_total) + (SELECT count(*) FROM viol_comp)
+      |  + (SELECT count(*) FROM viol_parent) + (SELECT count(*) FROM viol_time)
+      |  + (SELECT count(*) FROM viol_sib) + (SELECT count(*) FROM viol_palm)
+      |  + (SELECT count(*) FROM viol_low) + (SELECT count(*) FROM viol_verdict)
+      |  AS n)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
+    // PALM-TREE CERTIFICATE oracles (see articulationAssign scaladoc
+    // and palmCertCte): dd_articulation re-emits its own dump only if
+    // the eight pure-SQL checks hold; dd_bridges derives the bridge
+    // list in SQL from the independently validated __AUX__/dd_dfs
+    // certificate (a tree edge is a bridge iff the child's low never
+    // climbs to the parent's disc). Any violation poisons every row.
+    "dd_articulation" ->
+      (palmCertCte("__OUT__/dd_articulation/*.parquet") +
+        """
+        |SELECT r.doc_id,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.comp ELSE -999 END AS BIGINT) AS comp,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.parent END AS BIGINT) AS parent,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.disc END AS BIGINT) AS disc,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.fin END AS BIGINT) AS fin,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.low END AS BIGINT) AS low,
+        |  CASE WHEN pz.n = 0 THEN r.is_articulation END AS is_articulation
+        |FROM res r CROSS JOIN poison pz ORDER BY doc_id""".stripMargin),
+    "dd_bridges" ->
+      (palmCertCte("__AUX__/dd_dfs/*.parquet") +
+        """
+        |SELECT
+        |  CAST(CASE WHEN pz.n = 0 THEN least(c.doc_id, c.parent)
+        |       ELSE -999 END AS BIGINT) AS doc_a,
+        |  CAST(CASE WHEN pz.n = 0 THEN greatest(c.doc_id, c.parent)
+        |       END AS BIGINT) AS doc_b,
+        |  CAST(CASE WHEN pz.n = 0 THEN c.comp END AS BIGINT) AS comp
+        |FROM res c JOIN res pr ON pr.doc_id = c.parent
+        |CROSS JOIN poison pz
+        |WHERE c.low > pr.disc
+        |ORDER BY doc_a, doc_b""".stripMargin),
     // CERTIFICATE oracle (see ddKcore scaladoc): the operator's OWN
     // primary dump (the __OUT__ token — no second peel run) is
     // re-emitted only if (a) every core member has >= k in-core

@@ -1,0 +1,191 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** dd_articulation / dd_bridges: Tarjan verdicts and the palm-tree
+  * certificate are brute-force-verified against the remove-and-recount
+  * DEFINITION (articulation: deleting v splits its component; bridge:
+  * deleting e disconnects its endpoints) on hand graphs covering every
+  * structural case, then on the real corpus pair graph. The
+  * certificate fields are replayed structurally (laminarity, palm
+  * property, low equation) so the oracle's SQL checks have a Scala
+  * twin pinning the same contract.
+  */
+class ArticulationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Brute-force articulation verdicts + bridges from the definition. */
+  private def brute(edges: Seq[(Long, Long)])
+      : (Map[Long, Boolean], Set[(Long, Long)]) = {
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    def comps(es: Seq[(Long, Long)], ns: Seq[Long]): Map[Long, Long] = {
+      val parent = scala.collection.mutable.Map(ns.map(n => n -> n): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      ns.map(n => n -> find(n)).toMap
+    }
+    val base = comps(edges, nodes)
+    val artic = nodes.map { v =>
+      val rest = nodes.filterNot(_ == v)
+      val sub = comps(edges.filter(e => e._1 != v && e._2 != v), rest)
+      val mine = rest.filter(n => base(n) == base(v))
+      v -> (mine.map(sub).distinct.size > 1)
+    }.toMap
+    val bridges = edges.filter { e =>
+      val cut = comps(edges.filterNot(_ == e), nodes)
+      cut(e._1) != cut(e._2)
+    }.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    (artic, bridges)
+  }
+
+  private def runAssign(edges: Seq[(Long, Long)], extraNodes: Seq[Long] = Nil)
+      : Array[org.apache.spark.sql.Row] = {
+    val nodeIds =
+      (edges.flatMap(e => Seq(e._1, e._2)) ++ extraNodes).distinct.sorted
+    operators.Dedup.articulationAssign(
+      nodeIds.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+      .orderBy("doc_id").collect()
+  }
+
+  private val shapes: Map[String, Seq[(Long, Long)]] = Map(
+    "path" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)),
+    "cycle" -> Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 5L)),
+    "star" -> Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L)),
+    "shared-node triangles" ->
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (3L, 5L)),
+    "barbell" ->
+      Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (4L, 6L)),
+    "two comps" -> Seq((1L, 2L), (2L, 3L), (10L, 11L)))
+
+  test("verdicts and bridges match the remove-and-recount definition on hand graphs") {
+    shapes.foreach { case (name, edges) =>
+      val (wantArtic, wantBridges) = brute(edges)
+      val rows = runAssign(edges)
+      val gotArtic = rows.map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      assert(gotArtic == wantArtic, s"$name: articulation verdicts diverge")
+      val cert = rows.map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      // .toSeq first: collect on a Map with pair results rebuilds a
+      // Map and silently collapses bridges sharing a low endpoint
+      val gotBridges = cert.toSeq.collect {
+        case (n, (Some(p), _, _, lw)) if lw > cert(p)._2 =>
+          (math.min(n, p), math.max(n, p))
+      }.toSet
+      assert(gotBridges == wantBridges, s"$name: bridges diverge")
+    }
+  }
+
+  test("isolated nodes emit singleton certificates, never articulation") {
+    val rows = runAssign(Seq((1L, 2L)), extraNodes = Seq(7L, 8L))
+    val iso = rows.filter(r => r.getLong(0) >= 7L)
+    assert(iso.length == 2)
+    iso.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0)) // own component
+      assert(r.isNullAt(2) && r.getLong(3) == 1L && r.getLong(4) == 2L)
+      assert(!r.getBoolean(6))
+    }
+  }
+
+  /** The Scala twin of the oracle's structural checks, replayed over a
+    * dumped certificate: laminar intervals, palm property, low
+    * fixpoint, verdict recompute. Used on the corpus graph below.
+    */
+  private def replayChecks(rows: Array[org.apache.spark.sql.Row],
+      edges: Seq[(Long, Long)]): Unit = {
+    val cert = rows.map(r => r.getLong(0) ->
+      ((Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(1), r.getBoolean(6)))).toMap
+    // comp = min of class; one root per comp; root is the comp node
+    cert.groupBy(_._2._5).foreach { case (comp, members) =>
+      assert(comp == members.keys.min, s"comp $comp is not its class minimum")
+      assert(members.count(_._2._1.isEmpty) == 1)
+      assert(cert(comp)._1.isEmpty)
+    }
+    val edgeSet = edges.flatMap(e => Seq(e, (e._2, e._1))).toSet
+    def nested(a: Long, b: Long): Boolean = {
+      val (_, da, fa, _, _, _) = cert(a); val (_, db, fb, _, _, _) = cert(b)
+      (da < db && fb < fa) || (db < da && fa < fb)
+    }
+    cert.foreach { case (n, (par, d, f, _, comp, _)) =>
+      assert(d < f)
+      par.foreach { p =>
+        assert(edgeSet((n, p)), s"tree edge $n-$p not a graph edge")
+        assert(cert(p)._5 == comp)
+        assert(cert(p)._2 < d && f < cert(p)._3, s"interval of $n not inside parent $p")
+      }
+    }
+    // distinct timestamps per comp; sibling disjointness
+    cert.groupBy(_._2._5).foreach { case (_, members) =>
+      val ts = members.values.flatMap(m => Seq(m._2, m._3)).toSeq
+      assert(ts.distinct.size == ts.size, "disc/fin collide within a component")
+    }
+    cert.groupBy(_._2._1).foreach {
+      case (Some(_), sibs) =>
+        val ivs = sibs.values.map(m => (m._2, m._3)).toSeq.sortBy(_._1)
+        ivs.sliding(2).foreach {
+          case Seq((_, f1), (d2, _)) => assert(f1 < d2, "sibling intervals overlap")
+          case _ =>
+        }
+      case _ =>
+    }
+    // palm property: every non-tree edge nests
+    edges.foreach { case (a, b) =>
+      val treeEdge = cert(a)._1.contains(b) || cert(b)._1.contains(a)
+      if (!treeEdge) assert(nested(a, b), s"non-tree edge $a-$b does not nest")
+    }
+    // low fixpoint + verdict
+    cert.foreach { case (n, (par, d, f, lw, _, artic)) =>
+      val backs = edgeSet.collect {
+        case (`n`, w) if !par.contains(w) &&
+          cert(w)._2 < d && f < cert(w)._3 => cert(w)._2
+      }
+      val children = cert.collect { case (c, m) if m._1.contains(n) => m._4 }
+      val want = (Seq(d) ++ backs ++ children).min
+      assert(lw == want, s"low($n) = $lw, equation says $want")
+      val wantArtic =
+        if (par.isEmpty) cert.count(_._2._1.contains(n)) >= 2
+        else cert.exists { case (_, m) => m._1.contains(n) && m._4 >= d }
+      assert(artic == wantArtic, s"verdict($n) diverges from certificate")
+    }
+  }
+
+  test("dd_articulation on the corpus pair graph: brute verdicts, valid certificate, total") {
+    val edges = operators.Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSeq
+    val allDocs = sources.Tables.documents(spark, sfDir)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("dd_articulation")(spark, sfDir).collect()
+    assert(rows.map(_.getLong(0)).toSet == allDocs, "output must be total over documents")
+    val (wantArtic, wantBridges) = brute(edges)
+    rows.filter(r => wantArtic.contains(r.getLong(0))).foreach { r =>
+      assert(r.getBoolean(6) == wantArtic(r.getLong(0)),
+        s"doc ${r.getLong(0)}: verdict diverges from remove-and-recount")
+    }
+    replayChecks(rows, edges)
+    val gotBridges = SparkEntry.queries("dd_bridges")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(gotBridges == wantBridges, "bridge set diverges from remove-one-recount")
+    // the corpus pair graph is clique-shaped (dd_graph_triangles'
+    // census): its bridges are isolated 2-node families whose
+    // endpoints have degree 1, so zero articulation points is the
+    // CORRECT verdict here — positive verdicts are exercised by the
+    // hand graphs above; bridges keep this test non-vacuous
+    assert(wantBridges.nonEmpty,
+      "corpus graph should have bridges, or the test is vacuous")
+  }
+
+  test("a component past the edge budget fails loudly") {
+    val edges = (1L to 40L).map(i => (i, i + 1))
+    val err = intercept[Exception] {
+      operators.Dedup.articulationAssign(
+        (1L to 41L).toDF("doc_id"), edges.toDF("doc_a", "doc_b"),
+        maxCompEdges = 10L).collect()
+    }
+    assert(err.getMessage != null)
+  }
+}

@@ -1,0 +1,128 @@
+#!/usr/bin/env python3
+"""Dev-only adversarial validation of the dd_articulation / dd_bridges
+palm-tree CERTIFICATE oracle: each tamper class mutates the dumped
+certificate (or forges a structurally-plausible fake) and asserts the
+oracle POISONS the full output — i.e. every check is load-bearing.
+
+Usage: python3 tools/tamper_check.py /root/testdata/sf0.01 /tmp/verify_out
+(run tools/local_check.py first so verify_out holds a PASSING dump).
+"""
+import duckdb
+import glob
+import json
+import os
+import re
+import shutil
+import sys
+
+import pandas as pd
+
+TABLES = ["documents"]
+
+
+def run_oracle(con, sql, src_glob, tamper_dir):
+    s = sql.replace(src_glob, f"{tamper_dir}/*.parquet")
+    return con.execute(s).df()
+
+
+def poisoned(df):
+    # every poison path writes comp = -999 on all rows (or, for
+    # dd_bridges, doc_a = -999); an EMPTY result also counts only if
+    # the untampered table was non-empty — callers assert that.
+    col = "comp" if "comp" in df.columns and "doc_a" not in df.columns else "doc_a"
+    return len(df) > 0 and (df[col] == -999).all()
+
+
+def main(sf_dir, out_dir):
+    oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    sql = oracle["dd_articulation"]
+    src_glob = re.search(r"read_parquet\('([^']*dd_articulation[^']*)'\)", sql).group(1)
+    base = pd.concat([pd.read_parquet(f)
+                      for f in sorted(glob.glob(src_glob))]).reset_index(drop=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    work = "/tmp/tamper_art"
+    shutil.rmtree(work, ignore_errors=True)
+
+    def check(name, df, expect_poison=True):
+        d = f"{work}/{name}"
+        os.makedirs(d)
+        df.to_parquet(f"{d}/part.parquet", index=False)
+        out = run_oracle(con, sql, src_glob, d)
+        ok = poisoned(out) == expect_poison
+        print(f"{'PASS' if ok else 'FAIL':>6} {name}: "
+              f"{'poisoned' if poisoned(out) else 'NOT poisoned'}")
+        return ok
+
+    results = [check("untampered", base, expect_poison=False)]
+
+    # pick a non-root node with a parent, inside a multi-node component
+    nr = base[base.parent.notna()].iloc[0]
+    i = base.index[base.doc_id == nr.doc_id][0]
+
+    t = base.copy(); t.loc[i, "is_articulation"] = ~t.loc[i, "is_articulation"]
+    results.append(check("verdict-flip", t))
+
+    t = base.copy(); t.loc[i, "comp"] = t.loc[i, "doc_id"]
+    results.append(check("comp-relabel", t))
+
+    # repoint the parent at a node it shares no edge with (its own
+    # component minimum is never adjacent to everything; use a root of
+    # ANOTHER component to force both edge and comp violations)
+    other_root = base[(base.parent.isna()) & (base.comp != nr.comp)].iloc[0]
+    t = base.copy(); t.loc[i, "parent"] = other_root.doc_id
+    results.append(check("parent-repoint", t))
+
+    # swap disc between two nodes of the same component
+    same = base[(base.comp == nr.comp) & (base.doc_id != nr.doc_id)].iloc[0]
+    j = base.index[base.doc_id == same.doc_id][0]
+    t = base.copy()
+    t.loc[i, "disc"], t.loc[j, "disc"] = base.loc[j, "disc"], base.loc[i, "disc"]
+    results.append(check("disc-swap", t))
+
+    t = base.copy(); t.loc[i, "low"] = t.loc[i, "low"] + 1
+    results.append(check("low-bump", t))
+
+    results.append(check("dropped-row", base.drop(index=i)))
+    results.append(check("duplicated-row", pd.concat([base, base.iloc[[i]]])))
+
+    t = base.copy(); t.loc[i, "fin"] = None
+    results.append(check("null-field", t))
+
+    # THE STRUCTURAL CLASS: a BFS (non-palm) tree on a 4-cycle with
+    # internally-consistent disc/fin/low and the verdicts those values
+    # imply — every check EXCEPT the palm property accepts it, yet the
+    # verdict is WRONG (a 4-cycle has no articulation point). Proves
+    # the palm check is load-bearing, not decorative. Fake corpus +
+    # fake pair graph stand in for the real views.
+    con2 = duckdb.connect()
+    os.makedirs(f"{work}/c4")
+    pd.DataFrame({"doc_id": [1, 2, 3, 4]}).to_parquet(f"{work}/c4/docs.parquet")
+    pd.DataFrame({"doc_a": [1, 2, 3, 1], "doc_b": [2, 3, 4, 4]}).to_parquet(
+        f"{work}/c4/pairs.parquet")
+    con2.execute(f"CREATE VIEW documents AS SELECT * FROM '{work}/c4/docs.parquet'")
+    bfs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4], "comp": [1, 1, 1, 1],
+        "parent": [None, 1, 2, 1], "disc": [1, 2, 3, 6],
+        "fin": [8, 5, 4, 7], "low": [1, 2, 3, 6],
+        "is_articulation": [True, True, False, False]})
+    bfs["parent"] = bfs["parent"].astype("Int64")
+    os.makedirs(f"{work}/c4cert")
+    bfs.to_parquet(f"{work}/c4cert/part.parquet", index=False)
+    aux_glob = re.search(r"read_parquet\('([^']*dd_pairs[^']*)'\)", sql).group(1)
+    s = sql.replace(src_glob, f"{work}/c4cert/*.parquet") \
+           .replace(aux_glob, f"{work}/c4/pairs.parquet")
+    out = con2.execute(s).df()
+    ok = poisoned(out)
+    print(f"{'PASS' if ok else 'FAIL':>6} bfs-non-palm-tree: "
+          f"{'poisoned' if ok else 'NOT poisoned — palm check dead!'}")
+    results.append(ok)
+
+    print(f"\n{sum(results)}/{len(results)} tamper classes behave")
+    return 0 if all(results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))
