@@ -16,7 +16,25 @@ object GraftSession {
       .master(master)
       .appName(appName)
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", "32")
+      // Default 32 fits the bench/verify SFs; scale runs MUST override
+      // via SPARK_GRAFT_SHUFFLE_PARTITIONS — partitions are sized so
+      // one task's state fits executor memory at the target data size,
+      // the knob any real deploy tunes first. Measured: the 400×
+      // pair graph (439M canonical edges) needs 256 here or the star
+      // path's distinct()/min-agg hash maps (~14M keys per task × 32
+      // concurrent tasks) exhaust the execution pool and abort with
+      // AGGREGATE_OUT_OF_MEMORY; at 256 the same plan completes — the
+      // algorithm scales, the partition count was the bottleneck.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+      // Second scale knob, same posture as above: iterative graph ops
+      // pin near-full edge-set localCheckpoints in storage; at 400×
+      // (2× ~439M-row checkpoints live at once) the default 0.5 floor
+      // leaves execution too little to run the star rounds' aggs.
+      // Scale runs lower it (0.3) so checkpoint blocks spill to disk
+      // instead of starving the aggregation pool. Default untouched.
+      .config("spark.memory.storageFraction",
+        sys.env.getOrElse("SPARK_GRAFT_STORAGE_FRACTION", "0.5"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.adaptive.enabled", "true")
