@@ -834,7 +834,108 @@ object Similarity {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Walk hop cap: sims strictly increase hop-over-hop so the walk
+    * always terminates; the cap only bounds the DataFrame loop and a
+    * breach FAILS LOUDLY instead of dumping a non-converged walk
+    * (which the oracle's termination check would poison anyway).
+    */
+  private[graft] val walkMaxHops = 32
+  private[graft] val walkDegree = 8
+
+  /** GRAPH-ANN GREEDY WALK (round 15 — HNSW-lite, the §9 item gated on
+    * "a verifiable traversal contract"; this is that contract): a
+    * single-layer best-first descent on a directed kNN graph — each
+    * node links to its [[walkDegree]] nearest neighbors within its IVF
+    * coarse list (the HNSW base layer built from the quantizer the
+    * registry already verifies; candidate generation stays
+    * list-bounded, never n²). Each query (vec_id % 101 slice) enters
+    * at the MIN vec_id member of its nearest centroid's list and
+    * repeatedly moves to its best strictly-improving neighbor
+    * (tie-break min id), stopping at a local maximum — the HNSW
+    * search-layer recurrence with beam width 1. Output is the ENTIRE
+    * WALK, one row per hop: (query_id, step, node, sim) — the path IS
+    * the certificate (the dd_articulation convention).
+    *
+    * THE ORACLE PROBLEM SOLVED (why HNSW was backlogged): a greedy
+    * traversal is sequential — DuckDB cannot replay a data-dependent
+    * walk without recursion, and recursive CTEs forbid the per-step
+    * argmax. But a DUMPED walk is verifiable with plain joins: the
+    * WALK CERTIFICATE checks (a) totality — every query walks, steps
+    * contiguous from 0, step 0 = the defined entry node; (b) every
+    * hop follows a graph edge, never onto the query itself; (c)
+    * GREEDINESS — hop t→t+1 lands exactly on the argmax neighbor
+    * (sim DESC, id ASC) of node t AND strictly improves; (d)
+    * TERMINATION — the final node has no strictly-improving neighbor;
+    * (e) the dumped sims match SQL-recomputed cosines. Together the
+    * checks pin the UNIQUE greedy walk — the oracle re-derives the
+    * graph and entry from the raw embeddings (first-16 fixed
+    * centroids, the ann_ivf convention) and validates the one path
+    * that can exist, no recursion needed. Spark's iterative loop is
+    * H bounded joins (all queries advance in lock-step rounds); at
+    * 100 TB the graph build is list-bounded and the walk is
+    * queries × degree cosines per round.
+    */
+  val annGraphWalk: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val centroids = fixedCentroids(s, d)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
+      .localCheckpoint()
+    val pairSims = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("g_sim"))
+    val graph = graft.plans.TopK.perKey(pairSims,
+        Seq("src"), "g_sim", "dst", walkDegree)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val queriesDf = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val entry = probesOf(queriesDf, centroids, nprobe = 1)
+      .join(assigned.select(col("cent_id"), col("vec_id")), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
+    val vecs = assigned.select(col("vec_id"), col("embedding"))
+    var live = entry.join(queriesDf, Seq("query_id"))
+      .join(vecs, col("node") === col("vec_id"))
+      .select(col("query_id"), col("q_emb"), col("node"),
+        cosineSim(col("q_emb"), col("embedding")).as("sim"),
+        lit(0L).as("step"))
+      .localCheckpoint()
+    val path = scala.collection.mutable.ListBuffer[DataFrame](
+      live.select(col("query_id"), col("step"), col("node"), col("sim")))
+    var hops = 0
+    var done = false
+    while (!done) {
+      val cand = live.join(graph, col("node") === col("src"))
+        .filter(col("dst") =!= col("query_id"))
+        .join(vecs.select(col("vec_id").as("dst"), col("embedding").as("d_emb")),
+          Seq("dst"))
+        .select(col("query_id"), col("q_emb"), col("sim"), col("step"),
+          col("dst"), cosineSim(col("q_emb"), col("d_emb")).as("nsim"))
+      val best = graft.plans.TopK.perKey(cand,
+        Seq("query_id"), "nsim", "dst", 1)
+      val moved = best.filter(col("nsim") > col("sim"))
+        .select(col("query_id"), col("q_emb"), col("dst").as("node"),
+          col("nsim").as("sim"), (col("step") + 1).as("step"))
+        .localCheckpoint()
+      if (moved.isEmpty) done = true
+      else {
+        hops += 1
+        if (hops > walkMaxHops)
+          sys.error(s"greedy walk did not converge within $walkMaxHops hops")
+        path += moved.select(col("query_id"), col("step"), col("node"), col("sim"))
+        live = moved
+      }
+    }
+    path.reduce(_ unionByName _)
+      .select(col("query_id"), col("step"), col("node"),
+        q4(col("sim")).as("sim"))
+      .orderBy(col("query_id"), col("step"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ann_graph_walk" -> annGraphWalk,
     "ann_rrf_fusion" -> annRrfFusion,
     "ann_pq" -> annPq,
     "ann_pq_topk" -> annPqTopk,
@@ -894,6 +995,105 @@ object Similarity {
       |  WHERE rn = 1)""".stripMargin
 
   private val baseOracles: Map[String, String] = Map(
+    // WALK CERTIFICATE oracle (see annGraphWalk scaladoc): rebuilds
+    // the kNN graph and entry points from the raw embeddings (first-16
+    // fixed centroids — the ann_ivf convention), then validates the
+    // dumped walk hop-by-hop with plain joins: totality over queries
+    // WITH a non-empty entry list (a query alone in its list has no
+    // walk, both engines agree), contiguous steps from the defined
+    // entry, every hop a graph edge landing exactly on the
+    // strict-improving argmax neighbor, final node a local maximum,
+    // sims re-derived. The checks pin the unique greedy walk without
+    // recursion. Violations poison every row.
+    "ann_graph_walk" ->
+      s"""WITH emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |cents AS (SELECT vec_id AS cent_id, e AS c FROM emb WHERE vec_id < 16),
+        |asg AS (
+        |  SELECT vec_id, e, cent_id FROM (
+        |    SELECT v.vec_id, v.e, c.cent_id,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY list_cosine_similarity(v.e, c.c) DESC, c.cent_id) AS rn
+        |    FROM emb v CROSS JOIN cents c) t WHERE rn = 1),
+        |g AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+        |    FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) t
+        |  WHERE rn <= $walkDegree),
+        |qs AS (SELECT vec_id AS query_id, e AS q FROM emb WHERE vec_id % 101 = 0),
+        |ent AS (
+        |  SELECT qq.query_id, min(a.vec_id) AS node
+        |  FROM (SELECT query_id, cent_id FROM (
+        |      SELECT s.query_id, c.cent_id,
+        |        row_number() OVER (PARTITION BY s.query_id
+        |          ORDER BY list_cosine_similarity(s.q, c.c) DESC, c.cent_id) AS rn
+        |      FROM qs s CROSS JOIN cents c) t WHERE rn = 1) qq
+        |  JOIN asg a ON a.cent_id = qq.cent_id AND a.vec_id <> qq.query_id
+        |  GROUP BY qq.query_id),
+        |res AS (SELECT query_id, step, node, sim
+        |        FROM read_parquet('__OUT__/ann_graph_walk/*.parquet')),
+        |cur AS (
+        |  SELECT r.query_id, r.step, r.node,
+        |    list_cosine_similarity(s.q, e2.e) AS csim
+        |  FROM res r JOIN qs s USING (query_id)
+        |  JOIN emb e2 ON e2.vec_id = r.node),
+        |best AS (
+        |  SELECT query_id, step, dst, nsim FROM (
+        |    SELECT c.query_id, c.step, g.dst,
+        |      list_cosine_similarity(s.q, e2.e) AS nsim,
+        |      row_number() OVER (PARTITION BY c.query_id, c.step
+        |        ORDER BY list_cosine_similarity(s.q, e2.e) DESC, g.dst) AS rn
+        |    FROM cur c JOIN g ON g.src = c.node
+        |    JOIN qs s ON s.query_id = c.query_id
+        |    JOIN emb e2 ON e2.vec_id = g.dst
+        |    WHERE g.dst <> c.query_id) t WHERE rn = 1),
+        |fin AS (SELECT query_id, max(step) AS fstep FROM res GROUP BY query_id),
+        |viol_total AS (
+        |  SELECT e3.query_id FROM ent e3
+        |  LEFT JOIN res r ON r.query_id = e3.query_id AND r.step = 0
+        |  WHERE r.node IS NULL
+        |  UNION ALL
+        |  SELECT r.query_id FROM res r LEFT JOIN ent e3 USING (query_id)
+        |  WHERE e3.query_id IS NULL
+        |  UNION ALL
+        |  SELECT query_id FROM res GROUP BY query_id, step HAVING count(*) > 1
+        |  UNION ALL
+        |  SELECT r.query_id FROM res r JOIN fin f USING (query_id)
+        |  GROUP BY r.query_id, f.fstep HAVING count(*) <> f.fstep + 1
+        |  UNION ALL
+        |  SELECT r.query_id FROM res r JOIN ent e3 ON e3.query_id = r.query_id
+        |  WHERE r.step = 0 AND r.node <> e3.node
+        |  UNION ALL
+        |  SELECT query_id FROM res
+        |  WHERE query_id IS NULL OR step IS NULL OR node IS NULL
+        |     OR sim IS NULL OR step < 0),
+        |viol_sim AS (
+        |  SELECT r.query_id FROM res r
+        |  JOIN cur c ON c.query_id = r.query_id AND c.step = r.step
+        |  WHERE r.sim <> floor(c.csim * 10000 + 0.5) / 10000.0),
+        |viol_greedy AS (
+        |  SELECT r.query_id FROM res r
+        |  LEFT JOIN best b ON b.query_id = r.query_id AND b.step = r.step - 1
+        |  LEFT JOIN cur cp ON cp.query_id = r.query_id AND cp.step = r.step - 1
+        |  WHERE r.step > 0
+        |    AND (b.dst IS NULL OR b.dst <> r.node OR b.nsim <= cp.csim)),
+        |viol_term AS (
+        |  SELECT f.query_id FROM fin f
+        |  JOIN cur c ON c.query_id = f.query_id AND c.step = f.fstep
+        |  JOIN best b ON b.query_id = f.query_id AND b.step = f.fstep
+        |  WHERE b.nsim > c.csim),
+        |poison AS (SELECT
+        |  (SELECT count(*) FROM viol_total) + (SELECT count(*) FROM viol_sim)
+        |  + (SELECT count(*) FROM viol_greedy) + (SELECT count(*) FROM viol_term)
+        |  AS n)
+        |SELECT r.query_id,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.step ELSE -999 END AS BIGINT) AS step,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.node END AS BIGINT) AS node,
+        |  CASE WHEN pz.n = 0 THEN r.sim END AS sim
+        |FROM res r CROSS JOIN poison pz
+        |ORDER BY query_id, step""".stripMargin,
     "ann_rrf_fusion" ->
       s"""WITH ${TextAnalysis.bm25ScoredCte},
         |lex AS (

@@ -1,0 +1,87 @@
+package graft
+
+/** ann_graph_walk: the greedy kNN-graph descent is replayed from first
+  * principles in plain Scala (same left-to-right double accumulation as
+  * the codegen'd CosineSimilarity) and the operator's dumped walk must
+  * match hop-for-hop — entry choice, every argmax move, termination,
+  * and the q4 sims. This is the Scala twin of the oracle's walk
+  * certificate, run at sf0.01 where the corpus has real list structure
+  * (200 vectors over 16 lists; sf0.001's 20 vectors make near-singleton
+  * lists and a vacuous walk).
+  */
+class GraphWalkSpec extends SparkTestBase {
+  private val sf01 = "/root/testdata/sf0.01"
+
+  private def cos(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  private def q4(x: Double): Double = math.floor(x * 10000 + 0.5) / 10000.0
+
+  test("ann_graph_walk matches a first-principles greedy replay at sf0.01") {
+    val emb: Map[Long, Array[Float]] =
+      sources.Tables.embeddings(spark, sf01).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val cents = emb.filter(_._1 < 16).toSeq.sortBy(_._1)
+    def nearestCent(v: Array[Float]): Long =
+      cents.map { case (id, c) => (cos(v, c), -id) }.max match {
+        case (_, negId) => -negId
+      }
+    val asg: Map[Long, Long] = emb.map { case (id, v) => id -> nearestCent(v) }
+    val byList: Map[Long, Seq[Long]] =
+      asg.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq.sorted }
+    val graph: Map[Long, Seq[Long]] = emb.keys.map { src =>
+      val nbrs = byList(asg(src)).filter(_ != src)
+        .sortBy(dst => (-cos(emb(src), emb(dst)), dst)).take(8)
+      src -> nbrs
+    }.toMap
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    var anyHop = false
+    emb.keys.filter(_ % 101 == 0).toSeq.sorted.foreach { q =>
+      val entryList = byList(nearestCent(emb(q))).filter(_ != q)
+      if (entryList.nonEmpty) {
+        var cur = entryList.min
+        var curSim = cos(emb(q), emb(cur))
+        var step = 0L
+        expected += ((q, step, cur, q4(curSim)))
+        var moving = true
+        while (moving) {
+          val nbrs = graph(cur).filter(_ != q)
+          if (nbrs.isEmpty) moving = false
+          else {
+            val (bs, bneg) = nbrs.map(nb => (cos(emb(q), emb(nb)), -nb)).max
+            if (bs > curSim) {
+              cur = -bneg; curSim = bs; step += 1; anyHop = true
+              expected += ((q, step, cur, q4(curSim)))
+            } else moving = false
+          }
+        }
+      }
+    }
+    val got = SparkEntry.queries("ann_graph_walk")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq.sorted == expected.toSeq.sorted,
+      s"walk diverges from first-principles replay:\n got ${got.toSeq.sorted}\nwant ${expected.toSeq.sorted}")
+    assert(anyHop, "no query ever moved — the greedy legs are vacuous on this corpus")
+  }
+
+  test("walks are strictly improving and end at a local maximum") {
+    val rows = SparkEntry.queries("ann_graph_walk")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (q, walk) =>
+      val sims = walk.sortBy(_._2).map(_._3)
+      assert(sims.sliding(2).forall {
+        case Array(a, b) => b > a
+        case _ => true
+      }, s"query $q: sims not strictly increasing: ${sims.mkString(",")}")
+    }
+  }
+}

@@ -1,11 +1,13 @@
 #!/usr/bin/env python3
-"""Dev-only adversarial validation of the dd_articulation / dd_bridges
-palm-tree CERTIFICATE oracle: each tamper class mutates the dumped
+"""Dev-only adversarial validation of the CERTIFICATE oracles — the
+dd_articulation / dd_bridges palm-tree certificate and the
+ann_graph_walk walk certificate: each tamper class mutates the dumped
 certificate (or forges a structurally-plausible fake) and asserts the
 oracle POISONS the full output — i.e. every check is load-bearing.
 
 Usage: python3 tools/tamper_check.py /root/testdata/sf0.01 /tmp/verify_out
-(run tools/local_check.py first so verify_out holds a PASSING dump).
+(run tools/local_check.py first so verify_out holds a PASSING dump;
+the walk section needs an ann_graph_walk dump in the same dir).
 """
 import duckdb
 import glob
@@ -119,6 +121,60 @@ def main(sf_dir, out_dir):
     print(f"{'PASS' if ok else 'FAIL':>6} bfs-non-palm-tree: "
           f"{'poisoned' if ok else 'NOT poisoned — palm check dead!'}")
     results.append(ok)
+
+    # ---- walk certificate (ann_graph_walk) ----
+    wsql = oracle.get("ann_graph_walk")
+    if wsql:
+        wsrc = re.search(
+            r"read_parquet\('([^']*ann_graph_walk[^']*)'\)", wsql).group(1)
+        wbase = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(wsrc))
+                           ]).reset_index(drop=True).sort_values(
+                               ["query_id", "step"]).reset_index(drop=True)
+        wcon = duckdb.connect()
+        wcon.execute(
+            f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
+
+        def wcheck(name, df, expect_poison=True):
+            d = f"{work}/w_{name}"
+            os.makedirs(d)
+            df.to_parquet(f"{d}/part.parquet", index=False)
+            out = wcon.execute(
+                wsql.replace(wsrc, f"{d}/*.parquet")).df()
+            pz = len(out) > 0 and (out["step"] == -999).all()
+            ok = pz == expect_poison
+            print(f"{'PASS' if ok else 'FAIL':>6} walk:{name}: "
+                  f"{'poisoned' if pz else 'NOT poisoned'}")
+            return ok
+
+        results.append(wcheck("untampered", wbase, expect_poison=False))
+        # the longest walk gives room for mid-path tampering
+        qlen = wbase.groupby("query_id")["step"].max()
+        q = qlen.idxmax()
+        wq = wbase[wbase.query_id == q]
+        assert qlen[q] >= 1, "need a walk with >=1 hop for walk tampering"
+        last = wq.index[-1]
+
+        t = wbase.copy(); t.loc[last, "node"] = int(wq.iloc[0]["node"])
+        results.append(wcheck("node-swap", t))
+
+        t = wbase.copy(); t.loc[wq.index[0], "node"] = int(t.loc[last, "node"])
+        results.append(wcheck("entry-swap", t))
+
+        t = wbase.copy(); t.loc[last, "sim"] = t.loc[last, "sim"] + 0.0001
+        results.append(wcheck("sim-bump", t))
+
+        results.append(wcheck("dropped-final-hop", wbase.drop(index=last)))
+        results.append(wcheck("dropped-query",
+                              wbase[wbase.query_id != q]))
+        results.append(wcheck("duplicated-step",
+                              pd.concat([wbase, wbase.loc[[last]]])))
+        if qlen[q] >= 2:
+            # skip a middle hop and renumber: edges no longer consecutive
+            mid = wq.index[1]
+            t = wbase.drop(index=mid).copy()
+            sel = t.query_id == q
+            t.loc[sel, "step"] = range(int(sel.sum()))
+            results.append(wcheck("skipped-hop", t))
 
     print(f"\n{sum(results)}/{len(results)} tamper classes behave")
     return 0 if all(results) else 1
