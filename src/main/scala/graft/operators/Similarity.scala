@@ -477,22 +477,45 @@ object Similarity {
     */
   private[graft] def adaptiveProbeScoredOf(s: SparkSession, emb: DataFrame,
       storedPred: Column, queryPred: Column): DataFrame = {
+    val (fine, toCell, fineAssign) = twoLevelParts(s, emb)
+    val stored = fineAssign(emb.filter(storedPred), "vec_id", "embedding")
+    val probes = fineProbes(
+      toCell(emb.filter(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
+        "query_id", "q_emb"),
+      fine, nprobe = 4)
+    // plain equi-join on cent_id, like annIncremental: the stored
+    // side's cent_id bucketing keeps it shuffle-free at scale while
+    // AQE broadcasts genuinely small batches
+    stored.join(probes, Seq("cent_id"))
+      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
+      .select(col("query_id"), col("vec_id"), col("raw_sim"))
+  }
+
+  /** The two-level quantizer's reusable parts — extracted in round 15
+    * so the adaptive walk twin builds on the SAME assignment the three
+    * green adaptive ops use (one copy, the shared-kernel rule):
+    * `fine` = (cent_id, c_emb, coarse_id), `toCell` = coarse-cell
+    * argmax assignment (broadcast join + partial-agg max(struct) —
+    * lowest id on exact ties, the oracle's sim DESC, id ASC window),
+    * `fineAssign` = full two-level assignment to a fine cent_id.
+    * Coarse centroids are the first ⌈√k⌉ corpus vectors (collected —
+    * a bounded literal, the fixedCentroids convention); fine = first
+    * k, assigned to their own coarse cell distributed, never
+    * collected.
+    */
+  private[graft] def twoLevelParts(s: SparkSession, emb: DataFrame)
+      : (DataFrame, (DataFrame, String, String) => DataFrame,
+         (DataFrame, String, String) => DataFrame) = {
     import s.implicits._
     val k = annK(emb.count())
     val kc = math.ceil(math.sqrt(k.toDouble)).toInt
-    // same derivation as fixedCentroids, off the caller's corpus: the
-    // first kc vectors by id, ids = vec_id (tie-break identity matters
-    // — the oracle replays sim DESC, id ASC)
     val coarseDf = broadcast(
       emb.filter(col("vec_id") < kc)
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
         .sortBy(_._1).toSeq.toDF("coarse_id", "co_emb"))
-    // coarse-cell assignment: broadcast join + partial-agg argmax
-    // (max(struct(sim, -id)) keeps the lowest id on exact ties, the
-    // oracle's sim DESC, id ASC window); map-side partial agg collapses
-    // the kc candidate rows per vector before any exchange
     def toCell(df: DataFrame, idCol: String, embCol: String): DataFrame = df
       .crossJoin(coarseDf)
       .withColumn("sim", cosineSim(col(embCol), col("co_emb")))
@@ -500,36 +523,36 @@ object Similarity {
       .agg(first(col(embCol)).as(embCol),
         max(struct(col("sim").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
       .select(col(idCol), col(embCol), (-col("m.nc")).as("coarse_id"))
-    // fine centroids: first k corpus vectors, each joined to its own
-    // coarse cell by the same argmax — k rows, never collected
     val fine = toCell(
       emb.filter(col("vec_id") < k)
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
       "cent_id", "c_emb")
-    val stored = toCell(emb.filter(storedPred), "vec_id", "embedding")
-      .join(fine, "coarse_id")
-      .withColumn("f_sim", cosineSim(col("embedding"), col("c_emb")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("f_sim").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), col("embedding"), (-col("m.nc")).as("cent_id"))
+    def fineAssign(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      toCell(df.select(col(idCol), col(embCol)), idCol, embCol)
+        .join(fine, "coarse_id")
+        .withColumn("f_sim", cosineSim(col(embCol), col("c_emb")))
+        .groupBy(col(idCol))
+        .agg(first(col(embCol)).as(embCol),
+          max(struct(col("f_sim").as("s"), (-col("cent_id")).as("nc"))).as("m"))
+        .select(col(idCol), col(embCol), (-col("m.nc")).as("cent_id"))
+    (fine, toCell, fineAssign)
+  }
+
+  /** The per-query nprobe-best fine lists WITHIN the query's coarse
+    * cell (per-level greedy — IVF semantics), off a `toCell`-assigned
+    * query frame. Shared by the adaptive probe kernel (nprobe=4) and
+    * the adaptive walk's entry choice (nprobe=1).
+    */
+  private def fineProbes(cellQueries: DataFrame, fine: DataFrame,
+      nprobe: Int): DataFrame = {
     val byQuery = Window.partitionBy(col("query_id"))
       .orderBy(col("f_sim").desc, col("cent_id"))
-    val probes = toCell(
-        emb.filter(queryPred)
-          .select(col("vec_id").as("query_id"), col("embedding").as("q_emb")),
-        "query_id", "q_emb")
+    cellQueries
       .join(fine, "coarse_id")
       .withColumn("f_sim", cosineSim(col("q_emb"), col("c_emb")))
       .withColumn("c_rank", row_number().over(byQuery))
-      .filter(col("c_rank") <= 4)
+      .filter(col("c_rank") <= nprobe)
       .select(col("query_id"), col("q_emb"), col("cent_id"))
-    // plain equi-join on cent_id, like annIncremental: the stored
-    // side's cent_id bucketing keeps it shuffle-free at scale while
-    // AQE broadcasts genuinely small batches
-    stored.join(probes, Seq("cent_id"))
-      .withColumn("raw_sim", cosineSim(col("q_emb"), col("embedding")))
-      .select(col("query_id"), col("vec_id"), col("raw_sim"))
   }
 
   /** Spherical k-means (Lloyd) over a driver-collected sample — fully
@@ -895,7 +918,19 @@ object Similarity {
       .join(assigned.select(col("cent_id"), col("vec_id")), Seq("cent_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
-    val vecs = assigned.select(col("vec_id"), col("embedding"))
+    greedyWalk(graph, queriesDf, entry,
+      assigned.select(col("vec_id"), col("embedding")))
+  }
+
+  /** The greedy descent loop shared by [[annGraphWalk]] and
+    * [[annGraphWalkAdaptive]]: all queries advance in lock-step join
+    * rounds — candidates = current node's graph neighbors (never the
+    * query itself), argmax by (sim DESC, id ASC) through the bounded-
+    * heap TopK, move only on STRICT improvement, stop at the local
+    * maximum. Emits the full path (query_id, step, node, q4 sim).
+    */
+  private def greedyWalk(graph: DataFrame, queriesDf: DataFrame,
+      entry: DataFrame, vecs: DataFrame): DataFrame = {
     var live = entry.join(queriesDf, Seq("query_id"))
       .join(vecs, col("node") === col("vec_id"))
       .select(col("query_id"), col("q_emb"), col("node"),
@@ -934,8 +969,46 @@ object Similarity {
       .orderBy(col("query_id"), col("step"))
   }
 
+  /** ADAPTIVE-k GRAPH WALK (round 15 — the scale path for
+    * [[annGraphWalk]]'s graph BUILD, closing the fixed-k caveat the
+    * same way ann_incremental_adaptive closes ann_incremental's): the
+    * kNN graph's candidate generation runs within the corpus-sized
+    * two-level quantizer's FINE lists (annK(n) = n/64 lists, occupancy
+    * ~64 bounded as the corpus grows), so the within-list pairwise
+    * build is ~64·n cosines — LINEAR in corpus size — where the
+    * fixed-16-list build is n²/16. Entry = min-id member of the
+    * query's best fine list within its coarse cell (the fineProbes
+    * shape at nprobe=1). Same greedy descent, same walk-certificate
+    * oracle (the adaptive CTE chain composed with the shared
+    * certificate tail). The fixed-k op stays registered as the
+    * oracle anchor.
+    */
+  val annGraphWalkAdaptive: Q = (s, d) => {
+    val emb = Tables.embeddings(s, d)
+    val (fine, toCell, fineAssign) = twoLevelParts(s, emb)
+    val assigned = fineAssign(emb, "vec_id", "embedding").localCheckpoint()
+    val pairSims = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("g_sim"))
+    val graph = graft.plans.TopK.perKey(pairSims,
+        Seq("src"), "g_sim", "dst", walkDegree)
+      .select(col("src"), col("dst")).localCheckpoint()
+    val queriesDf = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val entry = fineProbes(
+        toCell(queriesDf, "query_id", "q_emb"), fine, nprobe = 1)
+      .join(assigned.select(col("cent_id"), col("vec_id")), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
+    greedyWalk(graph, queriesDf, entry,
+      assigned.select(col("vec_id"), col("embedding")))
+  }
+
   val queries: Map[String, Q] = Map(
     "ann_graph_walk" -> annGraphWalk,
+    "ann_graph_walk_adaptive" -> annGraphWalkAdaptive,
     "ann_rrf_fusion" -> annRrfFusion,
     "ann_pq" -> annPq,
     "ann_pq_topk" -> annPqTopk,
@@ -994,19 +1067,88 @@ object Similarity {
       |    FROM embeddings e CROSS JOIN cw) t
       |  WHERE rn = 1)""".stripMargin
 
+  /** The walk-certificate tail shared by both graph-walk oracles (see
+    * annGraphWalk's scaladoc for the check list): `prelude` must
+    * define CTEs emb(vec_id, e), g(src, dst), qs(query_id, q) and
+    * ent(query_id, node); `src` is the dumped walk's parquet glob.
+    * One copy of the certificate SQL, so a check fix reaches both
+    * parameterizations (the palmCertCte convention).
+    */
+  private def walkCertSql(prelude: String, src: String): String =
+    s"""WITH $prelude,
+      |res AS (SELECT query_id, step, node, sim
+      |        FROM read_parquet('$src')),
+      |cur AS (
+      |  SELECT r.query_id, r.step, r.node,
+      |    list_cosine_similarity(s.q, e2.e) AS csim
+      |  FROM res r JOIN qs s USING (query_id)
+      |  JOIN emb e2 ON e2.vec_id = r.node),
+      |best AS (
+      |  SELECT query_id, step, dst, nsim FROM (
+      |    SELECT c.query_id, c.step, g.dst,
+      |      list_cosine_similarity(s.q, e2.e) AS nsim,
+      |      row_number() OVER (PARTITION BY c.query_id, c.step
+      |        ORDER BY list_cosine_similarity(s.q, e2.e) DESC, g.dst) AS rn
+      |    FROM cur c JOIN g ON g.src = c.node
+      |    JOIN qs s ON s.query_id = c.query_id
+      |    JOIN emb e2 ON e2.vec_id = g.dst
+      |    WHERE g.dst <> c.query_id) t WHERE rn = 1),
+      |fin AS (SELECT query_id, max(step) AS fstep FROM res GROUP BY query_id),
+      |viol_total AS (
+      |  SELECT e3.query_id FROM ent e3
+      |  LEFT JOIN res r ON r.query_id = e3.query_id AND r.step = 0
+      |  WHERE r.node IS NULL
+      |  UNION ALL
+      |  SELECT r.query_id FROM res r LEFT JOIN ent e3 USING (query_id)
+      |  WHERE e3.query_id IS NULL
+      |  UNION ALL
+      |  SELECT query_id FROM res GROUP BY query_id, step HAVING count(*) > 1
+      |  UNION ALL
+      |  SELECT r.query_id FROM res r JOIN fin f USING (query_id)
+      |  GROUP BY r.query_id, f.fstep HAVING count(*) <> f.fstep + 1
+      |  UNION ALL
+      |  SELECT r.query_id FROM res r JOIN ent e3 ON e3.query_id = r.query_id
+      |  WHERE r.step = 0 AND r.node <> e3.node
+      |  UNION ALL
+      |  SELECT query_id FROM res
+      |  WHERE query_id IS NULL OR step IS NULL OR node IS NULL
+      |     OR sim IS NULL OR step < 0),
+      |viol_sim AS (
+      |  SELECT r.query_id FROM res r
+      |  JOIN cur c ON c.query_id = r.query_id AND c.step = r.step
+      |  WHERE r.sim <> floor(c.csim * 10000 + 0.5) / 10000.0),
+      |viol_greedy AS (
+      |  SELECT r.query_id FROM res r
+      |  LEFT JOIN best b ON b.query_id = r.query_id AND b.step = r.step - 1
+      |  LEFT JOIN cur cp ON cp.query_id = r.query_id AND cp.step = r.step - 1
+      |  WHERE r.step > 0
+      |    AND (b.dst IS NULL OR b.dst <> r.node OR b.nsim <= cp.csim)),
+      |viol_term AS (
+      |  SELECT f.query_id FROM fin f
+      |  JOIN cur c ON c.query_id = f.query_id AND c.step = f.fstep
+      |  JOIN best b ON b.query_id = f.query_id AND b.step = f.fstep
+      |  WHERE b.nsim > c.csim),
+      |poison AS (SELECT
+      |  (SELECT count(*) FROM viol_total) + (SELECT count(*) FROM viol_sim)
+      |  + (SELECT count(*) FROM viol_greedy) + (SELECT count(*) FROM viol_term)
+      |  AS n)
+      |SELECT r.query_id,
+      |  CAST(CASE WHEN pz.n = 0 THEN r.step ELSE -999 END AS BIGINT) AS step,
+      |  CAST(CASE WHEN pz.n = 0 THEN r.node END AS BIGINT) AS node,
+      |  CASE WHEN pz.n = 0 THEN r.sim END AS sim
+      |FROM res r CROSS JOIN poison pz
+      |ORDER BY query_id, step""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
-    // WALK CERTIFICATE oracle (see annGraphWalk scaladoc): rebuilds
-    // the kNN graph and entry points from the raw embeddings (first-16
-    // fixed centroids — the ann_ivf convention), then validates the
-    // dumped walk hop-by-hop with plain joins: totality over queries
-    // WITH a non-empty entry list (a query alone in its list has no
-    // walk, both engines agree), contiguous steps from the defined
-    // entry, every hop a graph edge landing exactly on the
-    // strict-improving argmax neighbor, final node a local maximum,
-    // sims re-derived. The checks pin the unique greedy walk without
-    // recursion. Violations poison every row.
-    "ann_graph_walk" ->
-      s"""WITH emb AS (
+    // WALK CERTIFICATE oracles (see annGraphWalk scaladoc and
+    // walkCertSql): each prelude rebuilds its parameterization's kNN
+    // graph and entry points from the raw embeddings — fixed-16 lists
+    // for the anchor, the two-level adaptive quantizer chain (the
+    // ann_*_adaptive oracle CTEs) for the scale path — then the shared
+    // certificate tail validates the dumped walk hop-by-hop with plain
+    // joins. Violations poison every row.
+    "ann_graph_walk" -> walkCertSql(
+      s"""emb AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |cents AS (SELECT vec_id AS cent_id, e AS c FROM emb WHERE vec_id < 16),
         |asg AS (
@@ -1031,69 +1173,56 @@ object Similarity {
         |          ORDER BY list_cosine_similarity(s.q, c.c) DESC, c.cent_id) AS rn
         |      FROM qs s CROSS JOIN cents c) t WHERE rn = 1) qq
         |  JOIN asg a ON a.cent_id = qq.cent_id AND a.vec_id <> qq.query_id
-        |  GROUP BY qq.query_id),
-        |res AS (SELECT query_id, step, node, sim
-        |        FROM read_parquet('__OUT__/ann_graph_walk/*.parquet')),
-        |cur AS (
-        |  SELECT r.query_id, r.step, r.node,
-        |    list_cosine_similarity(s.q, e2.e) AS csim
-        |  FROM res r JOIN qs s USING (query_id)
-        |  JOIN emb e2 ON e2.vec_id = r.node),
-        |best AS (
-        |  SELECT query_id, step, dst, nsim FROM (
-        |    SELECT c.query_id, c.step, g.dst,
-        |      list_cosine_similarity(s.q, e2.e) AS nsim,
-        |      row_number() OVER (PARTITION BY c.query_id, c.step
-        |        ORDER BY list_cosine_similarity(s.q, e2.e) DESC, g.dst) AS rn
-        |    FROM cur c JOIN g ON g.src = c.node
-        |    JOIN qs s ON s.query_id = c.query_id
-        |    JOIN emb e2 ON e2.vec_id = g.dst
-        |    WHERE g.dst <> c.query_id) t WHERE rn = 1),
-        |fin AS (SELECT query_id, max(step) AS fstep FROM res GROUP BY query_id),
-        |viol_total AS (
-        |  SELECT e3.query_id FROM ent e3
-        |  LEFT JOIN res r ON r.query_id = e3.query_id AND r.step = 0
-        |  WHERE r.node IS NULL
-        |  UNION ALL
-        |  SELECT r.query_id FROM res r LEFT JOIN ent e3 USING (query_id)
-        |  WHERE e3.query_id IS NULL
-        |  UNION ALL
-        |  SELECT query_id FROM res GROUP BY query_id, step HAVING count(*) > 1
-        |  UNION ALL
-        |  SELECT r.query_id FROM res r JOIN fin f USING (query_id)
-        |  GROUP BY r.query_id, f.fstep HAVING count(*) <> f.fstep + 1
-        |  UNION ALL
-        |  SELECT r.query_id FROM res r JOIN ent e3 ON e3.query_id = r.query_id
-        |  WHERE r.step = 0 AND r.node <> e3.node
-        |  UNION ALL
-        |  SELECT query_id FROM res
-        |  WHERE query_id IS NULL OR step IS NULL OR node IS NULL
-        |     OR sim IS NULL OR step < 0),
-        |viol_sim AS (
-        |  SELECT r.query_id FROM res r
-        |  JOIN cur c ON c.query_id = r.query_id AND c.step = r.step
-        |  WHERE r.sim <> floor(c.csim * 10000 + 0.5) / 10000.0),
-        |viol_greedy AS (
-        |  SELECT r.query_id FROM res r
-        |  LEFT JOIN best b ON b.query_id = r.query_id AND b.step = r.step - 1
-        |  LEFT JOIN cur cp ON cp.query_id = r.query_id AND cp.step = r.step - 1
-        |  WHERE r.step > 0
-        |    AND (b.dst IS NULL OR b.dst <> r.node OR b.nsim <= cp.csim)),
-        |viol_term AS (
-        |  SELECT f.query_id FROM fin f
-        |  JOIN cur c ON c.query_id = f.query_id AND c.step = f.fstep
-        |  JOIN best b ON b.query_id = f.query_id AND b.step = f.fstep
-        |  WHERE b.nsim > c.csim),
-        |poison AS (SELECT
-        |  (SELECT count(*) FROM viol_total) + (SELECT count(*) FROM viol_sim)
-        |  + (SELECT count(*) FROM viol_greedy) + (SELECT count(*) FROM viol_term)
-        |  AS n)
-        |SELECT r.query_id,
-        |  CAST(CASE WHEN pz.n = 0 THEN r.step ELSE -999 END AS BIGINT) AS step,
-        |  CAST(CASE WHEN pz.n = 0 THEN r.node END AS BIGINT) AS node,
-        |  CASE WHEN pz.n = 0 THEN r.sim END AS sim
-        |FROM res r CROSS JOIN poison pz
-        |ORDER BY query_id, step""".stripMargin,
+        |  GROUP BY qq.query_id)""".stripMargin,
+      "__OUT__/ann_graph_walk/*.parquet"),
+    "ann_graph_walk_adaptive" -> walkCertSql(
+      s"""emb AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |params AS (
+        |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (
+        |    SELECT greatest(16, CAST(ceil(count(*) / 64.0) AS BIGINT)) AS k
+        |    FROM embeddings) t),
+        |coarse AS (
+        |  SELECT vec_id AS coarse_id, e AS co_emb
+        |  FROM emb WHERE vec_id < (SELECT kc FROM params)),
+        |fine AS (
+        |  SELECT cent_id, c_emb, coarse_id FROM (
+        |    SELECT f.vec_id AS cent_id, f.e AS c_emb, c.coarse_id,
+        |      row_number() OVER (PARTITION BY f.vec_id
+        |        ORDER BY list_cosine_similarity(f.e, c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM emb f CROSS JOIN coarse c
+        |    WHERE f.vec_id < (SELECT k FROM params)) t WHERE rn = 1),
+        |cell AS (
+        |  SELECT vec_id, emb2, coarse_id FROM (
+        |    SELECT e.vec_id, e.e AS emb2, c.coarse_id,
+        |      row_number() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.e, c.co_emb) DESC, c.coarse_id) AS rn
+        |    FROM emb e CROSS JOIN coarse c) t WHERE rn = 1),
+        |asg AS (
+        |  SELECT vec_id, emb2 AS e, cent_id FROM (
+        |    SELECT l.vec_id, l.emb2, f.cent_id,
+        |      row_number() OVER (PARTITION BY l.vec_id
+        |        ORDER BY list_cosine_similarity(l.emb2, f.c_emb) DESC, f.cent_id) AS rn
+        |    FROM cell l JOIN fine f ON l.coarse_id = f.coarse_id) t WHERE rn = 1),
+        |g AS (
+        |  SELECT src, dst FROM (
+        |    SELECT a.vec_id AS src, b.vec_id AS dst,
+        |      row_number() OVER (PARTITION BY a.vec_id
+        |        ORDER BY list_cosine_similarity(a.e, b.e) DESC, b.vec_id) AS rn
+        |    FROM asg a JOIN asg b ON a.cent_id = b.cent_id AND a.vec_id <> b.vec_id) t
+        |  WHERE rn <= $walkDegree),
+        |qs AS (SELECT vec_id AS query_id, e AS q FROM emb WHERE vec_id % 101 = 0),
+        |ent AS (
+        |  SELECT qq.query_id, min(a.vec_id) AS node
+        |  FROM (SELECT query_id, cent_id FROM (
+        |      SELECT l.vec_id AS query_id, f.cent_id,
+        |        row_number() OVER (PARTITION BY l.vec_id
+        |          ORDER BY list_cosine_similarity(l.emb2, f.c_emb) DESC, f.cent_id) AS rn
+        |      FROM cell l JOIN fine f ON l.coarse_id = f.coarse_id
+        |      WHERE l.vec_id % 101 = 0) t WHERE rn = 1) qq
+        |  JOIN asg a ON a.cent_id = qq.cent_id AND a.vec_id <> qq.query_id
+        |  GROUP BY qq.query_id)""".stripMargin,
+      "__OUT__/ann_graph_walk_adaptive/*.parquet"),
     "ann_rrf_fusion" ->
       s"""WITH ${TextAnalysis.bm25ScoredCte},
         |lex AS (

@@ -73,6 +73,62 @@ class GraphWalkSpec extends SparkTestBase {
     assert(anyHop, "no query ever moved — the greedy legs are vacuous on this corpus")
   }
 
+  test("ann_graph_walk_adaptive matches a first-principles two-level replay at sf0.01") {
+    val emb: Map[Long, Array[Float]] =
+      sources.Tables.embeddings(spark, sf01).collect()
+        .map(r => r.getAs[Long]("vec_id") ->
+          r.getAs[Seq[Float]]("embedding").toArray).toMap
+    val n = emb.size.toLong
+    val k = math.max(16L, (n + 63) / 64).toInt
+    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val coarse = emb.filter(_._1 < kc).toSeq.sortBy(_._1)
+    def cellOf(v: Array[Float]): Long =
+      coarse.map { case (id, c) => (cos(v, c), -id) }.max match {
+        case (_, neg) => -neg
+      }
+    val fine: Map[Long, Long] = emb.filter(_._1 < k)
+      .map { case (id, v) => id -> cellOf(v) }
+    def fineOf(v: Array[Float], cell: Long): Long =
+      fine.collect { case (fid, fc) if fc == cell =>
+        (cos(v, emb(fid)), -fid)
+      }.max match { case (_, neg) => -neg }
+    val asg: Map[Long, Long] =
+      emb.map { case (id, v) => id -> fineOf(v, cellOf(v)) }
+    val byList = asg.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq.sorted }
+    val graph: Map[Long, Seq[Long]] = emb.keys.map { src =>
+      src -> byList(asg(src)).filter(_ != src)
+        .sortBy(dst => (-cos(emb(src), emb(dst)), dst)).take(8)
+    }.toMap
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    emb.keys.filter(_ % 101 == 0).toSeq.sorted.foreach { q =>
+      val entryList = byList.getOrElse(
+        fineOf(emb(q), cellOf(emb(q))), Seq.empty).filter(_ != q)
+      if (entryList.nonEmpty) {
+        var cur = entryList.min
+        var curSim = cos(emb(q), emb(cur))
+        var step = 0L
+        expected += ((q, step, cur, q4(curSim)))
+        var moving = true
+        while (moving) {
+          val nbrs = graph(cur).filter(_ != q)
+          if (nbrs.isEmpty) moving = false
+          else {
+            val (bs, bneg) = nbrs.map(nb => (cos(emb(q), emb(nb)), -nb)).max
+            if (bs > curSim) {
+              cur = -bneg; curSim = bs; step += 1
+              expected += ((q, step, cur, q4(curSim)))
+            } else moving = false
+          }
+        }
+      }
+    }
+    val got = SparkEntry.queries("ann_graph_walk_adaptive")(spark, sf01).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq.sorted == expected.toSeq.sorted,
+      s"adaptive walk diverges:\n got ${got.toSeq.sorted}\nwant ${expected.toSeq.sorted}")
+    assert(expected.nonEmpty, "no adaptive walks at all — vacuous")
+  }
+
   test("walks are strictly improving and end at a local maximum") {
     val rows = SparkEntry.queries("ann_graph_walk")(spark, sf01).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))

@@ -122,11 +122,13 @@ def main(sf_dir, out_dir):
           f"{'poisoned' if ok else 'NOT poisoned — palm check dead!'}")
     results.append(ok)
 
-    # ---- walk certificate (ann_graph_walk) ----
-    wsql = oracle.get("ann_graph_walk")
-    if wsql:
+    # ---- walk certificates (ann_graph_walk + its adaptive twin) ----
+    for wop in ("ann_graph_walk", "ann_graph_walk_adaptive"):
+        wsql = oracle.get(wop)
+        if not wsql:
+            continue
         wsrc = re.search(
-            r"read_parquet\('([^']*ann_graph_walk[^']*)'\)", wsql).group(1)
+            rf"read_parquet\('([^']*{wop}[^']*)'\)", wsql).group(1)
         wbase = pd.concat([pd.read_parquet(f) for f in sorted(glob.glob(wsrc))
                            ]).reset_index(drop=True).sort_values(
                                ["query_id", "step"]).reset_index(drop=True)
@@ -134,15 +136,15 @@ def main(sf_dir, out_dir):
         wcon.execute(
             f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'")
 
-        def wcheck(name, df, expect_poison=True):
-            d = f"{work}/w_{name}"
+        def wcheck(name, df, expect_poison=True, _sql=wsql, _src=wsrc, _op=wop):
+            d = f"{work}/{_op}_{name}"
             os.makedirs(d)
             df.to_parquet(f"{d}/part.parquet", index=False)
             out = wcon.execute(
-                wsql.replace(wsrc, f"{d}/*.parquet")).df()
+                _sql.replace(_src, f"{d}/*.parquet")).df()
             pz = len(out) > 0 and (out["step"] == -999).all()
             ok = pz == expect_poison
-            print(f"{'PASS' if ok else 'FAIL':>6} walk:{name}: "
+            print(f"{'PASS' if ok else 'FAIL':>6} {_op}:{name}: "
                   f"{'poisoned' if pz else 'NOT poisoned'}")
             return ok
 
