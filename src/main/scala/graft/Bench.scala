@@ -61,41 +61,60 @@ object Bench {
   final case class DriftRef(round: Int, sentinels: Seq[(String, Double)],
       rawHeadline: Double, flagshipHeadline: Double)
 
+  /** Directory entries matching `pattern` (one capture group = round
+    * number) — the one copy of the list/regex/close pattern shared by
+    * the drift-reference loader and the round-number inference.
+    */
+  private[graft] def roundFiles(dir: java.nio.file.Path,
+      pattern: scala.util.matching.Regex): Seq[(Int, java.nio.file.Path)] = {
+    // Files.list holds an open directory handle until closed
+    val listing = java.nio.file.Files.list(dir)
+    try scala.jdk.CollectionConverters
+      .IteratorHasAsScala(listing.iterator()).asScala
+      .flatMap(p => pattern.findFirstMatchIn(p.getFileName.toString)
+        .map(m => (m.group(1).toInt, p))).toSeq
+    finally listing.close()
+  }
+
   /** Load the newest BENCH_QUERIES_r{N}.json with N < `currentRound`
-    * from `dir` and extract the drift reference. Any missing field or
-    * parse failure falls back to the pinned r13 constants (round -1
+    * from `dir` whose `sf` field matches THIS run's sfDir, and extract
+    * the drift reference. The sf guard matters (round-15 review): every
+    * bench run writes a per-round file, including local scale A/Bs at
+    * 25×/100× — a stray off-scale file as the anchor would corrupt
+    * drift_factor by the scale ratio itself (sentinels ~25× slower →
+    * factor ~25 → gates nonsense in both directions). Mismatched or
+    * unparsable candidates are skipped newest-first; no acceptable
+    * candidate falls back to the pinned r13 constants (round -1
     * raw/flagship anchors: the r13 file predates those fields, so the
     * gate ratios read -1 rather than a wrong number).
     */
   private[graft] def loadDriftRef(dir: java.nio.file.Path,
-      currentRound: Int): DriftRef = {
+      currentRound: Int, sfDir: String): DriftRef = {
     val fallback = DriftRef(13, driftSentinelsR13, -1.0, -1.0)
     try {
-      val listing = java.nio.file.Files.list(dir)
-      val candidates = try {
-        scala.jdk.CollectionConverters
-          .IteratorHasAsScala(listing.iterator()).asScala
-          .flatMap { p =>
-            "^BENCH_QUERIES_r(\\d+)\\.json$".r
-              .findFirstMatchIn(p.getFileName.toString)
-              .map(m => (m.group(1).toInt, p))
-          }.filter(_._1 < currentRound).toSeq
-      } finally listing.close()
-      if (candidates.isEmpty) return fallback
-      val (refRound, refPath) = candidates.maxBy(_._1)
-      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-      val root = mapper.readTree(java.nio.file.Files.readString(refPath))
-      val qnode = root.get("queries")
-      if (qnode == null || !qnode.isObject) return fallback
-      val sentinels = driftSentinelNames.flatMap { k =>
-        Option(qnode.get(k)).map(_.asDouble(-1.0)).filter(_ > 0).map(k -> _)
+      val candidates = roundFiles(dir, "^BENCH_QUERIES_r(\\d+)\\.json$".r)
+        .filter(_._1 < currentRound).sortBy(-_._1)
+      candidates.foreach { case (refRound, refPath) =>
+        try {
+          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+          val root = mapper.readTree(java.nio.file.Files.readString(refPath))
+          val refSf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+          val qnode = root.get("queries")
+          if (refSf == sfDir && qnode != null && qnode.isObject) {
+            val sentinels = driftSentinelNames.flatMap { k =>
+              Option(qnode.get(k)).map(_.asDouble(-1.0)).filter(_ > 0).map(k -> _)
+            }
+            // a reference with most sentinels missing/failed is no anchor
+            if (sentinels.size >= 5) {
+              def num(field: String): Double =
+                Option(root.get(field)).map(_.asDouble(-1.0)).getOrElse(-1.0)
+              return DriftRef(refRound, sentinels, num("value"),
+                num("flagship_headline_total"))
+            }
+          }
+        } catch { case _: Throwable => () } // skip to the next-newest
       }
-      // a reference with most sentinels missing/failed is no anchor
-      if (sentinels.size < 5) return fallback
-      def num(field: String): Double =
-        Option(root.get(field)).map(_.asDouble(-1.0)).getOrElse(-1.0)
-      DriftRef(refRound, sentinels, num("value"),
-        num("flagship_headline_total"))
+      fallback
     } catch { case _: Throwable => fallback }
   }
 
@@ -308,23 +327,14 @@ object Bench {
     // builder runs never bump it).
     val rnd = sys.env.get("SPARK_GRAFT_ROUND").flatMap(_.toIntOption)
       .getOrElse {
-        try {
-          // Files.list holds an open directory handle until closed
-          val listing = java.nio.file.Files.list(outDir)
-          try {
-            scala.jdk.CollectionConverters
-              .IteratorHasAsScala(listing.iterator()).asScala
-              .flatMap { p =>
-                "^BENCH_r(\\d+)\\.json$".r.findFirstMatchIn(p.getFileName.toString)
-                  .map(_.group(1).toInt)
-              }.foldLeft(0)(math.max) + 1
-          } finally listing.close()
-        } catch { case _: Throwable => 0 }
+        try roundFiles(outDir, "^BENCH_r(\\d+)\\.json$".r)
+          .map(_._1).foldLeft(0)(math.max) + 1
+        catch { case _: Throwable => 0 }
       }
     // Drift normalization: median(current min / prior-round reference)
     // over the sentinel ops; -1 when fewer than 5 sentinels succeeded
     // (a drift factor from a broken sweep would be noise, not signal).
-    val driftRef = loadDriftRef(outDir, rnd)
+    val driftRef = loadDriftRef(outDir, rnd, sfDir)
     val driftRatios = driftRef.sentinels.flatMap { case (k, ref) =>
       succeeded.get(k).filter(_ > 0).map(_ / ref)
     }.sorted

@@ -2144,6 +2144,48 @@ object Dedup {
       |  + (SELECT count(*) FROM viol_low) + (SELECT count(*) FROM viol_verdict)
       |  AS n)""".stripMargin
 
+  /** The containment-oracle derivation shared by dd_containment and
+    * dd_containment_sampled (round-15 review — the palmCertCte one-copy
+    * rule applied here too): shingle read → df cap → rarest-4 probes →
+    * candidate join → exact verify, with the sampled twin differing
+    * ONLY in the content-addressed 1-in-8 candidate cut. A fix to the
+    * df cap, probe count or rounding now reaches both oracles.
+    */
+  private def containmentOracle(sampled: Boolean): String = {
+    val sampleCut = if (sampled)
+      """,
+        |scand AS (
+        |  SELECT doc_a, doc_b FROM cand
+        |  WHERE ((((doc_a % 1000003) * 4099 + doc_b % 1000003) % 1000003) * 2654435761) % 1048576 < 131072)""".stripMargin
+    else ""
+    val candSrc = if (sampled) "scand" else "cand"
+    s"""WITH sh AS (
+      |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
+      |ex AS (SELECT doc_id, unnest(sh_hashes) AS h FROM sh),
+      |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h
+      |  HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) * 2 // 100)),
+      |indexed AS (SELECT ex.doc_id, ex.h, df.df FROM ex JOIN df ON ex.h = df.h),
+      |probes AS (
+      |  SELECT doc_id AS doc_a, h FROM (
+      |    SELECT doc_id, h,
+      |      row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn
+      |    FROM indexed) t
+      |  WHERE rn <= 4),
+      |cand AS (
+      |  SELECT DISTINCT p.doc_a, i.doc_id AS doc_b
+      |  FROM probes p JOIN indexed i ON p.h = i.h AND p.doc_a <> i.doc_id)$sampleCut
+      |SELECT doc_a, doc_b, n_shared, n_a, containment FROM (
+      |  SELECT c.doc_a, c.doc_b,
+      |    CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS BIGINT) AS n_shared,
+      |    CAST(len(a.sh_hashes) AS BIGINT) AS n_a,
+      |    floor(len(list_intersect(a.sh_hashes, b.sh_hashes))
+      |      / CAST(len(a.sh_hashes) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
+      |  FROM $candSrc c
+      |  JOIN sh a ON c.doc_a = a.doc_id
+      |  JOIN sh b ON c.doc_b = b.doc_id) t
+      |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
+  }
+
   private val baseOracles: Map[String, String] = Map(
     // PALM-TREE CERTIFICATE oracles (see articulationAssign scaladoc
     // and palmCertCte): dd_articulation re-emits its own dump only if
@@ -2371,65 +2413,12 @@ object Dedup {
         |SELECT a.vec_id, a.cent_id, (d.vec_id IS NOT NULL) AS is_dropped
         |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
-    "dd_containment" ->
-      """WITH sh AS (
-        |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
-        |ex AS (SELECT doc_id, unnest(sh_hashes) AS h FROM sh),
-        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h
-        |  HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) * 2 // 100)),
-        |indexed AS (SELECT ex.doc_id, ex.h, df.df FROM ex JOIN df ON ex.h = df.h),
-        |probes AS (
-        |  SELECT doc_id AS doc_a, h FROM (
-        |    SELECT doc_id, h,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn
-        |    FROM indexed) t
-        |  WHERE rn <= 4),
-        |cand AS (
-        |  SELECT DISTINCT p.doc_a, i.doc_id AS doc_b
-        |  FROM probes p JOIN indexed i ON p.h = i.h AND p.doc_a <> i.doc_id)
-        |SELECT doc_a, doc_b, n_shared, n_a, containment FROM (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS BIGINT) AS n_shared,
-        |    CAST(len(a.sh_hashes) AS BIGINT) AS n_a,
-        |    floor(len(list_intersect(a.sh_hashes, b.sh_hashes))
-        |      / CAST(len(a.sh_hashes) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
-        |  FROM cand c
-        |  JOIN sh a ON c.doc_a = a.doc_id
-        |  JOIN sh b ON c.doc_b = b.doc_id) t
-        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_containment" -> containmentOracle(sampled = false),
     // the sampled sibling: identical derivation with the shared
     // portable integer-hash predicate on the CANDIDATE pairs (the same
     // place the Spark side filters), so sample membership itself is
     // cross-engine-checked, not just the surviving rows
-    "dd_containment_sampled" ->
-      """WITH sh AS (
-        |  SELECT doc_id, sh_hashes FROM read_parquet('__AUX__/dd_shingles/*.parquet')),
-        |ex AS (SELECT doc_id, unnest(sh_hashes) AS h FROM sh),
-        |df AS (SELECT h, count(*) AS df FROM ex GROUP BY h
-        |  HAVING count(*) <= greatest(10, (SELECT count(*) FROM documents) * 2 // 100)),
-        |indexed AS (SELECT ex.doc_id, ex.h, df.df FROM ex JOIN df ON ex.h = df.h),
-        |probes AS (
-        |  SELECT doc_id AS doc_a, h FROM (
-        |    SELECT doc_id, h,
-        |      row_number() OVER (PARTITION BY doc_id ORDER BY df, h) AS rn
-        |    FROM indexed) t
-        |  WHERE rn <= 4),
-        |cand AS (
-        |  SELECT DISTINCT p.doc_a, i.doc_id AS doc_b
-        |  FROM probes p JOIN indexed i ON p.h = i.h AND p.doc_a <> i.doc_id),
-        |scand AS (
-        |  SELECT doc_a, doc_b FROM cand
-        |  WHERE ((((doc_a % 1000003) * 4099 + doc_b % 1000003) % 1000003) * 2654435761) % 1048576 < 131072)
-        |SELECT doc_a, doc_b, n_shared, n_a, containment FROM (
-        |  SELECT c.doc_a, c.doc_b,
-        |    CAST(len(list_intersect(a.sh_hashes, b.sh_hashes)) AS BIGINT) AS n_shared,
-        |    CAST(len(a.sh_hashes) AS BIGINT) AS n_a,
-        |    floor(len(list_intersect(a.sh_hashes, b.sh_hashes))
-        |      / CAST(len(a.sh_hashes) AS DOUBLE) * 10000 + 0.5) / 10000.0 AS containment
-        |  FROM scand c
-        |  JOIN sh a ON c.doc_a = a.doc_id
-        |  JOIN sh b ON c.doc_b = b.doc_id) t
-        |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin,
+    "dd_containment_sampled" -> containmentOracle(sampled = true),
     "dd_split_leakfree" ->
       s"""WITH RECURSIVE $ccOracleCte
         |SELECT doc_id, cluster_id,

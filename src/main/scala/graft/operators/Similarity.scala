@@ -901,9 +901,11 @@ object Similarity {
   val annGraphWalk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val centroids = fixedCentroids(s, d)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
-      nearestCentroidCol(col("embedding"), centroids).as("cent_id"))
-      .localCheckpoint()
+    // the persisted cent_id-bucketed assignment (round-15 review): the
+    // graph self-join and entry lookup read the same store the other
+    // fixed-k ANN consumers use — co-located on cent_id, no per-run
+    // n×16 argmax recompute, no full-corpus checkpoint copy
+    val assigned = assignedStore(s, d)
     val pairSims = assigned.as("a").join(assigned.as("b"),
         col("a.cent_id") === col("b.cent_id") &&
           col("a.vec_id") =!= col("b.vec_id"))

@@ -134,10 +134,14 @@ class GraphWalkSpec extends SparkTestBase {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
     rows.groupBy(_._1).foreach { case (q, walk) =>
       val sims = walk.sortBy(_._2).map(_._3)
+      // >= not >: the operator moves on RAW-double strict improvement
+      // but emits q4-quantized sims, so a legitimate hop improving by
+      // < 5e-5 can round to an equal displayed value. Raw strictness
+      // is pinned by the first-principles replay tests above.
       assert(sims.sliding(2).forall {
-        case Array(a, b) => b > a
+        case Array(a, b) => b >= a
         case _ => true
-      }, s"query $q: sims not strictly increasing: ${sims.mkString(",")}")
+      }, s"query $q: sims decreased along the walk: ${sims.mkString(",")}")
     }
   }
 }
