@@ -91,31 +91,37 @@ object Bench {
   private[graft] def loadDriftRef(dir: java.nio.file.Path,
       currentRound: Int, sfDir: String): DriftRef = {
     val fallback = DriftRef(13, driftSentinelsR13, -1.0, -1.0)
+    // NonFatal, never Throwable: a `return` from inside a lambda
+    // travels as NonLocalReturnControl (a Throwable) and a blanket
+    // catch would swallow it — flatMap + nextOption avoids the return
+    // entirely and NonFatal keeps control-flow throwables out.
     try {
-      val candidates = roundFiles(dir, "^BENCH_QUERIES_r(\\d+)\\.json$".r)
+      roundFiles(dir, "^BENCH_QUERIES_r(\\d+)\\.json$".r)
         .filter(_._1 < currentRound).sortBy(-_._1)
-      candidates.foreach { case (refRound, refPath) =>
-        try {
-          val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-          val root = mapper.readTree(java.nio.file.Files.readString(refPath))
-          val refSf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
-          val qnode = root.get("queries")
-          if (refSf == sfDir && qnode != null && qnode.isObject) {
-            val sentinels = driftSentinelNames.flatMap { k =>
-              Option(qnode.get(k)).map(_.asDouble(-1.0)).filter(_ > 0).map(k -> _)
-            }
-            // a reference with most sentinels missing/failed is no anchor
-            if (sentinels.size >= 5) {
+        .iterator.flatMap { case (refRound, refPath) =>
+          try {
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val root = mapper.readTree(java.nio.file.Files.readString(refPath))
+            val refSf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
+            val qnode = root.get("queries")
+            if (refSf != sfDir || qnode == null || !qnode.isObject) None
+            else {
+              val sentinels = driftSentinelNames.flatMap { k =>
+                Option(qnode.get(k)).map(_.asDouble(-1.0)).filter(_ > 0).map(k -> _)
+              }
               def num(field: String): Double =
                 Option(root.get(field)).map(_.asDouble(-1.0)).getOrElse(-1.0)
-              return DriftRef(refRound, sentinels, num("value"),
-                num("flagship_headline_total"))
+              // a reference with most sentinels missing/failed is no anchor
+              if (sentinels.size >= 5)
+                Some(DriftRef(refRound, sentinels, num("value"),
+                  num("flagship_headline_total")))
+              else None
             }
+          } catch { // unreadable candidate: skip to the next-newest
+            case scala.util.control.NonFatal(_) => None
           }
-        } catch { case _: Throwable => () } // skip to the next-newest
-      }
-      fallback
-    } catch { case _: Throwable => fallback }
+        }.nextOption().getOrElse(fallback)
+    } catch { case scala.util.control.NonFatal(_) => fallback }
   }
 
   /** SECOND headline list (round 12, the verdict's ask #5): the
