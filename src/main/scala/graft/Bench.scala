@@ -76,6 +76,21 @@ object Bench {
     finally listing.close()
   }
 
+  /** Canonical form of an sf-dir path for the drift-ref sf guard:
+    * exact string equality would silently discard every anchor over a
+    * trailing slash, a `.` segment, or a symlinked spelling of the
+    * same directory (round-15 advice) — and a discarded anchor
+    * regresses the gate to the pinned r13 constants without a word.
+    * toRealPath resolves symlinks when the path exists; otherwise the
+    * lexical normalize still kills slashes and dot segments.
+    */
+  private[graft] def canonicalSf(p: String): String =
+    try java.nio.file.Paths.get(p).toRealPath().toString
+    catch { case scala.util.control.NonFatal(_) =>
+      try java.nio.file.Paths.get(p).toAbsolutePath.normalize.toString
+      catch { case scala.util.control.NonFatal(_) => p }
+    }
+
   /** Load the newest BENCH_QUERIES_r{N}.json with N < `currentRound`
     * from `dir` whose `sf` field matches THIS run's sfDir, and extract
     * the drift reference. The sf guard matters (round-15 review): every
@@ -104,7 +119,8 @@ object Bench {
             val root = mapper.readTree(java.nio.file.Files.readString(refPath))
             val refSf = Option(root.get("sf")).map(_.asText("")).getOrElse("")
             val qnode = root.get("queries")
-            if (refSf != sfDir || qnode == null || !qnode.isObject) None
+            if (canonicalSf(refSf) != canonicalSf(sfDir) ||
+                qnode == null || !qnode.isObject) None
             else {
               val sentinels = driftSentinelNames.flatMap { k =>
                 Option(qnode.get(k)).map(_.asDouble(-1.0)).filter(_ > 0).map(k -> _)
@@ -143,16 +159,13 @@ object Bench {
     * #5): the six composed DAGs — the four registry flagships plus the
     * stateful curation twin and the streaming batch probe — as a FIXED
     * cross-round list, separate from `flagships` (whose total has
-    * r11-r13 continuity). flagshipHeadlineR13 is the back-reference:
-    * the sum of BENCH_r13.json's values for exactly these six
-    * (etl_e2e 1.007 + dd_pipeline 3.869 + mm_pipeline 0.982 +
-    * tx_pipeline 0.131 + tx_curation_incremental 4.094 +
-    * statement_batch_probe 2.107).
+    * r11-r13 continuity). The reference total is read per round from
+    * the drift anchor's committed flagship_headline_total (the stale
+    * r13 constant was dropped in round 16, the r15 verdict's ask #8).
     */
   val flagshipHeadline: Seq[String] =
     Seq("etl_e2e", "dd_pipeline", "mm_pipeline", "tx_pipeline",
       "tx_curation_incremental")
-  val flagshipHeadlineR13: Double = 12.190
 
   /** Operators whose SEMANTICS changed this round: their bench deltas
     * vs the prior round are operator changes, not perf regressions
@@ -382,10 +395,28 @@ object Bench {
     // order — round-over-round deltas are only meaningful against a
     // BENCH_r*.json carrying the same marker. queries_median is the
     // conservative steady-state companion from the same samples.
+    // FLAGSHIP GATE ON THE RAW RATIO (round 16, the r15 verdict's ask
+    // #3, from the builder's own r15 diagnosis): dividing a heavyweight
+    // 6-op sum by a drift factor measured on SUB-SECOND sentinels
+    // AMPLIFIES drift rather than removing it — r15's three same-tree
+    // runs read normalized 1.19/1.10/1.29 vs raw 1.21/1.05/1.11, so
+    // the normalized construction breached the 1.15 bound twice with
+    // no real regression behind it (dd_pipeline was FASTER than r14 at
+    // 25× in the same tree). THE GATE IS flagship_raw_ratio ≤ 1.4
+    // (raw sum vs the reference round's raw sum; the bound clears the
+    // measured same-tree spread 1.05-1.21 with margin while a real
+    // composed-DAG regression — a lost cache barrier doubles
+    // dd_pipeline and moves the sum ~1.45× — still trips it).
+    // flagship_gate_ratio (the normalized form) stays emitted as the
+    // ADVISORY companion: when raw breaches, a normalized value near 1
+    // says "machine state", far above 1 says "real".
+    val flagshipRawRatio =
+      if (fhTotal > 0 && driftRef.flagshipHeadline > 0)
+        fhTotal / driftRef.flagshipHeadline else -1.0
     val flagshipGateRatio =
       if (fhTotal > 0 && driftFactor > 0 && driftRef.flagshipHeadline > 0)
         (fhTotal / driftFactor) / driftRef.flagshipHeadline else -1.0
-    val fullJson = s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"drift_factor":$driftFactor,"drift_ref_round":${driftRef.round},"drift_warning":$driftWarning,"headline_drift_normalized":$headlineNorm,"headline_ref_raw":${driftRef.rawHeadline},"headline_gate_ratio":$headlineGateRatio,"headline_raw_ratio":$headlineRawRatio,"drift_sentinels":$driftJson,"flagship_headline_total":$fhTotal,"flagship_headline_ref":${driftRef.flagshipHeadline},"flagship_gate_ratio":$flagshipGateRatio,"flagship_headline_r13":$flagshipHeadlineR13,"statement_batch_probe_samples":$stmtProbeJson,"queries":$qs,""" +
+    val fullJson = s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"drift_factor":$driftFactor,"drift_ref_round":${driftRef.round},"drift_warning":$driftWarning,"headline_drift_normalized":$headlineNorm,"headline_ref_raw":${driftRef.rawHeadline},"headline_gate_ratio":$headlineGateRatio,"headline_raw_ratio":$headlineRawRatio,"drift_sentinels":$driftJson,"flagship_headline_total":$fhTotal,"flagship_headline_ref":${driftRef.flagshipHeadline},"flagship_raw_ratio":$flagshipRawRatio,"flagship_gate_ratio":$flagshipGateRatio,"statement_batch_probe_samples":$stmtProbeJson,"queries":$qs,""" +
       s""""queries_median":$qsMed,"errors":$es,"headline":$hs,"flagship_total":$flagshipTotal,"flagship_complete":$flagshipComplete,"flagship_queries":$fj,"semantics_changed":$sc,"all_total":$allTotal,"n_queries":${results.size},"sf":"$sfDir"}"""
     println(fullJson)
     // The driver's stdout tail capture is character-bounded and has
@@ -412,7 +443,7 @@ object Bench {
     // Compact repeat on its own FINAL line: the driver's tail capture is
     // character-bounded and once truncated the leading "value" field out
     // of the long line above. This line is short enough to always survive.
-    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"drift_factor":$driftFactor,"drift_ref_round":${driftRef.round},"drift_warning":$driftWarning,"headline_drift_normalized":$headlineNorm,"headline_gate_ratio":$headlineGateRatio,"headline_raw_ratio":$headlineRawRatio,"flagship_total":$flagshipTotal,"flagship_headline_total":$fhTotal,"flagship_gate_ratio":$flagshipGateRatio,"all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$headlineTotal,"unit":"sec","stat":"min_of_3_interleaved_sweeps","headline_complete":$headlineComplete,"drift_factor":$driftFactor,"drift_ref_round":${driftRef.round},"drift_warning":$driftWarning,"headline_drift_normalized":$headlineNorm,"headline_gate_ratio":$headlineGateRatio,"headline_raw_ratio":$headlineRawRatio,"flagship_total":$flagshipTotal,"flagship_headline_total":$fhTotal,"flagship_raw_ratio":$flagshipRawRatio,"flagship_gate_ratio":$flagshipGateRatio,"all_total":$allTotal,"n_queries":${results.size},"n_errors":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

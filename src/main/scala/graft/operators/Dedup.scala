@@ -547,13 +547,19 @@ object Dedup {
       maxEdges: Long): Iterator[PalmCert] = {
     val adj = scala.collection.mutable.LongMap
       .empty[scala.collection.mutable.ArrayBuffer[Long]]
+    // The authoritative budget counts POST-dedup directed edges (the
+    // round-15 advice: pre-dedup counting let duplicated input trip the
+    // budget spuriously and overstated the reported size). The
+    // streaming check below is only the memory backstop — it fires at
+    // 4× the budget and names its count as raw pre-dedup input rows.
     var ne = 0L
     edgeIt.foreach { case (_, a, b) =>
-      ne += 2
-      if (ne > maxEdges)
-        sys.error(s"component $comp exceeds $maxEdges directed edges — " +
-          "articulationAssign needs a contracted variant at this scale")
       if (a != b) {
+        ne += 2
+        if (ne > 4 * maxEdges)
+          sys.error(s"component $comp exceeds ${4 * maxEdges} directed edges " +
+            "PRE-dedup (raw input rows, duplicates included) — aborting " +
+            "before adjacency dedup to bound task memory")
         adj.getOrElseUpdate(a, scala.collection.mutable.ArrayBuffer.empty[Long]) += b
         adj.getOrElseUpdate(b, scala.collection.mutable.ArrayBuffer.empty[Long]) += a
       }
@@ -561,7 +567,12 @@ object Dedup {
     val keys = adj.keys.toArray
     java.util.Arrays.sort(keys)
     if (keys.isEmpty) return Iterator.empty
-    keys.foreach { k => adj(k) = adj(k).distinct.sorted }
+    var nd = 0L
+    keys.foreach { k => adj(k) = adj(k).distinct.sorted; nd += adj(k).length }
+    if (nd > maxEdges)
+      sys.error(s"component $comp has $nd deduped directed edges > budget " +
+        s"$maxEdges — articulationAssign needs the contracted variant " +
+        "(dd_articulation_contracted) at this scale")
     val root = keys(0)
     require(root == comp,
       s"CC label $comp is not the component minimum $root — labeling contract broken")

@@ -60,7 +60,12 @@ def main(sf_dir, out_dir):
 
     results = [check("untampered", base, expect_poison=False)]
 
-    # pick a non-root node with a parent, inside a multi-node component
+    # pick a non-root node with a parent, inside a multi-node component.
+    # Assert the corpus preconditions loudly (round-15 advice: a raw
+    # IndexError from .iloc[0] on a degenerate corpus is undiagnosable).
+    assert base.parent.notna().any(), (
+        "tamper harness needs at least one multi-node component in the "
+        "pair graph (no node has a parent) — regenerate a larger corpus")
     nr = base[base.parent.notna()].iloc[0]
     i = base.index[base.doc_id == nr.doc_id][0]
 
@@ -73,7 +78,11 @@ def main(sf_dir, out_dir):
     # repoint the parent at a node it shares no edge with (its own
     # component minimum is never adjacent to everything; use a root of
     # ANOTHER component to force both edge and comp violations)
-    other_root = base[(base.parent.isna()) & (base.comp != nr.comp)].iloc[0]
+    others = base[(base.parent.isna()) & (base.comp != nr.comp)]
+    assert len(others) > 0, (
+        "tamper harness needs >=2 components in the pair graph (no root "
+        "outside the probe node's component) — regenerate a larger corpus")
+    other_root = others.iloc[0]
     t = base.copy(); t.loc[i, "parent"] = other_root.doc_id
     results.append(check("parent-repoint", t))
 
