@@ -389,7 +389,17 @@ object Dedup {
     // copies and blew executor memory at the 54.6M-edge 100× point.
     // Per-round state that IS checkpointed (flagged/remaining/removed)
     // is bounded by the document count, not the edge count.
-    val edges = pairs.unionAll(
+    // SPARK_GRAFT_KCORE_COMPACT_EVERY=C (round 16, the r15 verdict's
+    // ask #5): every C removal rounds, REWRITE the edge checkpoint
+    // filtered to the alive set and free the old blocks — trades write
+    // volume against re-reading a disk-resident ~50 GB checkpoint
+    // every round at 400×. Default OFF (0): the measured A/B decides;
+    // the round-14 accumulate-every-round OOM is not reintroduced
+    // because at most ONE extra edge copy is ever live and the stale
+    // one unpersists immediately.
+    val compactEvery = sys.env.get("SPARK_GRAFT_KCORE_COMPACT_EVERY")
+      .flatMap(_.toIntOption).filter(_ > 0)
+    var edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()
     var remaining = nodes.localCheckpoint()
@@ -423,6 +433,16 @@ object Dedup {
         removedRounds += removed
         remaining = flagged.filter(col("deg") >= k)
           .select(col("doc_id")).localCheckpoint()
+        if (compactEvery.exists(c => round % c == 0)) {
+          val prev = edges
+          edges = edges
+            .join(remaining.select(col("doc_id").as("doc_a")),
+              Seq("doc_a"), "left_semi")
+            .join(remaining.select(col("doc_id").as("doc_b")),
+              Seq("doc_b"), "left_semi")
+            .localCheckpoint()
+          prev.unpersist(false)
+        }
         round += 1
       }
     }
@@ -451,9 +471,24 @@ object Dedup {
     * DFS-tree fields, `is_articulation` the verdict they prove. Kept
     * as a static case class so the flatMapGroups encoder resolves.
     */
+  /** `beid` (round 16) is the BICONNECTED-BLOCK id of the tree edge
+    * (parent, doc_id) — the standard DFS block labeling: a vertex w
+    * opens a new block iff low(w) ≥ disc(parent(w)) (parent is the
+    * block's cut-vertex root), else it inherits the parent edge's
+    * block; equivalently beid(w) = the deepest boundary
+    * ancestor-or-self of w, which is how the contracted oracle
+    * re-derives it non-recursively from the validated intervals. None
+    * for roots (a root has no parent edge). Two vertices u≠v share a
+    * block iff beid(u)=beid(v) ∨ parent(beid(u))=v ∨ parent(beid(v))=u
+    * (a vertex's blocks are exactly its parent edge's block plus its
+    * child edges' blocks, and every block containing a vertex contains
+    * one of its tree edges because the DFS tree restricted to a block
+    * spans it) — the O(1)-per-edge membership test the contracted
+    * variant's dropped-edge check is built on.
+    */
   private[graft] case class PalmCert(doc_id: Long, comp: Long,
       parent: Option[Long], disc: Long, fin: Long, low: Long,
-      is_articulation: Boolean)
+      is_articulation: Boolean, beid: Option[Long])
 
   /** ARTICULATION POINTS of the near-dup pair graph (round 15 — the
     * last §9 graph-backlog item, unblocked by the certificate idea the
@@ -527,9 +562,10 @@ object Dedup {
       .select(col("doc_id"), col("doc_id").as("comp"),
         lit(null).cast("long").as("parent"), lit(1L).as("disc"),
         lit(2L).as("fin"), lit(1L).as("low"),
-        lit(false).as("is_articulation"))
+        lit(false).as("is_articulation"),
+        lit(null).cast("long").as("beid"))
     cert.select(col("doc_id"), col("comp"), col("parent"), col("disc"),
-        col("fin"), col("low"), col("is_articulation"))
+        col("fin"), col("low"), col("is_articulation"), col("beid"))
       .unionByName(isolated)
   }
 
@@ -615,9 +651,18 @@ object Dedup {
       }
     }
     if (nchild.getOrElse(root, 0L) >= 2) artic(root) = true
+    // SECOND PASS — block ids, in disc order so a parent's beid is
+    // final before any child inherits it. A root child w always has
+    // low(w) ≥ disc(root) = 1, so the chain never reads a root's beid.
+    val beid = scala.collection.mutable.LongMap.empty[Long]
+    keys.sortBy(disc(_)).foreach { w =>
+      parent.get(w).foreach { pw =>
+        beid(w) = if (low(w) >= disc(pw)) w else beid(pw)
+      }
+    }
     keys.iterator.map { n =>
       PalmCert(n, comp, parent.get(n), disc(n), fin(n), low(n),
-        artic.getOrElse(n, false))
+        artic.getOrElse(n, false), beid.get(n))
     }
   }
 
@@ -625,6 +670,7 @@ object Dedup {
     articulationAssign(
       Tables.documents(s, d).select(col("doc_id")),
       minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .drop("beid") // block ids are the contracted variant's column
       .orderBy(col("doc_id"))
 
   /** BRIDGE EDGES of the near-dup pair graph — the edge-side sibling
@@ -652,6 +698,129 @@ object Dedup {
         col("c.comp").as("comp"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Max sparsify-check-repair rounds and the per-vertex fan-out of
+    * the seed sparsifier. Both loud-failure budgets, not tunings: on
+    * near-clique dedup families one round suffices (see the scaladoc
+    * proof sketch), and a graph that keeps failing the block check for
+    * 6 rounds is pathological enough to want a human.
+    */
+  private[graft] val contractedMaxRounds = 6
+  private[graft] val contractedFanout = 3
+
+  /** ARTICULATION POINTS VIA A VERIFIED SPARSIFIER (round 16 — the r15
+    * verdict's ask #4: the per-component DFS has a loud 8M-directed-
+    * edge task budget, and the 400× corpus's largest family (~16M
+    * directed edges in one component) trips it; this variant removes
+    * the edge VOLUME from the task while keeping the answer exact and
+    * certificate-checked).
+    *
+    * THE THEOREM (elementary — no sparse-certificate literature needs
+    * to be trusted): let H ⊆ G span G's vertices. If every edge
+    * (u,v) ∈ G∖H has u,v in a COMMON BICONNECTED BLOCK of H, then G
+    * and H have the same components, the same articulation points and
+    * the same bridges. Proof: components are equal because H spans
+    * and dropped edges stay within blocks (hence components). Adding
+    * one intra-block edge e=(u,v) to H changes nothing in the
+    * block-cut tree: every simple u-v path lies inside their common
+    * block B (leaving B means exiting through a cut vertex and
+    * re-entering through the SAME cut vertex — not simple), so every
+    * new cycle is ⊆ B ∪ {e}; B ∪ {e} is still 2-connected, blocks
+    * outside B are untouched, and e itself lies on a cycle so it is
+    * no bridge. Cut vertices = vertices in ≥2 blocks and bridges =
+    * 2-vertex blocks are therefore unchanged. Induct edge by edge:
+    * blocks only ever grow, so each remaining dropped edge's
+    * endpoints stay co-blocked. ∎
+    *
+    * THE ALGORITHM: H₀ keeps each vertex's edges to its
+    * [[contractedFanout]] lowest-id neighbors (≤ 3V undirected edges —
+    * on a near-clique family every member keeps the clique minima, so
+    * any dropped (u,v) has the two disjoint paths u−m₁−v, u−m₂−v and
+    * one round suffices; that is exactly the structure MinHash bands
+    * produce). Each round: per-component Tarjan on H (the SAME
+    * flatMapGroups kernel dd_articulation uses, now emitting the
+    * block id `beid` — see [[PalmCert]]), then a DISTRIBUTED check of
+    * every dropped G edge with the O(1) co-block test
+    * (beid(u)=beid(v) ∨ parent(beid(u))=v ∨ parent(beid(v))=u, NULLs
+    * failing closed); failures union into H and the loop repeats,
+    * capped loudly at [[contractedMaxRounds]]. A dropped edge whose
+    * endpoints land in different H-components fails the test by
+    * construction (beids are vertex ids of one's own component), so
+    * the repair loop also restores any connectivity H₀ missed.
+    *
+    * THE ORACLE extends the palm-tree certificate: the eight
+    * palm checks run against the dumped H (__AUX__/dd_h_edges),
+    * pinning H's DFS and H's verdicts exactly as dd_articulation's
+    * oracle pins G's; then pure-SQL extras re-derive beid from the
+    * validated intervals (deepest boundary ancestor-or-self — no
+    * recursion) and re-check H ⊆ G, G-edges-within-components, and
+    * the co-block property of EVERY dropped G edge. When they hold,
+    * the theorem lifts H's verdicts to G — so the certificate proves
+    * the answer for the FULL graph while no task ever held more than
+    * H's edges. Scale: the DFS task sees ≤ ~(3+repairs)·V edges
+    * instead of Σdeg², and the dropped-edge check is an ordinary
+    * distributed join over G's edge list.
+    */
+  private[graft] def contractedCert(nodes: DataFrame, pairs: DataFrame,
+      maxCompEdges: Long = 8000000L): (DataFrame, DataFrame) = {
+    val spark = nodes.sparkSession
+    val p = pairs.select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
+    val nbrs = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .withColumn("negv", -col("v"))
+    var h = graft.plans.TopK.perKey(nbrs, Seq("u"), "negv", "v",
+        contractedFanout)
+      .select(least(col("u"), col("v")).as("doc_a"),
+        greatest(col("u"), col("v")).as("doc_b"))
+      .distinct().localCheckpoint()
+    var round = 0
+    var cert: DataFrame = null
+    var done = false
+    while (!done) {
+      cert = articulationAssign(nodes, h, maxCompEdges).localCheckpoint()
+      val dropped = p.join(h, Seq("doc_a", "doc_b"), "left_anti")
+      val ba = cert.select(col("doc_id").as("doc_a"), col("beid").as("beid_a"))
+      val bb = cert.select(col("doc_id").as("doc_b"), col("beid").as("beid_b"))
+      val pa = cert.select(col("doc_id").as("beid_a"), col("parent").as("par_a"))
+      val pb = cert.select(col("doc_id").as("beid_b"), col("parent").as("par_b"))
+      val coBlocked =
+        coalesce(col("beid_a") === col("beid_b"), lit(false)) ||
+        coalesce(col("par_a") === col("doc_b"), lit(false)) ||
+        coalesce(col("par_b") === col("doc_a"), lit(false))
+      val failures = dropped
+        .join(ba, Seq("doc_a")).join(bb, Seq("doc_b"))
+        .join(pa, Seq("beid_a"), "left").join(pb, Seq("beid_b"), "left")
+        .filter(!coBlocked)
+        .select(col("doc_a"), col("doc_b")).localCheckpoint()
+      if (failures.isEmpty) done = true
+      else {
+        round += 1
+        if (round >= contractedMaxRounds)
+          sys.error(s"contracted articulation did not converge in " +
+            s"$contractedMaxRounds sparsify-check-repair rounds — " +
+            "the pair graph resists block-preserving sparsification")
+        h = h.unionAll(failures).distinct().localCheckpoint()
+      }
+    }
+    (cert, h)
+  }
+
+  val ddArticulationContracted: Q = (s, d) =>
+    contractedCert(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._1
+      .drop("beid") // the oracle re-derives block ids from the intervals
+      .orderBy(col("doc_id"))
+
+  /** The sparsifier H the contracted DFS actually ran on — dumped for
+    * the oracle (the loop is deterministic, so Verify's re-run
+    * reproduces it byte-for-byte, the dd_dfs convention).
+    */
+  private[graft] val ddHEdges: Q = (s, d) =>
+    contractedCert(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._2
+      .orderBy(col("doc_a"), col("doc_b"))
 
   val ddGraphTriangles: Q = (s, d) => {
     val edges = minhashPairs(s, d)
@@ -1129,85 +1298,39 @@ object Dedup {
   private[graft] def semanticK(n: Long): Int =
     math.max(16L, (n + 511) / 512).toInt
 
-  /** Coarse level of [[ddSemantic]]'s two-level quantizer: ⌈√k⌉
-    * coarse cells over the k fine centroids. With k ∝ n, a FLAT
-    * n·k assignment is n²/512 — the quadratic that only shows past
-    * local scale — while two levels cost n·(√k + k/√k) = 2n√k ≈
-    * n^1.5/11: each vector scores ⌈√k⌉ coarse centroids map-only,
-    * then only the ~√k fine children of its coarse cell. Only the
-    * coarse table ever reaches the driver (√(n/512) rows — ~1.4k at
-    * 10⁹ vectors, vs 2M for the flat collect); the fine table stays
-    * a DataFrame end to end.
-    */
-  private[graft] def semanticCoarseK(k: Int): Int =
-    math.ceil(math.sqrt(k.toDouble)).toInt
-
   /** SEMANTIC dedup — the SemDeDup shape (cluster the embedding space,
     * then drop near-identical neighbors within each cluster; Abbas et
-    * al. 2023): list assignment via a deterministic TWO-LEVEL
-    * quantizer (the ann_ivf_pq composition — coarse cell first, then
-    * argmax among that cell's fine children; both levels are corpus
-    * prefixes, so DuckDB rebuilds them from the parquet and the whole
-    * operator carries a full oracle), then a vector is DROPPED iff a
-    * lower-id cluster-mate sits at cosine ≥ τ — the greedy keep-first
-    * contract: well-defined without transitive closure, and
-    * expressible as one EXISTS self-join in SQL. Scale shape: with
-    * k ∝ n ([[semanticK]] holds occupancy flat so the within-cluster
-    * pair volume stays Σ cluster² ≈ 512·n), a flat n·k assignment is
-    * the quadratic that breaks at 100 TB; the two-level assignment
-    * ([[semanticCoarseK]]) is 2n√k cosines, the coarse stage is
-    * map-only against a √k-row broadcast, and the fine stage joins on
-    * coarse_id — co-partitionable at scale, broadcast at harness SF.
-    * A vector lands in its coarse cell's best fine centroid (IVF
-    * semantics: per-level greedy, not the global argmax) — the oracle
-    * mirrors the same two windows. τ = 0.3 aligns with
-    * dd_embed_cosine's near-dup threshold on this corpus.
+    * al. 2023): list assignment via the SHARED deterministic
+    * THREE-LEVEL quantizer ([[Similarity.threeLevelParts]] with
+    * k = [[semanticK]] — the r15 verdict's shared-kernel rule: one
+    * assignment copy across dd_semantic and the adaptive ANN family,
+    * so they cannot diverge; every level is a corpus prefix, so DuckDB
+    * rebuilds the chain from the parquet and the whole operator
+    * carries a full oracle). A vector is then DROPPED iff a lower-id
+    * cluster-mate sits at cosine ≥ τ — the greedy keep-first contract:
+    * well-defined without transitive closure, and expressible as one
+    * EXISTS self-join in SQL. Scale shape: with k ∝ n ([[semanticK]]
+    * holds occupancy flat so the within-cluster pair volume stays
+    * Σ cluster² ≈ 512·n), a flat n·k assignment is the quadratic that
+    * breaks at 100 TB, the round-15 two-level form paid 2n√k =
+    * O(n^1.5) cosines, and three levels pay ~3n·k^(1/3); every stage
+    * is a broadcast join plus a map-side-combined argmax whose
+    * exchange carries one row per vector. Per-level greedy (IVF
+    * semantics, not the global argmax) — the oracle mirrors the same
+    * windows. τ = 0.3 aligns with dd_embed_cosine's near-dup
+    * threshold on this corpus.
     */
   val ddSemantic: Q = (s, d) => {
     val tau = 0.3
-    import s.implicits._
-    val k = semanticK(Tables.embeddings(s, d).count())
-    val kc = semanticCoarseK(k)
-    // Coarse centroids: first kc corpus vectors — the only table that
-    // reaches the driver. Fine centroids: first k corpus vectors,
-    // NEVER collected; each fine centroid joins its own coarse cell by
-    // the same argmax (a fine centroid that is also a coarse centroid
-    // lands in its own cell — cos(x,x)=1 wins every argmax).
-    val coarseDf = broadcast(
-      Similarity.fixedCentroids(s, d, kc).toDF("coarse_id", "co_emb"))
-    def toCell(df: DataFrame, idCol: String, embCol: String): DataFrame = df
-      .crossJoin(coarseDf)
-      .withColumn("sim", cosineSim(col(embCol), col("co_emb")))
-      .groupBy(col(idCol))
-      .agg(first(col(embCol)).as(embCol),
-        max(struct(col("sim").as("s"), (-col("coarse_id")).as("nc"))).as("m"))
-      .select(col(idCol), col(embCol), (-col("m.nc")).as("coarse_id"))
-    val fine = toCell(
-      Tables.embeddings(s, d).filter(col("vec_id") < k)
-        .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
-      "cent_id", "c_emb")
-    // Assignment as broadcast-join + partial-agg argmax rather than the
-    // k-cosine literal-array expression the IVF family uses: the
-    // literal argmax degrades once the expression tree outgrows
-    // codegen (measured 35s for the k=98 assignment at 25× vs ~3s for
-    // this shape). One small codegen'd cosine per (vector, centroid)
-    // row; max(struct(sim, -id)) keeps the lowest id on exact ties
-    // (the oracle's sim DESC, id ASC window); the map-side partial agg
-    // collapses each vector's candidate rows before any exchange, so
-    // the shuffles carry one row per vector.
-    val assigned = toCell(Tables.embeddings(s, d), "vec_id", "embedding")
-      .join(fine, "coarse_id")
-      .withColumn("sim", cosineSim(col("embedding"), col("c_emb")))
-      .groupBy(col("vec_id"))
-      .agg(first(col("embedding")).as("embedding"),
-        max(struct(col("sim").as("s"), (-col("cent_id")).as("nc"))).as("m"))
-      .select(col("vec_id"), col("embedding"), (-col("m.nc")).as("cent_id"))
-      // Persist barrier: the plan reads `assigned` three times (both
-      // self-join sides + the final flag join); without the barrier
-      // each read re-pays the full assignment. At cluster scale this
-      // is the stored assignment table an index build materializes
-      // anyway.
-      .persist()
+    val emb = Tables.embeddings(s, d)
+    val k = semanticK(emb.count())
+    val (_, _, fineAssign) = Similarity.threeLevelParts(s, emb, k)
+    // Persist barrier: the plan reads `assigned` three times (both
+    // self-join sides + the final flag join); without the barrier
+    // each read re-pays the full assignment. At cluster scale this
+    // is the stored assignment table an index build materializes
+    // anyway.
+    val assigned = fineAssign(emb, "vec_id", "embedding").persist()
     val dropped = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cent_id") === col("b.cent_id") &&
@@ -2000,6 +2123,7 @@ object Dedup {
 
   val queries: Map[String, Q] = Map(
     "dd_articulation" -> ddArticulation,
+    "dd_articulation_contracted" -> ddArticulationContracted,
     "dd_bridges" -> ddBridges,
     "dd_kcore" -> ddKcore,
     "dd_graph_rank" -> ddGraphRank,
@@ -2039,7 +2163,11 @@ object Dedup {
     "dd_simhash_sigs" -> ((s, d) => simhashSigTable(s, d)),
     "dd_shingles" -> ((s, d) => shingled(s, d).select(col("doc_id"), col("sh_hashes"))),
     "dd_pairs" -> ((s, d) => minhashPairs(s, d).select(col("doc_a"), col("doc_b"))),
-    "dd_dfs" -> ((s, d) => ddArticulation(s, d)))
+    "dd_dfs" -> ((s, d) => ddArticulation(s, d)),
+    // the sparsifier behind dd_articulation_contracted — the oracle's
+    // palm checks and the dropped-edge co-block check both need the
+    // exact H the DFS ran on
+    "dd_h_edges" -> ddHEdges)
 
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
@@ -2077,11 +2205,12 @@ object Dedup {
     * One copy, so a check fix cannot reach one oracle and miss the
     * other (the ccOracleCte convention).
     */
-  private def palmCertCte(src: String): String =
+  private def palmCertCte(src: String,
+      edgesGlob: String = "__AUX__/dd_pairs/*.parquet"): String =
     s"""WITH res AS (
       |  SELECT doc_id, comp, parent, disc, fin, low, is_articulation
       |  FROM read_parquet('$src')),
-      |p AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+      |p AS (SELECT doc_a, doc_b FROM read_parquet('$edgesGlob')),
       |e AS (SELECT doc_a AS u, doc_b AS v FROM p
       |      UNION ALL SELECT doc_b, doc_a FROM p),
       |viol_total AS (
@@ -2215,6 +2344,76 @@ object Dedup {
         |  CAST(CASE WHEN pz.n = 0 THEN r.low END AS BIGINT) AS low,
         |  CASE WHEN pz.n = 0 THEN r.is_articulation END AS is_articulation
         |FROM res r CROSS JOIN poison pz ORDER BY doc_id""".stripMargin),
+    // CONTRACTED-VARIANT oracle (see contractedCert's scaladoc): the
+    // eight palm checks validate the DFS against the DUMPED SPARSIFIER
+    // H (__AUX__/dd_h_edges) — pinning H's components, tree, lows and
+    // verdicts exactly — then four pure-SQL extras lift the verdicts
+    // to the FULL pair graph via the elementary co-block theorem:
+    // (i) H ⊆ G; (ii) no G edge crosses the dumped components (so
+    // comps(H) = comps(G)); (iii) every non-root vertex has a
+    // re-derivable block id (beid = deepest boundary ancestor-or-self,
+    // from the validated intervals — non-recursive); (iv) every
+    // dropped G edge's endpoints share a block of H (the O(1)
+    // membership test, NULLs failing closed). Any violation poisons
+    // every row. The spanning-tree forgery — dump a valid palm cert of
+    // a spanning tree of G and the tree's (wrong for G) verdicts —
+    // passes every palm check and fails ONLY viol_blocks, which is the
+    // tamper class that proves the new check load-bearing.
+    "dd_articulation_contracted" ->
+      (palmCertCte("__OUT__/dd_articulation_contracted/*.parquet",
+          "__AUX__/dd_h_edges/*.parquet") +
+        """,
+        |pg AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+        |eg AS (SELECT doc_a AS u, doc_b AS v FROM pg
+        |       UNION ALL SELECT doc_b, doc_a FROM pg),
+        |viol_hsub AS (
+        |  SELECT h.doc_a AS doc_id FROM p h LEFT JOIN pg g
+        |    ON h.doc_a = g.doc_a AND h.doc_b = g.doc_b
+        |  WHERE g.doc_a IS NULL),
+        |viol_gcomp AS (
+        |  SELECT eg.u AS doc_id FROM eg
+        |  JOIN res ra ON ra.doc_id = eg.u
+        |  JOIN res rb ON rb.doc_id = eg.v
+        |  WHERE ra.comp <> rb.comp),
+        |bdry AS (
+        |  SELECT c.doc_id, c.comp, c.disc, c.fin FROM res c
+        |  JOIN res p2 ON p2.doc_id = c.parent WHERE c.low >= p2.disc),
+        |beid AS (
+        |  SELECT doc_id, bid FROM (
+        |    SELECT r.doc_id, b.doc_id AS bid,
+        |      row_number() OVER (PARTITION BY r.doc_id ORDER BY b.disc DESC) AS rn
+        |    FROM res r JOIN bdry b ON b.comp = r.comp
+        |      AND b.disc <= r.disc AND r.fin <= b.fin
+        |    WHERE r.parent IS NOT NULL) t WHERE rn = 1),
+        |viol_beid AS (
+        |  SELECT r.doc_id FROM res r LEFT JOIN beid USING (doc_id)
+        |  WHERE r.parent IS NOT NULL AND beid.bid IS NULL),
+        |droppedg AS (
+        |  SELECT g.doc_a, g.doc_b FROM pg g LEFT JOIN p h
+        |    ON g.doc_a = h.doc_a AND g.doc_b = h.doc_b
+        |  WHERE h.doc_a IS NULL),
+        |viol_blocks AS (
+        |  SELECT d.doc_a AS doc_id FROM droppedg d
+        |  LEFT JOIN beid ba ON ba.doc_id = d.doc_a
+        |  LEFT JOIN beid bb ON bb.doc_id = d.doc_b
+        |  LEFT JOIN res rba ON rba.doc_id = ba.bid
+        |  LEFT JOIN res rbb ON rbb.doc_id = bb.bid
+        |  WHERE NOT (coalesce(ba.bid = bb.bid, FALSE)
+        |          OR coalesce(rba.parent = d.doc_b, FALSE)
+        |          OR coalesce(rbb.parent = d.doc_a, FALSE))),
+        |poison2 AS (SELECT pz.n
+        |  + (SELECT count(*) FROM viol_hsub)
+        |  + (SELECT count(*) FROM viol_gcomp)
+        |  + (SELECT count(*) FROM viol_beid)
+        |  + (SELECT count(*) FROM viol_blocks) AS n FROM poison pz)
+        |SELECT r.doc_id,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.comp ELSE -999 END AS BIGINT) AS comp,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.parent END AS BIGINT) AS parent,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.disc END AS BIGINT) AS disc,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.fin END AS BIGINT) AS fin,
+        |  CAST(CASE WHEN pz.n = 0 THEN r.low END AS BIGINT) AS low,
+        |  CASE WHEN pz.n = 0 THEN r.is_articulation END AS is_articulation
+        |FROM res r CROSS JOIN poison2 pz ORDER BY doc_id""".stripMargin),
     "dd_bridges" ->
       (palmCertCte("__AUX__/dd_dfs/*.parquet") +
         """
@@ -2388,41 +2587,19 @@ object Dedup {
         |  JOIN canon c ON w.keeper_id = c.doc_id
         |  JOIN r5 r ON w.keeper_id = r.doc_id) t
         |ORDER BY doc_id""".stripMargin),
+    // the shared three-level assignment chain (one SQL copy in
+    // Similarity.threeLevelCtes — the kernel-sharing rule applied to
+    // the oracles too), parameterized by semanticK's formula
     "dd_semantic" ->
-      """WITH params AS (
-        |  SELECT k, CAST(ceil(sqrt(k)) AS BIGINT) AS kc FROM (
-        |    SELECT greatest(16, CAST(ceil(count(*) / 512.0) AS BIGINT)) AS k
-        |    FROM embeddings) t),
-        |coarse AS (
-        |  SELECT vec_id AS coarse_id, CAST(embedding AS DOUBLE[]) AS co_emb
-        |  FROM embeddings WHERE vec_id < (SELECT kc FROM params)),
-        |fine AS (
-        |  SELECT cent_id, c_emb, coarse_id FROM (
-        |    SELECT f.vec_id AS cent_id, CAST(f.embedding AS DOUBLE[]) AS c_emb,
-        |      c.coarse_id,
-        |      row_number() OVER (PARTITION BY f.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(f.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
-        |    FROM embeddings f CROSS JOIN coarse c
-        |    WHERE f.vec_id < (SELECT k FROM params)) t WHERE rn = 1),
-        |cell AS (
-        |  SELECT vec_id, emb, coarse_id FROM (
-        |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.coarse_id,
-        |      row_number() OVER (PARTITION BY e.vec_id
-        |        ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), c.co_emb) DESC, c.coarse_id) AS rn
-        |    FROM embeddings e CROSS JOIN coarse c) t WHERE rn = 1),
-        |assigned AS (
-        |  SELECT vec_id, emb, cent_id FROM (
-        |    SELECT a.vec_id, a.emb, f.cent_id,
-        |      row_number() OVER (PARTITION BY a.vec_id
-        |        ORDER BY list_cosine_similarity(a.emb, f.c_emb) DESC, f.cent_id) AS rn
-        |    FROM cell a JOIN fine f ON a.coarse_id = f.coarse_id) t WHERE rn = 1),
+      s"""WITH ${Similarity.threeLevelCtes(
+             "greatest(16, CAST(ceil(count(*) / 512.0) AS BIGINT))")},
         |dropped AS (
         |  SELECT DISTINCT a.vec_id
-        |  FROM assigned a JOIN assigned b
+        |  FROM asg a JOIN asg b
         |    ON a.cent_id = b.cent_id AND b.vec_id < a.vec_id
         |  WHERE list_cosine_similarity(a.emb, b.emb) >= 0.3)
         |SELECT a.vec_id, a.cent_id, (d.vec_id IS NOT NULL) AS is_dropped
-        |FROM assigned a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+        |FROM asg a LEFT JOIN dropped d ON a.vec_id = d.vec_id
         |ORDER BY a.vec_id""".stripMargin,
     "dd_containment" -> containmentOracle(sampled = false),
     // the sampled sibling: identical derivation with the shared

@@ -1112,7 +1112,7 @@ object TextAnalysis {
     * a partial-aggregating struct-max per doc — map-only before one
     * doc_id collapse, no fact shuffle, the dd_semantic shape applied
     * to TEXT instead of stored vectors (a corpus-sized k reuses the
-    * two-level quantizer exactly as dd_semantic does). Ties break to
+    * three-level quantizer exactly as dd_semantic does). Ties break to
     * the lowest cluster_id via max(struct(sim, -id)), mirroring the
     * oracle's cosine DESC, cluster_id ASC window.
     */

@@ -188,4 +188,63 @@ class ArticulationSpec extends SparkTestBase {
     }
     assert(err.getMessage != null)
   }
+
+  // ---- the contracted variant (round 16) ----
+
+  private def runContracted(edges: Seq[(Long, Long)],
+      extraNodes: Seq[Long] = Nil)
+      : (Array[org.apache.spark.sql.Row], Set[(Long, Long)]) = {
+    val nodeIds =
+      (edges.flatMap(e => Seq(e._1, e._2)) ++ extraNodes).distinct.sorted
+    val (cert, h) = operators.Dedup.contractedCert(
+      nodeIds.toDF("doc_id"), edges.toDF("doc_a", "doc_b"))
+    (cert.orderBy("doc_id").collect(),
+      h.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
+  test("contracted verdicts match remove-and-recount, H stays a subgraph") {
+    // shapes plus two adversarial additions: a double-star whose
+    // connecting edge is in NEITHER endpoint's bottom-3 (H0 splits the
+    // component — the repair loop must add the edge back), and a
+    // 12-clique (the MinHash-family shape: H0 drops most edges and
+    // every dropped pair is co-blocked through the shared minima, so
+    // one round converges with |H| well under |G|)
+    val doubleStar = Seq((1L, 10L), (2L, 10L), (3L, 10L),
+      (4L, 20L), (5L, 20L), (6L, 20L), (10L, 20L))
+    val clique = (1L to 12L).flatMap(a => (a + 1 to 12L).map(b => (a, b)))
+    val all = shapes ++ Map(
+      "double-star repair" -> doubleStar, "12-clique" -> clique)
+    all.foreach { case (name, edges) =>
+      val (wantArtic, wantBridges) = brute(edges)
+      val (rows, h) = runContracted(edges)
+      val canon = edges.map(e =>
+        (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      assert(h.subsetOf(canon), s"$name: H must be a subgraph of G")
+      val gotArtic = rows.map(r => r.getLong(0) -> r.getBoolean(6)).toMap
+      assert(gotArtic == wantArtic, s"$name: contracted verdicts diverge")
+      // bridges of H read off the contracted cert = bridges of G (the
+      // co-block theorem's edge half)
+      val cert = rows.map(r => r.getLong(0) ->
+        (Option(r.get(2)).map(_.asInstanceOf[Long]), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toMap
+      val gotBridges = cert.toSeq.collect {
+        case (n, (Some(p), _, _, lw)) if lw > cert(p)._2 =>
+          (math.min(n, p), math.max(n, p))
+      }.toSet
+      assert(gotBridges == wantBridges, s"$name: contracted bridges diverge")
+    }
+    // the clique really sparsified: 66 edges down to the 3-fan union
+    val (_, hClique) = runContracted(clique)
+    assert(hClique.size < clique.size / 2,
+      s"12-clique H should be well under half of G, got ${hClique.size}")
+  }
+
+  test("contracted verdicts and comps equal dd_articulation on the corpus") {
+    val full = SparkEntry.queries("dd_articulation")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(6))).toMap
+    val con = SparkEntry.queries("dd_articulation_contracted")(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(6))).toMap
+    assert(con == full,
+      "contracted (comp, verdict) must equal the full operator's")
+  }
 }

@@ -73,27 +73,34 @@ class GraphWalkSpec extends SparkTestBase {
     assert(anyHop, "no query ever moved — the greedy legs are vacuous on this corpus")
   }
 
-  test("ann_graph_walk_adaptive matches a first-principles two-level replay at sf0.01") {
+  test("ann_graph_walk_adaptive matches a first-principles three-level replay at sf0.01") {
     val emb: Map[Long, Array[Float]] =
       sources.Tables.embeddings(spark, sf01).collect()
         .map(r => r.getAs[Long]("vec_id") ->
           r.getAs[Seq[Float]]("embedding").toArray).toMap
     val n = emb.size.toLong
     val k = math.max(16L, (n + 63) / 64).toInt
-    val kc = math.ceil(math.sqrt(k.toDouble)).toInt
+    val kc = operators.Similarity.cubeRootCeil(k)
+    val km = kc * kc
     val coarse = emb.filter(_._1 < kc).toSeq.sortBy(_._1)
     def cellOf(v: Array[Float]): Long =
       coarse.map { case (id, c) => (cos(v, c), -id) }.max match {
         case (_, neg) => -neg
       }
-    val fine: Map[Long, Long] = emb.filter(_._1 < k)
+    val midCell: Map[Long, Long] = emb.filter(_._1 < km)
       .map { case (id, v) => id -> cellOf(v) }
-    def fineOf(v: Array[Float], cell: Long): Long =
-      fine.collect { case (fid, fc) if fc == cell =>
+    def midOf(v: Array[Float]): Long =
+      midCell.collect { case (mid, mc) if mc == cellOf(v) =>
+        (cos(v, emb(mid)), -mid)
+      }.max match { case (_, neg) => -neg }
+    val fine: Map[Long, Long] = emb.filter(_._1 < k)
+      .map { case (id, v) => id -> midOf(v) }
+    def fineOf(v: Array[Float], midId: Long): Long =
+      fine.collect { case (fid, fm) if fm == midId =>
         (cos(v, emb(fid)), -fid)
       }.max match { case (_, neg) => -neg }
     val asg: Map[Long, Long] =
-      emb.map { case (id, v) => id -> fineOf(v, cellOf(v)) }
+      emb.map { case (id, v) => id -> fineOf(v, midOf(v)) }
     val byList = asg.groupBy(_._2).map { case (c, m) => c -> m.keys.toSeq.sorted }
     val graph: Map[Long, Seq[Long]] = emb.keys.map { src =>
       src -> byList(asg(src)).filter(_ != src)
@@ -102,7 +109,7 @@ class GraphWalkSpec extends SparkTestBase {
     val expected = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
     emb.keys.filter(_ % 101 == 0).toSeq.sorted.foreach { q =>
       val entryList = byList.getOrElse(
-        fineOf(emb(q), cellOf(emb(q))), Seq.empty).filter(_ != q)
+        fineOf(emb(q), midOf(emb(q))), Seq.empty).filter(_ != q)
       if (entryList.nonEmpty) {
         var cur = entryList.min
         var curSim = cos(emb(q), emb(cur))

@@ -551,24 +551,29 @@ class OperatorsSpec extends SparkTestBase {
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
     val k = operators.Dedup.semanticK(vecs.length.toLong)
-    val kc = operators.Dedup.semanticCoarseK(k)
-    // two-level greedy assignment: coarse cell first, then argmax among
-    // that cell's fine children — IVF semantics, NOT the global argmax
+    val kc = operators.Similarity.cubeRootCeil(k)
+    val km = kc * kc
+    // three-level greedy assignment (the round-16 shared kernel):
+    // coarse cell first, then argmax among that cell's mid children,
+    // then among that mid's fine children — IVF semantics at every
+    // level, NOT the global argmax
     val coarse = vecs.filter(_._1 < kc)
     def argmax(cands: Seq[(Long, Array[Double])], v: Array[Double]): Long =
       cands.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1
-    val fineByCell = vecs.filter(_._1 < k)
+    val midByCell = vecs.filter(_._1 < km)
       .groupBy { case (_, c) => argmax(coarse, c) }
+    def midOf(v: Array[Double]): Long = argmax(midByCell(argmax(coarse, v)), v)
+    val fineByMid = vecs.filter(_._1 < k).groupBy { case (_, c) => midOf(c) }
     val assign = vecs.map { case (id, v) =>
-      (id, argmax(fineByCell(argmax(coarse, v)), v), v)
+      (id, argmax(fineByMid(midOf(v)), v), v)
     }
     // the cluster-count lever: fixed at the floor on the committed SFs,
     // growing linearly past 16·512 vectors so occupancy stays bounded —
-    // and the coarse level as its square root, so assignment work per
-    // vector is O(√k) at every corpus size
-    assert(k == 16 && kc == 4 && operators.Dedup.semanticK(50000) == 98 &&
+    // and the coarse level as its cube root, so assignment work per
+    // vector is O(k^(1/3)) at every corpus size
+    assert(k == 16 && kc == 3 && operators.Dedup.semanticK(50000) == 98 &&
       operators.Dedup.semanticK(1L << 30) == (1 << 30) / 512 &&
-      operators.Dedup.semanticCoarseK((1 << 30) / 512) == 1449)
+      operators.Similarity.cubeRootCeil((1 << 30) / 512) == 128)
     val byCluster = assign.groupBy(_._2)
     val expected = assign.map { case (id, cid, v) =>
       val hasMate = byCluster(cid).exists { case (oid, _, ov) =>

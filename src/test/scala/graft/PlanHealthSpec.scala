@@ -112,16 +112,20 @@ class PlanHealthSpec extends SparkTestBase {
     assert(!"BroadcastNestedLoopJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
       s"dd_semantic self-join degenerated to a nested loop:\n$plan")
     // the coarse-level assignment is the one legitimate nested loop (a
-    // bounded broadcast cross against the √k-row coarse table)
+    // bounded broadcast cross against the k^(1/3)-row coarse table)
     assert(plan.contains("BroadcastNestedLoopJoin"),
       s"dd_semantic coarse assignment must broadcast:\n$plan")
-    // the fine level must join on coarse_id (hash family — broadcast
-    // at harness SF, co-partitioned at scale), never cross the full
-    // fine-centroid table: a cross here is the n·k flat assignment
-    // the two-level quantizer exists to avoid
+    // the mid and fine levels must equi-join on coarse_id / mid_id
+    // (hash family — broadcast at harness SF, co-partitioned at
+    // scale), never cross the full centroid tables: a cross at either
+    // level is the n·k flat assignment the three-level quantizer
+    // exists to avoid
     assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[coarse_id".r
         .findFirstIn(plan).isDefined,
-      s"dd_semantic fine assignment must equi-join on coarse_id:\n$plan")
+      s"dd_semantic mid assignment must equi-join on coarse_id:\n$plan")
+    assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[mid_id".r
+        .findFirstIn(plan).isDefined,
+      s"dd_semantic fine assignment must equi-join on mid_id:\n$plan")
   }
 
   test("tx_decontaminate_bloom: the bloom gate filters BELOW the shingle join") {
@@ -595,20 +599,24 @@ class PlanHealthSpec extends SparkTestBase {
       s"the store-probe join must hash on cent_id:\n$plan")
   }
 
-  test("ann_incremental_adaptive: two-level quantizer joins stay broadcast-or-hash") {
+  test("ann_incremental_adaptive: three-level quantizer joins stay broadcast-or-hash") {
     // k tracks the corpus, so nothing may be linear in k except the
     // fine table itself: the only nested-loop joins allowed are the
-    // ⌈√k⌉-row broadcast coarse crosses — stored-cell, batch-cell, and
-    // the fine-cell cross, which the plan replicates once per consumer
-    // (stored + probes both read `fine`; a k-row, k·√k-cosine subtree,
-    // cheap to recompute) — 4 total. The fine join and the store-probe
-    // join must hash (equi on coarse_id / cent_id). A CartesianProduct
-    // anywhere means the probe degenerated to all-pairs.
+    // ⌈k^(1/3)⌉-row broadcast coarse crosses. Each toMid invocation
+    // plans one coarse cross of its own plus the mid subtree's cross
+    // (mid = toCoarse over kc² rows, replicated per consumer — a
+    // kc²-row, kc³-cosine subtree, cheap to recompute), and the plan
+    // holds four toMid consumers (stored, probes, and the fine
+    // subtree under each of them) — 8 crosses total, every one a
+    // bounded ≤k^(1/3)-row broadcast. The mid/fine/store-probe joins
+    // must hash (equi on coarse_id / mid_id / cent_id). A
+    // CartesianProduct anywhere means the probe degenerated to
+    // all-pairs.
     val plan = planOf("ann_incremental_adaptive")
     assert(!plan.contains("CartesianProduct"), plan)
     val nlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
-    assert(nlj <= 4,
-      s"ann_incremental_adaptive plans $nlj nested-loop joins (only the 4 coarse crosses may):\n$plan")
+    assert(nlj <= 8,
+      s"ann_incremental_adaptive plans $nlj nested-loop joins (only the 8 coarse crosses may):\n$plan")
     assert(plan.contains("HashJoin"),
       s"the fine-cell and store-probe joins must hash:\n$plan")
     // the corpus-size lever itself: occupancy-flat growth, floor 16,

@@ -187,6 +187,94 @@ def main(sf_dir, out_dir):
             t.loc[sel, "step"] = range(int(sel.sum()))
             results.append(wcheck("skipped-hop", t))
 
+    # ---- contracted articulation (palm cert on the sparsifier H plus
+    # the co-block lift to the full pair graph) ----
+    csql = oracle.get("dd_articulation_contracted")
+    if csql:
+        csrc = re.search(
+            r"read_parquet\('([^']*dd_articulation_contracted[^']*)'\)",
+            csql).group(1)
+        hglob = re.search(
+            r"read_parquet\('([^']*dd_h_edges[^']*)'\)", csql).group(1)
+        cbase = pd.concat([pd.read_parquet(f)
+                           for f in sorted(glob.glob(csrc))]
+                          ).sort_values("doc_id").reset_index(drop=True)
+        hbase = pd.concat([pd.read_parquet(f)
+                           for f in sorted(glob.glob(hglob))]
+                          ).reset_index(drop=True)
+        ccon = duckdb.connect()
+        for t_ in TABLES:
+            ccon.execute(
+                f"CREATE VIEW {t_} AS SELECT * FROM '{sf_dir}/{t_}.parquet'")
+
+        def ccheck(name, cert_df, h_df=None, expect_poison=True):
+            d = f"{work}/ctr_{name}"
+            os.makedirs(f"{d}/cert")
+            cert_df.to_parquet(f"{d}/cert/part.parquet", index=False)
+            s = csql.replace(csrc, f"{d}/cert/*.parquet")
+            if h_df is not None:
+                os.makedirs(f"{d}/h")
+                h_df.to_parquet(f"{d}/h/part.parquet", index=False)
+                s = s.replace(hglob, f"{d}/h/*.parquet")
+            out = ccon.execute(s).df()
+            pz = poisoned(out)
+            ok = pz == expect_poison
+            print(f"{'PASS' if ok else 'FAIL':>6} contracted:{name}: "
+                  f"{'poisoned' if pz else 'NOT poisoned'}")
+            return ok
+
+        results.append(ccheck("untampered", cbase, expect_poison=False))
+
+        cnr = cbase[cbase.parent.notna()].iloc[0]
+        ci = cbase.index[cbase.doc_id == cnr.doc_id][0]
+        t = cbase.copy()
+        t.loc[ci, "is_articulation"] = ~t.loc[ci, "is_articulation"]
+        results.append(ccheck("verdict-flip", t))
+
+        # an H edge that is not a pair-graph edge must poison (viol_hsub
+        # at minimum); append an edge between the two lowest doc ids that
+        # share no pair
+        pairs_glob = re.search(
+            r"read_parquet\('([^']*dd_pairs[^']*)'\)", csql).group(1)
+        pgr = pd.concat([pd.read_parquet(f)
+                         for f in sorted(glob.glob(pairs_glob))])
+        pset = set(zip(pgr.doc_a, pgr.doc_b))
+        ids = sorted(cbase.doc_id)
+        fake = next((a, b) for a in ids for b in ids
+                    if a < b and (a, b) not in pset)
+        results.append(ccheck(
+            "fake-h-edge", cbase,
+            h_df=pd.concat([hbase, pd.DataFrame(
+                {"doc_a": [fake[0]], "doc_b": [fake[1]]})])))
+
+        # THE STRUCTURAL CLASS for the co-block lift: dump the DFS TREE
+        # as H with the tree's own (internally consistent) low values
+        # and verdicts — every palm/low/verdict/comp check accepts it
+        # (a tree is a valid palm graph of itself: no non-tree edges,
+        # low = disc everywhere, every internal vertex an articulation
+        # point), yet the verdicts are WRONG for the full pair graph.
+        # ONLY viol_blocks catches it: every dropped non-tree edge's
+        # endpoints sit in different single-edge blocks of the tree.
+        tf = cbase.copy()
+        tf["low"] = tf["disc"]
+        nchild = tf[tf.parent.notna()].groupby("parent").size()
+        tf["is_articulation"] = tf.apply(
+            lambda r: (nchild.get(r.doc_id, 0) >= 2) if pd.isna(r.parent)
+            else (nchild.get(r.doc_id, 0) >= 1), axis=1)
+        tree_rows = tf[tf.parent.notna()]
+        h_tree = pd.DataFrame({
+            "doc_a": [min(a, b) for a, b in
+                      zip(tree_rows.doc_id, tree_rows.parent.astype(int))],
+            "doc_b": [max(a, b) for a, b in
+                      zip(tree_rows.doc_id, tree_rows.parent.astype(int))]})
+        assert len(pset) > len(h_tree), (
+            "corpus pair graph must have non-tree edges or the "
+            "spanning-tree forgery is vacuous")
+        assert (tf.is_articulation != cbase.is_articulation).any(), (
+            "tree verdicts happen to equal the real verdicts — forgery "
+            "would be vacuous; regenerate a corpus with a cycle")
+        results.append(ccheck("spanning-tree-forgery", tf, h_df=h_tree))
+
     print(f"\n{sum(results)}/{len(results)} tamper classes behave")
     return 0 if all(results) else 1
 
