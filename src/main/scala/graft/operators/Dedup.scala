@@ -381,7 +381,8 @@ object Dedup {
     * loudly at 64 rounds rather than emitting a non-fixpoint.
     */
   private[graft] def kcoreAssign(nodes: DataFrame, pairs: DataFrame,
-      k: Int = 2, maxRounds: Int = 64): DataFrame = {
+      k: Int = 2, maxRounds: Int = 64,
+      compactEveryOverride: Option[Int] = None): DataFrame = {
     // ONE static mirrored-edge checkpoint; each round filters it by
     // the (node-cardinality) alive set instead of re-materializing a
     // shrunken edge copy — on a clique-dense graph the edge set barely
@@ -397,8 +398,13 @@ object Dedup {
     // the round-14 accumulate-every-round OOM is not reintroduced
     // because at most ONE extra edge copy is ever live and the stale
     // one unpersists immediately.
-    val compactEvery = sys.env.get("SPARK_GRAFT_KCORE_COMPACT_EVERY")
-      .flatMap(_.toIntOption).filter(_ > 0)
+    // compactEveryOverride is the spec's injection seam (env vars are
+    // not settable per-test in a forked JVM): the equality spec forces
+    // the compaction path on a many-round peel and asserts the output
+    // is bit-identical to the default path's.
+    val compactEvery = compactEveryOverride.orElse(
+      sys.env.get("SPARK_GRAFT_KCORE_COMPACT_EVERY")
+        .flatMap(_.toIntOption)).filter(_ > 0)
     var edges = pairs.unionAll(
       pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .localCheckpoint()

@@ -351,6 +351,21 @@ class OperatorsSpec extends SparkTestBase {
       operators.Dedup.kcoreAssign(nodes, pairs, maxRounds = 2).collect()
     }
     assert(err.getMessage.contains("did not converge"))
+    // the alive-set compaction path (the 400× A/B knob) must be
+    // bit-identical to the default: a long chain peels over many
+    // rounds, so compact-every-1 exercises repeated checkpoint
+    // rewrites + unpersists across the whole peel
+    val longChain = (1L to 20L).map(i => (i, i + 1)) :+ ((30L, 31L)) :+
+      ((31L, 32L)) :+ ((30L, 32L))
+    val lcPairs = longChain.toDF("doc_a", "doc_b")
+    val lcNodes = ((1L to 21L) ++ Seq(30L, 31L, 32L)).toDF("doc_id")
+    val base = operators.Dedup.kcoreAssign(lcNodes, lcPairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    val compacted = operators.Dedup.kcoreAssign(lcNodes, lcPairs,
+        compactEveryOverride = Some(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).sortBy(_._1).toSeq
+    assert(compacted == base, "compaction changed the peel output")
+    assert(base.count(!_._3) > 5, "need a many-round peel or the knob test is vacuous")
   }
 
   test("dd_cluster labels every paired doc with its component minimum") {
