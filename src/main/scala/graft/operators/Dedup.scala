@@ -691,11 +691,19 @@ object Dedup {
     * traversal is deterministic) with the full check set, then derives
     * the bridge list from the VALIDATED certificate in SQL.
     */
-  val ddBridges: Q = (s, d) => {
-    val cert = articulationAssign(
+  val ddBridges: Q = (s, d) =>
+    bridgesFromCert(articulationAssign(
       Tables.documents(s, d).select(col("doc_id")),
       minhashPairs(s, d).select(col("doc_a"), col("doc_b")))
-      .localCheckpoint()
+      .localCheckpoint())
+
+  /** The tree-edge bridge read-off from a palm certificate — one copy
+    * shared by [[ddBridges]] (the full graph's DFS) and
+    * [[ddBridgesContracted]] (the sparsifier's DFS, whose bridge set
+    * equals the full graph's by the co-block theorem): a tree edge
+    * (parent(u), u) is a bridge iff low(u) > disc(parent(u)).
+    */
+  private def bridgesFromCert(cert: DataFrame): DataFrame =
     cert.as("c")
       .join(cert.as("p"), col("c.parent") === col("p.doc_id"))
       .filter(col("c.low") > col("p.disc"))
@@ -703,7 +711,6 @@ object Dedup {
         greatest(col("c.doc_id"), col("c.parent")).as("doc_b"),
         col("c.comp").as("comp"))
       .orderBy(col("doc_a"), col("doc_b"))
-  }
 
   /** Max sparsify-check-repair rounds and the per-vertex fan-out of
     * the seed sparsifier. Both loud-failure budgets, not tunings: on
@@ -827,6 +834,26 @@ object Dedup {
       Tables.documents(s, d).select(col("doc_id")),
       minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._2
       .orderBy(col("doc_a"), col("doc_b"))
+
+  /** BRIDGE EDGES via the verified sparsifier — the edge half of
+    * [[ddArticulationContracted]]: the co-block theorem
+    * ([[contractedCert]]'s scaladoc) gives G and H the same bridges,
+    * so the sparsifier's palm certificate answers the spurious-link
+    * audit too, and no task ever holds more than H's ~(3+repairs)·V
+    * edges — the same budget-independence the contracted variant
+    * bought the articulation side (without this twin, a 400×-scale
+    * bridge audit still trips the full DFS's 8M-edge task budget).
+    * The oracle validates the dumped contracted certificate
+    * (__AUX__/dd_cdfs — deterministic, so Verify's re-run reproduces
+    * it byte-for-byte, the dd_dfs convention) against the dumped H
+    * with the eight palm checks, re-checks the four co-block lift
+    * conditions (SQL shared one-copy with the articulation twin),
+    * then derives the bridge list from the validated certificate.
+    */
+  val ddBridgesContracted: Q = (s, d) =>
+    bridgesFromCert(contractedCert(
+      Tables.documents(s, d).select(col("doc_id")),
+      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._1)
 
   val ddGraphTriangles: Q = (s, d) => {
     val edges = minhashPairs(s, d)
@@ -2131,6 +2158,7 @@ object Dedup {
     "dd_articulation" -> ddArticulation,
     "dd_articulation_contracted" -> ddArticulationContracted,
     "dd_bridges" -> ddBridges,
+    "dd_bridges_contracted" -> ddBridgesContracted,
     "dd_kcore" -> ddKcore,
     "dd_graph_rank" -> ddGraphRank,
     "dd_pipeline" -> ddPipeline,
@@ -2173,7 +2201,11 @@ object Dedup {
     // the sparsifier behind dd_articulation_contracted — the oracle's
     // palm checks and the dropped-edge co-block check both need the
     // exact H the DFS ran on
-    "dd_h_edges" -> ddHEdges)
+    "dd_h_edges" -> ddHEdges,
+    // the contracted certificate itself, for dd_bridges_contracted's
+    // oracle (the dd_dfs convention: __OUT__ may only name an
+    // oracle's own dump, so the bridge oracle validates a re-run)
+    "dd_cdfs" -> ((s, d) => ddArticulationContracted(s, d)))
 
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
@@ -2332,6 +2364,64 @@ object Dedup {
       |WHERE containment >= 0.9 ORDER BY doc_a, doc_b""".stripMargin
   }
 
+  /** The co-block LIFT checks shared by the dd_articulation_contracted
+    * and dd_bridges_contracted oracles (the palmCertCte one-copy rule):
+    * over palmCertCte's res/p/poison — which validated the DFS against
+    * the DUMPED SPARSIFIER H — re-derive block ids from the validated
+    * intervals (deepest boundary ancestor-or-self, non-recursive) and
+    * check the four conditions that lift H's verdicts to the FULL pair
+    * graph per [[contractedCert]]'s theorem: (i) H ⊆ G; (ii) no G edge
+    * crosses the dumped components; (iii) every non-root vertex has a
+    * re-derivable block id; (iv) every dropped G edge's endpoints
+    * share a block of H (NULLs failing closed). Yields `poison2(n)`;
+    * each caller appends its emit SELECT gated on it.
+    */
+  private val coBlockLiftCtes: String =
+    """,
+      |pg AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
+      |eg AS (SELECT doc_a AS u, doc_b AS v FROM pg
+      |       UNION ALL SELECT doc_b, doc_a FROM pg),
+      |viol_hsub AS (
+      |  SELECT h.doc_a AS doc_id FROM p h LEFT JOIN pg g
+      |    ON h.doc_a = g.doc_a AND h.doc_b = g.doc_b
+      |  WHERE g.doc_a IS NULL),
+      |viol_gcomp AS (
+      |  SELECT eg.u AS doc_id FROM eg
+      |  JOIN res ra ON ra.doc_id = eg.u
+      |  JOIN res rb ON rb.doc_id = eg.v
+      |  WHERE ra.comp <> rb.comp),
+      |bdry AS (
+      |  SELECT c.doc_id, c.comp, c.disc, c.fin FROM res c
+      |  JOIN res p2 ON p2.doc_id = c.parent WHERE c.low >= p2.disc),
+      |beid AS (
+      |  SELECT doc_id, bid FROM (
+      |    SELECT r.doc_id, b.doc_id AS bid,
+      |      row_number() OVER (PARTITION BY r.doc_id ORDER BY b.disc DESC) AS rn
+      |    FROM res r JOIN bdry b ON b.comp = r.comp
+      |      AND b.disc <= r.disc AND r.fin <= b.fin
+      |    WHERE r.parent IS NOT NULL) t WHERE rn = 1),
+      |viol_beid AS (
+      |  SELECT r.doc_id FROM res r LEFT JOIN beid USING (doc_id)
+      |  WHERE r.parent IS NOT NULL AND beid.bid IS NULL),
+      |droppedg AS (
+      |  SELECT g.doc_a, g.doc_b FROM pg g LEFT JOIN p h
+      |    ON g.doc_a = h.doc_a AND g.doc_b = h.doc_b
+      |  WHERE h.doc_a IS NULL),
+      |viol_blocks AS (
+      |  SELECT d.doc_a AS doc_id FROM droppedg d
+      |  LEFT JOIN beid ba ON ba.doc_id = d.doc_a
+      |  LEFT JOIN beid bb ON bb.doc_id = d.doc_b
+      |  LEFT JOIN res rba ON rba.doc_id = ba.bid
+      |  LEFT JOIN res rbb ON rbb.doc_id = bb.bid
+      |  WHERE NOT (coalesce(ba.bid = bb.bid, FALSE)
+      |          OR coalesce(rba.parent = d.doc_b, FALSE)
+      |          OR coalesce(rbb.parent = d.doc_a, FALSE))),
+      |poison2 AS (SELECT pz.n
+      |  + (SELECT count(*) FROM viol_hsub)
+      |  + (SELECT count(*) FROM viol_gcomp)
+      |  + (SELECT count(*) FROM viol_beid)
+      |  + (SELECT count(*) FROM viol_blocks) AS n FROM poison pz)""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     // PALM-TREE CERTIFICATE oracles (see articulationAssign scaladoc
     // and palmCertCte): dd_articulation re-emits its own dump only if
@@ -2367,51 +2457,8 @@ object Dedup {
     // tamper class that proves the new check load-bearing.
     "dd_articulation_contracted" ->
       (palmCertCte("__OUT__/dd_articulation_contracted/*.parquet",
-          "__AUX__/dd_h_edges/*.parquet") +
-        """,
-        |pg AS (SELECT doc_a, doc_b FROM read_parquet('__AUX__/dd_pairs/*.parquet')),
-        |eg AS (SELECT doc_a AS u, doc_b AS v FROM pg
-        |       UNION ALL SELECT doc_b, doc_a FROM pg),
-        |viol_hsub AS (
-        |  SELECT h.doc_a AS doc_id FROM p h LEFT JOIN pg g
-        |    ON h.doc_a = g.doc_a AND h.doc_b = g.doc_b
-        |  WHERE g.doc_a IS NULL),
-        |viol_gcomp AS (
-        |  SELECT eg.u AS doc_id FROM eg
-        |  JOIN res ra ON ra.doc_id = eg.u
-        |  JOIN res rb ON rb.doc_id = eg.v
-        |  WHERE ra.comp <> rb.comp),
-        |bdry AS (
-        |  SELECT c.doc_id, c.comp, c.disc, c.fin FROM res c
-        |  JOIN res p2 ON p2.doc_id = c.parent WHERE c.low >= p2.disc),
-        |beid AS (
-        |  SELECT doc_id, bid FROM (
-        |    SELECT r.doc_id, b.doc_id AS bid,
-        |      row_number() OVER (PARTITION BY r.doc_id ORDER BY b.disc DESC) AS rn
-        |    FROM res r JOIN bdry b ON b.comp = r.comp
-        |      AND b.disc <= r.disc AND r.fin <= b.fin
-        |    WHERE r.parent IS NOT NULL) t WHERE rn = 1),
-        |viol_beid AS (
-        |  SELECT r.doc_id FROM res r LEFT JOIN beid USING (doc_id)
-        |  WHERE r.parent IS NOT NULL AND beid.bid IS NULL),
-        |droppedg AS (
-        |  SELECT g.doc_a, g.doc_b FROM pg g LEFT JOIN p h
-        |    ON g.doc_a = h.doc_a AND g.doc_b = h.doc_b
-        |  WHERE h.doc_a IS NULL),
-        |viol_blocks AS (
-        |  SELECT d.doc_a AS doc_id FROM droppedg d
-        |  LEFT JOIN beid ba ON ba.doc_id = d.doc_a
-        |  LEFT JOIN beid bb ON bb.doc_id = d.doc_b
-        |  LEFT JOIN res rba ON rba.doc_id = ba.bid
-        |  LEFT JOIN res rbb ON rbb.doc_id = bb.bid
-        |  WHERE NOT (coalesce(ba.bid = bb.bid, FALSE)
-        |          OR coalesce(rba.parent = d.doc_b, FALSE)
-        |          OR coalesce(rbb.parent = d.doc_a, FALSE))),
-        |poison2 AS (SELECT pz.n
-        |  + (SELECT count(*) FROM viol_hsub)
-        |  + (SELECT count(*) FROM viol_gcomp)
-        |  + (SELECT count(*) FROM viol_beid)
-        |  + (SELECT count(*) FROM viol_blocks) AS n FROM poison pz)
+          "__AUX__/dd_h_edges/*.parquet") + coBlockLiftCtes +
+        """
         |SELECT r.doc_id,
         |  CAST(CASE WHEN pz.n = 0 THEN r.comp ELSE -999 END AS BIGINT) AS comp,
         |  CAST(CASE WHEN pz.n = 0 THEN r.parent END AS BIGINT) AS parent,
@@ -2431,6 +2478,26 @@ object Dedup {
         |  CAST(CASE WHEN pz.n = 0 THEN c.comp END AS BIGINT) AS comp
         |FROM res c JOIN res pr ON pr.doc_id = c.parent
         |CROSS JOIN poison pz
+        |WHERE c.low > pr.disc
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    // CONTRACTED bridge oracle (see ddBridgesContracted's scaladoc):
+    // the palm checks validate the dumped contracted certificate
+    // (__AUX__/dd_cdfs, the Verify re-run — dd_dfs convention) against
+    // the dumped sparsifier H; the shared co-block lift checks then
+    // prove H's bridges ARE the full graph's, and the emit derives the
+    // bridge list from the validated certificate, gated on poison2.
+    "dd_bridges_contracted" ->
+      (palmCertCte("__AUX__/dd_cdfs/*.parquet",
+          "__AUX__/dd_h_edges/*.parquet") + coBlockLiftCtes +
+        """
+        |SELECT
+        |  CAST(CASE WHEN pz.n = 0 THEN least(c.doc_id, c.parent)
+        |       ELSE -999 END AS BIGINT) AS doc_a,
+        |  CAST(CASE WHEN pz.n = 0 THEN greatest(c.doc_id, c.parent)
+        |       END AS BIGINT) AS doc_b,
+        |  CAST(CASE WHEN pz.n = 0 THEN c.comp END AS BIGINT) AS comp
+        |FROM res c JOIN res pr ON pr.doc_id = c.parent
+        |CROSS JOIN poison2 pz
         |WHERE c.low > pr.disc
         |ORDER BY doc_a, doc_b""".stripMargin),
     // CERTIFICATE oracle (see ddKcore scaladoc): the operator's OWN

@@ -247,4 +247,14 @@ class ArticulationSpec extends SparkTestBase {
     assert(con == full,
       "contracted (comp, verdict) must equal the full operator's")
   }
+
+  test("contracted bridge list equals dd_bridges on the corpus") {
+    val full = SparkEntry.queries("dd_bridges")(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val con = SparkEntry.queries("dd_bridges_contracted")(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(full.nonEmpty, "corpus should have bridges, or the test is vacuous")
+    assert(con == full,
+      "contracted bridge set must equal the full operator's")
+  }
 }

@@ -39,9 +39,32 @@ KEY_OFFSETS = {
 DIMS = ["region", "nation"]
 
 
+def jitter_embeddings(c, i):
+    """Per-copy SIGNED PERMUTATION of the embedding dims — an orthogonal
+    transform, so every within-copy norm and inner product is preserved
+    (each copy keeps the base corpus's exact ANN/near-dup structure, up
+    to float summation order) while distinct copies become distinct
+    vectors instead of bit-identical repeats. Copy 0 is the identity,
+    pinning the base corpus. Fixes the round-16 measurement artifact
+    (SURVEY §9): identical copies collapsed the adaptive quantizer's
+    fine lists to base-count distinct cells at occupancy N, inflating
+    the graph-ANN build's sum(|list|^2) ~6x over a natural corpus."""
+    if i == 0:
+        return c
+    import numpy as np
+    emb = np.asarray(c["embedding"].to_list(), dtype=np.float32)
+    rng = np.random.default_rng(i)  # deterministic per copy index
+    perm = rng.permutation(emb.shape[1])
+    sign = (rng.integers(0, 2, emb.shape[1]) * 2 - 1).astype(np.float32)
+    c = c.copy()
+    c["embedding"] = list(emb[:, perm] * sign)
+    return c
+
+
 def write_scaled(src, dst, t, offs, n):
     base = pd.read_parquet(f"{src}/{t}.parquet")
     writer = None
+    schema = None
     try:
         for i in range(n):
             c = base.copy()
@@ -51,8 +74,16 @@ def write_scaled(src, dst, t, offs, n):
                 # distinct token prefix per copy: near-dup structure is
                 # preserved within a copy, not collapsed across copies
                 c["text"] = f"copy{i} " + c["text"]
-            tbl = pa.Table.from_pandas(c, preserve_index=False)
+            if t == "embeddings":
+                c = jitter_embeddings(c, i)
+            # pin copy 0's schema for every copy: the jittered float32
+            # ndarrays would otherwise re-infer as list<double> and
+            # break the single-writer append
+            tbl = (pa.Table.from_pandas(c, preserve_index=False)
+                   if schema is None else
+                   pa.Table.from_pandas(c, schema=schema, preserve_index=False))
             if writer is None:
+                schema = tbl.schema
                 writer = pq.ParquetWriter(f"{dst}/{t}.parquet", tbl.schema)
             writer.write_table(tbl, row_group_size=ROW_GROUP)
     finally:

@@ -275,6 +275,47 @@ def main(sf_dir, out_dir):
             "would be vacuous; regenerate a corpus with a cycle")
         results.append(ccheck("spanning-tree-forgery", tf, h_df=h_tree))
 
+        # ---- contracted bridges (round 16): same palm+lift chain, the
+        # bridge emit — re-prove the checks load-bearing in THIS oracle
+        # (it gates a different emit on the same poison2) ----
+        bsql = oracle.get("dd_bridges_contracted")
+        if bsql:
+            bsrc = re.search(
+                r"read_parquet\('([^']*dd_cdfs[^']*)'\)", bsql).group(1)
+            bbase = pd.concat([pd.read_parquet(f)
+                               for f in sorted(glob.glob(bsrc))]
+                              ).sort_values("doc_id").reset_index(drop=True)
+
+            def bcheck(name, cert_df, h_df=None, expect_poison=True):
+                d = f"{work}/brc_{name}"
+                os.makedirs(f"{d}/cert")
+                cert_df.to_parquet(f"{d}/cert/part.parquet", index=False)
+                s = bsql.replace(bsrc, f"{d}/cert/*.parquet")
+                if h_df is not None:
+                    os.makedirs(f"{d}/h")
+                    h_df.to_parquet(f"{d}/h/part.parquet", index=False)
+                    s = s.replace(hglob, f"{d}/h/*.parquet")
+                out = ccon.execute(s).df()
+                pz = poisoned(out)
+                if name == "untampered":
+                    assert len(out) > 0, "bridge list empty — test vacuous"
+                ok = pz == expect_poison
+                print(f"{'PASS' if ok else 'FAIL':>6} bridges-ctr:{name}: "
+                      f"{'poisoned' if pz else 'NOT poisoned'}")
+                return ok
+
+            results.append(bcheck("untampered", bbase, expect_poison=False))
+            # a low outside the feasible range violates the low fixpoint
+            bi = bbase.index[bbase.parent.notna()][0]
+            t = bbase.copy()
+            t.loc[bi, "low"] = 0
+            results.append(bcheck("low-tamper", t))
+            # the spanning-tree forgery against the BRIDGE emit: every
+            # tree edge of the forged cert reads as a bridge (low=disc
+            # everywhere), a wildly wrong bridge list that passes every
+            # palm check — only the co-block lift poisons it
+            results.append(bcheck("spanning-tree-forgery", tf, h_df=h_tree))
+
     print(f"\n{sum(results)}/{len(results)} tamper classes behave")
     return 0 if all(results) else 1
 
