@@ -217,6 +217,27 @@ object Profile {
         val ta = timeQ("ann_incremental_adaptive")
         val tf = if (n <= 60000) f"${timeQ("ann_incremental")}%.2f s" else "skipped"
         println(f"[profile] ann-k-sweep n=$n k=$k adaptive=$ta%.2f s fixed16=$tf")
+      case "--ann-occupancy" =>
+        // fine-list occupancy census of the adaptive quantizer — the
+        // scale driver of ann_graph_walk_adaptive's within-list build
+        // (Σ|list|² cosines) and the direct measure of the round-16
+        // make_scale duplication artifact: bit-identical scaled copies
+        // collapsed 12.5k fine lists to base-count cells of occupancy
+        // = copies (Σ|list|² inflated ~6×); the signed-permutation
+        // jitter should spread lists back to ~n/k occupancy.
+        val embT = sources.Tables.embeddings(spark, d)
+        val n = embT.count()
+        val k = operators.Similarity.annK(n)
+        val occ = operators.Similarity.fineOccupancy(spark, embT, k)
+          .agg(org.apache.spark.sql.functions.count("*").as("lists"),
+            org.apache.spark.sql.functions.max("occ").as("max_occ"),
+            org.apache.spark.sql.functions.avg("occ").as("mean_occ"),
+            org.apache.spark.sql.functions.sum(
+              org.apache.spark.sql.functions.expr("occ * occ")).as("sum_sq"))
+          .collect()(0)
+        println(f"[profile] ann-occupancy n=$n k=$k " +
+          f"lists=${occ.getLong(0)} max=${occ.getLong(1)} " +
+          f"mean=${occ.getDouble(2)}%.1f sum_sq=${occ.getLong(3)}")
       case "--decontam-crossover" =>
         // exact join vs bloom-gated at growing eval-set sizes, with NO
         // broadcast hint — the planner shifts broadcast → shuffle as

@@ -523,9 +523,11 @@ object Similarity {
     * Assignment stays PER-LEVEL GREEDY (IVF semantics: best coarse
     * cell, then best mid within it, then best fine within that), ties
     * to the lowest id (max(struct(sim, -id)) — the oracle's sim DESC,
-    * id ASC window). All centroid levels are corpus-id prefixes, so
-    * DuckDB rebuilds every level from the parquet and the whole chain
-    * carries a full oracle ([[threeLevelCtes]] is the one SQL copy).
+    * id ASC window). All centroid levels are corpus-id RANK prefixes
+    * (the kc/km/k lowest ids present — robust to sparse id spaces,
+    * see the selection comment below), so DuckDB rebuilds every level
+    * from the parquet and the whole chain carries a full oracle
+    * ([[threeLevelCtes]] is the one SQL copy).
     * Only the kc-row coarse table is driver-collected; mid (kc² rows)
     * and fine (k rows) stay DataFrames end to end. `k` is a parameter
     * (annK for the ANN family, Dedup.semanticK for dd_semantic) so
@@ -548,8 +550,26 @@ object Similarity {
     require(kc <= km && km <= k,
       s"three-level quantizer needs kc² ≤ k (got k=$k, kc=$kc, km=$km) — " +
         "k must be ≥ 9; the annK/semanticK floor is 16")
+    // RANK-BASED centroid selection (round 16): the kc/km/k LOWEST
+    // vec_ids PRESENT, not the value prefix `vec_id < k` — a value
+    // prefix silently degrades to min(k, |{id < k}|) centroids on any
+    // sparse id space (sharded/snowflake ids; make_scale's offset
+    // copies — measured at 400×: 2000 of the demanded 12500 fine
+    // lists materialized, occupancy 400 instead of ~64, Σ|list|²
+    // 3-6× a natural corpus and the adaptive walk's build with it).
+    // One skinny id-only pass computes the three cutoffs; ids are
+    // unique, so `vec_id <= cut(m)` selects exactly the m lowest. On
+    // dense 0..n-1 ids the cutoffs are kc-1/km-1/k-1 — bit-identical
+    // to the old prefix. The collected prefix is ids only (8 B each,
+    // k = n/64 stays driver-tractable under maxResultSize past 10⁸
+    // vectors; the centroid VECTORS stay distributed DataFrames).
+    val idPrefix = emb.select(col("vec_id")).orderBy(col("vec_id"))
+      .limit(k).collect().map(_.getLong(0))
+    def cut(m: Int): Long =
+      if (idPrefix.isEmpty) Long.MinValue
+      else idPrefix(math.min(m, idPrefix.length) - 1)
     val coarseDf = broadcast(
-      emb.filter(col("vec_id") < kc)
+      emb.filter(col("vec_id") <= cut(kc))
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -565,7 +585,7 @@ object Similarity {
     // cell — a DataFrame, broadcast at join sites (kc² rows ≈ 576 at
     // 800k vectors; never collected)
     val mid = toCoarse(
-      emb.filter(col("vec_id") < km)
+      emb.filter(col("vec_id") <= cut(km))
         .select(col("vec_id").as("mid_id"), col("embedding").as("m_emb")),
       "mid_id", "m_emb")
     def toMid(df: DataFrame, idCol: String, embCol: String): DataFrame =
@@ -577,7 +597,7 @@ object Similarity {
           max(struct(col("m_sim").as("s"), (-col("mid_id")).as("nc"))).as("m"))
         .select(col(idCol), col(embCol), (-col("m.nc")).as("mid_id"))
     val fine = toMid(
-      emb.filter(col("vec_id") < k)
+      emb.filter(col("vec_id") <= cut(k))
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
       "cent_id", "c_emb")
     def fineAssign(df: DataFrame, idCol: String, embCol: String): DataFrame =
@@ -589,6 +609,17 @@ object Similarity {
           max(struct(col("f_sim").as("s"), (-col("cent_id")).as("nc"))).as("m"))
         .select(col(idCol), col(embCol), (-col("m.nc")).as("cent_id"))
     (fine, toMid, fineAssign)
+  }
+
+  /** Fine-list occupancy census over the three-level assignment —
+    * Profile's --ann-occupancy diagnostic (the Σ|list|² term that
+    * drives the adaptive walk's within-list graph build).
+    */
+  private[graft] def fineOccupancy(s: SparkSession, emb: DataFrame,
+      k: Int): DataFrame = {
+    val (_, _, fineAssign) = threeLevelParts(s, emb, k)
+    fineAssign(emb, "vec_id", "embedding")
+      .groupBy(col("cent_id")).agg(count(lit(1)).as("occ"))
   }
 
   /** The per-query nprobe-best fine lists WITHIN the query's mid cell
@@ -615,11 +646,12 @@ object Similarity {
     * [[threeLevelParts]] is the one Scala copy. `kSql` is the
     * aggregate expression computing k over the embeddings table
     * (annK's or semanticK's formula). Emits CTEs: params(k, kc, km),
-    * coarse, cellc (all vectors → coarse cell), mid (⊂ cellc),
-    * cellm (all vectors → mid cell), fine (⊂ cellm), asg (all
-    * vectors → fine cent_id). kc is the exact integer cube-root
-    * ceiling (an integer range scan — pow/cbrt rounding could desync
-    * the engines at an exact-cube k).
+    * rnks (id → rank, the RANK-prefix centroid selection mirroring
+    * the Scala kernel's cutoffs), coarse, cellc (all vectors →
+    * coarse cell), mid (⊂ cellc), cellm (all vectors → mid cell),
+    * fine (⊂ cellm), asg (all vectors → fine cent_id). kc is the
+    * exact integer cube-root ceiling (an integer range scan —
+    * pow/cbrt rounding could desync the engines at an exact-cube k).
     */
   private[graft] def threeLevelCtes(kSql: String): String =
     s"""params AS (
@@ -627,9 +659,13 @@ object Similarity {
       |    SELECT k,
       |      (SELECT min(i) FROM range(1, 2000) t(i) WHERE i*i*i >= k) AS kc
       |    FROM (SELECT $kSql AS k FROM embeddings) b) t),
+      |rnks AS (
+      |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS rnk
+      |  FROM embeddings),
       |coarse AS (
-      |  SELECT vec_id AS coarse_id, CAST(embedding AS DOUBLE[]) AS co_emb
-      |  FROM embeddings WHERE vec_id < (SELECT kc FROM params)),
+      |  SELECT e.vec_id AS coarse_id, CAST(e.embedding AS DOUBLE[]) AS co_emb
+      |  FROM embeddings e JOIN rnks USING (vec_id)
+      |  WHERE rnk <= (SELECT kc FROM params)),
       |cellc AS (
       |  SELECT vec_id, emb, coarse_id FROM (
       |    SELECT e.vec_id, CAST(e.embedding AS DOUBLE[]) AS emb, c.coarse_id,
@@ -638,7 +674,8 @@ object Similarity {
       |    FROM embeddings e CROSS JOIN coarse c) t WHERE rn = 1),
       |mid AS (
       |  SELECT vec_id AS mid_id, emb AS m_emb, coarse_id FROM cellc
-      |  WHERE vec_id < (SELECT km FROM params)),
+      |  JOIN rnks USING (vec_id)
+      |  WHERE rnk <= (SELECT km FROM params)),
       |cellm AS (
       |  SELECT vec_id, emb, mid_id FROM (
       |    SELECT l.vec_id, l.emb, m.mid_id,
@@ -647,7 +684,8 @@ object Similarity {
       |    FROM cellc l JOIN mid m ON l.coarse_id = m.coarse_id) t WHERE rn = 1),
       |fine AS (
       |  SELECT vec_id AS cent_id, emb AS c_emb, mid_id FROM cellm
-      |  WHERE vec_id < (SELECT k FROM params)),
+      |  JOIN rnks USING (vec_id)
+      |  WHERE rnk <= (SELECT k FROM params)),
       |asg AS (
       |  SELECT vec_id, emb, cent_id FROM (
       |    SELECT l.vec_id, l.emb, f.cent_id,

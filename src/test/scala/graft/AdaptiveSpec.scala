@@ -151,6 +151,35 @@ class AdaptiveSpec extends SparkTestBase {
     assert(operators.Similarity.annK(1L << 40) == Int.MaxValue)
   }
 
+  test("adaptive quantizer: centroid selection is rank-based, robust to sparse ids") {
+    // make_scale-shaped corpus: copies offset by 100000, so no id
+    // beyond copy 0 sits below k — the old `vec_id < k` VALUE prefix
+    // materialized only copy-0's centroids (measured at 400×: 2000 of
+    // the demanded 12500 fine lists, occupancy 400 instead of ~64,
+    // Σ|list|² 3-6× a natural corpus). Rank selection (lowest k ids
+    // PRESENT) must cross the copy boundary; exact list counts aren't
+    // pinned because replicated duplicate vectors tie-break into one
+    // cell, but crossing base-n is the regression-catching property.
+    val base = sources.Tables.embeddings(spark, sfDir)
+    val nBase = base.count()
+    val rep = 128
+    val emb = (0 until rep)
+      .map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 100000L)))
+      .reduce(_ unionAll _)
+    val k = operators.Similarity.annK(rep * nBase)
+    assert(k > nBase, s"replication too small for the guard to bite (k=$k, n=$nBase)")
+    // assert on the SELECTED centroid table, not the occupancy census:
+    // the replicated copies are bit-identical, so assignments tie-break
+    // into the lowest duplicate's cell and non-empty-list counts stay
+    // at base-n regardless of selection (the jittered-corpus census is
+    // Profile --ann-occupancy's job). Selection itself must deliver
+    // exactly k centroids; the value prefix delivered min(k, |{id<k}|).
+    val fine = operators.Similarity.threeLevelParts(spark, emb, k)._1
+    assert(fine.count() == k,
+      s"centroid selection materialized ${fine.count()} of k=$k fine " +
+        "centroids — degraded to a value prefix on sparse ids")
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

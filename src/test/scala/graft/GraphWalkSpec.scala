@@ -82,19 +82,21 @@ class GraphWalkSpec extends SparkTestBase {
     val k = math.max(16L, (n + 63) / 64).toInt
     val kc = operators.Similarity.cubeRootCeil(k)
     val km = kc * kc
-    val coarse = emb.filter(_._1 < kc).toSeq.sortBy(_._1)
+    // centroid levels are RANK prefixes (the lowest ids present)
+    val idsSorted = emb.keys.toSeq.sorted
+    val coarse = idsSorted.take(kc).map(id => id -> emb(id))
     def cellOf(v: Array[Float]): Long =
       coarse.map { case (id, c) => (cos(v, c), -id) }.max match {
         case (_, neg) => -neg
       }
-    val midCell: Map[Long, Long] = emb.filter(_._1 < km)
-      .map { case (id, v) => id -> cellOf(v) }
+    val midCell: Map[Long, Long] = idsSorted.take(km)
+      .map(id => id -> cellOf(emb(id))).toMap
     def midOf(v: Array[Float]): Long =
       midCell.collect { case (mid, mc) if mc == cellOf(v) =>
         (cos(v, emb(mid)), -mid)
       }.max match { case (_, neg) => -neg }
-    val fine: Map[Long, Long] = emb.filter(_._1 < k)
-      .map { case (id, v) => id -> midOf(v) }
+    val fine: Map[Long, Long] = idsSorted.take(k)
+      .map(id => id -> midOf(emb(id))).toMap
     def fineOf(v: Array[Float], midId: Long): Long =
       fine.collect { case (fid, fm) if fm == midId =>
         (cos(v, emb(fid)), -fid)

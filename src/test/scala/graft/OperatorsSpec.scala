@@ -571,14 +571,16 @@ class OperatorsSpec extends SparkTestBase {
     // three-level greedy assignment (the round-16 shared kernel):
     // coarse cell first, then argmax among that cell's mid children,
     // then among that mid's fine children — IVF semantics at every
-    // level, NOT the global argmax
-    val coarse = vecs.filter(_._1 < kc)
+    // level, NOT the global argmax. Centroid levels are RANK prefixes
+    // (lowest ids present; vecs is id-sorted, so take = the cutoff
+    // filter the kernel applies)
+    val coarse = vecs.take(kc).toSeq
     def argmax(cands: Seq[(Long, Array[Double])], v: Array[Double]): Long =
       cands.map { case (cid, c) => (cos(v, c), -cid) }.max._2 * -1
-    val midByCell = vecs.filter(_._1 < km)
+    val midByCell = vecs.take(km)
       .groupBy { case (_, c) => argmax(coarse, c) }
     def midOf(v: Array[Double]): Long = argmax(midByCell(argmax(coarse, v)), v)
-    val fineByMid = vecs.filter(_._1 < k).groupBy { case (_, c) => midOf(c) }
+    val fineByMid = vecs.take(k).groupBy { case (_, c) => midOf(c) }
     val assign = vecs.map { case (id, v) =>
       (id, argmax(fineByMid(midOf(v)), v), v)
     }
