@@ -780,11 +780,22 @@ object Dedup {
     val p = pairs.select(col("doc_a"), col("doc_b")).distinct().localCheckpoint()
     val nbrs = p.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionAll(p.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .withColumn("negv", -col("v"))
-    var h = graft.plans.TopK.perKey(nbrs, Seq("u"), "negv", "v",
-        contractedFanout)
-      .select(least(col("u"), col("v")).as("doc_a"),
-        greatest(col("u"), col("v")).as("doc_b"))
+    // H₀ via the TopKValues AGGREGATE, not the TopKPerKey plan: this
+    // is the one top-k over a GRAPH-scale input (878.8M mirrored rows
+    // at 400×, key cardinality = the whole vertex set), and the
+    // aggregate path is spill-safe end to end (ObjectHashAggregate's
+    // sort-based fallback + external sort), where the custom plan's
+    // partial heaps barely reduce a 3-per-key-per-epoch stream and
+    // its exchange OOM'd a 96 GB heap at 400× (measured; the other
+    // perKey call sites feed bounded candidate lists, where the
+    // no-sort heap plan is the right tool). Largest-(−v) = smallest
+    // v; doc ids stay well under 2⁵³, so the Double carrier is exact.
+    var h = nbrs.groupBy(col("u"))
+      .agg(graft.functions.TopKAggFunctions.topkAgg(
+        -col("v").cast("double"), col("v"), contractedFanout).as("top"))
+      .select(col("u"), explode(col("top")).as("e"))
+      .select(least(col("u"), col("e.tie")).as("doc_a"),
+        greatest(col("u"), col("e.tie")).as("doc_b"))
       .distinct().localCheckpoint()
     var round = 0
     var cert: DataFrame = null

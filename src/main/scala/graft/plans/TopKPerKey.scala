@@ -35,27 +35,66 @@ case class TopKPerKeyNode(keys: Seq[Expression], order: Expression, tie: Express
 }
 
 object TopKExec {
+  /** Partial-stage retained-row budget before a FLUSH (emit all
+    * current heaps downstream, clear, continue). The per-key heap map
+    * is otherwise unbounded in DISTINCT-KEY cardinality: a partial
+    * task over an un-clustered input can see the whole key universe —
+    * measured at 400× (878.8M mirrored pair rows, ~2M distinct keys
+    * per task × k row copies × 24 concurrent tasks) as a heap OOM
+    * that 96 GB could not absorb. Flushing is HashAggregate's
+    * partial-agg semantics: the final exec re-heaps per key, so an
+    * early flush emits more-than-k rows per key across epochs (each
+    * epoch ≤ k per key) and costs shuffle volume, never correctness.
+    * 2²⁰ retained rows ≈ 100-200 MB of UnsafeRow copies per task.
+    */
+  val partialFlushRows: Int = 1 << 20
+
   /** Bounded per-key heaps over one partition's rows; emits each key's
     * current top-k (unsorted — the final exec re-heaps anyway and the
-    * caller appends a deterministic orderBy).
+    * caller appends a deterministic orderBy). `flushRows` bounds the
+    * retained-row count (partial stage only; the final stage passes
+    * Int.MaxValue — its per-partition key count is already divided by
+    * the shuffle, and exact per-key top-k cannot flush early).
     */
   def localTopK(iter: Iterator[InternalRow], keyProj: UnsafeProjection,
-      ordering: Ordering[InternalRow], k: Int): Iterator[InternalRow] = {
-    val heaps = scala.collection.mutable.HashMap.empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-    // GenerateOrdering: compare(a,b) < 0 ⇔ a sorts FIRST (a is better).
-    // A PQ maximizes its ordering, so the PQ max under `ordering` is the
-    // row that sorts LAST — the weakest kept row — exactly the eviction
-    // candidate. No reversal.
-    val evictOrd: Ordering[InternalRow] = ordering
-    iter.foreach { row =>
-      val key = keyProj(row)
-      val heap = heaps.getOrElseUpdate(key.copy(),
-        scala.collection.mutable.PriorityQueue.empty[InternalRow](evictOrd))
-      if (heap.size < k) heap.enqueue(row.copy())
-      else if (ordering.lt(row, heap.head)) { heap.dequeue(); heap.enqueue(row.copy()) }
+      ordering: Ordering[InternalRow], k: Int,
+      flushRows: Int = Int.MaxValue): Iterator[InternalRow] =
+    new Iterator[InternalRow] {
+      private val heaps = scala.collection.mutable.HashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      // GenerateOrdering: compare(a,b) < 0 ⇔ a sorts FIRST (a is
+      // better). A PQ maximizes its ordering, so the PQ max under
+      // `ordering` is the row that sorts LAST — the weakest kept row —
+      // exactly the eviction candidate. No reversal.
+      private var retained = 0
+      private var out: Iterator[InternalRow] = Iterator.empty
+      private def refill(): Unit = {
+        while (!out.hasNext && iter.hasNext) {
+          while (iter.hasNext && retained < flushRows) {
+            val row = iter.next()
+            val key = keyProj(row)
+            val heap = heaps.getOrElseUpdate(key.copy(),
+              scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering))
+            if (heap.size < k) { heap.enqueue(row.copy()); retained += 1 }
+            else if (ordering.lt(row, heap.head)) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          }
+          // snapshot THEN clear — the rows are already copies, so the
+          // flush materializes no new data beyond the retained budget
+          val snap = new Array[InternalRow](retained)
+          var i = 0
+          heaps.valuesIterator.foreach(_.foreach { r => snap(i) = r; i += 1 })
+          heaps.clear(); retained = 0
+          out = snap.iterator
+        }
+      }
+      override def hasNext: Boolean = { if (!out.hasNext) refill(); out.hasNext }
+      override def next(): InternalRow = {
+        if (!hasNext) throw new NoSuchElementException("empty top-k iterator")
+        out.next()
+      }
     }
-    heaps.valuesIterator.flatMap(_.iterator)
-  }
 }
 
 case class TopKPartialExec(keys: Seq[Expression], order: Expression, tie: Expression,
@@ -65,7 +104,7 @@ case class TopKPartialExec(keys: Seq[Expression], order: Expression, tie: Expres
     val (keyExprs, sortOrders) = TopKStrategy.bound(keys, order, tie, child.output)
     child.execute().mapPartitions { iter =>
       TopKExec.localTopK(iter, UnsafeProjection.create(keyExprs),
-        GenerateOrdering.generate(sortOrders), k)
+        GenerateOrdering.generate(sortOrders), k, TopKExec.partialFlushRows)
     }
   }
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPartialExec =

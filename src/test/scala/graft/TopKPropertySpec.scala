@@ -33,6 +33,39 @@ class TopKPropertySpec extends SparkTestBase {
   test("random datasets: k exceeds group size") { check(seed = 3, nRows = 100, nKeys = 5, nVals = 50, k = 40) }
   test("random datasets: k = 1") { check(seed = 4, nRows = 400, nKeys = 20, nVals = 10, k = 1) }
 
+  test("partial flush epochs preserve per-key top-k (the 400x OOM fix)") {
+    // the partial stage flushes its heap map whenever the retained-row
+    // budget fills (unbounded distinct-key cardinality OOM'd a 96 GB
+    // heap at 400x); correctness contract: partial-with-any-flush
+    // composed with the final re-heap equals the unflushed result,
+    // including at flush budgets far below k and below the key count
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, BoundReference, Descending, SortOrder, UnsafeProjection}
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+    import org.apache.spark.sql.types.{DataType, LongType}
+    val rng = new scala.util.Random(7)
+    val toUnsafe = UnsafeProjection.create(Array[DataType](LongType, LongType, LongType))
+    val rows: IndexedSeq[InternalRow] = (0 until 5000).map { i =>
+      toUnsafe(InternalRow(rng.nextInt(40).toLong, i.toLong, rng.nextInt(5).toLong))
+        .copy().asInstanceOf[InternalRow]
+    }
+    def keyProj = UnsafeProjection.create(
+      Seq(BoundReference(0, LongType, nullable = false)))
+    def ord = GenerateOrdering.generate(Seq(
+      SortOrder(BoundReference(2, LongType, nullable = false), Descending),
+      SortOrder(BoundReference(1, LongType, nullable = false), Ascending)))
+    def run(flush: Int): Seq[(Long, Long, Long)] = {
+      val partial = plans.TopKExec.localTopK(rows.iterator, keyProj, ord, 3, flush).toArray
+      plans.TopKExec.localTopK(partial.iterator, keyProj, ord, 3)
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq.sorted
+    }
+    val exact = run(Int.MaxValue)
+    assert(exact.size == 40 * 3)
+    Seq(1, 7, 64, 1000).foreach { f =>
+      assert(run(f) == exact, s"flush=$f diverges from the unflushed top-k")
+    }
+  }
+
   test("TopKFilterPushdown moves key filters below the TopK node") {
     import spark.implicits._
     val df = (0 until 500).map(i => (i.toLong % 10, i.toLong, (i * 37 % 100).toDouble))
