@@ -829,10 +829,29 @@ object Dedup {
     (cert, h)
   }
 
+  /** Session-scoped memo of [[contractedCert]] per corpus dir: four
+    * registry surfaces need the identical (cert, H) pair —
+    * dd_articulation_contracted, dd_bridges_contracted, and the
+    * dd_cdfs / dd_h_edges aux dumps — and the loop is deterministic,
+    * so one Verify run used to execute the suite's most expensive
+    * graph job (multi-round sparsify-check-repair over 878.8M
+    * mirrored rows at 400×) four times byte-identically. The memoed
+    * frames are localCheckpointed, so reuse reads cached blocks; the
+    * retained footprint is ONE cert+H copy instead of four. Per-op
+    * bench times of later family members therefore ride the memo —
+    * the corpusArtifactStore amortization pattern, same caveat.
+    */
+  private val contractedMemo = scala.collection.mutable.HashMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def contractedFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    contractedMemo.synchronized {
+      contractedMemo.getOrElseUpdate((s, d), contractedCert(
+        Tables.documents(s, d).select(col("doc_id")),
+        minhashPairs(s, d).select(col("doc_a"), col("doc_b"))))
+    }
+
   val ddArticulationContracted: Q = (s, d) =>
-    contractedCert(
-      Tables.documents(s, d).select(col("doc_id")),
-      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._1
+    contractedFor(s, d)._1
       .drop("beid") // the oracle re-derives block ids from the intervals
       .orderBy(col("doc_id"))
 
@@ -841,9 +860,7 @@ object Dedup {
     * reproduces it byte-for-byte, the dd_dfs convention).
     */
   private[graft] val ddHEdges: Q = (s, d) =>
-    contractedCert(
-      Tables.documents(s, d).select(col("doc_id")),
-      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._2
+    contractedFor(s, d)._2
       .orderBy(col("doc_a"), col("doc_b"))
 
   /** BRIDGE EDGES via the verified sparsifier — the edge half of
@@ -862,9 +879,7 @@ object Dedup {
     * then derives the bridge list from the validated certificate.
     */
   val ddBridgesContracted: Q = (s, d) =>
-    bridgesFromCert(contractedCert(
-      Tables.documents(s, d).select(col("doc_id")),
-      minhashPairs(s, d).select(col("doc_a"), col("doc_b")))._1)
+    bridgesFromCert(contractedFor(s, d)._1)
 
   val ddGraphTriangles: Q = (s, d) => {
     val edges = minhashPairs(s, d)
@@ -2215,8 +2230,9 @@ object Dedup {
     "dd_h_edges" -> ddHEdges,
     // the contracted certificate itself, for dd_bridges_contracted's
     // oracle (the dd_dfs convention: __OUT__ may only name an
-    // oracle's own dump, so the bridge oracle validates a re-run)
-    "dd_cdfs" -> ((s, d) => ddArticulationContracted(s, d)))
+    // oracle's own dump, so the bridge oracle validates a re-run —
+    // which the contractedFor memo serves from cached blocks)
+    "dd_cdfs" -> ddArticulationContracted)
 
   /** dd_exact is deterministic SQL. dd_embed_cosine's hyperplanes are
     * fixed-seed float literals (Similarity.bucketSql inlines them), so
@@ -2433,6 +2449,39 @@ object Dedup {
       |  + (SELECT count(*) FROM viol_beid)
       |  + (SELECT count(*) FROM viol_blocks) AS n FROM poison pz)""".stripMargin
 
+  /** The bridge read-off emit shared by the dd_bridges and
+    * dd_bridges_contracted oracles (the palmCertCte one-copy rule on
+    * the emit side too — review finding, round 16): a tree edge
+    * (parent(u), u) with low(u) > disc(parent(u)), gated on the
+    * caller's poison CTE. The UNION ALL sentinel closes a real
+    * poison-visibility hole the emit's own WHERE clause opened: a
+    * poisoned certificate whose corruption also empties the bridge
+    * filter (e.g. every low flattened to disc) would otherwise emit
+    * ZERO rows — and the operator, deriving bridges from the same
+    * broken certificate via the identical filter, would dump an
+    * equally empty list, so empty == empty would PASS the very
+    * answer the checks had rejected. The sentinel makes a poisoned
+    * oracle result non-empty unconditionally (the articulation
+    * oracles don't need one: they emit one row per vertex always).
+    */
+  private def bridgeEmitSql(poisonCte: String): String =
+    s"""
+      |SELECT doc_a, doc_b, comp FROM (
+      |  SELECT
+      |    CAST(CASE WHEN pz.n = 0 THEN least(c.doc_id, c.parent)
+      |         ELSE -999 END AS BIGINT) AS doc_a,
+      |    CAST(CASE WHEN pz.n = 0 THEN greatest(c.doc_id, c.parent)
+      |         END AS BIGINT) AS doc_b,
+      |    CAST(CASE WHEN pz.n = 0 THEN c.comp END AS BIGINT) AS comp
+      |  FROM res c JOIN res pr ON pr.doc_id = c.parent
+      |  CROSS JOIN $poisonCte pz
+      |  WHERE c.low > pr.disc
+      |  UNION ALL
+      |  SELECT CAST(-999 AS BIGINT), CAST(NULL AS BIGINT),
+      |    CAST(NULL AS BIGINT)
+      |  FROM $poisonCte pz WHERE pz.n > 0) t
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val baseOracles: Map[String, String] = Map(
     // PALM-TREE CERTIFICATE oracles (see articulationAssign scaladoc
     // and palmCertCte): dd_articulation re-emits its own dump only if
@@ -2479,18 +2528,7 @@ object Dedup {
         |  CASE WHEN pz.n = 0 THEN r.is_articulation END AS is_articulation
         |FROM res r CROSS JOIN poison2 pz ORDER BY doc_id""".stripMargin),
     "dd_bridges" ->
-      (palmCertCte("__AUX__/dd_dfs/*.parquet") +
-        """
-        |SELECT
-        |  CAST(CASE WHEN pz.n = 0 THEN least(c.doc_id, c.parent)
-        |       ELSE -999 END AS BIGINT) AS doc_a,
-        |  CAST(CASE WHEN pz.n = 0 THEN greatest(c.doc_id, c.parent)
-        |       END AS BIGINT) AS doc_b,
-        |  CAST(CASE WHEN pz.n = 0 THEN c.comp END AS BIGINT) AS comp
-        |FROM res c JOIN res pr ON pr.doc_id = c.parent
-        |CROSS JOIN poison pz
-        |WHERE c.low > pr.disc
-        |ORDER BY doc_a, doc_b""".stripMargin),
+      (palmCertCte("__AUX__/dd_dfs/*.parquet") + bridgeEmitSql("poison")),
     // CONTRACTED bridge oracle (see ddBridgesContracted's scaladoc):
     // the palm checks validate the dumped contracted certificate
     // (__AUX__/dd_cdfs, the Verify re-run — dd_dfs convention) against
@@ -2500,17 +2538,7 @@ object Dedup {
     "dd_bridges_contracted" ->
       (palmCertCte("__AUX__/dd_cdfs/*.parquet",
           "__AUX__/dd_h_edges/*.parquet") + coBlockLiftCtes +
-        """
-        |SELECT
-        |  CAST(CASE WHEN pz.n = 0 THEN least(c.doc_id, c.parent)
-        |       ELSE -999 END AS BIGINT) AS doc_a,
-        |  CAST(CASE WHEN pz.n = 0 THEN greatest(c.doc_id, c.parent)
-        |       END AS BIGINT) AS doc_b,
-        |  CAST(CASE WHEN pz.n = 0 THEN c.comp END AS BIGINT) AS comp
-        |FROM res c JOIN res pr ON pr.doc_id = c.parent
-        |CROSS JOIN poison2 pz
-        |WHERE c.low > pr.disc
-        |ORDER BY doc_a, doc_b""".stripMargin),
+        bridgeEmitSql("poison2")),
     // CERTIFICATE oracle (see ddKcore scaladoc): the operator's OWN
     // primary dump (the __OUT__ token — no second peel run) is
     // re-emitted only if (a) every core member has >= k in-core

@@ -557,19 +557,26 @@ object Similarity {
     // copies — measured at 400×: 2000 of the demanded 12500 fine
     // lists materialized, occupancy 400 instead of ~64, Σ|list|²
     // 3-6× a natural corpus and the adaptive walk's build with it).
-    // One skinny id-only pass computes the three cutoffs; ids are
-    // unique, so `vec_id <= cut(m)` selects exactly the m lowest. On
-    // dense 0..n-1 ids the cutoffs are kc-1/km-1/k-1 — bit-identical
-    // to the old prefix. The collected prefix is ids only (8 B each,
-    // k = n/64 stays driver-tractable under maxResultSize past 10⁸
-    // vectors; the centroid VECTORS stay distributed DataFrames).
-    val idPrefix = emb.select(col("vec_id")).orderBy(col("vec_id"))
-      .limit(k).collect().map(_.getLong(0))
-    def cut(m: Int): Long =
-      if (idPrefix.isEmpty) Long.MinValue
-      else idPrefix(math.min(m, idPrefix.length) - 1)
+    // One id-column-only job computes all three cutoffs (the kc-th /
+    // km-th / k-th smallest id, clamped to max-present when n < m);
+    // ids are unique, so `vec_id <= cut` selects exactly the m
+    // lowest, and on dense 0..n-1 ids the cutoffs are kc-1/km-1/k-1 —
+    // bit-identical to the old prefix. The driver receives THREE
+    // longs; the ≤k-id working set lives in one executor task (the
+    // post-limit single partition — the row_number window over it is
+    // single-partition by construction, so no new exchange), which
+    // bounds this step at k·8 B of task memory, not driver memory.
+    val cutsRow = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .withColumn("rn", row_number().over(Window.orderBy(col("vec_id"))))
+      .agg(max(when(col("rn") <= kc, col("vec_id"))).as("ck"),
+        max(when(col("rn") <= km, col("vec_id"))).as("cm"),
+        max(col("vec_id")).as("cf"))
+      .collect()(0)
+    def cutOf(i: Int): Long =
+      if (cutsRow.isNullAt(i)) Long.MinValue else cutsRow.getLong(i)
+    val (coarseCut, midCut, fineCut) = (cutOf(0), cutOf(1), cutOf(2))
     val coarseDf = broadcast(
-      emb.filter(col("vec_id") <= cut(kc))
+      emb.filter(col("vec_id") <= coarseCut)
         .select(col("vec_id"), col("embedding"))
         .collect()
         .map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -585,7 +592,7 @@ object Similarity {
     // cell — a DataFrame, broadcast at join sites (kc² rows ≈ 576 at
     // 800k vectors; never collected)
     val mid = toCoarse(
-      emb.filter(col("vec_id") <= cut(km))
+      emb.filter(col("vec_id") <= midCut)
         .select(col("vec_id").as("mid_id"), col("embedding").as("m_emb")),
       "mid_id", "m_emb")
     def toMid(df: DataFrame, idCol: String, embCol: String): DataFrame =
@@ -597,7 +604,7 @@ object Similarity {
           max(struct(col("m_sim").as("s"), (-col("mid_id")).as("nc"))).as("m"))
         .select(col(idCol), col(embCol), (-col("m.nc")).as("mid_id"))
     val fine = toMid(
-      emb.filter(col("vec_id") <= cut(k))
+      emb.filter(col("vec_id") <= fineCut)
         .select(col("vec_id").as("cent_id"), col("embedding").as("c_emb")),
       "cent_id", "c_emb")
     def fineAssign(df: DataFrame, idCol: String, embCol: String): DataFrame =

@@ -73,8 +73,18 @@ object TopKExec {
           while (iter.hasNext && retained < flushRows) {
             val row = iter.next()
             val key = keyProj(row)
-            val heap = heaps.getOrElseUpdate(key.copy(),
-              scala.collection.mutable.PriorityQueue.empty[InternalRow](ordering))
+            // probe with the transient projection row; copy the key
+            // only on a miss — getOrElseUpdate(key.copy(), ...) paid
+            // an UnsafeRow allocation per INPUT row (~99.8% map hits
+            // on the motivating 878.8M-row graph seed)
+            val heap = heaps.get(key) match {
+              case Some(h) => h
+              case None =>
+                val h = scala.collection.mutable.PriorityQueue
+                  .empty[InternalRow](ordering)
+                heaps.put(key.copy(), h)
+                h
+            }
             if (heap.size < k) { heap.enqueue(row.copy()); retained += 1 }
             else if (ordering.lt(row, heap.head)) {
               heap.dequeue(); heap.enqueue(row.copy())

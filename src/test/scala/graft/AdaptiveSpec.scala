@@ -174,9 +174,9 @@ class AdaptiveSpec extends SparkTestBase {
     // at base-n regardless of selection (the jittered-corpus census is
     // Profile --ann-occupancy's job). Selection itself must deliver
     // exactly k centroids; the value prefix delivered min(k, |{id<k}|).
-    val fine = operators.Similarity.threeLevelParts(spark, emb, k)._1
-    assert(fine.count() == k,
-      s"centroid selection materialized ${fine.count()} of k=$k fine " +
+    val got = operators.Similarity.threeLevelParts(spark, emb, k)._1.count()
+    assert(got == k,
+      s"centroid selection materialized $got of k=$k fine " +
         "centroids — degraded to a value prefix on sparse ids")
   }
 

@@ -310,6 +310,18 @@ def main(sf_dir, out_dir):
             t = bbase.copy()
             t.loc[bi, "low"] = 0
             results.append(bcheck("low-tamper", t))
+            # THE SENTINEL CLASS: flatten every low to its disc — the
+            # fixpoint check fires (the corpus graph has cycles) AND no
+            # tree edge passes the low > parent.disc bridge filter, so
+            # the gated emit alone would return ZERO rows and an empty
+            # (equally wrong) operator dump would hash-match it; only
+            # the unconditional poison sentinel makes this poisoned
+            t = bbase.copy()
+            t["low"] = t["disc"]
+            assert (bbase.low != bbase.disc).any(), (
+                "corpus cert already has low == disc everywhere — "
+                "the flatten class would be vacuous")
+            results.append(bcheck("low-flatten-empties-bridges", t))
             # the spanning-tree forgery against the BRIDGE emit: every
             # tree edge of the forged cert reads as a bridge (low=disc
             # everywhere), a wildly wrong bridge list that passes every
