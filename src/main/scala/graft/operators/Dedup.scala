@@ -840,12 +840,29 @@ object Dedup {
     * retained footprint is ONE cert+H copy instead of four. Per-op
     * bench times of later family members therefore ride the memo —
     * the corpusArtifactStore amortization pattern, same caveat.
+    *
+    * Lifetime (round 17): the outer map is WEAK-keyed on the session,
+    * so a stopped-and-dereferenced SparkSession releases its memo (and
+    * the pinned checkpoint blocks) instead of living for the process —
+    * a lost-executor-invalidated checkpoint therefore dies with its
+    * session rather than poisoning later reads. Entries key on the
+    * corpus FINGERPRINT (metadata-only, the corpusArtifactStore
+    * probe), so a corpus dir regenerated WITHIN a session recomputes
+    * instead of returning the stale pair.
     */
-  private val contractedMemo = scala.collection.mutable.HashMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private val contractedMemo = new java.util.WeakHashMap[SparkSession,
+    scala.collection.mutable.HashMap[(String, String), (DataFrame, DataFrame)]]()
   private def contractedFor(s: SparkSession, d: String): (DataFrame, DataFrame) =
     contractedMemo.synchronized {
-      contractedMemo.getOrElseUpdate((s, d), contractedCert(
+      var per = contractedMemo.get(s)
+      if (per == null) {
+        per = scala.collection.mutable.HashMap.empty
+        contractedMemo.put(s, per)
+      }
+      val fp = corpusFingerprint(s, d)
+      // drop this dir's stale pair if the corpus was regenerated
+      per.keys.filter(k => k._1 == d && k._2 != fp).toSeq.foreach(per.remove)
+      per.getOrElseUpdate((d, fp), contractedCert(
         Tables.documents(s, d).select(col("doc_id")),
         minhashPairs(s, d).select(col("doc_a"), col("doc_b"))))
     }

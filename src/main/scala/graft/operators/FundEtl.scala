@@ -33,21 +33,171 @@ object FundEtl {
   private def money2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     floor(c * 100 + 0.5) / lit(100.0)
 
-  /** The data-driven platform rule library — the reference hard-codes
-    * 20+ platforms as per-platform code blocks (signature detection
-    * `purchase_confirm_extractor.py:1480-1501`, per-platform field
-    * regexes `:35-200`); at scale that's a broadcast RELATION, so
-    * adding a platform is adding a row, not code. Each row: platform
-    * id, match priority, content signature, and the field labels that
-    * drive regex extraction for that platform.
+  /** One literal of a platform signature. `src`='f' tests the file
+    * NAME, 'c' tests a LINE RANGE of the content — Python-style
+    * `lines[lo:hi]` (0-based, `hi` = -1 → end of file), mirroring the
+    * reference's `lines[:2]` / `lines[5:]` scoping
+    * (`purchase_confirm_extractor.py:1480-1501`). `neg` inverts
+    * (e.g. 宁波银行-but-not-联泰). A platform rule is a DNF over these:
+    * OR across clauses, AND (with negation) within a clause — exactly
+    * the shape of the reference's `(A in file) or (B in lines[3:] and
+    * not C in lines)` conjunctions.
     */
-  private[graft] val platformRules: Seq[(String, Int, String, String, String)] = Seq(
-    ("haomai", 1, "【好买基金】交易确认单", "确认金额", "手续费"),
-    ("tiantian", 2, "天天基金网结算数据", "成交金额", "费用"),
-    ("yingmi", 3, "盈米财富对账单", "交易金额", "手续费"),
-    ("jingdong", 4, "京东肯特瑞交易回执", "确认金额", "手续费"),
-    ("pingan", 5, "平安银行代销确认", "发生金额", "费用合计"),
-    ("changliang", 6, "长量基金确认数据", "确认金额", "手续费"))
+  private[graft] final case class SigLit(src: Char, lo: Int, hi: Int,
+      pattern: String, neg: Boolean = false)
+
+  private def F(p: String): SigLit = SigLit('f', 0, -1, p)
+  private def C(p: String): SigLit = SigLit('c', 0, -1, p)
+  private def C(lo: Int, hi: Int, p: String): SigLit = SigLit('c', lo, hi, p)
+  private def not(l: SigLit): SigLit = l.copy(neg = true)
+
+  /** One platform of the reference's 23-platform matrix: the DNF
+    * signature plus the field LABELS that drive regex extraction for
+    * statements of that platform — the reference encodes both as
+    * ~1400 lines of per-platform code
+    * (`purchase_confirm_extractor.py:34-1365` extractors,
+    * `:1480-1501` signatures); here each platform is one DATA row, so
+    * adding a platform is adding a row, not code. Priority = position
+    * in [[platformMatrix]] (the reference's first-match-wins elif
+    * chain order, `:1502-1568`).
+    */
+  private[graft] final case class PlatformRule(platform: String,
+      clauses: Seq[Seq[SigLit]], nameLabel: String, codeLabel: String,
+      amountLabel: String, sharesLabel: String, feeLabel: String,
+      dateLabel: String)
+
+  /** The full 23-platform signature + label matrix, one row per
+    * reference platform in the reference's elif order. Filename
+    * literals use the corpus's ASCII pinyin tokens (the committed
+    * corpus keeps filenames ASCII to stay byte-stable across
+    * URI-encoding path layers; each token's Chinese original from the
+    * reference is noted inline). Content literals are the reference's
+    * own Chinese signature tokens with the reference's line scoping.
+    * The six v1 platforms additionally carry their v1 template
+    * signature as an extra OR-clause (multi-template-version rules are
+    * the normal case for rules-as-data) and keep their v1 labels so
+    * the committed v1 corpus files stay classified; the 17 new
+    * platforms carry the reference's per-platform label variance
+    * (`purchase_confirm_extractor.py:34-1365`).
+    */
+  private[graft] val platformMatrix: Seq[PlatformRule] = Seq(
+    // :1480 — 好买基金 in lines[:2] and no 转换 anywhere
+    PlatformRule("haomai", Seq(Seq(C(0, 2, "好买基金"), not(C("转换")))),
+      "产品名称", "基金代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1481 — 天天基金 in filename, OR in lines[3:] with no 转换
+    PlatformRule("tiantian", Seq(
+      Seq(F("tiantian")), // 天天基金
+      Seq(C(3, -1, "天天基金"), not(C("转换"))),
+      Seq(C(0, 1, "天天基金网结算数据"))), // v1 template
+      "产品名称", "基金代码", "成交金额", "确认份额", "费用", "确认日期"),
+    // :1482 — 利得基金 in lines[3:]
+    PlatformRule("lide", Seq(Seq(C(3, -1, "利得基金"))),
+      "投资者姓名/名称", "基金代码", "确认金额（元）", "确认份额（份）",
+      "交易费用（元）", "确认日期"),
+    // :1483 — 长量基金 in lines[:2]
+    PlatformRule("changliang", Seq(Seq(C(0, 2, "长量基金"))),
+      "产品名称", "基金代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1485 — 交e通 in filename OR 交通银行 in lines[:2]
+    PlatformRule("jiaohang", Seq(Seq(F("jiaoetong")), Seq(C(0, 2, "交通银行"))),
+      "投资者信息", "产品代码", "确认金额", "确认份额", "认申购手续费", "确认日期"),
+    // :1486 — 肯特瑞 AND 申购确认, both in lines[:2] (conjunction)
+    PlatformRule("jingdong", Seq(
+      Seq(C(0, 2, "肯特瑞"), C(0, 2, "申购确认")),
+      Seq(C(0, 1, "京东肯特瑞交易回执"))), // v1 template
+      "产品名称", "基金代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1487 — 网金 in filename OR 网金基金 in lines[5:]
+    PlatformRule("wangjin", Seq(Seq(F("wangjin")), Seq(C(5, -1, "网金基金"))),
+      "投资者名称", "基金代码", "申购金额小写", "确认净额", "费开户", "确认日期"),
+    // :1488 — 行E通 in lines[5:]
+    PlatformRule("pingan", Seq(
+      Seq(C(5, -1, "行E通")),
+      Seq(C(0, 1, "平安银行代销确认"))), // v1 template
+      "产品名称", "基金代码", "发生金额", "确认份额", "费用合计", "确认日期"),
+    // :1489 — 建行 in filename OR spaced 客 户 名 称 anywhere
+    PlatformRule("jianhang", Seq(Seq(F("jianhang")), Seq(C("客 户 名 称"))),
+      "客 户 名 称", "基 金 代 码", "确 认 金 额", "确 认 份 额", "手续费",
+      "确认日期"),
+    // :1491 — 腾元 in filename OR 腾元基金 in lines[5:]
+    PlatformRule("tengyuan", Seq(Seq(F("tengyuan")), Seq(C(5, -1, "腾元基金"))),
+      "客户名称", "基金代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1492 — (江苏银行 in filename OR 融联创 in lines[:2]) AND 申购 in lines[:5]
+    PlatformRule("ronglianchuang", Seq(
+      Seq(F("jiangsuyinhang"), C(0, 5, "申购")), // 江苏银行
+      Seq(C(0, 2, "融联创"), C(0, 5, "申购"))),
+      "来款账号名称", "产品代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1493 — 民生同业e+ in filename OR 同业e+ in lines[2:]
+    PlatformRule("minsheng", Seq(Seq(F("minshengtongye")), Seq(C(2, -1, "同业e+"))),
+      "客户名称", "产品代码", "确认金额（元）", "确认份额（份）", "手续费（元）",
+      "确认日期"),
+    // :1494 — 和讯 in filename OR 和讯信息科技有限公司 in lines[3:]
+    PlatformRule("hexun", Seq(Seq(F("hexun")), Seq(C(3, -1, "和讯信息科技有限公司"))),
+      "账户名称", "基金代码", "确认金额", "确认份额", "确认费用", "确认日期"),
+    // :1495 — 招赢通 in filename OR lines[:2]
+    PlatformRule("zhaoyingtong", Seq(Seq(F("zhaoyingtong")), Seq(C(0, 2, "招赢通"))),
+      "投资者名称", "产品代码", "确认金额", "确认份额", "交易费用", "确认日期"),
+    // :1496 — 兴证 in filename OR 兴证全球基金 in lines[:2]
+    PlatformRule("xingzheng", Seq(Seq(F("xingzheng")), Seq(C(0, 2, "兴证全球基金"))),
+      "账 号 名 称", "基 金 代 码", "确 认 金 额", "确 认 份 额", "手 续 费",
+      "确认日期"),
+    // :1497 — 邮储 in filename ONLY (no content clause in the reference)
+    PlatformRule("youchu", Seq(Seq(F("youchu"))),
+      "客户名称", "产品代码", "确认金额（元）", "确认份额（份）", "手续费（元）",
+      "确认日期"),
+    // :1498 — 基煜基金 in lines[:2]
+    PlatformRule("jiyu", Seq(Seq(C(0, 2, "基煜基金"))),
+      "账户名称", "产品代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1499 — (宁波 in filename AND NOT 北极星 in filename) OR
+    //          (宁波银行 in lines[15:] AND NOT 联泰 in lines[:5])
+    PlatformRule("ningbo", Seq(
+      Seq(F("ningbo"), not(F("beijixing"))), // 宁波 ∧ ¬北极星
+      Seq(C(15, -1, "宁波银行"), not(C(0, 5, "联泰")))),
+      "客户名称", "产品代码", "确认金额（元）", "确认份额（份）", "申购费用（元）",
+      "确认日期"),
+    // :1500 — 国信嘉利基金 in lines[:2]
+    PlatformRule("guoxinjiali", Seq(Seq(C(0, 2, "国信嘉利基金"))),
+      "账户名称", "产品代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1501 — 攀赢 in filename OR lines[:2]
+    PlatformRule("panying", Seq(Seq(F("panying")), Seq(C(0, 2, "攀赢"))),
+      "客户名称", "产品代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1502 — 证达通 anywhere AND 申购确认单 anywhere
+    PlatformRule("zhengdatong", Seq(Seq(C("证达通"), C("申购确认单"))),
+      "基金名称", "基金代码", "确认金额", "确认份额", "手续费", "确认日期"),
+    // :1484 (evaluated LAST in the elif chain, :1566) — 盈米 in
+    // filename OR lines[:3]
+    PlatformRule("yingmi", Seq(Seq(F("yingmi")), Seq(C(0, 3, "盈米"))),
+      "产品名称", "基金代码", "交易金额", "确认份额", "手续费", "确认日期"),
+    // :1490 (evaluated LAST, :1568) — (北极星 in filename OR 联泰 in
+    // lines[:2]) AND 申购 in lines[:20]
+    PlatformRule("liantai", Seq(
+      Seq(F("beijixing"), C(0, 20, "申购")), // 北极星
+      Seq(C(0, 2, "联泰"), C(0, 20, "申购"))),
+      "投资账户", "基金代码", "确认金额（元）", "确认份额（份）", "手续费（元）",
+      "确认日期"))
+
+  /** Business-type routing rules, ordered, first match wins — the
+    * reference's filename exclusion algebra
+    * (`purchase_confirm_extractor.py:1440-1461`): 强行调 / 调增 /
+    * 超级转换 / 转换 / 分红方式 files are excluded from confirm
+    * processing, and 赎回-in-filename is kept (as a purchase confirm)
+    * only for 江苏银行 / 融联创. Row = (filename keyword, keep-only-if
+    * ANY of these extra filename keywords, biz code); keywords are the
+    * corpus's pinyin tokens for the reference's Chinese originals
+    * (noted inline). Exclusion classes route to EXCL_* — surfaced,
+    * never dropped (the reference's skip becomes a routable class so
+    * downstream consumers can filter or audit them).
+    */
+  private[graft] val bizRules: Seq[(String, Seq[String], String)] = Seq(
+    ("qiangxingtiao", Nil, "EXCL_FORCE_ADJ"), // 强行调
+    ("tiaozeng", Nil, "EXCL_ADJ_UP"), // 调增
+    ("chaojizhuanhuan", Nil, "EXCL_CONVERT"), // 超级转换 (before 转换)
+    ("zhuanhuan", Nil, "EXCL_CONVERT"), // 转换
+    ("fenhongfangshi", Nil, "EXCL_DIV_METHOD"), // 分红方式 (before 分红)
+    // 赎回 kept as a purchase CONFIRM only for 江苏银行 / 融联创
+    ("shuhui", Seq("jiangsuyinhang", "ronglianchuang"), "CONF"),
+    ("shengouqueren", Nil, "CONF"), // 申购确认 (before 申购)
+    ("shengou", Nil, "SUB"), // 申购
+    ("shuhui", Nil, "RED"), // 赎回
+    ("fenhong", Nil, "DIV")) // 分红
 
   /** product_codes.json analog: product name → ledger id (two corpus
     * products deliberately unmapped to exercise the miss path).
@@ -375,6 +525,55 @@ object FundEtl {
       .orderBy(col("rec_id"))
   }
 
+  /** MASTER-TABLE XLSX SINK — the reference ships the 16-column master
+    * table to the Hundsun valuation system as a formatted Excel
+    * workbook (`dividend_extractor.py:1451` `pd.ExcelWriter`; every
+    * extractor's 导出 surface). This closes that loop: the day-batch
+    * slice of [[etlMasterTable]] (top-200 by rec_id — a statement
+    * workbook is a bounded daily artifact, so the driver-side build is
+    * a BOUNDED collect by construction) is written through the OOXML
+    * writer (sources.XlsxCodec.writeSheet: ZIP + sheet XML +
+    * sharedStrings), re-read through the binaryFile-scan + StAX reader
+    * path every xlsx ingest uses, and the round-tripped cells returned
+    * typed — the Avro.writeNav precedent: the oracle recomputes the
+    * slice from the master SQL, so a writer or reader defect anywhere
+    * in the loop hash-fails. Money rides as e2 integer cents
+    * (floor(x*100+0.5), the money2 convention) because floats through
+    * text are not engine-stable. At 100 TB the same writeSheet call
+    * runs per day-batch partition inside foreachPartition; the bounded
+    * slice keeps this artifact deterministic.
+    */
+  val etlMasterXlsx: Q = (s, d) => {
+    val header = Seq("rec_id", "ledger_id", "fund_code", "market",
+      "trade_date", "biz_type", "shares_e2", "amount_e2", "fee_e2",
+      "commission_e2", "counterparty", "cash_account", "arrival_date",
+      "holder_account", "seat_no", "product_name", "platform")
+    def e2(c: String) = floor(col(c) * 100 + 0.5).cast("long").cast("string").as(c + "_e2")
+    val cells = etlMasterTable(s, d)
+      .orderBy(col("rec_id")).limit(200)
+      .select(col("rec_id").cast("string"), col("ledger_id"),
+        col("fund_code"), col("market"), col("trade_date"), col("biz_type"),
+        e2("shares"), e2("amount"), e2("fee"), e2("commission"),
+        col("counterparty"), col("cash_account"),
+        coalesce(col("arrival_date"), lit("")).as("arrival_date"),
+        col("holder_account"), col("seat_no"), col("product_name"),
+        col("platform"))
+      .collect()
+      .map(_.toSeq.map(_.asInstanceOf[String]))
+    val dir = java.nio.file.Files.createTempDirectory("graft_master_xlsx")
+    java.nio.file.Files.write(dir.resolve("master.xlsx"),
+      graft.sources.XlsxCodec.writeSheet(header +: cells.toSeq))
+    val typed = header.zipWithIndex.map { case (name, i) =>
+      val c = element_at(col("cells"), i + 1)
+      if (name == "rec_id" || name.endsWith("_e2")) c.cast("long").as(name)
+      else c.as(name)
+    }
+    graft.sources.Xlsx.rows(s, dir.toString)
+      .filter(col("row_num") >= 1) // skip the header row
+      .select(typed: _*)
+      .orderBy(col("rec_id"))
+  }
+
   /** Cross-source reconciliation via the typed cogroup API — platform
     * statements (events) against the internal ledger (orders), one
     * output row per reconciliation key including keys present on only
@@ -575,19 +774,81 @@ object FundEtl {
   private[graft] def loadStatements(s: SparkSession, dir: String): DataFrame =
     loadStatements(s, "*.txt", dir)
 
-  /** Signature classification as a rules join: priority order mirrors
-    * the reference's first-match-wins loop. Keeps every input column
-    * (routing flags ride through to extraction).
+  /** lines[lo:hi] of the content column as ONE string. First-N is
+    * substring_index (text up to the hi'th newline — the whole string
+    * when there are fewer lines, same as Python's lines[:hi]); after-N
+    * is the suffix past the lo'th newline (empty when there are ≤ lo
+    * lines, same as lines[lo:]); composing gives two-sided ranges.
+    * Signature patterns never contain '\n', so containment over the
+    * joined block ≡ containment in any single line of the range — and
+    * both building blocks are plain codegen'd string expressions.
+    */
+  private def scopedContent(lo: Int, hi: Int): org.apache.spark.sql.Column = {
+    var c = col("content")
+    if (hi >= 0) c = substring_index(c, "\n", hi)
+    if (lo > 0) c = c.substr(
+      length(substring_index(c, "\n", lo)) + lit(2), lit(Int.MaxValue))
+    c
+  }
+
+  private def litCol(l: SigLit): org.apache.spark.sql.Column = {
+    val base = if (l.src == 'f') col("file_name") else scopedContent(l.lo, l.hi)
+    val p = base.contains(lit(l.pattern))
+    if (l.neg) !p else p
+  }
+
+  /** The whole 23-platform matrix COMPILED into one first-match-wins
+    * when-chain — the rule relation is tiny and static per run, so the
+    * scalable plan is rules-as-data driving a generated map-only
+    * expression: no join, no shuffle, the classification stays inside
+    * WholeStageCodegen at any corpus size. (The previous rules-JOIN
+    * shape cost a row_number window — a full shuffle on file_name —
+    * per ingest; the compiled chain costs zero exchanges.)
+    */
+  private[graft] def platformCol: org.apache.spark.sql.Column = {
+    def pred(r: PlatformRule) =
+      r.clauses.map(_.map(litCol).reduce(_ && _)).reduce(_ || _)
+    platformMatrix.tail
+      .foldLeft(when(pred(platformMatrix.head), platformMatrix.head.platform)) {
+        (acc, r) => acc.when(pred(r), r.platform)
+      }
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** First-match-wins biz-type routing compiled from [[bizRules]] the
+    * same way (exclusion rows first, exception conjuncts as extra
+    * filename literals).
+    */
+  private[graft] def bizTypeCol: org.apache.spark.sql.Column = {
+    def pred(r: (String, Seq[String], String)) = {
+      val kw = col("file_name").contains(lit(r._1))
+      if (r._2.isEmpty) kw
+      else kw && r._2.map(k => col("file_name").contains(lit(k))).reduce(_ || _)
+    }
+    bizRules.tail
+      .foldLeft(when(pred(bizRules.head), bizRules.head._3)) { (acc, r) =>
+        acc.when(pred(r), r._3)
+      }
+      .otherwise(lit("OTH"))
+  }
+
+  /** Signature classification: the compiled matrix predicate assigns
+    * the platform; the per-platform field LABELS (name/code/amount/
+    * shares/fee/date — the reference's per-platform regex variance,
+    * `purchase_confirm_extractor.py:34-1365`) arrive by broadcast
+    * equi-join against the 23-row label relation. Keeps every input
+    * column (routing flags ride through to extraction). UNKNOWN files
+    * keep NULL labels — extraction falls back to the generic defaults.
     */
   private[graft] def classifyStatements(s: SparkSession, files: DataFrame): DataFrame = {
     import s.implicits._
-    val rules = platformRules
-      .toDF("platform", "priority", "signature", "amount_label", "fee_label")
-    val byPriority = Window.partitionBy(col("file_name")).orderBy(col("priority"))
-    files
-      .join(broadcast(rules), col("content").contains(col("signature")), "left")
-      .withColumn("rn", row_number().over(byPriority))
-      .filter(col("rn") === 1)
+    val labels = platformMatrix
+      .map(r => (r.platform, r.nameLabel, r.codeLabel, r.amountLabel,
+        r.sharesLabel, r.feeLabel, r.dateLabel))
+      .toDF("platform", "name_label", "code_label", "amount_label",
+        "shares_label", "fee_label", "date_label")
+    files.withColumn("platform", platformCol)
+      .join(broadcast(labels), Seq("platform"), "left")
   }
 
   /** The map-only tail of the ingest pipeline (filename routing, field
@@ -596,31 +857,31 @@ object FundEtl {
     * (graft.streaming.EventStreams.statementStream): every step here
     * is stateless, so the same code runs per micro-batch unchanged.
     * Input must already carry (content, file_name, batch_date,
-    * platform, amount_label, fee_label).
+    * platform, and the six per-platform label columns from
+    * [[classifyStatements]]). Every label regex coalesces to the
+    * generic default so UNKNOWN-platform files still best-effort
+    * extract (the reference's failed-file rows keep whatever fields
+    * its generic regexes find).
     */
   private[graft] def extractStatementFields(s: SparkSession, classified: DataFrame,
       extra: Seq[String] = Nil): DataFrame = {
     import s.implicits._
     val dict = productLedger.toDF("p_name", "ledger_id")
     classified
-      .withColumn("biz_type",
-        when(col("file_name").contains("shengouqueren"), "CONF")
-          .when(col("file_name").contains("shengou"), "SUB")
-          .when(col("file_name").contains("shuhui"), "RED")
-          .when(col("file_name").contains("fenhong"), "DIV")
-          .otherwise("OTH"))
-      .withColumn("fund_code",
-        nullif(regexp_extract(col("content"), "基金代码：([0-9]{6})", 1), lit("")))
-      .withColumn("product_name",
-        nullif(regexp_extract(col("content"), "产品名称：(.+)", 1), lit("")))
+      .withColumn("biz_type", bizTypeCol)
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(content, concat(coalesce(code_label, '基金代码'), '：([0-9]{6})'), 1), '')"))
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(coalesce(name_label, '产品名称'), '：(.+)'), 1), '')"))
       .withColumn("amount", expr(
-        "cast(replace(nullif(regexp_extract(content, concat(amount_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+        "cast(replace(nullif(regexp_extract(content, concat(coalesce(amount_label, '确认金额'), '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
       .withColumn("shares", expr(
-        "cast(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)"))
+        "cast(replace(nullif(regexp_extract(content, concat(coalesce(shares_label, '确认份额'), '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
       .withColumn("fee", expr(
-        "cast(replace(nullif(regexp_extract(content, concat(fee_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+        "cast(replace(nullif(regexp_extract(content, concat(coalesce(fee_label, '手续费'), '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
       .withColumn("trade_date",
-        regexp_replace(nullif(regexp_extract(col("content"), "确认日期：(.+)", 1), lit("")),
+        regexp_replace(nullif(expr(
+          "regexp_extract(content, concat(coalesce(date_label, '确认日期'), '：(.+)'), 1)"), lit("")),
           "[^0-9]", ""))
       .join(broadcast(dict), col("product_name") === col("p_name"), "left")
       .select(Seq(col("file_name"), col("batch_date"),
@@ -1133,6 +1394,7 @@ object FundEtl {
     "etl_scd2" -> etlScd2,
     "etl_reconcile" -> etlReconcile,
     "etl_master_table" -> etlMasterTable,
+    "etl_master_xlsx" -> etlMasterXlsx,
     "etl_json_typed" -> etlJsonTyped,
     "etl_upsert_snapshot" -> etlUpsertSnapshot,
     "etl_redemption_detail" -> etlRedemptionDetail,
@@ -1149,13 +1411,84 @@ object FundEtl {
     "etl_dedup_latest" -> etlDedupLatest,
     "etl_fee_model" -> etlFeeModel)
 
-  /** The oracle's rule/dict relations are rendered from the SAME Scala
-    * Seqs that feed the Spark side — one source of truth, so a new
-    * platform row updates query and oracle together.
+  /** The oracle's classification CASE, biz CASE and label relation are
+    * all RENDERED from the same [[platformMatrix]] / [[bizRules]]
+    * literals that compile the Spark expressions — one source of
+    * truth, so a new platform row updates query and oracle together
+    * and the two engines cannot drift on rule semantics.
     */
-  private def rulesValuesSql: String = platformRules
-    .map { case (p, pr, sig, al, fl) => s"('$p', $pr, '$sig', '$al', '$fl')" }
-    .mkString(", ")
+  private def scopedContentSql(lo: Int, hi: Int): String =
+    if (lo == 0 && hi < 0) "f.content"
+    else {
+      // DuckDB list slices are 1-based inclusive; a slice starting past
+      // the end is NULL, where Spark's substring suffix is '' — coalesce
+      // so negated literals agree between the engines
+      val hiS = if (hi >= 0) hi.toString else ""
+      s"coalesce(array_to_string(string_split(f.content, chr(10))[${lo + 1}:$hiS], chr(10)), '')"
+    }
+
+  private def litSql(l: SigLit): String = {
+    val base = if (l.src == 'f') "f.file_name" else scopedContentSql(l.lo, l.hi)
+    val p = s"contains($base, '${l.pattern}')"
+    if (l.neg) s"NOT $p" else p
+  }
+
+  private def platformCaseSql: String =
+    platformMatrix.map { r =>
+      val cls = r.clauses
+        .map(_.map(litSql).mkString("(", " AND ", ")"))
+        .mkString("(", " OR ", ")")
+      s"WHEN $cls THEN '${r.platform}'"
+    }.mkString("CASE ", "\n         ", " END")
+
+  private def bizCaseSql: String =
+    bizRules.map { case (kw, alsoAny, biz) =>
+      val extra =
+        if (alsoAny.isEmpty) ""
+        else alsoAny.map(k => s"contains(file_name, '$k')")
+          .mkString(" AND (", " OR ", ")")
+      s"WHEN contains(file_name, '$kw')$extra THEN '$biz'"
+    }.mkString("CASE ", "\n         ", " ELSE 'OTH' END")
+
+  /** The master-table oracle SQL — shared by the etl_master_table
+    * entry and the etl_master_xlsx round-trip oracle (which recomputes
+    * the same slice, so a writer/reader defect hash-fails).
+    */
+  private val masterTableSql: String =
+      """SELECT
+        | coalesce(n_name, 'UNMAPPED') AS ledger_id,
+        | lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
+        | CASE WHEN o_orderkey % 2 = 0 THEN 'OTC' ELSE 'EXCH' END AS market,
+        | strftime(o_orderdate, '%Y%m%d') AS trade_date,
+        | biz_type,
+        | floor(o_totalprice / nav * 100 + 0.5) / 100.0 AS shares,
+        | round(o_totalprice, 2) AS amount,
+        | floor(o_totalprice * 0.0015 * 100 + 0.5) / 100.0 AS fee,
+        | floor(greatest(o_totalprice * 0.0015 * 0.15, 5.0) * 100 + 0.5) / 100.0 AS commission,
+        | platform AS counterparty,
+        | lpad(CAST(o_custkey % 100000 AS VARCHAR), 8, '0') AS cash_account,
+        | CASE WHEN biz_type = 'RED'
+        |      THEN strftime(o_orderdate + INTERVAL 3 DAY, '%Y%m%d') END AS arrival_date,
+        | concat('H', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) AS holder_account,
+        | lpad(CAST(o_orderkey % 1000 AS VARCHAR), 4, '0') AS seat_no,
+        | c_name AS product_name,
+        | platform,
+        | o_orderkey AS rec_id
+        |FROM (
+        | SELECT *,
+        |  1.0 + CAST(o_custkey % 80 AS DOUBLE) / 200.0 AS nav,
+        |  CASE WHEN o_orderstatus = 'O' THEN 'SUB'
+        |       WHEN o_orderstatus = 'F' THEN 'RED' ELSE 'DIV' END AS biz_type,
+        |  ['haomai','tiantian','lide','yingmi','changliang','jiaohang','wangjin','pingan'][CAST(o_orderkey % 8 AS INT) + 1] AS platform
+        | FROM orders
+        | JOIN customer ON o_custkey = c_custkey
+        | LEFT JOIN nation ON c_nationkey = n_nationkey) t
+        |ORDER BY rec_id""".stripMargin
+
+  private def labelsValuesSql: String = platformMatrix
+    .map(r => s"('${r.platform}', '${r.nameLabel}', '${r.codeLabel}', " +
+      s"'${r.amountLabel}', '${r.sharesLabel}', '${r.feeLabel}', '${r.dateLabel}')")
+    .mkString(",\n    ")
 
   private def dictValuesSql: String = productLedger
     .map { case (n, l) => s"('$n', '$l')" }.mkString(", ")
@@ -1175,30 +1508,28 @@ object FundEtl {
   private def ingestOracleCtes(filesCte: String, extra: Seq[String]): String = {
     val extraPass = extra.map(", " + _).mkString
     val extraSel = extra.map(c => s", e.$c").mkString
-    s"""rules(platform, priority, signature, amount_label, fee_label) AS (
-       |  VALUES $rulesValuesSql),
+    s"""rules(platform, name_label, code_label, amount_label, shares_label, fee_label, date_label) AS (
+       |  VALUES $labelsValuesSql),
        |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
        |$filesCte,
        |classified AS (
-       |  SELECT * FROM (
-       |    SELECT f.*, r.platform, r.priority, r.amount_label, r.fee_label,
-       |      row_number() OVER (PARTITION BY f.file_name ORDER BY r.priority) AS rn
-       |    FROM files f LEFT JOIN rules r ON contains(f.content, r.signature)) t
-       |  WHERE rn = 1),
+       |  SELECT f.*,
+       |    $platformCaseSql AS platform
+       |  FROM files f),
+       |labeled AS (
+       |  SELECT c.*, r.name_label, r.code_label, r.amount_label,
+       |    r.shares_label, r.fee_label, r.date_label
+       |  FROM classified c LEFT JOIN rules r ON c.platform = r.platform),
        |extracted AS (
        |  SELECT file_name, batch_date, platform,
-       |    CASE WHEN contains(file_name, 'shengouqueren') THEN 'CONF'
-       |         WHEN contains(file_name, 'shengou') THEN 'SUB'
-       |         WHEN contains(file_name, 'shuhui') THEN 'RED'
-       |         WHEN contains(file_name, 'fenhong') THEN 'DIV'
-       |         ELSE 'OTH' END AS biz_type,
-       |    nullif(regexp_extract(content, '基金代码：([0-9]{6})', 1), '') AS fund_code,
-       |    nullif(regexp_extract(content, '产品名称：(.+)', 1), '') AS product_name,
-       |    CAST(replace(nullif(regexp_extract(content, amount_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
-       |    CAST(replace(nullif(regexp_extract(content, '确认份额：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
-       |    CAST(replace(nullif(regexp_extract(content, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee,
-       |    regexp_replace(nullif(regexp_extract(content, '确认日期：(.+)', 1), ''), '[^0-9]', '', 'g') AS trade_date$extraPass
-       |  FROM classified),
+       |    $bizCaseSql AS biz_type,
+       |    nullif(regexp_extract(content, coalesce(code_label, '基金代码') || '：([0-9]{6})', 1), '') AS fund_code,
+       |    nullif(regexp_extract(content, coalesce(name_label, '产品名称') || '：(.+)', 1), '') AS product_name,
+       |    CAST(replace(nullif(regexp_extract(content, coalesce(amount_label, '确认金额') || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
+       |    CAST(replace(nullif(regexp_extract(content, coalesce(shares_label, '确认份额') || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
+       |    CAST(replace(nullif(regexp_extract(content, coalesce(fee_label, '手续费') || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee,
+       |    regexp_replace(nullif(regexp_extract(content, coalesce(date_label, '确认日期') || '：(.+)', 1), ''), '[^0-9]', '', 'g') AS trade_date$extraPass
+       |  FROM labeled),
        |enriched AS (
        |  SELECT e.file_name, e.batch_date,
        |    coalesce(e.platform, 'UNKNOWN') AS platform,
@@ -1544,36 +1875,21 @@ object FundEtl {
         |       floor(sum(value) * 100 + 0.5) / 100.0 AS statement_total
         |      FROM events GROUP BY 1) st ON l.rk = st.rk
         |ORDER BY rk""".stripMargin,
-    "etl_master_table" ->
-      """SELECT
-        | coalesce(n_name, 'UNMAPPED') AS ledger_id,
-        | lpad(CAST(o_custkey % 1000000 AS VARCHAR), 6, '0') AS fund_code,
-        | CASE WHEN o_orderkey % 2 = 0 THEN 'OTC' ELSE 'EXCH' END AS market,
-        | strftime(o_orderdate, '%Y%m%d') AS trade_date,
-        | biz_type,
-        | floor(o_totalprice / nav * 100 + 0.5) / 100.0 AS shares,
-        | round(o_totalprice, 2) AS amount,
-        | floor(o_totalprice * 0.0015 * 100 + 0.5) / 100.0 AS fee,
-        | floor(greatest(o_totalprice * 0.0015 * 0.15, 5.0) * 100 + 0.5) / 100.0 AS commission,
-        | platform AS counterparty,
-        | lpad(CAST(o_custkey % 100000 AS VARCHAR), 8, '0') AS cash_account,
-        | CASE WHEN biz_type = 'RED'
-        |      THEN strftime(o_orderdate + INTERVAL 3 DAY, '%Y%m%d') END AS arrival_date,
-        | concat('H', lpad(CAST(o_custkey AS VARCHAR), 9, '0')) AS holder_account,
-        | lpad(CAST(o_orderkey % 1000 AS VARCHAR), 4, '0') AS seat_no,
-        | c_name AS product_name,
-        | platform,
-        | o_orderkey AS rec_id
-        |FROM (
-        | SELECT *,
-        |  1.0 + CAST(o_custkey % 80 AS DOUBLE) / 200.0 AS nav,
-        |  CASE WHEN o_orderstatus = 'O' THEN 'SUB'
-        |       WHEN o_orderstatus = 'F' THEN 'RED' ELSE 'DIV' END AS biz_type,
-        |  ['haomai','tiantian','lide','yingmi','changliang','jiaohang','wangjin','pingan'][CAST(o_orderkey % 8 AS INT) + 1] AS platform
-        | FROM orders
-        | JOIN customer ON o_custkey = c_custkey
-        | LEFT JOIN nation ON c_nationkey = n_nationkey) t
-        |ORDER BY rec_id""".stripMargin,
+    "etl_master_table" -> masterTableSql,
+    // the xlsx sink round-trip must reproduce the master slice exactly
+    // (e2 cents, '' for the NULL arrival_date — cells cannot hold NULL)
+    "etl_master_xlsx" ->
+      s"""SELECT CAST(rec_id AS BIGINT) AS rec_id, ledger_id, fund_code,
+        | market, trade_date, biz_type,
+        | CAST(floor(shares * 100 + 0.5) AS BIGINT) AS shares_e2,
+        | CAST(floor(amount * 100 + 0.5) AS BIGINT) AS amount_e2,
+        | CAST(floor(fee * 100 + 0.5) AS BIGINT) AS fee_e2,
+        | CAST(floor(commission * 100 + 0.5) AS BIGINT) AS commission_e2,
+        | counterparty, cash_account,
+        | coalesce(arrival_date, '') AS arrival_date,
+        | holder_account, seat_no, product_name, platform
+        |FROM ($masterTableSql) t
+        |ORDER BY rec_id LIMIT 200""".stripMargin,
     "etl_json_typed" ->
       """SELECT event_id,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,

@@ -88,6 +88,17 @@ object Similarity {
     branches.mkString("(CASE ", " ", " END)")
   }
 
+  /** NOTE on the fixed `vec_id < 8` / `< 16` ANCHOR slices used by the
+    * fixed-k ann_* family (here, annLshTopk, annIvfTopk,
+    * annFilteredTopk, annPqTopk, annIvfPq, fixedCentroids): they are
+    * oracle-mirrored LITERALS — the DuckDB SQL carries the same
+    * predicate — and rest on the harness corpora's DENSE 0..n-1
+    * vec_ids (generator-pinned). On a sparse/sharded id space they
+    * select fewer anchors, both engines in lockstep (degraded anchor
+    * count, never a wrong answer). Code paths that must NOT assume
+    * density are rank-based instead: threeLevelParts (round 16),
+    * trainCentroids (round 17), pqCodebooks fails loudly.
+    */
   val annBruteTopk: Q = (s, d) => {
     val emb = Tables.embeddings(s, d)
     val queries = emb.filter(col("vec_id") < 8)
@@ -158,7 +169,7 @@ object Similarity {
   private[graft] def fixedCentroids(s: SparkSession, d: String,
       k: Int = 16): Seq[(Long, Seq[Float])] =
     Tables.embeddings(s, d)
-      .filter(col("vec_id") < k)
+      .filter(col("vec_id") < k) // dense-id anchor — see annBruteTopk note
       .select(col("vec_id"), col("embedding"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1)))
@@ -750,10 +761,18 @@ object Similarity {
 
   private[graft] def trainCentroids(s: SparkSession, d: String,
       k: Int = 16, iters: Int = 10, sampleN: Int = 512): Seq[(Long, Seq[Float])] = {
-    val sample = Tables.embeddings(s, d).filter(col("vec_id") < sampleN)
-      .select(col("vec_id"), col("embedding")).collect()
+    // RANK-based sample (lowest sampleN ids PRESENT, a distributed
+    // top-K — never `vec_id < sampleN`): on a sparse/sharded id space
+    // the value prefix silently shrinks the k-means sample toward
+    // empty (the round-16 threeLevelParts defect class); identical on
+    // dense 0..n-1 corpora. Loud floor: k-means needs ≥ k points.
+    val sample = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(sampleN).collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray.map(_.toDouble)))
       .sortBy(_._1)
+    require(sample.length >= k,
+      s"k-means sample has ${sample.length} rows < k=$k — corpus too small")
     sphericalKMeans(sample.map(_._2), k, iters)
       .zipWithIndex.map { case (v, i) => (i.toLong, v.map(_.toFloat).toSeq) }.toSeq
   }

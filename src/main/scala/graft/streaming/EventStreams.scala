@@ -249,20 +249,16 @@ object EventStreams extends Serializable {
 
   /** STREAMING statement ingestion — the reference's daily folder scan
     * as an incremental pipeline: statement files dropped into `dir`
-    * are picked up per micro-batch, classified against the broadcast
-    * platform-rule relation (stream-static join — stateless), and run
-    * through the same map-only extraction tail as the batch operator
+    * are picked up per micro-batch, classified by the SAME compiled
+    * 23-platform matrix as the batch operator (a map-only when-chain
+    * plus a stream-static broadcast label join — both stateless, so
+    * FundEtl.classifyStatements runs unchanged in append mode), and
+    * run through the same map-only extraction tail
     * (FundEtl.extractStatementFields; ONE implementation for both
-    * modes). The priority window of the batch path is replaced by the
-    * unique-signature property of the rule table (each content matches
-    * at most one signature), since per-file windows are not available
-    * in append-mode streams. Sink it with upsertToPartitionedParquet
-    * keyed on file_name for an incrementally-maintained master table.
+    * modes). Sink it with upsertToPartitionedParquet keyed on
+    * file_name for an incrementally-maintained master table.
     */
   def statementStream(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val rules = graft.operators.FundEtl.platformRules
-      .toDF("platform", "priority", "signature", "amount_label", "fee_label")
     val files = graft.sources.BinaryFiles.projectPaths(
         spark.readStream.format("binaryFile")
           .option("pathGlobFilter", "*.txt")
@@ -270,8 +266,8 @@ object EventStreams extends Serializable {
           .schema("path STRING, modificationTime TIMESTAMP, length LONG, content BINARY")
           .load(dir))
       .withColumn("content", col("content").cast("string"))
-      .join(broadcast(rules), col("content").contains(col("signature")), "left")
-    graft.operators.FundEtl.extractStatementFields(spark, files)
+    graft.operators.FundEtl.extractStatementFields(spark,
+      graft.operators.FundEtl.classifyStatements(spark, files))
   }
 
   /** Partition-pruned foreachBatch upsert: the snapshot is laid out in

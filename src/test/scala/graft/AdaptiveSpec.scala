@@ -180,6 +180,30 @@ class AdaptiveSpec extends SparkTestBase {
         "centroids — degraded to a value prefix on sparse ids")
   }
 
+  test("k-means sample is rank-based: sparse ids train the same centroids as dense ids") {
+    // shift every vec_id by 100000 (snowflake/sharded id shape): the
+    // old `vec_id < sampleN` VALUE prefix would sample ZERO rows and
+    // silently train on nothing; the rank-based sample (lowest 512 ids
+    // PRESENT) selects the same vectors as the dense corpus, so the
+    // trained centroids must be bit-identical
+    import org.apache.spark.sql.functions.{col, lit}
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sparse_km").toString
+    sources.Tables.embeddings(spark, sfDir)
+      .withColumn("vec_id", col("vec_id") + lit(100000L))
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val dense = operators.Similarity.trainCentroids(spark, sfDir)
+    val sparse = operators.Similarity.trainCentroids(spark, tmp)
+    assert(sparse.size == dense.size && sparse == dense,
+      "sparse-id corpus trained different centroids — sample degraded " +
+        "to a value prefix")
+    // the full operator still RUNS on the sparse corpus (its fixed
+    // `vec_id < 8` query anchor legitimately selects no probes there —
+    // the documented dense-id anchor contract — but training and
+    // assignment must not throw)
+    val out = operators.Similarity.queries("ann_ivf_kmeans")(spark, tmp)
+    assert(out.count() == 0 && out.columns.nonEmpty)
+  }
+
   test("runtime bloom filter prunes the probe side of a selective join") {
     withConf(
       "spark.sql.autoBroadcastJoinThreshold" -> "-1",

@@ -36,13 +36,14 @@ class PlanHealthSpec extends SparkTestBase {
 
   test("etl_e2e composes its stages without redundant shuffles") {
     // decode → classify → extract → enrich → master are one map-only
-    // pipeline over the file scan; the whole DAG may exchange only for
-    // the classification window (file_name), the dedup window
-    // (text_hash) and the presentation sort. More exchanges means a
-    // stage stopped composing.
+    // pipeline over the file scan (round 17: classification is a
+    // COMPILED when-chain — the old per-file priority window and its
+    // shuffle are gone); the whole DAG may exchange only for the dedup
+    // window (text_hash) and the presentation sort. More exchanges
+    // means a stage stopped composing.
     val plan = planOf("etl_e2e")
     val exchanges = "Exchange (hash|range)partitioning".r.findAllIn(plan).toList
-    assert(exchanges.size <= 3,
+    assert(exchanges.size <= 2,
       s"etl_e2e plans ${exchanges.size} exchanges (${exchanges.mkString(", ")}):\n$plan")
     assert(!plan.contains("SortMergeJoin"),
       s"every e2e join must broadcast (rules + dict are tiny):\n$plan")

@@ -282,6 +282,15 @@ def main(sf_dir, out_dir):
         if bsql:
             bsrc = re.search(
                 r"read_parquet\('([^']*dd_cdfs[^']*)'\)", bsql).group(1)
+            # re-derive the H glob from the BRIDGE oracle itself: if it
+            # ever diverged from the articulation oracle's dd_h_edges
+            # path, substituting the articulation hglob would silently
+            # no-op and the forgery classes below would run against the
+            # real H — vacuous coverage that still prints PASS
+            bhm = re.search(r"read_parquet\('([^']*dd_h_edges[^']*)'\)", bsql)
+            assert bhm, "bridge oracle no longer reads dd_h_edges — " \
+                "the spanning-tree forgery class needs rewiring"
+            bhglob = bhm.group(1)
             bbase = pd.concat([pd.read_parquet(f)
                                for f in sorted(glob.glob(bsrc))]
                               ).sort_values("doc_id").reset_index(drop=True)
@@ -294,7 +303,8 @@ def main(sf_dir, out_dir):
                 if h_df is not None:
                     os.makedirs(f"{d}/h")
                     h_df.to_parquet(f"{d}/h/part.parquet", index=False)
-                    s = s.replace(hglob, f"{d}/h/*.parquet")
+                    assert bhglob in s, "H glob fell out of the bridge oracle"
+                    s = s.replace(bhglob, f"{d}/h/*.parquet")
                 out = ccon.execute(s).df()
                 pz = poisoned(out)
                 if name == "untampered":
