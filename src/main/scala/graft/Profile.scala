@@ -162,6 +162,22 @@ object Profile {
             SparkEntry.queries("q45_basket_pairs")(spark, d).count()
           }
         }
+      case "--ingest-scale" =>
+        // classification cost at file-count scale: <sfDir> is a
+        // statements root (tools/gen_statements.py <dir> <n_dates>).
+        // The round-17 claim under measurement: the 23-platform matrix
+        // compiles to a map-only when-chain, so ingest runs at scan
+        // speed with ZERO hash exchanges before the presentation sort —
+        // the old rules-join + priority window shuffled every file.
+        val df = operators.FundEtl.ingestFrom(spark, d)
+        val nEx = "Exchange hashpartitioning".r
+          .findAllIn(df.queryExecution.executedPlan.toString).size
+        (1 to 2).foreach { r =>
+          val t0 = System.nanoTime()
+          val n = df.count()
+          println(f"[profile] ingest-scale r$r files=$n " +
+            f"${(System.nanoTime() - t0) / 1e9}%.2f s hash_exchanges=$nEx")
+        }
       case "--stream-flagship" =>
         // per-batch cost of the streaming flagship (statementPipeline)
         // as its maintained indexes GROW: <sfDir> is a statements root
@@ -217,6 +233,40 @@ object Profile {
         val ta = timeQ("ann_incremental_adaptive")
         val tf = if (n <= 60000) f"${timeQ("ann_incremental")}%.2f s" else "skipped"
         println(f"[profile] ann-k-sweep n=$n k=$k adaptive=$ta%.2f s fixed16=$tf")
+      case "--walk-stages" =>
+        // stage decomposition of ann_graph_walk_adaptive (round 17 —
+        // the r16 sweep's slowest op at sf0.1): ASSIGN = three-level
+        // quantizer assignment of the whole corpus (materialized, as
+        // the op's localCheckpoint does), BUILD = within-list pair
+        // cosines + per-src TopK into the kNN graph, WALK = everything
+        // else (entry choice + the greedy descent's per-hop join
+        // rounds, each a driver-blocking localCheckpoint job)
+        val emb = sources.Tables.embeddings(spark, d)
+        val n = emb.count()
+        val k = operators.Similarity.annK(n)
+        val t0 = System.nanoTime()
+        val (_, _, fineAssign) =
+          operators.Similarity.threeLevelParts(spark, emb, k)
+        val assigned = fineAssign(emb, "vec_id", "embedding").localCheckpoint()
+        assigned.count()
+        val t1 = System.nanoTime()
+        val pairSims = assigned.as("a").join(assigned.as("b"),
+            col("a.cent_id") === col("b.cent_id") &&
+              col("a.vec_id") =!= col("b.vec_id"))
+          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+            graft.functions.VectorFunctions
+              .cosineSim(col("a.embedding"), col("b.embedding"))
+              .as("g_sim"))
+        graft.plans.TopK.perKey(pairSims, Seq("src"), "g_sim", "dst",
+            operators.Similarity.walkDegree)
+          .select(col("src"), col("dst")).localCheckpoint().count()
+        val t2 = System.nanoTime()
+        SparkEntry.queries("ann_graph_walk_adaptive")(spark, d).count()
+        val t3 = System.nanoTime()
+        println(f"[profile] walk-stages n=$n k=$k " +
+          f"assign=${(t1 - t0) / 1e9}%.2f s build=${(t2 - t1) / 1e9}%.2f s " +
+          f"full=${(t3 - t2) / 1e9}%.2f s " +
+          f"walk≈${((t3 - t2) - (t2 - t0)) / 1e9}%.2f s")
       case "--ann-occupancy" =>
         // fine-list occupancy census of the adaptive quantizer — the
         // scale driver of ann_graph_walk_adaptive's within-list build

@@ -65,6 +65,28 @@ object Dedup {
   val ddMinhashLsh: Q = (s, d) =>
     minhashPairs(s, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** §2.C round 17 — the SAMPLED near-dup pair audit (the r16
+    * verdict's optional ask #8, via the dd_containment_sampled
+    * playbook): the pair family's 1600× point is OUTPUT-bound — the
+    * co-bucketed collision join is exchange-free, but its ~7B emitted
+    * pairs exceed the box's disk the moment anything downstream
+    * sorts or materializes them. This op keeps the deterministic
+    * content-addressed 1-in-8 slice of the exact pair stream
+    * ([[pairSamplePredicate]], the shared portable integer hash); the
+    * filter evaluates inside the join's output stream BEFORE any
+    * exchange, so sort/shuffle/output volume is sample-bounded while
+    * the collision scan is unchanged. Pair-volume and quality
+    * estimates read off it with a ×8 scale-up — how a 100 TB near-dup
+    * audit actually runs past the point where materializing every
+    * pair stops being possible. The full operator stays registered as
+    * the exact oracle anchor; because the predicate is per-pair, the
+    * output is exactly the same hash slice of the full op's output
+    * (spec-pinned).
+    */
+  val ddMinhashLshSampled: Q = (s, d) =>
+    minhashPairs(s, d).filter(pairSamplePredicate(8))
+      .orderBy(col("doc_a"), col("doc_b"))
+
   /** Unsorted MinHash-LSH pair graph — shared by dd_minhash_lsh (which
     * adds the presentation sort) and dd_cluster (which doesn't need
     * one; a global sort in front of an iterative consumer is waste).
@@ -2213,6 +2235,7 @@ object Dedup {
     "dd_cluster_star" -> ddClusterStar,
     "dd_exact" -> ddExact,
     "dd_minhash_lsh" -> ddMinhashLsh,
+    "dd_minhash_lsh_sampled" -> ddMinhashLshSampled,
     "dd_lsh_stats" -> ddLshStats,
     "dd_cluster_stats" -> ddClusterStats,
     "dd_pair_quality" -> ddPairQuality,
@@ -2924,6 +2947,12 @@ object Dedup {
       |FROM t GROUP BY 1 ORDER BY 1""".stripMargin
 
   val oracles: Map[String, String] = baseOracles +
+    // the sampled pair stream is the same SQL slice of the full oracle
+    ("dd_minhash_lsh_sampled" ->
+      s"""WITH pairs AS (${baseOracles("dd_minhash_lsh")})
+        |SELECT doc_a, doc_b, est_jaccard FROM pairs
+        |WHERE ((((doc_a % 1000003) * 4099 + doc_b % 1000003) % 1000003) * 2654435761) % 1048576 < 131072
+        |ORDER BY doc_a, doc_b""".stripMargin) +
     ("dd_pair_quality" -> pairQualityOracle("")) +
     ("dd_pair_quality_sampled" -> pairQualityOracle(
       """WHERE ((((p.doc_a % 1000003) * 4099 + p.doc_b % 1000003) % 1000003) * 2654435761) % 1048576 < 131072"""))

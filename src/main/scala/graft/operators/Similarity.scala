@@ -561,6 +561,126 @@ object Similarity {
     require(kc <= km && km <= k,
       s"three-level quantizer needs kc² ≤ k (got k=$k, kc=$kc, km=$km) — " +
         "k must be ≥ 9; the annK/semanticK floor is 16")
+    // SMALL-CORPUS DRIVER ROUTE (round 17 — the CC driver-fast-path
+    // precedent): with k ≤ 64 (and n ≤ 8192, which annK's k = n/64
+    // implies) the WHOLE corpus collects in one tiny job, the driver
+    // computes every vector's per-level greedy assignment (~3·k^(1/3)
+    // exact-replica cosines each — microseconds total), and
+    // toMid/fineAssign become one broadcast hash-join lookup —
+    // where the distributed chain pays 3 broadcast-join+argmax
+    // exchange stages plus the cuts job REGARDLESS of corpus size. At
+    // sf0.1 (n=2000, k=32) that fixed stage overhead WAS the adaptive
+    // family's sf0.1 cost (measured: assignment 3.4 s of a 4.3 s
+    // ann_graph_walk_adaptive; the cosines are microseconds; walk
+    // warm floor 4.33 → 1.9 s, ann_incremental_adaptive 1.7 → 0.9 s).
+    // Semantics are IDENTICAL by construction — same rank-based
+    // centroid selection, same per-level greedy argmax, same (sim
+    // DESC, id ASC) tie-break, same CosineSimilarity arithmetic (the
+    // driver replicates its exact double recurrence) — and
+    // AdaptiveSpec pins driver-route == distributed bit-for-bit on a
+    // real corpus, so the oracle keeps covering both routes. Every
+    // scale-frontier corpus takes the distributed path unchanged.
+    val literalRows =
+      if (k <= literalRouteK)
+        emb.select(col("vec_id"), col("embedding"))
+          .limit(literalRouteMaxN + 1).collect()
+          .map(r => (r.getLong(0), r.getSeq[Float](1)))
+          .sortBy(_._1).toSeq
+      else Seq.empty
+    if (literalRows.nonEmpty && literalRows.size <= literalRouteMaxN)
+      threeLevelLiteral(s, literalRows, k, kc, km)
+    else threeLevelDistributed(s, emb, k, kc, km)
+  }
+
+  /** Route bounds for the small-corpus form of [[threeLevelParts]]:
+    * k ≤ 64 keeps the centroid tree tiny, and n ≤ 8192 keeps the whole
+    * corpus collectable (≤ 2 MB of floats) so the driver can
+    * precompute every vector's assignment. annK gives k = n/64, so
+    * k ≤ 64 normally implies n ≤ 4096; the explicit n bound guards
+    * callers that pass a small k against a large corpus.
+    */
+  private[graft] val literalRouteK = 64
+  private[graft] val literalRouteMaxN = 8192
+
+  /** Exact double replica of [[graft.functions.CosineSimilarity]]'s
+    * recurrence (same accumulation order) — the driver-side centroid
+    * grouping must tie-break identically to the executor expression.
+    */
+  private def exactCos(a: Seq[Float], b: Seq[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
+  }
+
+  /** The driver-computed small-corpus form: every corpus vector's
+    * per-level greedy assignment is computed ONCE on the driver (n ≤
+    * 8192 × ~3·k^(1/3) exact-replica cosines — microseconds) and
+    * exposed as a broadcast (vec_id → mid_id, cent_id) lookup, so
+    * toMid/fineAssign become one tiny broadcast hash join each. An
+    * earlier cut of this route compiled the greedy argmax into nested
+    * literal CASE expressions instead — semantically identical, but
+    * the ~100-cosine-node trees cost more CATALYST ANALYSIS per query
+    * construction than the whole corpus costs to assign (measured:
+    * ann_incremental_adaptive 1.7 → 2.3 s warm on the expression
+    * form). The lookup keys on vec_id, so inputs must be corpus
+    * subsets (every in-repo caller filters/projects the corpus frame);
+    * a non-corpus id fails LOUDLY via the raise_error coalesce rather
+    * than silently dropping or mis-assigning.
+    */
+  private def threeLevelLiteral(s: SparkSession,
+      rows: Seq[(Long, Seq[Float])], k: Int, kc: Int, km: Int)
+      : (DataFrame, (DataFrame, String, String) => DataFrame,
+         (DataFrame, String, String) => DataFrame) = {
+    import s.implicits._
+    val cents = rows.take(k)
+    val coarse = cents.take(kc)
+    val mids = cents.take(km)
+    def bestOf(cands: Seq[(Long, Seq[Float])], v: Seq[Float]): Long =
+      cands.maxBy { case (id, c) => (exactCos(v, c), -id) }._1
+    val midCoarse: Map[Long, Long] =
+      mids.map { case (id, v) => id -> bestOf(coarse, v) }.toMap
+    val midsByCoarse: Map[Long, Seq[(Long, Seq[Float])]] =
+      mids.groupBy(m => midCoarse(m._1)).map { case (p, g) => p -> g.sortBy(_._1) }
+    val fineMid: Seq[(Long, Seq[Float], Long)] = cents.map { case (id, v) =>
+      val c = bestOf(coarse, v)
+      (id, v, bestOf(midsByCoarse(c), v))
+    }
+    val finesByMid: Map[Long, Seq[(Long, Seq[Float])]] =
+      fineMid.groupBy(_._3)
+        .map { case (p, g) => p -> g.sortBy(_._1).map(f => (f._1, f._2)) }
+    // the full-corpus assignment, driver-computed with the same greedy
+    val assign: Seq[(Long, Long, Long)] = rows.map { case (id, v) =>
+      val c = bestOf(coarse, v)
+      val m = bestOf(midsByCoarse(c), v)
+      (id, m, bestOf(finesByMid(m), v))
+    }
+    val assignDf = broadcast(assign.toDF("__vid", "__mid", "__cent"))
+    def lookup(df: DataFrame, idCol: String, embCol: String,
+        src: String, out: String): DataFrame = df
+      .select(col(idCol), col(embCol))
+      .join(assignDf, col(idCol) === col("__vid"), "left")
+      .select(col(idCol), col(embCol),
+        coalesce(col(src), expr(
+          "raise_error('three-level literal route: input id not in the corpus')"))
+          .as(out))
+    def toMidL(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      lookup(df, idCol, embCol, "__mid", "mid_id")
+    def fineAssignL(df: DataFrame, idCol: String, embCol: String): DataFrame =
+      lookup(df, idCol, embCol, "__cent", "cent_id")
+    val fine = fineMid.toDF("cent_id", "c_emb", "mid_id")
+    (fine, toMidL _, fineAssignL _)
+  }
+
+  private[graft] def threeLevelDistributed(s: SparkSession, emb: DataFrame, k: Int,
+      kc: Int, km: Int)
+      : (DataFrame, (DataFrame, String, String) => DataFrame,
+         (DataFrame, String, String) => DataFrame) = {
+    import s.implicits._
     // RANK-BASED centroid selection (round 16): the kc/km/k LOWEST
     // vec_ids PRESENT, not the value prefix `vec_id < k` — a value
     // prefix silently degrades to min(k, |{id < k}|) centroids on any

@@ -180,6 +180,33 @@ class AdaptiveSpec extends SparkTestBase {
         "centroids — degraded to a value prefix on sparse ids")
   }
 
+  test("three-level literal route equals the distributed chain bit-for-bit") {
+    // round 17 size-routes k ≤ 64 corpora to a codegen'd-literal
+    // per-level-greedy assignment (zero exchanges); the DuckDB oracle
+    // covers whichever route the test SFs take, so THIS spec is what
+    // keeps the other route honest: both must produce the identical
+    // fine table and identical full-corpus assignment — same rank
+    // selection, same greedy argmax, same tie-breaks, same floats
+    import org.apache.spark.sql.functions.col
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val k = operators.Similarity.annK(emb.count())
+    assert(k <= operators.Similarity.literalRouteK,
+      s"harness corpus must exercise the literal route (k=$k)")
+    val kc = operators.Similarity.cubeRootCeil(k)
+    val (fineL, _, assignL) = operators.Similarity.threeLevelParts(spark, emb, k)
+    val (fineD, _, assignD) =
+      operators.Similarity.threeLevelDistributed(spark, emb, k, kc, kc * kc)
+    def fineSet(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("cent_id"), col("mid_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(fineSet(fineL) == fineSet(fineD), "fine centroid tables diverge")
+    def assignSet(f: (org.apache.spark.sql.DataFrame, String, String) => org.apache.spark.sql.DataFrame) =
+      f(emb, "vec_id", "embedding").select(col("vec_id"), col("cent_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(assignSet(assignL) == assignSet(assignD),
+      "literal and distributed assignments diverge")
+  }
+
   test("k-means sample is rank-based: sparse ids train the same centroids as dense ids") {
     // shift every vec_id by 100000 (snowflake/sharded id shape): the
     // old `vec_id < sampleN` VALUE prefix would sample ZERO rows and

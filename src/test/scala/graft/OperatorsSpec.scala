@@ -535,6 +535,25 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("dd_minhash_lsh_sampled is exactly the 1-in-8 hash slice of the full pair stream") {
+    // sf0.01, not the usual sf0.001: the smallest corpus has so few
+    // near-dup pairs that the 1-in-8 slice is legitimately empty there,
+    // which would make the strictness assertions below vacuous
+    val dir = "/root/testdata/sf0.01"
+    def pairSet(name: String) = SparkEntry.queries(name)(spark, dir)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val full = pairSet("dd_minhash_lsh")
+    val sampled = pairSet("dd_minhash_lsh_sampled")
+    // driver replay of the shared portable sampling hash
+    def keep(p: (Long, Long)): Boolean =
+      ((((p._1 % 1000003) * 4099 + p._2 % 1000003) % 1000003)
+        * 2654435761L) % 1048576 < 131072
+    assert(sampled == full.filter(keep),
+      s"sampled (${sampled.size}) is not the hash slice of full (${full.size})")
+    assert(sampled.nonEmpty && sampled.size < full.size,
+      "corpus must make the slice a strict non-empty subset or the op is vacuous")
+  }
+
   test("ann_brute_topk returns exactly k neighbors per query, ranked") {
     val rows = operators.Similarity.annBruteTopk(spark, sfDir).collect()
     val byQuery = rows.groupBy(_.getAs[Long]("query_id"))

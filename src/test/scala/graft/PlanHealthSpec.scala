@@ -112,21 +112,36 @@ class PlanHealthSpec extends SparkTestBase {
       s"dd_semantic self-join must key on cent_id (hash-family equi join):\n$plan")
     assert(!"BroadcastNestedLoopJoin.*LeftSemi".r.findFirstIn(plan).isDefined,
       s"dd_semantic self-join degenerated to a nested loop:\n$plan")
-    // the coarse-level assignment is the one legitimate nested loop (a
-    // bounded broadcast cross against the k^(1/3)-row coarse table)
+    // round 17: at harness SF the assignment takes the LITERAL route
+    // (one codegen'd CASE projection — no joins at all), so the whole
+    // dd_semantic plan must now be free of nested loops entirely
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"dd_semantic literal-route assignment should plan no nested loop:\n$plan")
+  }
+
+  test("three-level DISTRIBUTED assignment: coarse broadcasts, mid/fine equi-join") {
+    // the scale-path kernel's plan shape, audited directly (harness-SF
+    // operators route to the literal form, so this is the only place
+    // the distributed chain's joins stay pinned): the coarse level is
+    // the one legitimate bounded nested loop (broadcast cross against
+    // the k^(1/3)-row coarse table); mid and fine must equi-join on
+    // coarse_id / mid_id — a cross at either level is the n·k flat
+    // assignment the three-level quantizer exists to avoid
+    val emb = sources.Tables.embeddings(spark, sfDir)
+    val k = operators.Similarity.annK(emb.count())
+    val kc = operators.Similarity.cubeRootCeil(k)
+    val (_, _, assignD) =
+      operators.Similarity.threeLevelDistributed(spark, emb, k, kc, kc * kc)
+    val plan = assignD(emb, "vec_id", "embedding")
+      .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"dd_semantic coarse assignment must broadcast:\n$plan")
-    // the mid and fine levels must equi-join on coarse_id / mid_id
-    // (hash family — broadcast at harness SF, co-partitioned at
-    // scale), never cross the full centroid tables: a cross at either
-    // level is the n·k flat assignment the three-level quantizer
-    // exists to avoid
+      s"coarse assignment must broadcast:\n$plan")
     assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[coarse_id".r
         .findFirstIn(plan).isDefined,
-      s"dd_semantic mid assignment must equi-join on coarse_id:\n$plan")
+      s"mid assignment must equi-join on coarse_id:\n$plan")
     assert("(BroadcastHashJoin|ShuffledHashJoin|SortMergeJoin) \\[mid_id".r
         .findFirstIn(plan).isDefined,
-      s"dd_semantic fine assignment must equi-join on mid_id:\n$plan")
+      s"fine assignment must equi-join on mid_id:\n$plan")
   }
 
   test("tx_decontaminate_bloom: the bloom gate filters BELOW the shingle join") {
