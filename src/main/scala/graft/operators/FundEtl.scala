@@ -64,7 +64,13 @@ object FundEtl {
   private[graft] final case class PlatformRule(platform: String,
       clauses: Seq[Seq[SigLit]], nameLabel: String, codeLabel: String,
       amountLabel: String, sharesLabel: String, feeLabel: String,
-      dateLabel: String)
+      dateLabel: String,
+      // record-start marker for MULTI-RECORD statements ("" = one
+      // record per file). The reference's yingmi/liantai extractors
+      // return LISTS — one tuple per 交易序号 / 交易信息 block
+      // (purchase_confirm_extractor.py:173-271 / :660-726); the
+      // marker drives etl_multi_record's per-block explode.
+      recMarker: String = "")
 
   /** The full 23-platform signature + label matrix, one row per
     * reference platform in the reference's elif order. Filename
@@ -165,14 +171,15 @@ object FundEtl {
     // :1484 (evaluated LAST in the elif chain, :1566) — 盈米 in
     // filename OR lines[:3]
     PlatformRule("yingmi", Seq(Seq(F("yingmi")), Seq(C(0, 3, "盈米"))),
-      "产品名称", "基金代码", "交易金额", "确认份额", "手续费", "确认日期"),
+      "产品名称", "基金代码", "交易金额", "确认份额", "手续费", "确认日期",
+      recMarker = "交易序号"), // multi-record (:173-271)
     // :1490 (evaluated LAST, :1568) — (北极星 in filename OR 联泰 in
     // lines[:2]) AND 申购 in lines[:20]
     PlatformRule("liantai", Seq(
       Seq(F("beijixing"), C(0, 20, "申购")), // 北极星
       Seq(C(0, 2, "联泰"), C(0, 20, "申购"))),
       "投资账户", "基金代码", "确认金额（元）", "确认份额（份）", "手续费（元）",
-      "确认日期"))
+      "确认日期", recMarker = "交易信息")) // multi-record (:660-726)
 
   /** Business-type routing rules, ordered, first match wins — the
     * reference's filename exclusion algebra
@@ -844,9 +851,10 @@ object FundEtl {
     import s.implicits._
     val labels = platformMatrix
       .map(r => (r.platform, r.nameLabel, r.codeLabel, r.amountLabel,
-        r.sharesLabel, r.feeLabel, r.dateLabel))
+        r.sharesLabel, r.feeLabel, r.dateLabel,
+        if (r.recMarker.isEmpty) null else r.recMarker))
       .toDF("platform", "name_label", "code_label", "amount_label",
-        "shares_label", "fee_label", "date_label")
+        "shares_label", "fee_label", "date_label", "rec_marker")
     files.withColumn("platform", platformCol)
       .join(broadcast(labels), Seq("platform"), "left")
   }
@@ -1018,6 +1026,48 @@ object FundEtl {
     extractStatementFields(s, classifyStatements(s, files),
       extra = Seq("xlsx_ok", "content"))
       .orderBy(col("file_name"))
+  }
+
+  /** MULTI-RECORD statement extraction — the reference's yingmi and
+    * liantai extractors return LISTS, one tuple per 交易序号 /
+    * 交易信息 block (`purchase_confirm_extractor.py:173-271` /
+    * `:660-726`: find the record-start lines, extract each block's
+    * fields with a bounded lookahead, keep records with a fund code
+    * and an amount-or-shares, `:252-256`). Spark-first shape: the
+    * record marker is rule DATA (PlatformRule.recMarker — adding a
+    * multi-record platform is editing its row), one posexplode over
+    * the marker-split content gives (rec_no, segment), each segment
+    * extracts with the platform's label regexes, and the reference's
+    * record-validity rule filters — map-only over the scan, zero
+    * exchanges before the presentation sort. Single-record platforms
+    * carry a NULL marker and contribute nothing; a single-marker file
+    * legitimately yields one record.
+    */
+  val etlMultiRecord: Q = (s, _) => {
+    classifyStatements(s, loadStatements(s, statementsDir))
+      .filter(col("rec_marker").isNotNull)
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(coalesce(name_label, '产品名称'), '：(.+)'), 1), '')"))
+      .select(col("file_name"), col("platform"), col("product_name"),
+        col("code_label"), col("amount_label"), col("shares_label"),
+        col("fee_label"),
+        posexplode(expr("split(content, rec_marker)")).as(Seq("rec_no", "seg")))
+      .filter(col("rec_no") >= 1)
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(seg, concat(code_label, '：([0-9]{6})'), 1), '')"))
+      .withColumn("amount", expr(
+        "cast(replace(nullif(regexp_extract(seg, concat(amount_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("shares", expr(
+        "cast(replace(nullif(regexp_extract(seg, concat(shares_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("fee", expr(
+        "cast(replace(nullif(regexp_extract(seg, concat(fee_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      // the reference's record-validity rule (:252-256)
+      .filter(col("fund_code").isNotNull &&
+        (col("amount").isNotNull || col("shares").isNotNull))
+      .select(col("file_name"), col("platform"),
+        col("rec_no").cast("long").as("rec_no"), col("product_name"),
+        col("fund_code"), col("amount"), col("shares"), col("fee"))
+      .orderBy(col("file_name"), col("rec_no"))
   }
 
   private[graft] val statementsOcrDir = "/root/repo/data/statements_ocr"
@@ -1381,6 +1431,7 @@ object FundEtl {
     "etl_avro_ingest" -> etlAvroIngest,
     "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
+    "etl_multi_record" -> etlMultiRecord,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
     "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
@@ -1487,7 +1538,8 @@ object FundEtl {
 
   private def labelsValuesSql: String = platformMatrix
     .map(r => s"('${r.platform}', '${r.nameLabel}', '${r.codeLabel}', " +
-      s"'${r.amountLabel}', '${r.sharesLabel}', '${r.feeLabel}', '${r.dateLabel}')")
+      s"'${r.amountLabel}', '${r.sharesLabel}', '${r.feeLabel}', '${r.dateLabel}', " +
+      (if (r.recMarker.isEmpty) "NULL" else s"'${r.recMarker}'") + ")")
     .mkString(",\n    ")
 
   private def dictValuesSql: String = productLedger
@@ -1508,7 +1560,7 @@ object FundEtl {
   private def ingestOracleCtes(filesCte: String, extra: Seq[String]): String = {
     val extraPass = extra.map(", " + _).mkString
     val extraSel = extra.map(c => s", e.$c").mkString
-    s"""rules(platform, name_label, code_label, amount_label, shares_label, fee_label, date_label) AS (
+    s"""rules(platform, name_label, code_label, amount_label, shares_label, fee_label, date_label, rec_marker) AS (
        |  VALUES $labelsValuesSql),
        |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
        |$filesCte,
@@ -1518,7 +1570,7 @@ object FundEtl {
        |  FROM files f),
        |labeled AS (
        |  SELECT c.*, r.name_label, r.code_label, r.amount_label,
-       |    r.shares_label, r.fee_label, r.date_label
+       |    r.shares_label, r.fee_label, r.date_label, r.rec_marker
        |  FROM classified c LEFT JOIN rules r ON c.platform = r.platform),
        |extracted AS (
        |  SELECT file_name, batch_date, platform,
@@ -1649,6 +1701,36 @@ object FundEtl {
          |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
          |    content
          |  FROM read_text('$statementsDir/*/*.txt'))""".stripMargin),
+    // multi-record extraction: same classified/labeled CTEs, then the
+    // per-block explode + label extraction + record-validity rule —
+    // rendered from the same matrix (rec_marker is a rule column)
+    "etl_multi_record" ->
+      s"""WITH ${ingestOracleCtes(
+        s"""files AS (
+           |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+           |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+           |    content
+           |  FROM read_text('$statementsDir/*/*.txt'))""".stripMargin, Nil)},
+        |recs AS (
+        |  SELECT file_name, platform,
+        |    nullif(regexp_extract(content, coalesce(name_label, '产品名称') || '：(.+)', 1), '') AS product_name,
+        |    code_label, amount_label, shares_label, fee_label,
+        |    unnest(list_transform(regexp_split_to_array(content, rec_marker),
+        |      (x, i) -> struct_pack(rec_no := i - 1, seg := x))) AS u
+        |  FROM labeled WHERE rec_marker IS NOT NULL),
+        |ex AS (
+        |  SELECT file_name, platform, CAST(u.rec_no AS BIGINT) AS rec_no,
+        |    product_name,
+        |    nullif(regexp_extract(u.seg, code_label || '：([0-9]{6})', 1), '') AS fund_code,
+        |    CAST(replace(nullif(regexp_extract(u.seg, amount_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
+        |    CAST(replace(nullif(regexp_extract(u.seg, shares_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
+        |    CAST(replace(nullif(regexp_extract(u.seg, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS fee
+        |  FROM recs WHERE u.rec_no >= 1)
+        |SELECT file_name, platform, rec_no, product_name, fund_code,
+        |  amount, shares, fee
+        |FROM ex
+        |WHERE fund_code IS NOT NULL AND (amount IS NOT NULL OR shares IS NOT NULL)
+        |ORDER BY file_name, rec_no""".stripMargin,
     "etl_ocr_route" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

@@ -252,8 +252,8 @@ class OperatorsSpec extends SparkTestBase {
 
   test("etl_ingest_files: classification, exclusion order, defect flags") {
     val rows = operators.FundEtl.etlIngestFiles(spark, sfDir).collect()
-    // 50 v1 files + 34 round-17 matrix files (tools/gen_statements.py)
-    assert(rows.length == 84)
+    // 50 v1 files + 36 round-17 matrix/multi-record files
+    assert(rows.length == 86)
     val byName = rows.map(r => r.getAs[String]("file_name") -> r).toMap
     // 申购确认 must not fall through to 申购 (reference exclusion rule)
     assert(byName("haomai_shengouqueren_20240115.txt").getAs[String]("biz_type") == "CONF")
@@ -266,7 +266,7 @@ class OperatorsSpec extends SparkTestBase {
     // per-platform labels drive extraction: every file yields an amount
     // except the one UNKNOWN reject whose template uses a non-default
     // amount label (stmt_tt_zhuanhuan: 成交金额 with NULL labels)
-    assert(rows.count(_.getAs[java.lang.Double]("amount") != null) == 83)
+    assert(rows.count(_.getAs[java.lang.Double]("amount") != null) == 85)
     // all dates normalized to yyyyMMdd regardless of platform format
     assert(rows.forall { r =>
       val t = r.getAs[String]("trade_date"); t == null || t.matches("[0-9]{8}")

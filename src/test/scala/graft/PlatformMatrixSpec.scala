@@ -126,6 +126,34 @@ class PlatformMatrixSpec extends SparkTestBase {
         r.getAs[String]("file_name") == "haomai_shuhui_nocode_20240116.txt"))
   }
 
+  test("etl_multi_record explodes marker blocks and applies the record-validity rule") {
+    val recs = operators.FundEtl.etlMultiRecord(spark, sfDir).collect()
+      .groupBy(r => r.getAs[String]("file_name"))
+    // liantai multi: 3 交易信息 blocks; block 2 has no 基金代码 → the
+    // reference's fund_code-and-(amount-or-shares) rule drops it
+    val lt = recs("stmt_lt2_shengou_20240115.txt")
+      .map(r => (r.getAs[Long]("rec_no"), r.getAs[String]("fund_code"),
+        r.getAs[Double]("amount"))).sortBy(_._1)
+    assert(lt.toSeq == Seq((1L, "000222", 20000.0), (3L, "000333", 40000.0)),
+      s"liantai multi records wrong: ${lt.toSeq}")
+    // yingmi multi: 2 交易序号 blocks, both valid
+    val ym = recs("yingmi2_shengou_20240116.txt")
+      .map(r => (r.getAs[Long]("rec_no"), r.getAs[String]("fund_code"),
+        r.getAs[Double]("amount"), r.getAs[Double]("fee"))).sortBy(_._1)
+    assert(ym.toSeq == Seq((1L, "000444", 10000.0, 15.0),
+      (2L, "000555", 12500.0, 18.75)), s"yingmi multi records wrong: ${ym.toSeq}")
+    // single-marker liantai files yield exactly one record each
+    assert(recs("stmt_lt_shengou_20240115.txt").length == 1)
+    assert(recs("ningbobeijixing_shengou_20240116.txt").length == 1)
+    // product name comes from the file header via the platform's label
+    assert(recs("stmt_lt2_shengou_20240115.txt")
+      .forall(_.getAs[String]("product_name") != null))
+    // single-record platforms contribute nothing
+    assert(recs.keys.forall(f => f.contains("lt") || f.contains("yingmi")
+      || f.contains("beijixing")),
+      s"unexpected multi-record files: ${recs.keys}")
+  }
+
   test("classification is one map-only when-chain + broadcast label join: no window shuffle") {
     val plan = operators.FundEtl.etlIngestFiles(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -276,6 +276,27 @@ NEW_FILES = [
         "【好买基金】交易确认单", "产品名称：{product}", "基金代码：{code}",
         "业务类型：基金转换", "确认金额：{amount}", "确认份额：{shares}",
         "手续费：{fee}", "确认日期：{date}"], "iso"),
+    # MULTI-RECORD statements (the reference's yingmi/liantai
+    # extractors return record LISTS, purchase_confirm_extractor.py
+    # :173-271/:660-726). Values are literals so the spec can pin
+    # them; record 2 of the liantai file deliberately lacks 基金代码 —
+    # the reference's record-validity rule must drop it.
+    ("20240115", "stmt_lt2_shengou_20240115.txt", [
+        "联泰基金销售平台交易确认单", "投资账户：{product}", "业务类型：申购",
+        "交易信息（1/3）", "基金代码：000222", "确认金额（元）：20,000.00",
+        "确认份额（份）：15,000.00", "手续费（元）：30.00",
+        "交易信息（2/3）", "确认金额（元）：7,500.00",
+        "确认份额（份）：5,000.00", "手续费（元）：11.25",
+        "交易信息（3/3）", "基金代码：000333", "确认金额（元）：40,000.00",
+        "确认份额（份）：30,000.00", "手续费（元）：60.00",
+        "确认日期：{date}"], "iso"),
+    ("20240116", "yingmi2_shengou_20240116.txt", [
+        "盈米财富基金对账单", "产品名称：{product}",
+        "交易序号：1 交易类型：申购", "基金代码：000444",
+        "交易金额：10,000.00", "确认份额：6,000.00", "手续费：15.00",
+        "交易序号：2 交易类型：申购", "基金代码：000555",
+        "交易金额：12,500.00", "确认份额：7,500.00", "手续费：18.75",
+        "确认日期：{date}"], "iso"),
 ]
 
 
