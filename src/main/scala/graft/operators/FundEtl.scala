@@ -206,6 +206,152 @@ object FundEtl {
     ("shuhui", Nil, "RED"), // 赎回
     ("fenhong", Nil, "DIV")) // 分红
 
+  /** One row of the REDEMPTION platform matrix — the reference's
+    * redemption extractor carries its OWN signature chain and label
+    * set next to the purchase-confirm one
+    * (`redemption_extractor.py:1223-1290` signatures, `:35-1160`
+    * extractors): is_jd keys on 赎回确认 where the confirm chain keys
+    * on 申购确认, liantai/ronglianchuang scope 赎回 instead of 申购,
+    * and nearly every platform disagrees with its confirm twin on the
+    * name label (账户名称/账户户名/投资者信息/来款账号名称/...). On
+    * top of [[PlatformRule]]'s shape this adds the reference's DATE
+    * MODES and defaults as data:
+    *   - dateMode "hyphen": label：yyyy-MM-dd, hyphens stripped
+    *     (`:66-71`); "plain8": label：yyyyMMdd (`:199-201`);
+    *     "nextline": the 8-digit date is on the line AFTER the label
+    *     (tiantian, `:120-126`); "tplus": T+n arithmetic from the run
+    *     date with a direct-date alternate (pingan, `:663-686`);
+    *     "today": no date in the statement at all — always the run
+    *     date (`:585-598` wangjin et al).
+    *   - dateFallback: label found nothing → run date (haomai
+    *     `:70-72`) vs empty (jd `:254`) — per-platform variance.
+    *   - feeDefault: missing fee extracts as 0.00 (wangjin `:585`,
+    *     panying `:1085-1087`, liantai `:849`) vs NULL.
+    *   - recMarker/recValidity: multi-record platforms and their
+    *     per-record validity rule — yingmi keeps code∧(amount∨shares)
+    *     (`:296-300`), liantai the stricter code∧amount (`:919-920`),
+    *     tengyuan code alone (`:833`).
+    *   - sectionMarker: extraction scoped to the text from the marker
+    *     on (jd super-conversion forced redemption, `:388-395`); a
+    *     file without the marker extracts nothing.
+    */
+  private[graft] final case class RedeemRule(platform: String,
+      clauses: Seq[Seq[SigLit]], nameLabel: String, codeLabel: String,
+      amountLabel: String, sharesLabel: String, feeLabel: String,
+      dateLabel: String, dateMode: String, dateFallback: Boolean,
+      feeDefault: Boolean = false, recMarker: String = "",
+      recValidity: String = "", sectionMarker: String = "")
+
+  /** The redemption extractor's 17-platform matrix in the reference's
+    * elif order (`redemption_extractor.py:1240-1290` — jd_conversion
+    * is defined early but evaluated LAST, `:1286-1290`).
+    */
+  private[graft] val redemptionMatrix: Seq[RedeemRule] = Seq(
+    // :1223 — 好买基金 in lines[:2] ∧ ¬转换
+    RedeemRule("haomai", Seq(Seq(C(0, 2, "好买基金"), not(C("转换")))),
+      "账户名称", "产品代码", "确认金额", "确认份额", "手续费",
+      "预计到账日", "hyphen", dateFallback = true),
+    // :1224 — (天天基金 in file OR lines[3:]) ∧ ¬转换; date on NEXT line
+    RedeemRule("tiantian", Seq(
+      Seq(F("tiantian"), not(C("转换"))),
+      Seq(C(3, -1, "天天基金"), not(C("转换")))),
+      "账户户名", "基金代码", "确认金额", "确认份额", "确认费用",
+      "预计赎回到账", "nextline", dateFallback = true),
+    // :1225 — 利得基金 in lines[3:]; empty-date fallback (:158-165)
+    RedeemRule("lide", Seq(Seq(C(3, -1, "利得基金"))),
+      "投资者姓名/名称", "基金代码", "确认金额（元）", "确认份额（份）",
+      "交易费用（元）", "预计到账日期", "hyphen", dateFallback = false),
+    // :1226 — 长量基金 in lines[:2]; the date is already yyyyMMdd
+    RedeemRule("changliang", Seq(Seq(C(0, 2, "长量基金"))),
+      "投资者名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "预计赎回款到账日", "plain8", dateFallback = false),
+    // :1228 — 交e通 in filename OR 交通银行 in lines[:2]; fee=赎回手续费
+    RedeemRule("jiaohang", Seq(Seq(F("jiaoetong")), Seq(C(0, 2, "交通银行"))),
+      "投资者信息", "产品代码", "确认金额", "确认份额", "赎回手续费",
+      "确认日期", "plain8", dateFallback = false),
+    // :1230 — 肯特瑞 ∧ 赎回确认, both in lines[:2] (the confirm chain
+    // keys on 申购确认 here)
+    RedeemRule("jingdong", Seq(Seq(C(0, 2, "肯特瑞"), C(0, 2, "赎回确认"))),
+      "客户名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "预计到账日", "hyphen", dateFallback = false),
+    // :1231 — 网金 in filename OR 网金基金 in lines[5:]; shares=赎回份额,
+    // fee default 0.00 (:585-598), no date in the statement
+    RedeemRule("wangjin", Seq(Seq(F("wangjin")), Seq(C(5, -1, "网金基金"))),
+      "投资者名称", "基金代码", "确认金额", "赎回份额", "费开户",
+      "", "today", dateFallback = true, feeDefault = true),
+    // :1232 — 行E通 in lines[5:]; T+n date with direct-date alternate
+    RedeemRule("pingan", Seq(Seq(C(5, -1, "行E通"))),
+      "账户名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "赎回最快到账日", "tplus", dateFallback = true),
+    // :1233 — 建行 in filename OR spaced 客 户 名 称 anywhere
+    RedeemRule("jianhang", Seq(Seq(F("jianhang")), Seq(C("客 户 名 称"))),
+      "客 户 名 称", "基 金 代 码", "确 认 金 额", "确 认 份 额",
+      "手 续 费", "", "today", dateFallback = true),
+    // :1235 — (江苏银行 in filename OR 融联创 in lines[:2]) ∧ 赎回 in
+    // lines[:5] (the confirm chain scopes 申购 here)
+    RedeemRule("ronglianchuang", Seq(
+      Seq(F("jiangsuyinhang"), C(0, 5, "赎回")),
+      Seq(C(0, 2, "融联创"), C(0, 5, "赎回"))),
+      "来款账号名称", "产品代码", "确认金额", "确认份额", "手续费",
+      "", "today", dateFallback = true),
+    // :1236 — 民生同业e+ in filename OR 同业e+ in lines[2:]
+    RedeemRule("minsheng", Seq(Seq(F("minshengtongye")), Seq(C(2, -1, "同业e+"))),
+      "客户名称", "产品代码", "确认金额（元）", "确认份额（份）",
+      "手续费（元）", "", "today", dateFallback = true),
+    // :1237 — 攀赢 in filename OR lines[:2]; fee default 0.00
+    RedeemRule("panying", Seq(Seq(F("panying")), Seq(C(0, 2, "攀赢"))),
+      "客户名称", "产品代码", "确认金额", "确认份额", "手续费",
+      "", "today", dateFallback = true, feeDefault = true),
+    // :1227 (evaluated at :1278) — 盈米 in filename OR lines[:3];
+    // multi-record on 交易序号, per-record date, or-validity (:296-300)
+    RedeemRule("yingmi", Seq(Seq(F("yingmi")), Seq(C(0, 3, "盈米"))),
+      "投资者名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "到账日期", "hyphen", dateFallback = false,
+      recMarker = "交易序号", recValidity = "code_any"),
+    // :1234 (evaluated at :1280) — (北极星 in filename OR 联泰 in
+    // lines[:2]) ∧ 赎回 in lines[:15]; multi-record on 交易信息,
+    // fee default 0.00, strict code∧amount validity (:919-920)
+    RedeemRule("liantai", Seq(
+      Seq(F("beijixing"), C(0, 15, "赎回")),
+      Seq(C(0, 2, "联泰"), C(0, 15, "赎回"))),
+      "投资账户", "基金代码", "确认金额（元）", "确认份额（份）",
+      "手续费（元）", "预计到账日期", "hyphen", dateFallback = false,
+      feeDefault = true, recMarker = "交易信息", recValidity = "code_amount"),
+    // :1231' (evaluated at :1282) — 腾元 in filename OR 腾元基金 in
+    // lines[5:]; multi-record on 业务类型：赎回确认, code-only validity
+    RedeemRule("tengyuan", Seq(Seq(F("tengyuan")), Seq(C(5, -1, "腾元基金"))),
+      "客户名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "", "today", dateFallback = true,
+      recMarker = "业务类型：赎回确认", recValidity = "code"),
+    // :1239 (evaluated at :1284) — 证达通 ∧ 赎回确认ANYWHERE; the
+    // positional summary-table platform (etl_redeem_rows)
+    RedeemRule("zhengdatong", Seq(Seq(C("证达通"), C("赎回确认"))),
+      "投资者名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "", "today", dateFallback = true),
+    // :1229 (evaluated LAST, :1286) — 肯特瑞 ∧ 转换, filename or
+    // lines[:2]; extraction scoped to the 强行赎回确认 section
+    RedeemRule("jd_conversion", Seq(
+      Seq(F("kenteri"), F("zhuanhuan")),
+      Seq(C(0, 2, "肯特瑞"), C(0, 2, "转换"))),
+      "客户名称", "基金代码", "确认金额", "确认份额", "手续费",
+      "预计到账日", "hyphen", dateFallback = false,
+      sectionMarker = "强行赎回确认"))
+
+  /** The redemption walk's exclusion algebra
+    * (`redemption_extractor.py:1191-1203`): 强行调 / 调增 / 分红方式
+    * files are skipped, and 申购-in-filename is skipped UNLESS the file
+    * is 江苏银行 / 融联创 — the exact mirror of the confirm chain's
+    * 赎回 exception. Everything else in a redemption folder IS a
+    * redemption confirm, so the chain's default is RED, not OTH.
+    */
+  private[graft] val redeemBizRules: Seq[(String, Seq[String], String)] = Seq(
+    ("qiangxingtiao", Nil, "EXCL_FORCE_ADJ"), // 强行调
+    ("tiaozeng", Nil, "EXCL_ADJ_UP"), // 调增
+    ("fenhongfangshi", Nil, "EXCL_DIV_METHOD"), // 分红方式
+    // 申购 kept as a redemption confirm only for 江苏银行 / 融联创
+    ("shengou", Seq("jiangsuyinhang", "ronglianchuang"), "RED"),
+    ("shengou", Nil, "EXCL_SUB"))
+
   /** product_codes.json analog: product name → ledger id (two corpus
     * products deliberately unmapped to exercise the miss path).
     */
@@ -812,32 +958,50 @@ object FundEtl {
     * shape cost a row_number window — a full shuffle on file_name —
     * per ingest; the compiled chain costs zero exchanges.)
     */
-  private[graft] def platformCol: org.apache.spark.sql.Column = {
-    def pred(r: PlatformRule) =
-      r.clauses.map(_.map(litCol).reduce(_ && _)).reduce(_ || _)
-    platformMatrix.tail
-      .foldLeft(when(pred(platformMatrix.head), platformMatrix.head.platform)) {
-        (acc, r) => acc.when(pred(r), r.platform)
+  private def matrixChain(rows: Seq[(String, Seq[Seq[SigLit]])]): org.apache.spark.sql.Column = {
+    def pred(cl: Seq[Seq[SigLit]]) =
+      cl.map(_.map(litCol).reduce(_ && _)).reduce(_ || _)
+    rows.tail
+      .foldLeft(when(pred(rows.head._2), rows.head._1)) {
+        (acc, r) => acc.when(pred(r._2), r._1)
       }
       .otherwise(lit(null).cast("string"))
   }
 
-  /** First-match-wins biz-type routing compiled from [[bizRules]] the
-    * same way (exclusion rows first, exception conjuncts as extra
-    * filename literals).
+  private[graft] def platformCol: org.apache.spark.sql.Column =
+    matrixChain(platformMatrix.map(r => (r.platform, r.clauses)))
+
+  /** The redemption chain compiled the same way from
+    * [[redemptionMatrix]] — same machinery, different rule DATA.
     */
-  private[graft] def bizTypeCol: org.apache.spark.sql.Column = {
+  private[graft] def redeemPlatformCol: org.apache.spark.sql.Column =
+    matrixChain(redemptionMatrix.map(r => (r.platform, r.clauses)))
+
+  /** First-match-wins filename routing compiled from ordered
+    * (keyword, keep-only-if-any-of, class) rows — exclusion rows
+    * first, exception conjuncts as extra filename literals. The
+    * confirm chain defaults to OTH; the redemption chain to RED
+    * (everything left in a redemption folder IS a redemption).
+    */
+  private def bizChain(rules: Seq[(String, Seq[String], String)],
+      default: String): org.apache.spark.sql.Column = {
     def pred(r: (String, Seq[String], String)) = {
       val kw = col("file_name").contains(lit(r._1))
       if (r._2.isEmpty) kw
       else kw && r._2.map(k => col("file_name").contains(lit(k))).reduce(_ || _)
     }
-    bizRules.tail
-      .foldLeft(when(pred(bizRules.head), bizRules.head._3)) { (acc, r) =>
+    rules.tail
+      .foldLeft(when(pred(rules.head), rules.head._3)) { (acc, r) =>
         acc.when(pred(r), r._3)
       }
-      .otherwise(lit("OTH"))
+      .otherwise(lit(default))
   }
+
+  private[graft] def bizTypeCol: org.apache.spark.sql.Column =
+    bizChain(bizRules, "OTH")
+
+  private[graft] def redeemBizCol: org.apache.spark.sql.Column =
+    bizChain(redeemBizRules, "RED")
 
   /** Signature classification: the compiled matrix predicate assigns
     * the platform; the per-platform field LABELS (name/code/amount/
@@ -1068,6 +1232,199 @@ object FundEtl {
         col("rec_no").cast("long").as("rec_no"), col("product_name"),
         col("fund_code"), col("amount"), col("shares"), col("fee"))
       .orderBy(col("file_name"), col("rec_no"))
+  }
+
+  private[graft] val redemptionsDir = "/root/repo/data/redemptions"
+
+  /** Redemption classification: the compiled [[redemptionMatrix]]
+    * chain assigns the platform; the per-platform labels, date mode,
+    * fallback/default flags, record marker/validity and section
+    * marker ride in by broadcast join against the 17-row relation —
+    * the redemption mirror of [[classifyStatements]].
+    */
+  private[graft] def classifyRedemptions(s: SparkSession, files: DataFrame): DataFrame = {
+    import s.implicits._
+    val labels = redemptionMatrix
+      .map(r => (r.platform, r.nameLabel, r.codeLabel, r.amountLabel,
+        r.sharesLabel, r.feeLabel,
+        if (r.dateLabel.isEmpty) null else r.dateLabel,
+        r.dateMode, r.dateFallback, r.feeDefault,
+        if (r.recMarker.isEmpty) null else r.recMarker,
+        if (r.recValidity.isEmpty) null else r.recValidity,
+        if (r.sectionMarker.isEmpty) null else r.sectionMarker))
+      .toDF("platform", "name_label", "code_label", "amount_label",
+        "shares_label", "fee_label", "date_label", "date_mode",
+        "date_fb", "fee_def", "rec_marker", "rec_validity",
+        "section_marker")
+    files.withColumn("platform", redeemPlatformCol)
+      .join(broadcast(labels), Seq("platform"), "left")
+  }
+
+  /** The five redemption date modes compiled into ONE expression over
+    * the given text column — the mode is rule data, so the whole CASE
+    * stays a codegen'd map-only projection. tplus composes the T+n
+    * arithmetic with the direct-date alternate exactly like the
+    * reference (`redemption_extractor.py:663-686`); the final
+    * coalesce applies the per-platform run-date-vs-empty fallback.
+    */
+  private def redeemDateExpr(src: String): org.apache.spark.sql.Column = {
+    val hyphen = s"replace(nullif(regexp_extract($src, concat(date_label, '：([0-9]{4}-[0-9]{2}-[0-9]{2})'), 1), ''), '-', '')"
+    val plain8 = s"nullif(regexp_extract($src, concat(date_label, '：([0-9]{8})'), 1), '')"
+    val nextline = s"nullif(regexp_extract($src, concat(date_label, '[^\\n]*\\n([0-9]{8})'), 1), '')"
+    val tplusN = s"nullif(regexp_extract($src, concat(date_label, '：T[+]([0-9]+)'), 1), '')"
+    expr(s"""coalesce(CASE date_mode
+      WHEN 'hyphen' THEN $hyphen
+      WHEN 'plain8' THEN $plain8
+      WHEN 'nextline' THEN $nextline
+      WHEN 'tplus' THEN coalesce(
+        date_format(date_add(to_date(batch_date, 'yyyyMMdd'), CAST($tplusN AS INT) - 1), 'yyyyMMdd'),
+        $hyphen)
+      END, IF(date_fb, batch_date, CAST(NULL AS STRING)))""")
+  }
+
+  /** REDEMPTION-STATEMENT ingest — the reference's second front door
+    * (`redemption_extractor.py:1165-1339` in one operator): walk the
+    * dated redemption folders, apply the walk-level exclusion algebra
+    * (强行调/调增/分红方式 out; 申购 out unless 江苏银行/融联创 —
+    * the mirror of the confirm chain's 赎回 exception), classify by
+    * the redemption signature chain, extract with the per-platform
+    * labels/date modes/fee defaults, scope jd super-conversion files
+    * to their 强行赎回确认 section, enrich via the product dict, and
+    * emit the reference's redemption master constants (交易市场=
+    * 国内银行间, 业务类别=基金赎回确认, `:1303-1317`). Same 100 TB
+    * shape as etl_ingest_files: binaryFile scan, compiled map-only
+    * when-chain classification (zero exchanges), one broadcast label
+    * join, one broadcast dict join, codegen'd regex extraction.
+    * Excluded files surface as EXCL_* rows, never silently dropped.
+    */
+  val etlRedeemIngest: Q = (s, _) => {
+    import s.implicits._
+    val dict = productLedger.toDF("p_name", "ledger_id")
+    classifyRedemptions(s, loadStatements(s, redemptionsDir))
+      .withColumn("biz_type", redeemBizCol)
+      .withColumn("xcontent", expr(
+        """CASE WHEN section_marker IS NULL THEN content
+          |     WHEN instr(content, section_marker) > 0
+          |       THEN substring(content, instr(content, section_marker))
+          |     ELSE '' END""".stripMargin))
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(xcontent, concat(coalesce(code_label, '基金代码'), '：([0-9]{6})'), 1), '')"))
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(xcontent, concat(coalesce(name_label, '产品名称'), '：(.+)'), 1), '')"))
+      .withColumn("amount", expr(
+        "cast(replace(nullif(regexp_extract(xcontent, concat(coalesce(amount_label, '确认金额'), '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("shares", expr(
+        "cast(replace(nullif(regexp_extract(xcontent, concat(coalesce(shares_label, '确认份额'), '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("fee", coalesce(expr(
+        "cast(replace(nullif(regexp_extract(xcontent, concat(coalesce(fee_label, '手续费'), '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"),
+        when(col("fee_def"), lit(0.0))))
+      .withColumn("arrival_date", redeemDateExpr("xcontent"))
+      .join(broadcast(dict), col("product_name") === col("p_name"), "left")
+      .select(col("file_name"), col("batch_date"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        col("biz_type"), col("fund_code"), col("product_name"),
+        coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
+        col("amount"), col("shares"), col("fee"), col("arrival_date"),
+        lit("国内银行间").as("trade_market"),
+        lit("基金赎回确认").as("biz_class"),
+        (col("fund_code").isNotNull && col("platform").isNotNull).as("valid"))
+      .orderBy(col("file_name"))
+  }
+
+  /** MULTI-RECORD redemption extraction — yingmi / liantai / tengyuan
+    * redemption statements carry record LISTS with three DIFFERENT
+    * validity rules (`redemption_extractor.py:296-300` code∧(amount∨
+    * shares), `:919-920` code∧amount, `:833` code) and per-record
+    * dates — marker, validity and date mode are all columns of the
+    * rule row, so the one posexplode + label extraction pipeline
+    * serves all three. Same shape as etl_multi_record: map-only,
+    * zero exchanges before the presentation sort.
+    */
+  val etlRedeemMulti: Q = (s, _) => {
+    classifyRedemptions(s, loadStatements(s, redemptionsDir))
+      .filter(col("rec_marker").isNotNull)
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(name_label, '：(.+)'), 1), '')"))
+      .select(col("file_name"), col("batch_date"), col("platform"),
+        col("product_name"), col("code_label"), col("amount_label"),
+        col("shares_label"), col("fee_label"), col("date_label"),
+        col("date_mode"), col("date_fb"), col("fee_def"),
+        col("rec_validity"),
+        posexplode(expr("split(content, rec_marker)")).as(Seq("rec_no", "seg")))
+      .filter(col("rec_no") >= 1)
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(seg, concat(code_label, '：([0-9]{6})'), 1), '')"))
+      .withColumn("amount", expr(
+        "cast(replace(nullif(regexp_extract(seg, concat(amount_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("shares", expr(
+        "cast(replace(nullif(regexp_extract(seg, concat(shares_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"))
+      .withColumn("fee", coalesce(expr(
+        "cast(replace(nullif(regexp_extract(seg, concat(fee_label, '：([0-9,]+[.][0-9]+)'), 1), ''), ',', '') as double)"),
+        when(col("fee_def"), lit(0.0))))
+      .withColumn("arrival_date", redeemDateExpr("seg"))
+      // the per-platform record-validity rule, applied as data
+      .filter(expr("""CASE rec_validity
+        WHEN 'code_any' THEN fund_code IS NOT NULL AND (amount IS NOT NULL OR shares IS NOT NULL)
+        WHEN 'code_amount' THEN fund_code IS NOT NULL AND amount IS NOT NULL
+        ELSE fund_code IS NOT NULL END"""))
+      .select(col("file_name"), col("platform"),
+        col("rec_no").cast("long").as("rec_no"), col("product_name"),
+        col("fund_code"), col("amount"), col("shares"), col("fee"),
+        col("arrival_date"))
+      .orderBy(col("file_name"), col("rec_no"))
+  }
+
+  /** The zdt POSITIONAL summary-table row shapes
+    * (`redemption_extractor.py:1103-1130`): the reference parses two
+    * row layouts — COMPACT, where the PDF linebreak ate the fund name
+    * and the account is directly followed by the 6-digit code, and
+    * STANDARD with the name between — and tries compact FIRST (a
+    * standard parse can mis-bind a compact row by splitting its
+    * account digits, so priority is load-bearing; both engines pin
+    * it). Groups: seq, account, [name,] code, 赎回份额 (skipped, as
+    * the reference does), 确认份额, 确认金额, 手续费.
+    */
+  private[graft] val zdtCompactRe =
+    "^ *([0-9]+) +([0-9]{10,}) +([0-9]{6}) +[0-9,]+[.][0-9]+ +([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+)"
+  private[graft] val zdtStandardRe =
+    "^ *([0-9]+) +([0-9]{10,}) +(.+) +([0-9]{6}) +[0-9,]+[.][0-9]+ +([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+)"
+
+  /** POSITIONAL-ROW redemption extraction — the zdt summary table: no
+    * field labels at all, one row per line, the dual compact/standard
+    * regex as rule constants. One posexplode over lines + codegen'd
+    * regex projection; non-row lines (headers, the name line) simply
+    * don't match. est_date is the run date (`:1152`).
+    */
+  val etlRedeemRows: Q = (s, _) => {
+    def g(re: String, i: Int) = expr(s"regexp_extract(line, '$re', $i)")
+    def num(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, ",", "").cast("double")
+    classifyRedemptions(s, loadStatements(s, redemptionsDir))
+      .filter(col("platform") === "zhengdatong")
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(name_label, '：(.+)'), 1), '')"))
+      .select(col("file_name"), col("batch_date"), col("product_name"),
+        posexplode(split(col("content"), "\n")).as(Seq("row_no", "line")))
+      .withColumn("is_compact", expr(s"line rlike '$zdtCompactRe'"))
+      .withColumn("is_standard", expr(s"line rlike '$zdtStandardRe'"))
+      .filter(col("is_compact") || col("is_standard"))
+      .select(col("file_name"), col("row_no").cast("long").as("row_no"),
+        when(col("is_compact"), "compact").otherwise("standard").as("row_fmt"),
+        when(col("is_compact"), g(zdtCompactRe, 1))
+          .otherwise(g(zdtStandardRe, 1)).cast("long").as("seq"),
+        when(col("is_compact"), g(zdtCompactRe, 2))
+          .otherwise(g(zdtStandardRe, 2)).as("account"),
+        col("product_name"),
+        when(col("is_compact"), g(zdtCompactRe, 3))
+          .otherwise(g(zdtStandardRe, 4)).as("fund_code"),
+        num(when(col("is_compact"), g(zdtCompactRe, 4))
+          .otherwise(g(zdtStandardRe, 5))).as("shares"),
+        num(when(col("is_compact"), g(zdtCompactRe, 5))
+          .otherwise(g(zdtStandardRe, 6))).as("amount"),
+        num(when(col("is_compact"), g(zdtCompactRe, 6))
+          .otherwise(g(zdtStandardRe, 7))).as("fee"),
+        col("batch_date").as("arrival_date"))
+      .orderBy(col("file_name"), col("row_no"))
   }
 
   private[graft] val statementsOcrDir = "/root/repo/data/statements_ocr"
@@ -1432,6 +1789,9 @@ object FundEtl {
     "etl_cdc_apply" -> etlCdcApply,
     "etl_ingest_files" -> etlIngestFiles,
     "etl_multi_record" -> etlMultiRecord,
+    "etl_redeem_ingest" -> etlRedeemIngest,
+    "etl_redeem_multi" -> etlRedeemMulti,
+    "etl_redeem_rows" -> etlRedeemRows,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
     "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
@@ -1500,6 +1860,168 @@ object FundEtl {
           .mkString(" AND (", " OR ", ")")
       s"WHEN contains(file_name, '$kw')$extra THEN '$biz'"
     }.mkString("CASE ", "\n         ", " ELSE 'OTH' END")
+
+  private def redeemPlatformCaseSql: String =
+    redemptionMatrix.map { r =>
+      val cls = r.clauses
+        .map(_.map(litSql).mkString("(", " AND ", ")"))
+        .mkString("(", " OR ", ")")
+      s"WHEN $cls THEN '${r.platform}'"
+    }.mkString("CASE ", "\n         ", " END")
+
+  private def redeemBizCaseSql: String =
+    redeemBizRules.map { case (kw, alsoAny, biz) =>
+      val extra =
+        if (alsoAny.isEmpty) ""
+        else alsoAny.map(k => s"contains(file_name, '$k')")
+          .mkString(" AND (", " OR ", ")")
+      s"WHEN contains(file_name, '$kw')$extra THEN '$biz'"
+    }.mkString("CASE ", "\n         ", " ELSE 'RED' END")
+
+  private def redeemLabelsValuesSql: String = redemptionMatrix
+    .map { r =>
+      def opt(v: String) = if (v.isEmpty) "NULL" else s"'$v'"
+      s"('${r.platform}', '${r.nameLabel}', '${r.codeLabel}', " +
+        s"'${r.amountLabel}', '${r.sharesLabel}', '${r.feeLabel}', " +
+        s"${opt(r.dateLabel)}, '${r.dateMode}', ${r.dateFallback}, " +
+        s"${r.feeDefault}, ${opt(r.recMarker)}, ${opt(r.recValidity)}, " +
+        s"${opt(r.sectionMarker)})"
+    }.mkString(",\n    ")
+
+  /** SQL twin of [[redeemDateExpr]] — rendered once, applied to the
+    * whole statement (ingest) or the record segment (multi). */
+  private def redeemDateSql(src: String): String =
+    s"""coalesce(CASE date_mode
+       |     WHEN 'hyphen' THEN replace(nullif(regexp_extract($src, date_label || '：([0-9]{4}-[0-9]{2}-[0-9]{2})', 1), ''), '-', '')
+       |     WHEN 'plain8' THEN nullif(regexp_extract($src, date_label || '：([0-9]{8})', 1), '')
+       |     WHEN 'nextline' THEN nullif(regexp_extract($src, date_label || '[^\\n]*\\n([0-9]{8})', 1), '')
+       |     WHEN 'tplus' THEN coalesce(
+       |       strftime(strptime(batch_date, '%Y%m%d') + INTERVAL (CAST(nullif(regexp_extract($src, date_label || '：T[+]([0-9]+)', 1), '') AS INTEGER) - 1) DAY, '%Y%m%d'),
+       |       replace(nullif(regexp_extract($src, date_label || '：([0-9]{4}-[0-9]{2}-[0-9]{2})', 1), ''), '-', ''))
+       |     END,
+       |     CASE WHEN date_fb THEN batch_date END)""".stripMargin
+
+  /** Shared CTE chain for the redemption oracle family — rules
+    * relation, dict, file scan, compiled classification CASE and the
+    * label join, all rendered from [[redemptionMatrix]] /
+    * [[redeemBizRules]] (the ingestOracleCtes precedent: one source
+    * of truth, the engines cannot drift on rule semantics).
+    */
+  private def redeemOracleCtes: String =
+    s"""redeem_rules(platform, name_label, code_label, amount_label, shares_label, fee_label, date_label, date_mode, date_fb, fee_def, rec_marker, rec_validity, section_marker) AS (
+       |  VALUES $redeemLabelsValuesSql),
+       |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
+       |files AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+       |    content
+       |  FROM read_text('$redemptionsDir/*/*.txt')),
+       |classified AS (
+       |  SELECT f.*,
+       |    $redeemPlatformCaseSql AS platform
+       |  FROM files f),
+       |labeled AS (
+       |  SELECT c.*, r.name_label, r.code_label, r.amount_label,
+       |    r.shares_label, r.fee_label, r.date_label, r.date_mode,
+       |    r.date_fb, r.fee_def, r.rec_marker, r.rec_validity,
+       |    r.section_marker
+       |  FROM classified c LEFT JOIN redeem_rules r ON c.platform = r.platform)""".stripMargin
+
+  private def redeemIngestOracleSql: String =
+    s"""WITH $redeemOracleCtes,
+       |sectioned AS (
+       |  SELECT l.*, CASE WHEN section_marker IS NULL THEN content
+       |    WHEN strpos(content, section_marker) > 0
+       |      THEN substring(content, strpos(content, section_marker))
+       |    ELSE '' END AS xcontent
+       |  FROM labeled l),
+       |extracted AS (
+       |  SELECT file_name, batch_date, platform,
+       |    $redeemBizCaseSql AS biz_type,
+       |    nullif(regexp_extract(xcontent, coalesce(code_label, '基金代码') || '：([0-9]{6})', 1), '') AS fund_code,
+       |    nullif(regexp_extract(xcontent, coalesce(name_label, '产品名称') || '：(.+)', 1), '') AS product_name,
+       |    CAST(replace(nullif(regexp_extract(xcontent, coalesce(amount_label, '确认金额') || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
+       |    CAST(replace(nullif(regexp_extract(xcontent, coalesce(shares_label, '确认份额') || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
+       |    coalesce(
+       |      CAST(replace(nullif(regexp_extract(xcontent, coalesce(fee_label, '手续费') || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE),
+       |      CASE WHEN fee_def THEN CAST(0.0 AS DOUBLE) END) AS fee,
+       |    ${redeemDateSql("xcontent")} AS arrival_date
+       |  FROM sectioned),
+       |enriched AS (
+       |  SELECT e.file_name, e.batch_date,
+       |    coalesce(e.platform, 'UNKNOWN') AS platform,
+       |    e.biz_type, e.fund_code, e.product_name,
+       |    coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
+       |    e.amount, e.shares, e.fee, e.arrival_date,
+       |    '国内银行间' AS trade_market, '基金赎回确认' AS biz_class,
+       |    (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid
+       |  FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name)
+       |SELECT * FROM enriched ORDER BY file_name""".stripMargin
+
+  private def redeemMultiOracleSql: String =
+    s"""WITH $redeemOracleCtes,
+       |recs AS (
+       |  SELECT file_name, batch_date, platform,
+       |    nullif(regexp_extract(content, name_label || '：(.+)', 1), '') AS product_name,
+       |    code_label, amount_label, shares_label, fee_label, date_label,
+       |    date_mode, date_fb, fee_def, rec_validity,
+       |    unnest(list_transform(regexp_split_to_array(content, rec_marker),
+       |      (x, i) -> struct_pack(rec_no := i - 1, seg := x))) AS u
+       |  FROM labeled WHERE rec_marker IS NOT NULL),
+       |ex AS (
+       |  SELECT file_name, batch_date, platform,
+       |    CAST(u.rec_no AS BIGINT) AS rec_no, product_name,
+       |    nullif(regexp_extract(u.seg, code_label || '：([0-9]{6})', 1), '') AS fund_code,
+       |    CAST(replace(nullif(regexp_extract(u.seg, amount_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS amount,
+       |    CAST(replace(nullif(regexp_extract(u.seg, shares_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS shares,
+       |    coalesce(
+       |      CAST(replace(nullif(regexp_extract(u.seg, fee_label || '：([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE),
+       |      CASE WHEN fee_def THEN CAST(0.0 AS DOUBLE) END) AS fee,
+       |    ${redeemDateSql("u.seg")} AS arrival_date,
+       |    rec_validity
+       |  FROM recs WHERE u.rec_no >= 1)
+       |SELECT file_name, platform, rec_no, product_name, fund_code,
+       |  amount, shares, fee, arrival_date
+       |FROM ex
+       |WHERE CASE rec_validity
+       |  WHEN 'code_any' THEN fund_code IS NOT NULL AND (amount IS NOT NULL OR shares IS NOT NULL)
+       |  WHEN 'code_amount' THEN fund_code IS NOT NULL AND amount IS NOT NULL
+       |  ELSE fund_code IS NOT NULL END
+       |ORDER BY file_name, rec_no""".stripMargin
+
+  private def redeemRowsOracleSql: String = {
+    def pick(i: Int, j: Int) =
+      s"CASE WHEN is_compact THEN regexp_extract(line, '$zdtCompactRe', $i) ELSE regexp_extract(line, '$zdtStandardRe', $j) END"
+    s"""WITH $redeemOracleCtes,
+       |zfiles AS (
+       |  SELECT file_name, batch_date,
+       |    nullif(regexp_extract(content, name_label || '：(.+)', 1), '') AS product_name,
+       |    content
+       |  FROM labeled WHERE platform = 'zhengdatong'),
+       |zlines AS (
+       |  SELECT file_name, batch_date, product_name,
+       |    unnest(list_transform(string_split(content, chr(10)),
+       |      (x, i) -> struct_pack(row_no := i - 1, line := x))) AS u
+       |  FROM zfiles),
+       |m AS (
+       |  SELECT file_name, batch_date, product_name,
+       |    CAST(u.row_no AS BIGINT) AS row_no, u.line,
+       |    regexp_matches(u.line, '$zdtCompactRe') AS is_compact,
+       |    regexp_matches(u.line, '$zdtStandardRe') AS is_standard
+       |  FROM zlines)
+       |SELECT file_name, row_no,
+       |  CASE WHEN is_compact THEN 'compact' ELSE 'standard' END AS row_fmt,
+       |  CAST(${pick(1, 1)} AS BIGINT) AS seq,
+       |  ${pick(2, 2)} AS account,
+       |  product_name,
+       |  ${pick(3, 4)} AS fund_code,
+       |  CAST(replace(${pick(4, 5)}, ',', '') AS DOUBLE) AS shares,
+       |  CAST(replace(${pick(5, 6)}, ',', '') AS DOUBLE) AS amount,
+       |  CAST(replace(${pick(6, 7)}, ',', '') AS DOUBLE) AS fee,
+       |  batch_date AS arrival_date
+       |FROM m WHERE is_compact OR is_standard
+       |ORDER BY file_name, row_no""".stripMargin
+  }
 
   /** The master-table oracle SQL — shared by the etl_master_table
     * entry and the etl_master_xlsx round-trip oracle (which recomputes
@@ -1731,6 +2253,9 @@ object FundEtl {
         |FROM ex
         |WHERE fund_code IS NOT NULL AND (amount IS NOT NULL OR shares IS NOT NULL)
         |ORDER BY file_name, rec_no""".stripMargin,
+    "etl_redeem_ingest" -> redeemIngestOracleSql,
+    "etl_redeem_multi" -> redeemMultiOracleSql,
+    "etl_redeem_rows" -> redeemRowsOracleSql,
     "etl_ocr_route" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

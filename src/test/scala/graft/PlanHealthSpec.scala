@@ -49,6 +49,21 @@ class PlanHealthSpec extends SparkTestBase {
       s"every e2e join must broadcast (rules + dict are tiny):\n$plan")
   }
 
+  test("redemption family: compiled classify + broadcast labels stay map-only") {
+    // the redemption chain (redeem ingest / multi-record explode /
+    // positional rows) mirrors etl_ingest_files' shape: compiled
+    // when-chain classification, broadcast-only label and dict joins,
+    // zero hash exchanges — the only exchange is the presentation
+    // sort's range partitioning.
+    Seq("etl_redeem_ingest", "etl_redeem_multi", "etl_redeem_rows").foreach { n =>
+      val plan = planOf(n)
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"$n must classify/extract without a hash shuffle:\n$plan")
+      assert(!plan.contains("SortMergeJoin"),
+        s"$n: rule/dict joins must broadcast:\n$plan")
+    }
+  }
+
   test("dd_pipeline composes its stages without redundant shuffles") {
     // exact → pairs → CC → canonical → split as ONE DAG: the final
     // composed plan (everything downstream of the CC labels, which
