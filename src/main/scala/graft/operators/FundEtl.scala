@@ -352,6 +352,125 @@ object FundEtl {
     ("shengou", Seq("jiangsuyinhang", "ronglianchuang"), "RED"),
     ("shengou", Nil, "EXCL_SUB"))
 
+  /** One row of the DIVIDEND platform matrix — the reference's THIRD
+    * extractor chain (`dividend_extractor.py:1301-1323` signatures,
+    * `:35-1260` extractors). Structural differences from the other
+    * two chains, all carried as data:
+    *   - no ¬转换 negations and no walk-level exclusion algebra (the
+    *     walk filters on the 分红 folder only, `:1280-1284`);
+    *   - VALUE-COUPLED platforms: one extracted number feeds both
+    *     派送金额 and 派送份额 (amountLabel = "" — 13 of 23 platforms,
+    *     e.g. pingan `:397-406`, jiaohang `:434-441`);
+    *   - per-field value placement modes: "same" (label：value),
+    *     "next" (value on the line after the label — tiantian
+    *     `:87-96`), "both" (same-line first, then next-line — the
+    *     strategy-A/B fallbacks of hexun/wangjin/panying);
+    *   - endFromConfirm: jiaohang's 红利截止日期 = extracted 确认日期
+    *     minus one day (`:445-458`); every other platform defaults to
+    *     the run date minus one (`:1436-1441`);
+    *   - tokenMode: guoxinjiali's positional token row — the 6-digit
+    *     code token before 分红, the value 6 tokens after it, and the
+    *     product name from the FILENAME prefix (`:1099-1160`);
+    *   - recMarker/recValidity: yingmi 序号: blocks need
+    *     code∧amount∧shares (`:253-255`); liantai 交易信息 blocks need
+    *     code∧shares with amount = shares (`:860-872`).
+    */
+  private[graft] final case class DivRule(platform: String,
+      clauses: Seq[Seq[SigLit]], nameLabel: String, codeLabel: String,
+      amountLabel: String, sharesLabel: String,
+      amountMode: String = "same", sharesMode: String = "same",
+      recMarker: String = "", recValidity: String = "",
+      endFromConfirm: Boolean = false, tokenMode: Boolean = false)
+
+  /** The dividend chain's 23 platforms in the reference's elif order
+    * (`dividend_extractor.py:1325-1443`).
+    */
+  private[graft] val dividendMatrix: Seq[DivRule] = Seq(
+    // :1301 — 好买基金 in lines[:2] (no ¬转换 in this chain)
+    DivRule("haomai", Seq(Seq(C(0, 2, "好买基金"))),
+      "账户名称", "产品代码", "确认金额", "确认份额"),
+    // :1302 — 天天基金 in file OR lines[3:]; both values on the NEXT
+    // line after their label (:87-96)
+    DivRule("tiantian", Seq(Seq(F("tiantian")), Seq(C(3, -1, "天天基金"))),
+      "账户户名", "基金代码", "红利资金（元", "红利再投资基",
+      amountMode = "next", sharesMode = "next"),
+    // :1303 — 兴证全球基金 in lines[:2]; coupled on 再投资份额
+    DivRule("xingzheng", Seq(Seq(C(0, 2, "兴证全球基金"))),
+      "账 号 名 称", "基 金 代 码", "", "再投资份额"),
+    // :1304 — 利得基金 in lines[3:]
+    DivRule("lide", Seq(Seq(C(3, -1, "利得基金"))),
+      "投资者姓名/名称", "基金代码", "红利总金额（元）", "红利再投份额（份）"),
+    // :1305 — 长量基金 in lines[:2]; coupled on 红利转投份额
+    DivRule("changliang", Seq(Seq(C(0, 2, "长量基金"))),
+      "投资者名称", "基金代码", "", "红利转投份额"),
+    // :1306 — 盈米 in file OR lines[:3]; multi-record 序号: blocks,
+    // all-three validity (:253-255)
+    DivRule("yingmi", Seq(Seq(F("yingmi")), Seq(C(0, 3, "盈米"))),
+      "投资者名称", "基金代码", "分红金额", "红利再投份额",
+      recMarker = "序号:", recValidity = "all"),
+    // :1307 — 招赢通 in lines[:2]; the amount value rides after CNY
+    DivRule("zhaoyingtong", Seq(Seq(C(0, 2, "招赢通"))),
+      "投资者名称", "产品代码", "CNY", "转投份额[(]份[)]"),
+    // :1308 — 邮储 in filename ONLY; 再投资金额 + 红股
+    DivRule("youchu", Seq(Seq(F("youchu"))),
+      "客户名称", "产品代码", "再投资金额", "红股"),
+    // :1309 — 行E通 in lines[5:]; coupled on half-width 确认份额(份)
+    DivRule("pingan", Seq(Seq(C(5, -1, "行E通"))),
+      "账户名称", "基金代码", "", "确认份额[(]份[)]"),
+    // :1310 — 交e通 in file OR 交通银行 in lines[:2]; coupled on
+    // 转投份额; 红利截止日期 = 确认日期 - 1 (:445-458)
+    DivRule("jiaohang", Seq(Seq(F("jiaoetong")), Seq(C(0, 2, "交通银行"))),
+      "投资者信息", "产品代码", "", "转投份额", endFromConfirm = true),
+    // :1311 — 和讯信息科技有限公司 in lines[3:]; shares same-then-next
+    DivRule("hexun", Seq(Seq(C(3, -1, "和讯信息科技有限公司"))),
+      "账户名称", "基金代码", "红利资金[(]元[)]", "红利再投资确认份",
+      sharesMode = "both"),
+    // :1312 — 建行 in file OR spaced 客 户 名 称; coupled on 红 股
+    DivRule("jianhang", Seq(Seq(F("jianhang")), Seq(C("客 户 名 称"))),
+      "客 户 名 称", "基 金 代 码", "", "红 股"),
+    // :1313 — 腾元 in file OR 腾元基金 in lines[5:]; coupled
+    DivRule("tengyuan", Seq(Seq(F("tengyuan")), Seq(C(5, -1, "腾元基金"))),
+      "客户名称", "基金代码", "", "红利再投份额"),
+    // :1314 — 网金 in file OR 网金基金 in lines[5:]; coupled,
+    // same-then-next (:687-709)
+    DivRule("wangjin", Seq(Seq(F("wangjin")), Seq(C(5, -1, "网金基金"))),
+      "客户名称", "基金代码", "", "红利再投份额", sharesMode = "both"),
+    // :1315 — 肯特瑞基金 in FILENAME (this chain's variant) OR 肯特瑞
+    // in lines[:2]
+    DivRule("jingdong", Seq(Seq(F("kenterijijin")), Seq(C(0, 2, "肯特瑞"))),
+      "客户名称", "基金代码", "红利再投金额", "红利再投份额"),
+    // :1316 — 融联创 in lines[:2]; name = 投资主体产品名称, coupled
+    DivRule("ronglianchuang", Seq(Seq(C(0, 2, "融联创"))),
+      "投资主体产品名称", "基金代码", "", "再投资份额（份）"),
+    // :1317 — 北极星 in file OR 联泰 in lines[:2] (no 赎回/申购
+    // conjunct in this chain); multi-record, code∧shares validity
+    DivRule("liantai", Seq(Seq(F("beijixing")), Seq(C(0, 2, "联泰"))),
+      "投资账户", "基金代码", "", "红利再投份额[(]份[)]",
+      recMarker = "交易信息", recValidity = "code_shares"),
+    // :1318 — 民生同业e+ in file OR 同业e+ in lines[2:]; coupled
+    DivRule("minsheng", Seq(Seq(F("minshengtongye")), Seq(C(2, -1, "同业e+"))),
+      "客户名称", "产品代码", "", "确认份额（份）"),
+    // :1319 — 证达通 ANYWHERE (no second conjunct in this chain);
+    // the tabular/single-bill platform (etl_div_rows)
+    DivRule("zhengdatong", Seq(Seq(C("证达通"))),
+      "投资者名称", "基金代码", "", "分红份额"),
+    // :1320 — 基煜基金 in lines[:2]
+    DivRule("jiyu", Seq(Seq(C(0, 2, "基煜基金"))),
+      "客户名称", "产品代码", "再投资金额", "再投资份额"),
+    // :1321 — 宁波 in file OR 同业客户付款账户信息 in lines[5:]
+    // (no ¬北极星 in this chain); coupled on 红利份额（份）
+    DivRule("ningbo", Seq(Seq(F("ningbo")), Seq(C(5, -1, "同业客户付款账户信息"))),
+      "客户名称", "产品代码", "", "红利份额（份）"),
+    // :1322 — 国信嘉利基金 in lines[:2]; token-positional row, name
+    // from the filename prefix
+    DivRule("guoxinjiali", Seq(Seq(C(0, 2, "国信嘉利基金"))),
+      "", "", "", "", tokenMode = true),
+    // :1323 — 攀赢 in file OR lines[:2]; 所得现金（元） same-line,
+    // 所得份额（份） same-then-next (:1248-1257)
+    DivRule("panying", Seq(Seq(F("panying")), Seq(C(0, 2, "攀赢"))),
+      "客户名称", "产品代码", "所得现金（元）", "所得份额（份）",
+      sharesMode = "both"))
+
   /** product_codes.json analog: product name → ledger id (two corpus
     * products deliberately unmapped to exercise the miss path).
     */
@@ -1427,6 +1546,256 @@ object FundEtl {
       .orderBy(col("file_name"), col("row_no"))
   }
 
+  private[graft] val dividendsDir = "/root/repo/data/dividends"
+
+  /** Dividend classification — the compiled [[dividendMatrix]] chain
+    * plus the broadcast 23-row label/mode relation (the
+    * classifyRedemptions shape).
+    */
+  private[graft] def classifyDividends(s: SparkSession, files: DataFrame): DataFrame = {
+    import s.implicits._
+    val labels = dividendMatrix
+      .map(r => (r.platform,
+        if (r.nameLabel.isEmpty) null else r.nameLabel,
+        if (r.codeLabel.isEmpty) null else r.codeLabel,
+        if (r.amountLabel.isEmpty) null else r.amountLabel,
+        if (r.sharesLabel.isEmpty) null else r.sharesLabel,
+        r.amountMode, r.sharesMode,
+        if (r.recMarker.isEmpty) null else r.recMarker,
+        if (r.recValidity.isEmpty) null else r.recValidity,
+        r.endFromConfirm, r.tokenMode))
+      .toDF("platform", "name_label", "code_label", "amount_label",
+        "shares_label", "amount_mode", "shares_mode", "rec_marker",
+        "rec_validity", "end_confirm", "token_mode")
+    files.withColumn("platform",
+      matrixChain(dividendMatrix.map(r => (r.platform, r.clauses))))
+      .join(broadcast(labels), Seq("platform"), "left")
+  }
+
+  /** Same-line / next-line dividend value extraction over `src` with
+    * the label held in column `lblCol` — the separators are the
+    * reference's `[：: ]*` family. */
+  private def divSameExpr(src: String, lblCol: String): String =
+    s"nullif(regexp_extract($src, concat($lblCol, '[：: ]*([0-9,]+[.][0-9]+)'), 1), '')"
+  private def divNextExpr(src: String, lblCol: String): String =
+    s"nullif(regexp_extract($src, concat($lblCol, '[^\\n]*\\n *([0-9,]+[.][0-9]+)'), 1), '')"
+
+  /** The per-mode raw shares/amount pair as one SQL CASE pair; the
+    * value-coupled platforms (amount_label NULL) copy shares into
+    * amount exactly like the reference's `dividend_amount = value`
+    * assignments.
+    */
+  private def divValueExprs(src: String): (String, String) = {
+    val tokenValue =
+      s"nullif(regexp_extract($src, '分红 +(?:[^ ]+ +){5}([0-9,]+[.]?[0-9]*)', 1), '')"
+    val sharesRaw =
+      s"""CASE WHEN token_mode THEN $tokenValue
+         |  WHEN shares_mode = 'next' THEN ${divNextExpr(src, "shares_label")}
+         |  WHEN shares_mode = 'both' THEN coalesce(${divSameExpr(src, "shares_label")}, ${divNextExpr(src, "shares_label")})
+         |  ELSE ${divSameExpr(src, "shares_label")} END""".stripMargin
+    val amountRaw =
+      s"""CASE WHEN token_mode OR amount_label IS NULL THEN shares_raw
+         |  WHEN amount_mode = 'next' THEN ${divNextExpr(src, "amount_label")}
+         |  ELSE ${divSameExpr(src, "amount_label")} END""".stripMargin
+    (sharesRaw, amountRaw)
+  }
+
+  /** DIVIDEND-STATEMENT ingest — the reference's third front door
+    * (`dividend_extractor.py:1264-1443`) re-expressed on the compiled
+    * chain: classify by the dividend signature set, extract the
+    * per-platform dividend cash/reinvest-shares pair with the coupled
+    * and next-line modes as data, compute 红利截止日期 (确认日期 - 1
+    * for jiaohang, run date - 1 otherwise), enrich via the product
+    * dict. Single-record view: the multi-record and tabular platforms
+    * (etl_div_multi / etl_div_rows) surface their first block here,
+    * the same first-occurrence contract as etl_ingest_files. Unknown
+    * platforms surface valid=false where the reference silently
+    * `continue`s past them (:1444).
+    */
+  val etlDivIngest: Q = (s, _) =>
+    divIngestFrame(s).drop("rec_marker").orderBy(col("file_name"))
+
+  private[graft] def divIngestFrame(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val dict = productLedger.toDF("p_name", "ledger_id")
+    val (sharesRaw, amountRaw) = divValueExprs("content")
+    val tokenCode =
+      "nullif(regexp_extract(content, '(?:^|[\\n ])([0-9]{6}) [^\\n]*分红', 1), '')"
+    classifyDividends(s, loadStatements(s, dividendsDir))
+      .withColumn("shares_raw", expr(sharesRaw))
+      .withColumn("amount_raw", expr(amountRaw))
+      .withColumn("fund_code", expr(
+        s"""CASE WHEN token_mode THEN $tokenCode
+           | ELSE nullif(regexp_extract(content, concat(coalesce(code_label, '基金代码'), '[：: ]*([0-9]{6})'), 1), '') END""".stripMargin))
+      .withColumn("product_name", expr(
+        """CASE WHEN token_mode
+          |   THEN nullif(regexp_extract(file_name, '^(.+?)_jiaoyiquerendan', 1), '')
+          | ELSE nullif(regexp_extract(content, concat(coalesce(name_label, '产品名称'), '[：: ]*(.+)'), 1), '') END""".stripMargin))
+      .withColumn("div_amount", expr("cast(replace(amount_raw, ',', '') as double)"))
+      .withColumn("div_shares", expr("cast(replace(shares_raw, ',', '') as double)"))
+      .withColumn("div_end_date", expr(
+        """CASE WHEN end_confirm
+          |   THEN date_format(date_sub(to_date(nullif(regexp_extract(content, '确认日期[：: ]*([0-9]{8})', 1), ''), 'yyyyMMdd'), 1), 'yyyyMMdd')
+          | ELSE date_format(date_sub(to_date(batch_date, 'yyyyMMdd'), 1), 'yyyyMMdd') END""".stripMargin))
+      .join(broadcast(dict), col("product_name") === col("p_name"), "left")
+      .select(col("file_name"), col("batch_date"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        col("fund_code"), col("product_name"),
+        coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
+        col("div_amount"), col("div_shares"), col("div_end_date"),
+        lit("国内银行间").as("trade_market"),
+        (col("fund_code").isNotNull && col("platform").isNotNull).as("valid"),
+        col("rec_marker"))
+  }
+
+  /** MULTI-RECORD dividend extraction — yingmi 序号: blocks
+    * (code∧amount∧shares validity) and liantai 交易信息 blocks
+    * (code∧shares, amount = shares) — marker, validity and the
+    * value-coupling all rule data; one posexplode, map-only.
+    */
+  val etlDivMulti: Q = (s, _) =>
+    divMultiFrame(s).orderBy(col("file_name"), col("rec_no"))
+
+  private def divMultiFrame(s: SparkSession): DataFrame = {
+    val (sharesRaw, amountRaw) = divValueExprs("seg")
+    classifyDividends(s, loadStatements(s, dividendsDir))
+      .filter(col("rec_marker").isNotNull)
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(name_label, '[：: ]*(.+)'), 1), '')"))
+      .select(col("file_name"), col("platform"), col("product_name"),
+        col("code_label"), col("amount_label"), col("shares_label"),
+        col("amount_mode"), col("shares_mode"), col("token_mode"),
+        col("rec_validity"),
+        posexplode(expr("split(content, rec_marker)")).as(Seq("rec_no", "seg")))
+      .filter(col("rec_no") >= 1)
+      .withColumn("shares_raw", expr(sharesRaw))
+      .withColumn("amount_raw", expr(amountRaw))
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(seg, concat(code_label, '[：: ]*([0-9]{6})'), 1), '')"))
+      .withColumn("div_amount", expr("cast(replace(amount_raw, ',', '') as double)"))
+      .withColumn("div_shares", expr("cast(replace(shares_raw, ',', '') as double)"))
+      .filter(expr("""CASE rec_validity
+        WHEN 'all' THEN fund_code IS NOT NULL AND div_amount IS NOT NULL AND div_shares IS NOT NULL
+        WHEN 'code_shares' THEN fund_code IS NOT NULL AND div_shares IS NOT NULL
+        ELSE fund_code IS NOT NULL END"""))
+      .select(col("file_name"), col("platform"),
+        col("rec_no").cast("long").as("rec_no"), col("product_name"),
+        col("fund_code"), col("div_amount"), col("div_shares"))
+  }
+
+  /** The zdt dividend row shapes (`dividend_extractor.py:939-1009`):
+    * 红利再投资 is the in-row marker between the code and the
+    * amount/shares pair; compact (linebreak ate the fund name) beats
+    * standard, and a file with NO tabular row anywhere falls back to
+    * the single-bill 分红份额 label path with amount = shares.
+    */
+  private[graft] val zdtDivCompactRe =
+    "^ *([0-9]+) +([0-9]{10,}) +([0-9]{6}) +红利再投资 +([0-9,]+[.]?[0-9]*) +([0-9,]+[.]?[0-9]*)"
+  private[graft] val zdtDivStandardRe =
+    "^ *([0-9]+) +([0-9]{10,}) +(.+?) +([0-9]{6}) +红利再投资 +([0-9,]+[.]?[0-9]*) +([0-9,]+[.]?[0-9]*)"
+
+  val etlDivRows: Q = (s, _) =>
+    divRowsFrame(s).orderBy(col("file_name"), col("row_no"))
+
+  private def divRowsFrame(s: SparkSession): DataFrame = {
+    def g(re: String, i: Int) = expr(s"regexp_extract(line, '$re', $i)")
+    def num(c: org.apache.spark.sql.Column) =
+      regexp_replace(c, ",", "").cast("double")
+    // the whole-content tabular gate: the row regexes with the line
+    // anchor generalized to (^|\n) — exactly "some line matches"
+    val gate = s"content rlike '${zdtDivCompactRe.replace("^", "(^|\\\\n)")}' " +
+      s"or content rlike '${zdtDivStandardRe.replace("^", "(^|\\\\n)")}'"
+    val z = classifyDividends(s, loadStatements(s, dividendsDir))
+      .filter(col("platform") === "zhengdatong")
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(name_label, '[：: ]*(.+)'), 1), '')"))
+      .withColumn("is_tabular", expr(gate))
+    val tab = z.filter(col("is_tabular"))
+      .select(col("file_name"), col("product_name"),
+        posexplode(split(col("content"), "\n")).as(Seq("row_no", "line")))
+      .withColumn("is_compact", expr(s"line rlike '$zdtDivCompactRe'"))
+      .withColumn("is_standard", expr(s"line rlike '$zdtDivStandardRe'"))
+      .filter(col("is_compact") || col("is_standard"))
+      .select(col("file_name"), col("row_no").cast("long").as("row_no"),
+        when(col("is_compact"), "compact").otherwise("standard").as("row_fmt"),
+        when(col("is_compact"), g(zdtDivCompactRe, 1))
+          .otherwise(g(zdtDivStandardRe, 1)).cast("long").as("seq"),
+        when(col("is_compact"), g(zdtDivCompactRe, 2))
+          .otherwise(g(zdtDivStandardRe, 2)).as("account"),
+        col("product_name"),
+        when(col("is_compact"), g(zdtDivCompactRe, 3))
+          .otherwise(g(zdtDivStandardRe, 4)).as("fund_code"),
+        num(when(col("is_compact"), g(zdtDivCompactRe, 4))
+          .otherwise(g(zdtDivStandardRe, 5))).as("div_amount"),
+        num(when(col("is_compact"), g(zdtDivCompactRe, 5))
+          .otherwise(g(zdtDivStandardRe, 6))).as("div_shares"))
+    val single = z.filter(!col("is_tabular"))
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(content, '基金代码[：: ]*([0-9]{6})', 1), '')"))
+      .withColumn("div_shares", expr(
+        "cast(replace(nullif(regexp_extract(content, '分红份额[：: ]*([0-9,]+[.]?[0-9]*)', 1), ''), ',', '') as double)"))
+      .filter(col("fund_code").isNotNull && col("div_shares").isNotNull)
+      .select(col("file_name"), lit(0L).as("row_no"),
+        lit("single").as("row_fmt"),
+        lit(null).cast("long").as("seq"),
+        lit(null).cast("string").as("account"),
+        col("product_name"), col("fund_code"),
+        col("div_shares").as("div_amount"), col("div_shares"))
+    tab.unionByName(single)
+  }
+
+  /** The dividend GROUP-MERGE output
+    * (`dividend_extractor.py:1460-1483`): every extracted leg —
+    * single-record files, yingmi/liantai record lists, zdt rows —
+    * grouped by (账套编号, 基金市场代码), money summed (integer cents:
+    * the legs are round(2)'d by the reference before summing, and e2
+    * sums are engine-stable where double sums are order-sensitive),
+    * the platforms 、-joined in first-seen corpus order
+    * (pandas `unique()` preserves first appearance), the product name
+    * from the first-seen leg. Unmapped products drop out exactly as
+    * pandas `groupby` drops NaN keys. Two partial-agg exchanges; the
+    * platform merge is a bounded per-group sort, never a global one.
+    */
+  val etlDivMerge: Q = (s, _) => {
+    import s.implicits._
+    val dict = productLedger.toDF("p_name", "ledger_id")
+    val singles = divIngestFrame(s)
+      .filter(col("valid") && col("rec_marker").isNull &&
+        col("platform") =!= "zhengdatong")
+      .select(col("file_name"), lit(0L).as("leg_no"), col("platform"),
+        col("product_name"), col("fund_code"),
+        col("div_amount"), col("div_shares"))
+    val multi = divMultiFrame(s)
+      .select(col("file_name"), col("rec_no").as("leg_no"), col("platform"),
+        col("product_name"), col("fund_code"),
+        col("div_amount"), col("div_shares"))
+    val zrows = divRowsFrame(s)
+      .select(col("file_name"), col("row_no").as("leg_no"),
+        lit("zhengdatong").as("platform"), col("product_name"),
+        col("fund_code"), col("div_amount"), col("div_shares"))
+    val legs = singles.unionByName(multi).unionByName(zrows)
+      .join(broadcast(dict), col("product_name") === col("p_name"), "inner")
+      .withColumn("seq", concat(col("file_name"), lit("#"),
+        lpad(col("leg_no").cast("string"), 6, "0")))
+      .withColumn("amount_e2", expr("cast(floor(div_amount * 100 + 0.5) as bigint)"))
+      .withColumn("shares_e2", expr("cast(floor(div_shares * 100 + 0.5) as bigint)"))
+    legs
+      .groupBy(col("ledger_id"), col("fund_code"), col("platform"))
+      .agg(min(col("seq")).as("first_seen"),
+        sum(col("amount_e2")).as("a2"), sum(col("shares_e2")).as("s2"),
+        expr("min_by(product_name, seq)").as("pn"),
+        count(lit(1)).as("n"))
+      .groupBy(col("ledger_id"), col("fund_code"))
+      .agg(sum(col("a2")).as("div_amount_e2"),
+        sum(col("s2")).as("div_shares_e2"),
+        array_join(transform(array_sort(collect_list(struct(
+          col("first_seen"), col("platform")))), x => x.getField("platform")),
+          "、").as("platforms"),
+        expr("min_by(pn, first_seen)").as("product_name"),
+        sum(col("n")).as("n_legs"))
+      .orderBy(col("ledger_id"), col("fund_code"))
+  }
+
   private[graft] val statementsOcrDir = "/root/repo/data/statements_ocr"
 
   /** REAL OCR ingest — etl_ocr_route's stub unhex replaced with actual
@@ -1792,6 +2161,10 @@ object FundEtl {
     "etl_redeem_ingest" -> etlRedeemIngest,
     "etl_redeem_multi" -> etlRedeemMulti,
     "etl_redeem_rows" -> etlRedeemRows,
+    "etl_div_ingest" -> etlDivIngest,
+    "etl_div_multi" -> etlDivMulti,
+    "etl_div_rows" -> etlDivRows,
+    "etl_div_merge" -> etlDivMerge,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
     "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
@@ -2022,6 +2395,234 @@ object FundEtl {
        |FROM m WHERE is_compact OR is_standard
        |ORDER BY file_name, row_no""".stripMargin
   }
+
+  private def divPlatformCaseSql: String =
+    dividendMatrix.map { r =>
+      val cls = r.clauses
+        .map(_.map(litSql).mkString("(", " AND ", ")"))
+        .mkString("(", " OR ", ")")
+      s"WHEN $cls THEN '${r.platform}'"
+    }.mkString("CASE ", "\n         ", " END")
+
+  private def divLabelsValuesSql: String = dividendMatrix
+    .map { r =>
+      def opt(v: String) = if (v.isEmpty) "NULL" else s"'$v'"
+      s"('${r.platform}', ${opt(r.nameLabel)}, ${opt(r.codeLabel)}, " +
+        s"${opt(r.amountLabel)}, ${opt(r.sharesLabel)}, '${r.amountMode}', " +
+        s"'${r.sharesMode}', ${opt(r.recMarker)}, ${opt(r.recValidity)}, " +
+        s"${r.endFromConfirm}, ${r.tokenMode})"
+    }.mkString(",\n    ")
+
+  /** Shared CTE chain for the dividend oracle family, rendered from
+    * [[dividendMatrix]] (one source of truth with the Spark side).
+    */
+  private def divOracleCtes: String =
+    s"""div_rules(platform, name_label, code_label, amount_label, shares_label, amount_mode, shares_mode, rec_marker, rec_validity, end_confirm, token_mode) AS (
+       |  VALUES $divLabelsValuesSql),
+       |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
+       |files AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+       |    content
+       |  FROM read_text('$dividendsDir/*/*.txt')),
+       |classified AS (
+       |  SELECT f.*,
+       |    $divPlatformCaseSql AS platform
+       |  FROM files f),
+       |labeled AS (
+       |  SELECT c.*, r.name_label, r.code_label, r.amount_label,
+       |    r.shares_label, r.amount_mode, r.shares_mode, r.rec_marker,
+       |    r.rec_validity, r.end_confirm, r.token_mode
+       |  FROM classified c LEFT JOIN div_rules r ON c.platform = r.platform)""".stripMargin
+
+  /** SQL twins of [[divValueExprs]] over the given source column —
+    * rendered as two stacked CTE columns (shares first, coupled
+    * amounts copy it).
+    */
+  private def divSameSql(src: String, lbl: String): String =
+    s"nullif(regexp_extract($src, $lbl || '[：: ]*([0-9,]+[.][0-9]+)', 1), '')"
+  private def divNextSql(src: String, lbl: String): String =
+    s"nullif(regexp_extract($src, $lbl || '[^\\n]*\\n *([0-9,]+[.][0-9]+)', 1), '')"
+  private def divSharesRawSql(src: String): String =
+    s"""CASE WHEN token_mode THEN nullif(regexp_extract($src, '分红 +(?:[^ ]+ +){5}([0-9,]+[.]?[0-9]*)', 1), '')
+       |      WHEN shares_mode = 'next' THEN ${divNextSql(src, "shares_label")}
+       |      WHEN shares_mode = 'both' THEN coalesce(${divSameSql(src, "shares_label")}, ${divNextSql(src, "shares_label")})
+       |      ELSE ${divSameSql(src, "shares_label")} END""".stripMargin
+  private def divAmountRawSql(src: String): String =
+    s"""CASE WHEN token_mode OR amount_label IS NULL THEN shares_raw
+       |      WHEN amount_mode = 'next' THEN ${divNextSql(src, "amount_label")}
+       |      ELSE ${divSameSql(src, "amount_label")} END""".stripMargin
+
+  private val divTokenCodeSql =
+    """nullif(regexp_extract(content, '(?:^|[\n ])([0-9]{6}) [^\n]*分红', 1), '')"""
+
+  private def divIngestEnrichedCtes: String =
+    s"""$divOracleCtes,
+       |valued AS (
+       |  SELECT l.*, ${divSharesRawSql("content")} AS shares_raw
+       |  FROM labeled l),
+       |valued2 AS (
+       |  SELECT v.*, ${divAmountRawSql("content")} AS amount_raw
+       |  FROM valued v),
+       |extracted AS (
+       |  SELECT file_name, batch_date, platform, rec_marker,
+       |    CASE WHEN token_mode THEN $divTokenCodeSql
+       |         ELSE nullif(regexp_extract(content, coalesce(code_label, '基金代码') || '[：: ]*([0-9]{6})', 1), '') END AS fund_code,
+       |    CASE WHEN token_mode THEN nullif(regexp_extract(file_name, '^(.+?)_jiaoyiquerendan', 1), '')
+       |         ELSE nullif(regexp_extract(content, coalesce(name_label, '产品名称') || '[：: ]*(.+)', 1), '') END AS product_name,
+       |    CAST(replace(amount_raw, ',', '') AS DOUBLE) AS div_amount,
+       |    CAST(replace(shares_raw, ',', '') AS DOUBLE) AS div_shares,
+       |    CASE WHEN end_confirm THEN strftime(strptime(nullif(regexp_extract(content, '确认日期[：: ]*([0-9]{8})', 1), ''), '%Y%m%d') - INTERVAL 1 DAY, '%Y%m%d')
+       |         ELSE strftime(strptime(batch_date, '%Y%m%d') - INTERVAL 1 DAY, '%Y%m%d') END AS div_end_date
+       |  FROM valued2),
+       |enriched AS (
+       |  SELECT e.file_name, e.batch_date,
+       |    coalesce(e.platform, 'UNKNOWN') AS platform,
+       |    e.fund_code, e.product_name,
+       |    coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
+       |    e.div_amount, e.div_shares, e.div_end_date,
+       |    '国内银行间' AS trade_market,
+       |    (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid,
+       |    e.rec_marker
+       |  FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name)""".stripMargin
+
+  private def divIngestOracleSql: String =
+    s"""WITH $divIngestEnrichedCtes
+       |SELECT file_name, batch_date, platform, fund_code, product_name,
+       |  ledger_id, div_amount, div_shares, div_end_date, trade_market,
+       |  valid
+       |FROM enriched ORDER BY file_name""".stripMargin
+
+  /** Shared by the etl_div_multi oracle and the merge oracle's
+    * multi-leg CTE. */
+  private def divMultiExCtes: String =
+    s"""recs AS (
+       |  SELECT file_name, platform,
+       |    nullif(regexp_extract(content, name_label || '[：: ]*(.+)', 1), '') AS product_name,
+       |    code_label, amount_label, shares_label, amount_mode,
+       |    shares_mode, token_mode, rec_validity,
+       |    unnest(list_transform(regexp_split_to_array(content, rec_marker),
+       |      (x, i) -> struct_pack(rec_no := i - 1, seg := x))) AS u
+       |  FROM labeled WHERE rec_marker IS NOT NULL),
+       |rvalued AS (
+       |  SELECT file_name, platform, product_name, rec_validity,
+       |    amount_label, amount_mode, token_mode,
+       |    CAST(u.rec_no AS BIGINT) AS rec_no, u.seg,
+       |    nullif(regexp_extract(u.seg, code_label || '[：: ]*([0-9]{6})', 1), '') AS fund_code,
+       |    ${divSharesRawSql("u.seg")} AS shares_raw
+       |  FROM recs WHERE u.rec_no >= 1),
+       |rvalued2 AS (
+       |  SELECT r.*, ${divAmountRawSql("r.seg")} AS amount_raw
+       |  FROM rvalued r),
+       |mrecs AS (
+       |  SELECT file_name, platform, rec_no, product_name, fund_code,
+       |    CAST(replace(amount_raw, ',', '') AS DOUBLE) AS div_amount,
+       |    CAST(replace(shares_raw, ',', '') AS DOUBLE) AS div_shares,
+       |    rec_validity
+       |  FROM rvalued2),
+       |mkept AS (
+       |  SELECT file_name, platform, rec_no, product_name, fund_code,
+       |    div_amount, div_shares
+       |  FROM mrecs
+       |  WHERE CASE rec_validity
+       |    WHEN 'all' THEN fund_code IS NOT NULL AND div_amount IS NOT NULL AND div_shares IS NOT NULL
+       |    WHEN 'code_shares' THEN fund_code IS NOT NULL AND div_shares IS NOT NULL
+       |    ELSE fund_code IS NOT NULL END)""".stripMargin
+
+  private def divMultiOracleSql: String =
+    s"""WITH $divOracleCtes,
+       |$divMultiExCtes
+       |SELECT * FROM mkept ORDER BY file_name, rec_no""".stripMargin
+
+  /** Shared by the etl_div_rows oracle and the merge oracle's zdt-leg
+    * CTE. */
+  private def divRowsCtes: String = {
+    def pick(i: Int, j: Int) =
+      s"CASE WHEN is_compact THEN regexp_extract(line, '$zdtDivCompactRe', $i) ELSE regexp_extract(line, '$zdtDivStandardRe', $j) END"
+    val gateC = zdtDivCompactRe.replace("^", "(^|\\n)")
+    val gateS = zdtDivStandardRe.replace("^", "(^|\\n)")
+    s"""zfiles AS (
+       |  SELECT file_name,
+       |    nullif(regexp_extract(content, name_label || '[：: ]*(.+)', 1), '') AS product_name,
+       |    content,
+       |    (regexp_matches(content, '$gateC') OR regexp_matches(content, '$gateS')) AS is_tabular
+       |  FROM labeled WHERE platform = 'zhengdatong'),
+       |zlines AS (
+       |  SELECT file_name, product_name,
+       |    unnest(list_transform(string_split(content, chr(10)),
+       |      (x, i) -> struct_pack(row_no := i - 1, line := x))) AS u
+       |  FROM zfiles WHERE is_tabular),
+       |zm AS (
+       |  SELECT file_name, product_name,
+       |    CAST(u.row_no AS BIGINT) AS row_no, u.line,
+       |    regexp_matches(u.line, '$zdtDivCompactRe') AS is_compact,
+       |    regexp_matches(u.line, '$zdtDivStandardRe') AS is_standard
+       |  FROM zlines),
+       |ztab AS (
+       |  SELECT file_name, row_no,
+       |    CASE WHEN is_compact THEN 'compact' ELSE 'standard' END AS row_fmt,
+       |    CAST(${pick(1, 1)} AS BIGINT) AS seq,
+       |    ${pick(2, 2)} AS account,
+       |    product_name,
+       |    ${pick(3, 4)} AS fund_code,
+       |    CAST(replace(${pick(4, 5)}, ',', '') AS DOUBLE) AS div_amount,
+       |    CAST(replace(${pick(5, 6)}, ',', '') AS DOUBLE) AS div_shares
+       |  FROM zm WHERE is_compact OR is_standard),
+       |zsingle AS (
+       |  SELECT file_name, CAST(0 AS BIGINT) AS row_no,
+       |    'single' AS row_fmt, CAST(NULL AS BIGINT) AS seq,
+       |    CAST(NULL AS VARCHAR) AS account, product_name,
+       |    nullif(regexp_extract(content, '基金代码[：: ]*([0-9]{6})', 1), '') AS fund_code,
+       |    CAST(replace(nullif(regexp_extract(content, '分红份额[：: ]*([0-9,]+[.]?[0-9]*)', 1), ''), ',', '') AS DOUBLE) AS div_amount,
+       |    CAST(replace(nullif(regexp_extract(content, '分红份额[：: ]*([0-9,]+[.]?[0-9]*)', 1), ''), ',', '') AS DOUBLE) AS div_shares
+       |  FROM zfiles WHERE NOT is_tabular
+       |    AND nullif(regexp_extract(content, '基金代码[：: ]*([0-9]{6})', 1), '') IS NOT NULL
+       |    AND nullif(regexp_extract(content, '分红份额[：: ]*([0-9,]+[.]?[0-9]*)', 1), '') IS NOT NULL),
+       |zrows AS (
+       |  SELECT * FROM ztab UNION ALL SELECT * FROM zsingle)""".stripMargin
+  }
+
+  private def divRowsOracleSql: String =
+    s"""WITH $divOracleCtes,
+       |$divRowsCtes
+       |SELECT * FROM zrows ORDER BY file_name, row_no""".stripMargin
+
+  private def divMergeOracleSql: String =
+    s"""WITH $divIngestEnrichedCtes,
+       |$divMultiExCtes,
+       |$divRowsCtes,
+       |legs AS (
+       |  SELECT file_name, 0 AS leg_no, platform, product_name,
+       |    fund_code, div_amount, div_shares
+       |  FROM enriched
+       |  WHERE valid AND rec_marker IS NULL AND platform <> 'zhengdatong'
+       |  UNION ALL
+       |  SELECT file_name, rec_no AS leg_no, platform, product_name,
+       |    fund_code, div_amount, div_shares
+       |  FROM mkept
+       |  UNION ALL
+       |  SELECT file_name, row_no AS leg_no, 'zhengdatong' AS platform,
+       |    product_name, fund_code, div_amount, div_shares
+       |  FROM zrows),
+       |mapped AS (
+       |  SELECT l.*, d.ledger_id,
+       |    l.file_name || '#' || lpad(CAST(l.leg_no AS VARCHAR), 6, '0') AS seq,
+       |    CAST(floor(l.div_amount * 100 + 0.5) AS BIGINT) AS amount_e2,
+       |    CAST(floor(l.div_shares * 100 + 0.5) AS BIGINT) AS shares_e2
+       |  FROM legs l JOIN dict d ON l.product_name = d.p_name),
+       |lvl1 AS (
+       |  SELECT ledger_id, fund_code, platform, min(seq) AS first_seen,
+       |    SUM(amount_e2) AS a2, SUM(shares_e2) AS s2,
+       |    arg_min(product_name, seq) AS pn, COUNT(*) AS n
+       |  FROM mapped GROUP BY 1, 2, 3)
+       |SELECT ledger_id, fund_code,
+       |  CAST(SUM(a2) AS BIGINT) AS div_amount_e2,
+       |  CAST(SUM(s2) AS BIGINT) AS div_shares_e2,
+       |  string_agg(platform, '、' ORDER BY first_seen) AS platforms,
+       |  arg_min(pn, first_seen) AS product_name,
+       |  CAST(SUM(n) AS BIGINT) AS n_legs
+       |FROM lvl1 GROUP BY ledger_id, fund_code
+       |ORDER BY ledger_id, fund_code""".stripMargin
 
   /** The master-table oracle SQL — shared by the etl_master_table
     * entry and the etl_master_xlsx round-trip oracle (which recomputes
@@ -2256,6 +2857,10 @@ object FundEtl {
     "etl_redeem_ingest" -> redeemIngestOracleSql,
     "etl_redeem_multi" -> redeemMultiOracleSql,
     "etl_redeem_rows" -> redeemRowsOracleSql,
+    "etl_div_ingest" -> divIngestOracleSql,
+    "etl_div_multi" -> divMultiOracleSql,
+    "etl_div_rows" -> divRowsOracleSql,
+    "etl_div_merge" -> divMergeOracleSql,
     "etl_ocr_route" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

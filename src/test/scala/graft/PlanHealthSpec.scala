@@ -55,13 +55,21 @@ class PlanHealthSpec extends SparkTestBase {
     // when-chain classification, broadcast-only label and dict joins,
     // zero hash exchanges — the only exchange is the presentation
     // sort's range partitioning.
-    Seq("etl_redeem_ingest", "etl_redeem_multi", "etl_redeem_rows").foreach { n =>
+    Seq("etl_redeem_ingest", "etl_redeem_multi", "etl_redeem_rows",
+      "etl_div_ingest", "etl_div_multi", "etl_div_rows").foreach { n =>
       val plan = planOf(n)
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$n must classify/extract without a hash shuffle:\n$plan")
       assert(!plan.contains("SortMergeJoin"),
         s"$n: rule/dict joins must broadcast:\n$plan")
     }
+    // the merge is the one legitimately-aggregating member: its only
+    // hash exchanges are the two partial-agg levels
+    val plan = planOf("etl_div_merge")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 2, s"etl_div_merge plans $hashEx hash exchanges:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"etl_div_merge: the dict join must broadcast:\n$plan")
   }
 
   test("dd_pipeline composes its stages without redundant shuffles") {
