@@ -471,6 +471,109 @@ object FundEtl {
       "客户名称", "产品代码", "所得现金（元）", "所得份额（份）",
       sharesMode = "both"))
 
+  /** One row of the PURCHASE-APPLY platform matrix — the reference's
+    * FOURTH chain (`purchase_extractor.py:988-1015` signatures,
+    * `:34-946` extractors). The apply master carries exactly ONE
+    * money field (申购金额, `:1083-1100` — no shares, no fee), so a
+    * row is name/code/amount labels plus an amount placement mode
+    * ("same" or "both" — wangjin's same-then-next fallback,
+    * `:399-406`). Chain-specific structure, all as data:
+    * ronglianchuang scopes 融联创 in lines[8:] (`:1001`), ningbo
+    * carries the full 宁波∧¬北极星 / 宁波银行[15:]∧¬联泰[:5] negative
+    * conjunction (`:1004`), guoxinjiali is a NORMAL label platform
+    * here (no token row), and zdt is a disjunction of two
+    * multi-literal conjunctions — 证达通 ∧ the
+    * 赎回交易（合计0笔，共计0.00份） marker ∧ ¬超级, OR 证达通 ∧
+    * 申购受理单 (`:1011-1015`) — whose two extraction formats live in
+    * etl_apply_rows.
+    */
+  private[graft] final case class ApplyRule(platform: String,
+      clauses: Seq[Seq[SigLit]], nameLabel: String, codeLabel: String,
+      amountLabel: String, amountMode: String = "same",
+      recMarker: String = "")
+
+  private[graft] val applyMatrix: Seq[ApplyRule] = Seq(
+    // :988 — 好买基金 in lines[:2]
+    ApplyRule("haomai", Seq(Seq(C(0, 2, "好买基金"))),
+      "账户名称", "产品代码", "申请金额小写"),
+    // :989 — 天天基金 in file OR lines[3:]
+    ApplyRule("tiantian", Seq(Seq(F("tiantian")), Seq(C(3, -1, "天天基金"))),
+      "账户户名", "基金代码", "申请金额"),
+    // :990 — 利得基金 in lines[3:]
+    ApplyRule("lide", Seq(Seq(C(3, -1, "利得基金"))),
+      "投资者姓名/名称", "基金代码", "申请金额（元）"),
+    // :991 — 长量基金 in lines[:2]
+    ApplyRule("changliang", Seq(Seq(C(0, 2, "长量基金"))),
+      "投资者名称", "基金代码", "申请金额"),
+    // :993 — 行E通 in lines[5:]
+    ApplyRule("pingan", Seq(Seq(C(5, -1, "行E通"))),
+      "账户名称", "基金代码", "申请金额"),
+    // :994 — 交e通 in file OR 交通银行 in lines[:2]; slash label
+    ApplyRule("jiaohang", Seq(Seq(F("jiaoetong")), Seq(C(0, 2, "交通银行"))),
+      "投资者信息", "产品代码", "申请金额/份额"),
+    // :995 — 网金 in file OR 网金基金 in lines[5:]; same-then-next
+    ApplyRule("wangjin", Seq(Seq(F("wangjin")), Seq(C(5, -1, "网金基金"))),
+      "投资者名称", "基金代码", "申购金额（小写）", amountMode = "both"),
+    // :996 — 腾元 in file OR 腾元基金 in lines[5:]
+    ApplyRule("tengyuan", Seq(Seq(F("tengyuan")), Seq(C(5, -1, "腾元基金"))),
+      "投资者名称", "基金代码", "申购金额（小写）"),
+    // :997 — 和讯信息科技有限公司 in lines[3:]
+    ApplyRule("hexun", Seq(Seq(C(3, -1, "和讯信息科技有限公司"))),
+      "账户名称", "基金代码", "申请金额"),
+    // :998 — 肯特瑞基金 in file OR 肯特瑞 in lines[:2]; half-width (元)
+    ApplyRule("jingdong", Seq(Seq(F("kenterijijin")), Seq(C(0, 2, "肯特瑞"))),
+      "客户名称", "基金代码", "申请金额[(]元[)]"),
+    // :999 — 民生同业e+ in file OR 同业e+ in lines[2:]; slash label
+    ApplyRule("minsheng", Seq(Seq(F("minshengtongye")), Seq(C(2, -1, "同业e+"))),
+      "客户名称", "产品代码", "委托金额/委托份额"),
+    // :1000 — 招赢通 in lines[:2]; amount after CNY
+    ApplyRule("zhaoyingtong", Seq(Seq(C(0, 2, "招赢通"))),
+      "投资者名称", "产品代码", "CNY"),
+    // :1001 — 融联创 in lines[8:] — this chain's unique scope
+    ApplyRule("ronglianchuang", Seq(Seq(C(8, -1, "融联创"))),
+      "投资者名称", "基金代码", "申请金额"),
+    // :1003 — 基煜基金 in lines[:2]
+    ApplyRule("jiyu", Seq(Seq(C(0, 2, "基煜基金"))),
+      "账户名称", "产品代码", "申购金额（小写）"),
+    // :1004 — (宁波 ∧ ¬北极星 in filename) OR (宁波银行 in lines[15:]
+    // ∧ ¬联泰 in lines[:5]) — the full negative conjunction
+    ApplyRule("ningbo", Seq(
+      Seq(F("ningbo"), not(F("beijixing"))),
+      Seq(C(15, -1, "宁波银行"), not(C(0, 5, "联泰")))),
+      "客户名称", "产品代码", "申请金额（元）"),
+    // :1005 — 国信嘉利基金 in lines[:2]; plain labels in this chain
+    ApplyRule("guoxinjiali", Seq(Seq(C(0, 2, "国信嘉利基金"))),
+      "账户名称", "产品代码", "申请金额"),
+    // :1006 — 攀赢 in file OR lines[:2]
+    ApplyRule("panying", Seq(Seq(F("panying")), Seq(C(0, 2, "攀赢"))),
+      "客户名称", "产品代码", "申购金额（小写）"),
+    // :992 (evaluated at :1070) — 盈米 in file OR lines[:3];
+    // multi-record on 交易类型-申购 lines, code∧amount validity
+    ApplyRule("yingmi", Seq(Seq(F("yingmi")), Seq(C(0, 3, "盈米"))),
+      "投资者名称", "基金代码", "申请金额", recMarker = "交易类型：申购"),
+    // :1002 (evaluated at :1073) — 北极星 in file OR 联泰 in lines[:2]
+    ApplyRule("liantai", Seq(Seq(F("beijixing")), Seq(C(0, 2, "联泰"))),
+      "投资账户", "基金代码", "申请金额[(]元[)]", recMarker = "交易信息"),
+    // :1011-1015 (evaluated LAST) — (证达通 ∧ 赎回交易（合计0笔，共计
+    // 0.00份） ∧ ¬超级) OR (证达通 ∧ 申购受理单)
+    ApplyRule("zhengdatong", Seq(
+      Seq(C("证达通"), C("赎回交易（合计0笔，共计0.00份）"), not(C("超级"))),
+      Seq(C("证达通"), C("申购受理单"))),
+      "投资者名称", "基金代码", "申购金额（小写）"))
+
+  /** The apply walk's filename exclusions
+    * (`purchase_extractor.py:971-973`): 赎回 / 超级 / 转换 / 分红方式 /
+    * 分红设置 / 失效 files never enter the apply run. Default SUB —
+    * everything left in an apply folder IS an apply.
+    */
+  private[graft] val applyBizRules: Seq[(String, Seq[String], String)] = Seq(
+    ("shuhui", Nil, "EXCL_RED"), // 赎回
+    ("chaoji", Nil, "EXCL_SUPER"), // 超级
+    ("zhuanhuan", Nil, "EXCL_CONVERT"), // 转换
+    ("fenhongfangshi", Nil, "EXCL_DIV_METHOD"), // 分红方式
+    ("fenhongshezhi", Nil, "EXCL_DIV_SET"), // 分红设置
+    ("shixiao", Nil, "EXCL_VOID")) // 失效
+
   /** product_codes.json analog: product name → ledger id (two corpus
     * products deliberately unmapped to exercise the miss path).
     */
@@ -1796,6 +1899,128 @@ object FundEtl {
       .orderBy(col("ledger_id"), col("fund_code"))
   }
 
+  private[graft] val appliesDir = "/root/repo/data/applies"
+
+  /** Apply classification — compiled [[applyMatrix]] chain + the
+    * broadcast 20-row label relation. */
+  private[graft] def classifyApplies(s: SparkSession, files: DataFrame): DataFrame = {
+    import s.implicits._
+    val labels = applyMatrix
+      .map(r => (r.platform, r.nameLabel, r.codeLabel, r.amountLabel,
+        r.amountMode, if (r.recMarker.isEmpty) null else r.recMarker))
+      .toDF("platform", "name_label", "code_label", "amount_label",
+        "amount_mode", "rec_marker")
+    files.withColumn("platform",
+      matrixChain(applyMatrix.map(r => (r.platform, r.clauses))))
+      .join(broadcast(labels), Seq("platform"), "left")
+  }
+
+  private def applyAmountExpr(src: String): String =
+    s"""CASE WHEN amount_mode = 'both'
+       |  THEN coalesce(${divSameSql(src, "amount_label")}, ${divNextSql(src, "amount_label")})
+       |  ELSE ${divSameSql(src, "amount_label")} END""".stripMargin
+
+  /** PURCHASE-APPLY ingest — the reference's fourth front door
+    * (`purchase_extractor.py:947-1110`): walk-level filename
+    * exclusions (赎回/超级/转换/分红方式/分红设置/失效 → EXCL_*,
+    * surfaced instead of silently dropped), classify by the apply
+    * chain, extract the single 申购金额 with the per-platform label
+    * and same/both placement mode, enrich, emit the apply master
+    * constants (业务类别=基金申购申请). Same 100 TB shape as every
+    * ingest: compiled map-only chain, broadcast-only joins.
+    */
+  val etlApplyIngest: Q = (s, _) => {
+    import s.implicits._
+    val dict = productLedger.toDF("p_name", "ledger_id")
+    classifyApplies(s, loadStatements(s, appliesDir))
+      .withColumn("biz_type", bizChain(applyBizRules, "SUB"))
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(content, concat(coalesce(code_label, '基金代码'), '[：: ]*([0-9]{6})'), 1), '')"))
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(coalesce(name_label, '产品名称'), '[：: ]*(.+)'), 1), '')"))
+      .withColumn("apply_amount",
+        expr(s"cast(replace(${applyAmountExpr("content")}, ',', '') as double)"))
+      .join(broadcast(dict), col("product_name") === col("p_name"), "left")
+      .select(col("file_name"), col("batch_date"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        col("biz_type"), col("fund_code"), col("product_name"),
+        coalesce(col("ledger_id"), lit("UNMAPPED")).as("ledger_id"),
+        col("apply_amount"),
+        lit("国内银行间").as("trade_market"),
+        lit("基金申购申请").as("biz_class"),
+        (col("fund_code").isNotNull && col("platform").isNotNull).as("valid"))
+      .orderBy(col("file_name"))
+  }
+
+  /** MULTI-RECORD apply extraction — yingmi 交易类型-申购 blocks and
+    * liantai 交易信息 blocks, both with the code∧amount record rule
+    * (`purchase_extractor.py:236-238` / `:712-714`).
+    */
+  val etlApplyMulti: Q = (s, _) => {
+    classifyApplies(s, loadStatements(s, appliesDir))
+      .filter(col("rec_marker").isNotNull)
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(name_label, '[：: ]*(.+)'), 1), '')"))
+      .select(col("file_name"), col("platform"), col("product_name"),
+        col("code_label"), col("amount_label"), col("amount_mode"),
+        posexplode(expr("split(content, rec_marker)")).as(Seq("rec_no", "seg")))
+      .filter(col("rec_no") >= 1)
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(seg, concat(code_label, '[：: ]*([0-9]{6})'), 1), '')"))
+      .withColumn("apply_amount",
+        expr(s"cast(replace(${applyAmountExpr("seg")}, ',', '') as double)"))
+      .filter(col("fund_code").isNotNull && col("apply_amount").isNotNull)
+      .select(col("file_name"), col("platform"),
+        col("rec_no").cast("long").as("rec_no"), col("product_name"),
+        col("fund_code"), col("apply_amount"))
+      .orderBy(col("file_name"), col("rec_no"))
+  }
+
+  /** zdt's two apply formats (`purchase_extractor.py:880-946`):
+    * SINGLE (申购受理单 in lines[:2], no 汇总 there — label
+    * extraction) vs 汇总 CODE-ANCHOR rows, where every 6-digit code
+    * anchors a record whose amount is the first money after it on
+    * the same line or at the start of the next line. The anchor scan
+    * is ONE regexp_extract_all pass per group over the content —
+    * map-only, no per-line explode needed; unmatched alternation
+    * groups normalize via nullif('') (Spark) / NULL (DuckDB).
+    */
+  private[graft] val zdtApplyAnchorRe =
+    "([0-9]{6})(?:[^\\n]*?([0-9,]+[.][0-9]+)|[^\\n]*\\n *([0-9,]+[.][0-9]+))"
+
+  val etlApplyRows: Q = (s, _) => {
+    val z = classifyApplies(s, loadStatements(s, appliesDir))
+      .filter(col("platform") === "zhengdatong")
+      .withColumn("product_name", expr(
+        "nullif(regexp_extract(content, concat(name_label, '[：: ]*(.+)'), 1), '')"))
+      .withColumn("first2", expr("substring_index(content, '\\n', 2)"))
+      .withColumn("is_single", col("first2").contains("申购受理单") &&
+        !col("first2").contains("汇总"))
+    val single = z.filter(col("is_single"))
+      .withColumn("fund_code", expr(
+        "nullif(regexp_extract(content, '基金代码[：: ]*([0-9]{6})', 1), '')"))
+      .withColumn("apply_amount", expr(
+        "cast(replace(nullif(regexp_extract(content, '申购金额（小写）[：: ]*([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)"))
+      .filter(col("fund_code").isNotNull && col("apply_amount").isNotNull)
+      .select(col("file_name"), lit(0L).as("row_no"),
+        lit("single").as("row_fmt"), col("product_name"),
+        col("fund_code"), col("apply_amount"))
+    val anchors = z.filter(!col("is_single"))
+      .select(col("file_name"), col("product_name"),
+        posexplode(expr(
+          s"""arrays_zip(regexp_extract_all(content, '$zdtApplyAnchorRe', 1),
+             |  regexp_extract_all(content, '$zdtApplyAnchorRe', 2),
+             |  regexp_extract_all(content, '$zdtApplyAnchorRe', 3))""".stripMargin))
+          .as(Seq("row_no", "m")))
+      .select(col("file_name"), (col("row_no") + 1).cast("long").as("row_no"),
+        lit("anchor").as("row_fmt"), col("product_name"),
+        col("m").getField("0").as("fund_code"),
+        expr("cast(replace(coalesce(nullif(m['1'], ''), nullif(m['2'], '')), ',', '') as double)")
+          .as("apply_amount"))
+      .filter(col("apply_amount").isNotNull)
+    single.unionByName(anchors).orderBy(col("file_name"), col("row_no"))
+  }
+
   private[graft] val statementsOcrDir = "/root/repo/data/statements_ocr"
 
   /** REAL OCR ingest — etl_ocr_route's stub unhex replaced with actual
@@ -2165,6 +2390,9 @@ object FundEtl {
     "etl_div_multi" -> etlDivMulti,
     "etl_div_rows" -> etlDivRows,
     "etl_div_merge" -> etlDivMerge,
+    "etl_apply_ingest" -> etlApplyIngest,
+    "etl_apply_multi" -> etlApplyMulti,
+    "etl_apply_rows" -> etlApplyRows,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
     "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
@@ -2624,6 +2852,123 @@ object FundEtl {
        |FROM lvl1 GROUP BY ledger_id, fund_code
        |ORDER BY ledger_id, fund_code""".stripMargin
 
+  private def applyPlatformCaseSql: String =
+    applyMatrix.map { r =>
+      val cls = r.clauses
+        .map(_.map(litSql).mkString("(", " AND ", ")"))
+        .mkString("(", " OR ", ")")
+      s"WHEN $cls THEN '${r.platform}'"
+    }.mkString("CASE ", "\n         ", " END")
+
+  private def applyBizCaseSql: String =
+    applyBizRules.map { case (kw, _, biz) =>
+      s"WHEN contains(file_name, '$kw') THEN '$biz'"
+    }.mkString("CASE ", "\n         ", " ELSE 'SUB' END")
+
+  private def applyLabelsValuesSql: String = applyMatrix
+    .map { r =>
+      def opt(v: String) = if (v.isEmpty) "NULL" else s"'$v'"
+      s"('${r.platform}', '${r.nameLabel}', '${r.codeLabel}', " +
+        s"'${r.amountLabel}', '${r.amountMode}', ${opt(r.recMarker)})"
+    }.mkString(",\n    ")
+
+  private def applyOracleCtes: String =
+    s"""apply_rules(platform, name_label, code_label, amount_label, amount_mode, rec_marker) AS (
+       |  VALUES $applyLabelsValuesSql),
+       |dict(p_name, ledger_id) AS (VALUES $dictValuesSql),
+       |files AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+       |    content
+       |  FROM read_text('$appliesDir/*/*.txt')),
+       |classified AS (
+       |  SELECT f.*,
+       |    $applyPlatformCaseSql AS platform
+       |  FROM files f),
+       |labeled AS (
+       |  SELECT c.*, r.name_label, r.code_label, r.amount_label,
+       |    r.amount_mode, r.rec_marker
+       |  FROM classified c LEFT JOIN apply_rules r ON c.platform = r.platform)""".stripMargin
+
+  private def applyAmountSql(src: String): String =
+    s"""CASE WHEN amount_mode = 'both'
+       |      THEN coalesce(${divSameSql(src, "amount_label")}, ${divNextSql(src, "amount_label")})
+       |      ELSE ${divSameSql(src, "amount_label")} END""".stripMargin
+
+  private def applyIngestOracleSql: String =
+    s"""WITH $applyOracleCtes,
+       |extracted AS (
+       |  SELECT file_name, batch_date, platform,
+       |    $applyBizCaseSql AS biz_type,
+       |    nullif(regexp_extract(content, coalesce(code_label, '基金代码') || '[：: ]*([0-9]{6})', 1), '') AS fund_code,
+       |    nullif(regexp_extract(content, coalesce(name_label, '产品名称') || '[：: ]*(.+)', 1), '') AS product_name,
+       |    CAST(replace(${applyAmountSql("content")}, ',', '') AS DOUBLE) AS apply_amount
+       |  FROM labeled),
+       |enriched AS (
+       |  SELECT e.file_name, e.batch_date,
+       |    coalesce(e.platform, 'UNKNOWN') AS platform,
+       |    e.biz_type, e.fund_code, e.product_name,
+       |    coalesce(d.ledger_id, 'UNMAPPED') AS ledger_id,
+       |    e.apply_amount,
+       |    '国内银行间' AS trade_market, '基金申购申请' AS biz_class,
+       |    (e.fund_code IS NOT NULL AND e.platform IS NOT NULL) AS valid
+       |  FROM extracted e LEFT JOIN dict d ON e.product_name = d.p_name)
+       |SELECT * FROM enriched ORDER BY file_name""".stripMargin
+
+  private def applyMultiOracleSql: String =
+    s"""WITH $applyOracleCtes,
+       |recs AS (
+       |  SELECT file_name, platform,
+       |    nullif(regexp_extract(content, name_label || '[：: ]*(.+)', 1), '') AS product_name,
+       |    code_label, amount_label, amount_mode,
+       |    unnest(list_transform(regexp_split_to_array(content, rec_marker),
+       |      (x, i) -> struct_pack(rec_no := i - 1, seg := x))) AS u
+       |  FROM labeled WHERE rec_marker IS NOT NULL),
+       |ex AS (
+       |  SELECT file_name, platform, CAST(u.rec_no AS BIGINT) AS rec_no,
+       |    product_name,
+       |    nullif(regexp_extract(u.seg, code_label || '[：: ]*([0-9]{6})', 1), '') AS fund_code,
+       |    CAST(replace(${applyAmountSql("u.seg")}, ',', '') AS DOUBLE) AS apply_amount
+       |  FROM recs WHERE u.rec_no >= 1)
+       |SELECT * FROM ex
+       |WHERE fund_code IS NOT NULL AND apply_amount IS NOT NULL
+       |ORDER BY file_name, rec_no""".stripMargin
+
+  private def applyRowsOracleSql: String =
+    s"""WITH $applyOracleCtes,
+       |zfiles AS (
+       |  SELECT file_name,
+       |    nullif(regexp_extract(content, name_label || '[：: ]*(.+)', 1), '') AS product_name,
+       |    content,
+       |    (contains(array_to_string(string_split(content, chr(10))[1:2], chr(10)), '申购受理单')
+       |     AND NOT contains(array_to_string(string_split(content, chr(10))[1:2], chr(10)), '汇总')) AS is_single
+       |  FROM labeled WHERE platform = 'zhengdatong'),
+       |single AS (
+       |  SELECT file_name, CAST(0 AS BIGINT) AS row_no,
+       |    'single' AS row_fmt, product_name,
+       |    nullif(regexp_extract(content, '基金代码[：: ]*([0-9]{6})', 1), '') AS fund_code,
+       |    CAST(replace(nullif(regexp_extract(content, '申购金额（小写）[：: ]*([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE) AS apply_amount
+       |  FROM zfiles WHERE is_single),
+       |anchored AS (
+       |  SELECT file_name, product_name,
+       |    regexp_extract_all(content, '$zdtApplyAnchorRe', 1) AS codes,
+       |    regexp_extract_all(content, '$zdtApplyAnchorRe', 2) AS a2,
+       |    regexp_extract_all(content, '$zdtApplyAnchorRe', 3) AS a3
+       |  FROM zfiles WHERE NOT is_single),
+       |anchor_rows AS (
+       |  SELECT file_name, CAST(u.i AS BIGINT) AS row_no,
+       |    'anchor' AS row_fmt, product_name,
+       |    u.code AS fund_code,
+       |    CAST(replace(coalesce(nullif(a2[u.i], ''), nullif(a3[u.i], '')), ',', '') AS DOUBLE) AS apply_amount
+       |  FROM (SELECT file_name, product_name, a2, a3,
+       |      unnest(list_transform(codes, (x, i) -> struct_pack(i := i, code := x))) AS u
+       |    FROM anchored) t),
+       |rows_all AS (
+       |  SELECT * FROM single WHERE fund_code IS NOT NULL AND apply_amount IS NOT NULL
+       |  UNION ALL
+       |  SELECT * FROM anchor_rows WHERE apply_amount IS NOT NULL)
+       |SELECT * FROM rows_all ORDER BY file_name, row_no""".stripMargin
+
   /** The master-table oracle SQL — shared by the etl_master_table
     * entry and the etl_master_xlsx round-trip oracle (which recomputes
     * the same slice, so a writer/reader defect hash-fails).
@@ -2861,6 +3206,9 @@ object FundEtl {
     "etl_div_multi" -> divMultiOracleSql,
     "etl_div_rows" -> divRowsOracleSql,
     "etl_div_merge" -> divMergeOracleSql,
+    "etl_apply_ingest" -> applyIngestOracleSql,
+    "etl_apply_multi" -> applyMultiOracleSql,
+    "etl_apply_rows" -> applyRowsOracleSql,
     "etl_ocr_route" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
