@@ -574,6 +574,33 @@ object FundEtl {
     ("fenhongshezhi", Nil, "EXCL_DIV_SET"), // 分红设置
     ("shixiao", Nil, "EXCL_VOID")) // 失效
 
+  /** The CONVERSION (超级转换) chain — the reference's fifth and
+    * smallest walk (`conversion_extractor.py`): TWO platforms only
+    * (jd 肯特瑞基金-in-filename OR 肯特瑞 lines[:2]; tiantian
+    * 天天基金-in-filename ONLY, `:143-144`), an INCLUSION filename
+    * filter (only 超级/转换 files enter the run, `:126`), its OWN
+    * product dict (`product_codes_conversion.json`, `:27-40`), and
+    * two structurally different extraction modes: jd's paired out/in
+    * label set vs tiantian's positional format (the out-leg value
+    * PAIR on the line after the bare 转出基金确认 label — shares then
+    * amount `:163-169` — the in-leg single next-line value, the dual
+    * fee strategies `:180-204`, the 万联-anchored two-line name, and
+    * the DERIVED 转入金额 = 转出金额 − 手续费, `:215-221`).
+    */
+  private[graft] final case class ConvRule(platform: String,
+      clauses: Seq[Seq[SigLit]], mode: String) // labels | pairnext
+
+  private[graft] val convMatrix: Seq[ConvRule] = Seq(
+    ConvRule("jingdong", Seq(Seq(F("kenterijijin")), Seq(C(0, 2, "肯特瑞"))),
+      "labels"),
+    ConvRule("tiantian", Seq(Seq(F("tiantian"))), "pairnext"))
+
+  /** product_codes_conversion.json analog — the conversion walk's OWN
+    * dict (two corpus products deliberately unmapped). */
+  private[graft] val convLedger: Seq[(String, String)] = Seq(
+    ("安鑫回报混合A", "C001"), ("万联稳健配置混合计划A期", "C002"),
+    ("稳健增利债券C", "C003"), ("万联价值精选混合计划B期", "C004"))
+
   /** product_codes.json analog: product name → ledger id (two corpus
     * products deliberately unmapped to exercise the miss path).
     */
@@ -2021,6 +2048,80 @@ object FundEtl {
     single.unionByName(anchors).orderBy(col("file_name"), col("row_no"))
   }
 
+  private[graft] val conversionsDir = "/root/repo/data/conversions"
+
+  /** CONVERSION ingest — the 超级转换 walk as one operator: the
+    * inclusion filename filter (non-转换 files surface as
+    * EXCL_NOT_CONV), the two-platform chain, jd's paired labels vs
+    * tiantian's positional pair-next format (mode is rule data), the
+    * dual fee strategies, the conversion-specific dict, and the
+    * derived tiantian 转入金额 computed in integer cents (exact at
+    * 2dp on both engines). Map-only + broadcast joins like every
+    * ingest; the wide out/in record is the reference's 19-column
+    * conversion master shape.
+    */
+  val etlConvIngest: Q = (s, _) => {
+    import s.implicits._
+    val dict = convLedger.toDF("p_name", "conv_ledger")
+    def money(lbl: String) =
+      s"cast(replace(nullif(regexp_extract(content, '$lbl[：: ]*([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)"
+    val feeA =
+      "cast(replace(nullif(regexp_extract(content, '(?:^|\\n)[^\\n]*手续费[^\\n]*?([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)"
+    val feeB =
+      "cast(replace(nullif(regexp_extract(content, '([0-9,]+[.][0-9]+) *[（(][^\\n]*\\n[^\\n]*手续费', 1), ''), ',', '') as double)"
+    classifyFrom(s, convMatrix.map(r => (r.platform, r.clauses)),
+      convMatrix.map(r => (r.platform, r.mode)), loadStatements(s, conversionsDir))
+      .withColumn("biz_type", bizChain(Seq(
+        ("chaoji", Nil, "CONV"), ("zhuanhuan", Nil, "CONV")), "EXCL_NOT_CONV"))
+      .withColumn("product_name", expr(
+        """CASE WHEN mode = 'pairnext' THEN
+          |   nullif(concat(
+          |     coalesce(regexp_extract(content, '(?:^|\\n)(万联[^\\n]*)', 1), ''),
+          |     coalesce(regexp_extract(content, '(?:^|\\n)万联[^\\n]*\\n([^\\n]*计划[^\\n]*)', 1), '')), '')
+          | ELSE nullif(regexp_extract(content, '客户名称[：: ]*(.+)', 1), '') END""".stripMargin))
+      .withColumn("out_fund_code", expr(
+        "nullif(regexp_extract(content, '转出基金代码[：: ]*([0-9]{6})', 1), '')"))
+      .withColumn("in_fund_code", expr(
+        "nullif(regexp_extract(content, '转入基金代码[：: ]*([0-9]{6})', 1), '')"))
+      .withColumn("out_shares", expr(s"""CASE WHEN mode = 'pairnext'
+        | THEN cast(replace(nullif(regexp_extract(content, '转出基金确认\\n *([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)
+        | ELSE ${money("转出基金确认份额")} END""".stripMargin))
+      .withColumn("out_amount", expr(s"""CASE WHEN mode = 'pairnext'
+        | THEN cast(replace(nullif(regexp_extract(content, '转出基金确认\\n *([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+)', 2), ''), ',', '') as double)
+        | ELSE ${money("转出基金确认金额")} END""".stripMargin))
+      .withColumn("in_shares", expr(s"""CASE WHEN mode = 'pairnext'
+        | THEN cast(replace(nullif(regexp_extract(content, '转入基金确认\\n *([0-9,]+[.][0-9]+)', 1), ''), ',', '') as double)
+        | ELSE ${money("转入基金确认份额")} END""".stripMargin))
+      .withColumn("conv_fee", expr(s"""CASE WHEN mode = 'pairnext'
+        | THEN coalesce($feeA, $feeB)
+        | ELSE ${money("转换手续费")} END""".stripMargin))
+      // tiantian derives 转入金额 = 转出金额 − 手续费 in exact cents
+      .withColumn("in_amount", expr(s"""CASE WHEN mode = 'pairnext'
+        | THEN cast(cast(floor(out_amount * 100 + 0.5) as bigint)
+        |        - coalesce(cast(floor(conv_fee * 100 + 0.5) as bigint), 0) as double) / 100.0
+        | ELSE ${money("转入基金确认金额")} END""".stripMargin))
+      .join(broadcast(dict), col("product_name") === col("p_name"), "left")
+      .select(col("file_name"), col("batch_date"),
+        coalesce(col("platform"), lit("UNKNOWN")).as("platform"),
+        col("biz_type"), col("product_name"),
+        coalesce(col("conv_ledger"), lit("UNMAPPED")).as("conv_ledger"),
+        col("out_fund_code"), col("out_amount"), col("out_shares"),
+        col("in_fund_code"), col("in_amount"), col("in_shares"),
+        col("conv_fee"), col("batch_date").as("out_confirm_date"),
+        (col("out_fund_code").isNotNull && col("platform").isNotNull).as("valid"))
+      .orderBy(col("file_name"))
+  }
+
+  /** Generic classify: compiled chain + a broadcast (platform, mode)
+    * relation — for chains whose only per-platform datum is a mode. */
+  private def classifyFrom(s: SparkSession,
+      rows: Seq[(String, Seq[Seq[SigLit]])],
+      modes: Seq[(String, String)], files: DataFrame): DataFrame = {
+    import s.implicits._
+    files.withColumn("platform", matrixChain(rows))
+      .join(broadcast(modes.toDF("platform", "mode")), Seq("platform"), "left")
+  }
+
   private[graft] val statementsOcrDir = "/root/repo/data/statements_ocr"
 
   /** REAL OCR ingest — etl_ocr_route's stub unhex replaced with actual
@@ -2393,6 +2494,7 @@ object FundEtl {
     "etl_apply_ingest" -> etlApplyIngest,
     "etl_apply_multi" -> etlApplyMulti,
     "etl_apply_rows" -> etlApplyRows,
+    "etl_conv_ingest" -> etlConvIngest,
     "etl_ocr_route" -> etlOcrRoute,
     "etl_ocr_real" -> etlOcrReal,
     "etl_ocr_fuzzy_extract" -> etlOcrFuzzyExtract,
@@ -2969,6 +3071,79 @@ object FundEtl {
        |  SELECT * FROM anchor_rows WHERE apply_amount IS NOT NULL)
        |SELECT * FROM rows_all ORDER BY file_name, row_no""".stripMargin
 
+  private def convPlatformCaseSql: String =
+    convMatrix.map { r =>
+      val cls = r.clauses
+        .map(_.map(litSql).mkString("(", " AND ", ")"))
+        .mkString("(", " OR ", ")")
+      s"WHEN $cls THEN '${r.platform}'"
+    }.mkString("CASE ", "\n         ", " END")
+
+  private def convIngestOracleSql: String = {
+    def money(lbl: String) =
+      s"CAST(replace(nullif(regexp_extract(content, '$lbl[：: ]*([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE)"
+    val pairRe = """转出基金确认\n *([0-9,]+[.][0-9]+) +([0-9,]+[.][0-9]+)"""
+    val feeA =
+      """CAST(replace(nullif(regexp_extract(content, '(?:^|\n)[^\n]*手续费[^\n]*?([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE)"""
+    val feeB =
+      """CAST(replace(nullif(regexp_extract(content, '([0-9,]+[.][0-9]+) *[（(][^\n]*\n[^\n]*手续费', 1), ''), ',', '') AS DOUBLE)"""
+    s"""WITH conv_rules(platform, mode) AS (
+       |  VALUES ${convMatrix.map(r => s"('${r.platform}', '${r.mode}')").mkString(", ")}),
+       |cdict(p_name, conv_ledger) AS (
+       |  VALUES ${convLedger.map { case (n, l) => s"('$n', '$l')" }.mkString(", ")}),
+       |files AS (
+       |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,
+       |    regexp_extract(filename, '([0-9]{8})/[^/]+$$', 1) AS batch_date,
+       |    content
+       |  FROM read_text('$conversionsDir/*/*.txt')),
+       |classified AS (
+       |  SELECT f.*, $convPlatformCaseSql AS platform FROM files f),
+       |labeled AS (
+       |  SELECT c.*, r.mode
+       |  FROM classified c LEFT JOIN conv_rules r ON c.platform = r.platform),
+       |extracted AS (
+       |  SELECT file_name, batch_date, platform,
+       |    CASE WHEN contains(file_name, 'chaoji') THEN 'CONV'
+       |         WHEN contains(file_name, 'zhuanhuan') THEN 'CONV'
+       |         ELSE 'EXCL_NOT_CONV' END AS biz_type,
+       |    CASE WHEN mode = 'pairnext' THEN
+       |        nullif(coalesce(regexp_extract(content, '(?:^|\n)(万联[^\n]*)', 1), '')
+       |          || coalesce(regexp_extract(content, '(?:^|\n)万联[^\n]*\n([^\n]*计划[^\n]*)', 1), ''), '')
+       |      ELSE nullif(regexp_extract(content, '客户名称[：: ]*(.+)', 1), '') END AS product_name,
+       |    nullif(regexp_extract(content, '转出基金代码[：: ]*([0-9]{6})', 1), '') AS out_fund_code,
+       |    nullif(regexp_extract(content, '转入基金代码[：: ]*([0-9]{6})', 1), '') AS in_fund_code,
+       |    CASE WHEN mode = 'pairnext'
+       |      THEN CAST(replace(nullif(regexp_extract(content, '$pairRe', 1), ''), ',', '') AS DOUBLE)
+       |      ELSE ${money("转出基金确认份额")} END AS out_shares,
+       |    CASE WHEN mode = 'pairnext'
+       |      THEN CAST(replace(nullif(regexp_extract(content, '$pairRe', 2), ''), ',', '') AS DOUBLE)
+       |      ELSE ${money("转出基金确认金额")} END AS out_amount,
+       |    CASE WHEN mode = 'pairnext'
+       |      THEN CAST(replace(nullif(regexp_extract(content, '转入基金确认\n *([0-9,]+[.][0-9]+)', 1), ''), ',', '') AS DOUBLE)
+       |      ELSE ${money("转入基金确认份额")} END AS in_shares,
+       |    CASE WHEN mode = 'pairnext' THEN coalesce($feeA, $feeB)
+       |      ELSE ${money("转换手续费")} END AS conv_fee,
+       |    mode
+       |  FROM labeled),
+       |derived AS (
+       |  SELECT e.*,
+       |    CASE WHEN mode = 'pairnext'
+       |      THEN CAST(CAST(floor(out_amount * 100 + 0.5) AS BIGINT)
+       |             - coalesce(CAST(floor(conv_fee * 100 + 0.5) AS BIGINT), 0) AS DOUBLE) / 100.0
+       |      ELSE ${money("转入基金确认金额")} END AS in_amount
+       |  FROM extracted e JOIN files f USING (file_name))
+       |SELECT d.file_name, d.batch_date,
+       |  coalesce(d.platform, 'UNKNOWN') AS platform,
+       |  d.biz_type, d.product_name,
+       |  coalesce(c.conv_ledger, 'UNMAPPED') AS conv_ledger,
+       |  d.out_fund_code, d.out_amount, d.out_shares,
+       |  d.in_fund_code, d.in_amount, d.in_shares, d.conv_fee,
+       |  d.batch_date AS out_confirm_date,
+       |  (d.out_fund_code IS NOT NULL AND d.platform IS NOT NULL) AS valid
+       |FROM derived d LEFT JOIN cdict c ON d.product_name = c.p_name
+       |ORDER BY d.file_name""".stripMargin
+  }
+
   /** The master-table oracle SQL — shared by the etl_master_table
     * entry and the etl_master_xlsx round-trip oracle (which recomputes
     * the same slice, so a writer/reader defect hash-fails).
@@ -3209,6 +3384,7 @@ object FundEtl {
     "etl_apply_ingest" -> applyIngestOracleSql,
     "etl_apply_multi" -> applyMultiOracleSql,
     "etl_apply_rows" -> applyRowsOracleSql,
+    "etl_conv_ingest" -> convIngestOracleSql,
     "etl_ocr_route" -> ingestOracleSql(
       s"""raw AS (
          |  SELECT regexp_extract(filename, '([^/]+)$$', 1) AS file_name,

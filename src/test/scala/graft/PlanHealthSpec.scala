@@ -57,7 +57,8 @@ class PlanHealthSpec extends SparkTestBase {
     // sort's range partitioning.
     Seq("etl_redeem_ingest", "etl_redeem_multi", "etl_redeem_rows",
       "etl_div_ingest", "etl_div_multi", "etl_div_rows",
-      "etl_apply_ingest", "etl_apply_multi", "etl_apply_rows").foreach { n =>
+      "etl_apply_ingest", "etl_apply_multi", "etl_apply_rows",
+      "etl_conv_ingest").foreach { n =>
       val plan = planOf(n)
       assert(!plan.contains("Exchange hashpartitioning"),
         s"$n must classify/extract without a hash shuffle:\n$plan")
