@@ -457,6 +457,44 @@ object Profile {
             f"driver=$nDrv (${(t3 - t2) / 1e9}%.2f s, heap $h0%d->$h1%d MB) " +
             f"score_diff=$diff")
         }
+      case "--curation-stages" =>
+        // per-batch cost split of tx_curation_incremental: the op is 3
+        // sequential curationApplyBatch calls against a keeper table +
+        // cursor sidecar, then one manifest re-read. Times each call so
+        // the fixed per-batch overhead (writes, table append, collects)
+        // is visible separately from the final assembly.
+        import org.apache.spark.sql.functions.{col => c}
+        val docs = sources.Tables.documents(spark, d)
+          .select(c("doc_id"), c("source"), c("text"))
+        val bounds = docs.agg(
+          org.apache.spark.sql.functions.min(c("doc_id")),
+          org.apache.spark.sql.functions.max(c("doc_id"))).head()
+        val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+        val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+        val tag = java.lang.Long.toHexString(System.nanoTime())
+        val keeperTbl = s"profile_curation_keeper_$tag"
+        val tmp = java.nio.file.Files.createTempDirectory("graft-cur-prof").toString
+        val batches = Seq(
+          docs.filter(c("doc_id") <= cut1),
+          docs.filter(c("doc_id") > cut1 && c("doc_id") <= cut2),
+          docs.filter(c("doc_id") > cut2))
+        batches.zipWithIndex.foreach { case (b, i) =>
+          val t0 = System.nanoTime()
+          streaming.EventStreams.curationApplyBatch(
+            b, i.toLong, keeperTbl, s"$tmp/cursor", s"$tmp/out")
+          println(f"[profile] curation-stages batch=$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val t0 = System.nanoTime()
+        val n = spark.read.option("recursiveFileLookup", "true")
+          .parquet(s"$tmp/out").orderBy(c("doc_id")).localCheckpoint().count()
+        println(f"[profile] curation-stages assemble ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        spark.sql(s"DROP TABLE IF EXISTS $keeperTbl")
+        try {
+          import scala.jdk.CollectionConverters._
+          val root = java.nio.file.Paths.get(tmp)
+          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
+            .foreach(java.nio.file.Files.deleteIfExists(_))
+        } catch { case _: Throwable => () }
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)

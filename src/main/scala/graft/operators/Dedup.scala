@@ -2097,15 +2097,22 @@ object Dedup {
     */
   val ddPipeline: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    val hashed = docs.withColumn("text_hash",
-      md5(lower(regexp_replace(trim(col("text")), "\\s+", " "))))
+    // the digest projection is persisted NARROW (doc_id, text_hash):
+    // it feeds both the keeper aggregate and the fan-back join, and
+    // without the persist each consumer re-ran the corpus scan + the
+    // normalize-regex + md5 (round 17 — at 100 TB that is a second
+    // full pass over the text for zero new information)
+    val hashed = docs.select(col("doc_id"),
+      md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
+        .as("text_hash"))
+      .persist()
     // exact stage: one partial-aggregating shuffle on the digest; the
     // keeper (min doc_id per digest) is the survivor set. Persisted:
     // read by the fan-back join AND as the root of the survivor chain.
     val keepers = hashed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
       .persist()
-    val withKeeper = hashed.select(col("doc_id"), col("text_hash"))
+    val withKeeper = hashed
       .join(keepers, "text_hash")
       .select(col("doc_id"), col("keeper_id"))
     val survivors = keepers.select(col("keeper_id").as("doc_id"))

@@ -1745,13 +1745,14 @@ object FundEtl {
   val etlDivIngest: Q = (s, _) =>
     divIngestFrame(s).drop("rec_marker").orderBy(col("file_name"))
 
-  private[graft] def divIngestFrame(s: SparkSession): DataFrame = {
+  private[graft] def divIngestFrame(s: SparkSession,
+      classified: Option[DataFrame] = None): DataFrame = {
     import s.implicits._
     val dict = productLedger.toDF("p_name", "ledger_id")
     val (sharesRaw, amountRaw) = divValueExprs("content")
     val tokenCode =
       "nullif(regexp_extract(content, '(?:^|[\\n ])([0-9]{6}) [^\\n]*分红', 1), '')"
-    classifyDividends(s, loadStatements(s, dividendsDir))
+    classified.getOrElse(classifyDividends(s, loadStatements(s, dividendsDir)))
       .withColumn("shares_raw", expr(sharesRaw))
       .withColumn("amount_raw", expr(amountRaw))
       .withColumn("fund_code", expr(
@@ -1786,9 +1787,10 @@ object FundEtl {
   val etlDivMulti: Q = (s, _) =>
     divMultiFrame(s).orderBy(col("file_name"), col("rec_no"))
 
-  private def divMultiFrame(s: SparkSession): DataFrame = {
+  private def divMultiFrame(s: SparkSession,
+      classified: Option[DataFrame] = None): DataFrame = {
     val (sharesRaw, amountRaw) = divValueExprs("seg")
-    classifyDividends(s, loadStatements(s, dividendsDir))
+    classified.getOrElse(classifyDividends(s, loadStatements(s, dividendsDir)))
       .filter(col("rec_marker").isNotNull)
       .withColumn("product_name", expr(
         "nullif(regexp_extract(content, concat(name_label, '[：: ]*(.+)'), 1), '')"))
@@ -1827,7 +1829,8 @@ object FundEtl {
   val etlDivRows: Q = (s, _) =>
     divRowsFrame(s).orderBy(col("file_name"), col("row_no"))
 
-  private def divRowsFrame(s: SparkSession): DataFrame = {
+  private def divRowsFrame(s: SparkSession,
+      classified: Option[DataFrame] = None): DataFrame = {
     def g(re: String, i: Int) = expr(s"regexp_extract(line, '$re', $i)")
     def num(c: org.apache.spark.sql.Column) =
       regexp_replace(c, ",", "").cast("double")
@@ -1835,7 +1838,8 @@ object FundEtl {
     // anchor generalized to (^|\n) — exactly "some line matches"
     val gate = s"content rlike '${zdtDivCompactRe.replace("^", "(^|\\\\n)")}' " +
       s"or content rlike '${zdtDivStandardRe.replace("^", "(^|\\\\n)")}'"
-    val z = classifyDividends(s, loadStatements(s, dividendsDir))
+    val z = classified
+      .getOrElse(classifyDividends(s, loadStatements(s, dividendsDir)))
       .filter(col("platform") === "zhengdatong")
       .withColumn("product_name", expr(
         "nullif(regexp_extract(content, concat(name_label, '[：: ]*(.+)'), 1), '')"))
@@ -1889,17 +1893,24 @@ object FundEtl {
   val etlDivMerge: Q = (s, _) => {
     import s.implicits._
     val dict = productLedger.toDF("p_name", "ledger_id")
-    val singles = divIngestFrame(s)
+    // ONE classified scan shared by all three legs (round 17): each
+    // leg builder defaults to its own binaryFile scan + compiled
+    // matrix classification so the standalone ops stay self-contained,
+    // but composing them verbatim re-ran that scan+classify three
+    // times inside one query. Persisted MEMORY_AND_DISK; in a 100 TB
+    // deployment this is the per-batch statement slice, not a corpus.
+    val cls = classifyDividends(s, loadStatements(s, dividendsDir)).persist()
+    val singles = divIngestFrame(s, Some(cls))
       .filter(col("valid") && col("rec_marker").isNull &&
         col("platform") =!= "zhengdatong")
       .select(col("file_name"), lit(0L).as("leg_no"), col("platform"),
         col("product_name"), col("fund_code"),
         col("div_amount"), col("div_shares"))
-    val multi = divMultiFrame(s)
+    val multi = divMultiFrame(s, Some(cls))
       .select(col("file_name"), col("rec_no").as("leg_no"), col("platform"),
         col("product_name"), col("fund_code"),
         col("div_amount"), col("div_shares"))
-    val zrows = divRowsFrame(s)
+    val zrows = divRowsFrame(s, Some(cls))
       .select(col("file_name"), col("row_no").as("leg_no"),
         lit("zhengdatong").as("platform"), col("product_name"),
         col("fund_code"), col("div_amount"), col("div_shares"))

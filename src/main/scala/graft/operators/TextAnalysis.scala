@@ -1245,8 +1245,17 @@ object TextAnalysis {
     */
   val txTextrank: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // persisted: the vocabulary subtree (corpus explode + distinct) is
+    // consumed SIX times — two broadcast legs of the pair join, the
+    // node universe (whose count() and endpoint join are separate
+    // driver-path jobs inside graphRankScores), and the final word
+    // lookup. Without the persist each consumer re-ran the full
+    // explode+distinct shuffle (round 17, measured 2.2 s → the
+    // vocabulary is |V| rows — tiny — while its lineage is the whole
+    // corpus). Bench clears the cache after every op.
     val vocab = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
       .withColumn("doc_id", xxhash64(col("w")))
+      .persist()
     val bi = docs
       .select(explode(expr(
         """CASE WHEN size(split(text, ' ')) < 2 THEN array()

@@ -683,17 +683,21 @@ object EventStreams extends Serializable {
         .mkString("\n")
       val co = fs.create(cursorFile(batchId), true)
       try co.write(mergedTsv.getBytes("UTF-8")) finally co.close()
-      // grow the keeper store: only hashes this batch introduced.
-      // localCheckpoint truncates lineage so the append never reads
-      // the table it writes (and is replay-idempotent: a crashed
-      // attempt's append makes this anti-join empty)
-      val newKeepers =
-        (if (storeExists)
-           batchKeeper.join(spark.table(keeperTable), Seq("text_hash"), "left_anti")
-         else batchKeeper)
-          .select(col("text_hash"), col("batch_keeper").as("keeper_id"))
-          .repartition(nBuckets, col("text_hash"))
-          .localCheckpoint()
+      // grow the keeper store: only hashes this batch introduced —
+      // read off the PERSISTED labeled frame (a new keeper is exactly
+      // a q_ok row that is its own batch keeper with no stored
+      // keeper), so the append costs no second scan of the keeper
+      // table and no anti-join (round 17; the old shape re-read +
+      // anti-joined the store per batch). Replay stays idempotent: a
+      // crashed attempt's append lands in `stored_keeper`, so the
+      // filter is empty on replay. localCheckpoint truncates lineage
+      // so the append never reads the table it writes.
+      val newKeepers = labeled
+        .filter(col("q_ok") && col("stored_keeper").isNull &&
+          col("doc_id") === col("batch_keeper"))
+        .select(col("text_hash"), col("batch_keeper").as("keeper_id"))
+        .repartition(nBuckets, col("text_hash"))
+        .localCheckpoint()
       newKeepers.write.mode("append").format("parquet")
         .bucketBy(nBuckets, "text_hash")
         .saveAsTable(keeperTable)
