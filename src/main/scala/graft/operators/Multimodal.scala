@@ -524,7 +524,10 @@ object Multimodal {
       .withColumn("label", coalesce(col("label"), col("node")))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("n_pixels").desc, col("file_name"))
-    val ranked = named.withColumn("rk", row_number().over(w))
+    // persisted: both the per-cluster keys aggregate and the final
+    // join read the ranked frame — without the persist each consumer
+    // re-ran the label join + the per-cluster window (round 17)
+    val ranked = named.withColumn("rk", row_number().over(w)).persist()
     val keys = ranked.groupBy(col("label"))
       .agg(min(col("file_name")).as("cluster_key"),
         count(lit(1)).as("cluster_size"),
