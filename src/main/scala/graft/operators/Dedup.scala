@@ -444,12 +444,16 @@ object Dedup {
         .join(remaining.select(col("doc_id").as("doc_b")), Seq("doc_b"), "left_semi")
         .groupBy(col("doc_a").as("doc_id"))
         .agg(count(lit(1)).as("deg"))
+      // ONE checkpoint per round (round 17 — was three): removed and
+      // remaining are plain filters OVER this checkpoint, so their own
+      // localCheckpoints bought no lineage truncation and cost a full
+      // materialization job each, every round. Both stay node-bounded
+      // reads of flagged's cached blocks.
       val flagged = remaining.join(liveDeg, Seq("doc_id"), "left")
         .withColumn("deg", coalesce(col("deg"), lit(0L)))
         .localCheckpoint()
       val removed = flagged.filter(col("deg") < k)
         .select(col("doc_id"), lit(round).as("removed_round"))
-        .localCheckpoint()
       if (removed.isEmpty) done = true
       else {
         // the cap guards REMOVAL rounds: a peel converging in exactly
@@ -460,7 +464,7 @@ object Dedup {
           sys.error(s"k-core peel did not converge within $maxRounds removal rounds")
         removedRounds += removed
         remaining = flagged.filter(col("deg") >= k)
-          .select(col("doc_id")).localCheckpoint()
+          .select(col("doc_id"))
         if (compactEvery.exists(c => round % c == 0)) {
           val prev = edges
           edges = edges
@@ -1853,14 +1857,17 @@ object Dedup {
       val uEdges = m.select(col("a"), col("m").as("b"))
       vEdges.unionAll(uEdges).distinct()
     }
-    // structural fixpoint: disjoint single-parent stars. Two cheap
-    // aggregates — no child appears as a root, no child keeps two
-    // parents. (A star edge set is a fixpoint of both operations, and
-    // L/S preserve components, so stars ⇔ done.)
+    // structural fixpoint: disjoint single-parent stars — no child
+    // appears as a root, no child keeps two parents. (A star edge set
+    // is a fixpoint of both operations, and L/S preserve components,
+    // so stars ⇔ done.) Both violation classes union into ONE
+    // emptiness probe (round 17 — was two driver-blocking actions per
+    // round; the union is empty iff both legs are).
     def isStars(e: DataFrame): Boolean =
-      e.select(col("a")).intersect(e.select(col("b"))).isEmpty &&
-        e.groupBy(col("a")).agg(count(lit(1)).as("np"))
-          .filter(col("np") > 1).isEmpty
+      e.select(col("a")).intersect(e.select(col("b")))
+        .unionAll(e.groupBy(col("a")).agg(count(lit(1)).as("np"))
+          .filter(col("np") > 1).select(col("a")))
+        .isEmpty
     var rounds = 0
     val maxRounds = 60 // O(log² n) bound; hitting it means a logic bug
     var stars = isStars(edges)

@@ -524,10 +524,7 @@ object Multimodal {
       .withColumn("label", coalesce(col("label"), col("node")))
     val w = Window.partitionBy(col("label"))
       .orderBy(col("n_pixels").desc, col("file_name"))
-    // persisted: both the per-cluster keys aggregate and the final
-    // join read the ranked frame — without the persist each consumer
-    // re-ran the label join + the per-cluster window (round 17)
-    val ranked = named.withColumn("rk", row_number().over(w)).persist()
+    val ranked = named.withColumn("rk", row_number().over(w))
     val keys = ranked.groupBy(col("label"))
       .agg(min(col("file_name")).as("cluster_key"),
         count(lit(1)).as("cluster_size"),

@@ -390,14 +390,8 @@ object Similarity {
     * construction.
     */
   val annRecallEval: Q = (s, d) => {
-    // persisted: the ground-truth table is consumed three times (the
-    // query-id universe + one hit join per evaluated method), and its
-    // lineage is the full brute-force kernel — without the persist
-    // each consumer re-ran the corpus×queries cosine pass (round 17).
-    // k×|queries| rows.
     val truth = annBruteTopk(s, d).filter(col("rank") <= 5)
       .select(col("query_id"), col("neighbor_id"))
-      .persist()
     val qids = truth.select(col("query_id")).distinct()
     def evalOf(method: String, approx: DataFrame): DataFrame = {
       val hits = approx.filter(col("rank") <= 5)

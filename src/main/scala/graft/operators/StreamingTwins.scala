@@ -134,10 +134,6 @@ object StreamingTwins {
     */
   val stLatenessAudit: Q = (s, d) => {
     val wPart = Window.partitionBy(col("src_part")).orderBy(col("event_id"))
-    // persisted NARROW (the four columns both consumers need): the
-    // tick-watermark aggregate and the late-event join both read the
-    // arrival model, and without the persist each re-ran the corpus
-    // scan + the per-partition arrival window (round 17)
     val arr = Tables.events(s, d)
       .withColumn("src_part", col("user_id") % 8)
       .withColumn("ts_us", unix_micros(col("ts")))
@@ -145,8 +141,6 @@ object StreamingTwins {
         expr("(row_number() OVER (PARTITION BY src_part ORDER BY event_id) " +
           "* (64 + src_part)) div 64"))
       .withColumn("tick", expr("arrival_rank div 500"))
-      .select(col("event_id"), col("user_id"), col("ts_us"), col("tick"))
-      .persist()
     val wTick = Window.orderBy(col("tick"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val watermarks = arr.groupBy(col("tick"))
@@ -173,17 +167,11 @@ object StreamingTwins {
   val stFunnel: Q = (s, d) => {
     val ev = Tables.events(s, d)
       .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("ts_us"))
-    // v and c are persisted: each feeds the next stage's join AND its
-    // own scalar count (v additionally the conversion base) — without
-    // the persists each consumer re-ran the per-stage corpus
-    // filter+aggregate chain (round 17). One narrow row per user.
     val v = ev.filter(col("event_type") === "view")
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("v_us"))
-      .persist()
     val c = ev.filter(col("event_type") === "click").join(v, "user_id")
       .filter(col("ts_us") > col("v_us"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("c_us"))
-      .persist()
     val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
       .filter(col("ts_us") > col("c_us"))
       .groupBy(col("user_id")).agg(min(col("ts_us")).as("p_us"))
@@ -210,13 +198,9 @@ object StreamingTwins {
     * (user, day), not per event.
     */
   val stRetention: Q = (s, d) => {
-    // persisted: the distinct (user, day) table feeds the cohort
-    // aggregate AND the offset join — without the persist both re-ran
-    // the corpus scan + distinct shuffle (round 17). Two columns.
     val ev = Tables.events(s, d)
       .select(col("user_id"), to_date(col("ts")).as("day"))
       .distinct()
-      .persist()
     val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
     ev.join(firstDay, "user_id")
       .withColumn("day_offset", datediff(col("day"), col("cohort_day")).cast("long"))

@@ -1029,17 +1029,11 @@ object TextAnalysis {
     val stats = docs.agg(
       count(lit(1)).as("n_docs"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    // persisted: tf feeds BOTH the df aggregate (broadcast below) and
-    // the scoring join — without the persist each consumer re-ran the
-    // corpus explode+filter+groupBy (round 17). Rows are bounded by
-    // |docs carrying a query term| × |query terms| — the broadcast-
-    // filtered stream, not the corpus.
     val tf = docs
       .select(col("doc_id"), col("dl"), explode(col("w")).as("term"))
       .filter(col("term").isInCollection(vocab))
       .groupBy(col("doc_id"), col("dl"), col("term"))
       .agg(count(lit(1)).as("tf"))
-      .persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf
       .join(broadcast(df), "term")
@@ -1194,14 +1188,9 @@ object TextAnalysis {
     */
   val txCollocations: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // persisted: the unigram table is consumed three times (both
-    // broadcast sides of the lift join + the corpus total) and each
-    // consumer re-ran the corpus explode+groupBy without it (round
-    // 17, the tx_textrank vocabulary fix applied here). |vocab| rows.
     val uni = docs
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("n_w"))
-      .persist()
     val total = uni.agg(sum(col("n_w")).cast("long").as("total_n"))
     val bi = docs
       .select(explode(expr(
@@ -1256,17 +1245,8 @@ object TextAnalysis {
     */
   val txTextrank: Q = (s, d) => {
     val docs = Tables.documents(s, d)
-    // persisted: the vocabulary subtree (corpus explode + distinct) is
-    // consumed SIX times — two broadcast legs of the pair join, the
-    // node universe (whose count() and endpoint join are separate
-    // driver-path jobs inside graphRankScores), and the final word
-    // lookup. Without the persist each consumer re-ran the full
-    // explode+distinct shuffle (round 17, measured 2.2 s → the
-    // vocabulary is |V| rows — tiny — while its lineage is the whole
-    // corpus). Bench clears the cache after every op.
     val vocab = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
       .withColumn("doc_id", xxhash64(col("w")))
-      .persist()
     val bi = docs
       .select(explode(expr(
         """CASE WHEN size(split(text, ' ')) < 2 THEN array()
