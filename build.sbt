@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 205-query sweep generates far more whole-stage-codegen classes
+  // than the JVM's default 240 MB code cache holds; once it fills,
+  // the JIT flushes hot methods and re-interprets them — ops that
+  // measure ~0.15 s in a small session read 10x that mid-sweep
+  // (round 17). 512 MB keeps the sweep's compiled code resident.
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -50,6 +50,16 @@ object GraftSession {
       // session (Bench/Verify/Profile/tests) is built. A deploy that
       // lowers this must lower the union-find budget with it.
       .config("spark.driver.maxResultSize", "4g")
+      // Janino compilation cache (static conf, default 100 entries):
+      // a 205-query sweep evaluates far more distinct codegen units
+      // than 100, so every sweep re-compiled nearly every generated
+      // class (round 17 — the warm-up pass Bench runs exists to hit
+      // this cache, and the default capacity evicted it before the
+      // timed sweep came back around). Sized to hold the whole
+      // registry's units; ~tens of KB per compiled class. Not a
+      // local-mode tune: any long-lived driver serving a many-query
+      // workload wants its generated classes compiled once.
+      .config("spark.sql.codegen.cache.maxEntries", "2000")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.parquet.aggregatePushdown", "true")
       // runtime row-group pruning on large joins: the selective side
