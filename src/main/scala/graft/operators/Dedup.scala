@@ -2103,12 +2103,46 @@ object Dedup {
     * retain-one-then-route contract at corpus scale.
     */
   val ddPipeline: Q = (s, d) => {
+    // OVERLAPPED INDEPENDENT JOBS (round 18, the r17 verdict's ask #2,
+    // guide §2.6): the pipeline's driver-blocking actions used to run
+    // strictly sequentially although three of its subtrees are
+    // mutually independent — (a) the quality corpus scan (needs only
+    // the documents table, not the dedup chain), (b) the CC labeling
+    // and (c) the authority power iteration (both ride the SAME
+    // checkpointed pair graph but never each other). A 3-thread pool
+    // submits them concurrently so each job's straggler tail is
+    // back-filled by the others' tasks; FIFO scheduling keeps the
+    // first-submitted job's resources first, which is exactly the
+    // back-fill shape the guide describes. Results are awaited before
+    // the (sequential) final join; any failure rethrows via
+    // Await.result. Job descriptions are thread-local, so the UI
+    // labels each overlapped job correctly.
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutorService(pool)
+    try {
     val docs = Tables.documents(s, d)
+    // quality is a full corpus TEXT scan at 100 TB — the single most
+    // overlappable cost: fork it first, checkpoint so the work really
+    // happens inside the future (a lazy frame would defer it back
+    // into the sequential final join)
+    val qualityF = Future {
+      s.sparkContext.setJobDescription("dd_pipeline: quality scan (overlapped)")
+      TextAnalysis.txQuality(s, d)
+        .select(col("doc_id"), col("quality_score"))
+        .localCheckpoint()
+    }
     // the digest projection is persisted NARROW (doc_id, text_hash):
     // it feeds both the keeper aggregate and the fan-back join, and
     // without the persist each consumer re-ran the corpus scan + the
     // normalize-regex + md5 (round 17 — at 100 TB that is a second
-    // full pass over the text for zero new information)
+    // full pass over the text for zero new information).
+    // Lifecycle note: never unpersisted here — the returned frame
+    // still reads it (fan-back join), so the cache lives until the
+    // caller's clearCache (Bench) or session end; blocks are
+    // storage-evictable, narrow, and corpus-key-free.
     val hashed = docs.select(col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
         .as("text_hash"))
@@ -2145,15 +2179,24 @@ object Dedup {
         .select(col("doc_a"), col("doc_b"))
         .localCheckpoint()
     }
-    val labels = connectedComponents(pairs, materialized = true)
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"))
-    // authority scoring over the SAME materialized pair graph (the
-    // dd_graph_rank kernel on the survivor node set) — the link-
-    // importance quality signal, computed without a second LSH join
-    val rank = graphRankScores(survivors, pairs)
-      .select(col("doc_id"), col("score_e9").as("authority_e9"))
-    val quality = TextAnalysis.txQuality(s, d)
-      .select(col("doc_id"), col("quality_score"))
+    // CC labeling and the authority power iteration are independent
+    // consumers of the checkpointed graph — overlapped (their heavy
+    // work — routing counts, collects, per-round jobs — runs inside
+    // the futures; the returned frames are cheap reads over
+    // checkpoints/broadcasts)
+    val labelsF = Future {
+      s.sparkContext.setJobDescription("dd_pipeline: CC labels (overlapped)")
+      connectedComponents(pairs, materialized = true)
+        .select(col("node").as("doc_id"), col("label").as("cluster_id"))
+    }
+    val rankF = Future {
+      s.sparkContext.setJobDescription("dd_pipeline: authority rank (overlapped)")
+      graphRankScores(survivors, pairs)
+        .select(col("doc_id"), col("score_e9").as("authority_e9"))
+    }
+    val labels = Await.result(labelsF, Duration.Inf)
+    val rank = Await.result(rankF, Duration.Inf)
+    val quality = Await.result(qualityF, Duration.Inf)
     val w = Window.partitionBy(col("cluster_id"))
       .orderBy(col("quality_score").desc, col("doc_id"))
     // canonical + split computed on the SURVIVOR level (one row per
@@ -2179,6 +2222,7 @@ object Dedup {
         (col("is_can") && col("doc_id") === col("keeper_id")).as("is_canonical"),
         col("authority_e9"), col("split"))
       .orderBy(col("doc_id"))
+    } finally pool.shutdown() // futures are awaited above; idle threads die
   }
 
   /** The dd_graph_rank oracle: the same five integer power iterations,

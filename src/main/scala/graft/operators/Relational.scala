@@ -768,34 +768,180 @@ object Relational {
       .orderBy(col("support").desc, col("part_a"), col("part_b"))
   }
 
+  /** EXACT DISTRIBUTED MULTI-RANK SELECTION (round 18, the r17
+    * verdict's ask #1): find the (v, ck) pair at each target 1-based
+    * rank under the total order (v ASC, ck ASC) — ck unique — WITHOUT
+    * a global sort. Iterated histogram refinement (the q44/q52/q56
+    * integer-bucket lever turned into a selection algorithm): each
+    * round buckets every task's candidate rows into ~1024
+    * value-range buckets with ONE map-side-aggregated job shared by
+    * ALL tasks (a ≤ tasks×1025-row driver read of counts + min/max
+    * stats), the driver walks the cumulative counts to the bucket
+    * holding the target rank, and the candidate set shrinks ~1024×
+    * (v-range mode) or exactly ≥1024× (ck mode, keys unique) per
+    * round; once a task's candidates fit [[rankSelectCollectMax]]
+    * they are collected and the rank read exactly. Worst case
+    * ~log₁₀₂₄(range) + log₁₀₂₄(n) rounds — ≤4 jobs on any real
+    * corpus; a breach of [[rankSelectMaxRounds]] fails loudly. Data
+    * crossing the network per round is the histogram, never rows.
+    */
+  private final case class RankTask(vCol: String, target: Long) {
+    var k: Long = target            // local rank within candidates
+    var vLo: Long = Long.MinValue   // candidate v range, inclusive
+    var vHi: Long = Long.MaxValue
+    var ckLo: Long = Long.MinValue  // ck range — meaningful when vLo==vHi
+    var ckHi: Long = Long.MaxValue
+    var count: Long = Long.MaxValue // candidate count (MaxValue = unknown)
+    var result: Option[(Long, Long)] = None
+    def ckMode: Boolean = vLo == vHi
+    def candPred(v: org.apache.spark.sql.Column,
+        ck: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (ckMode) v === vLo && ck >= ckLo && ck <= ckHi
+      else v >= vLo && v <= vHi
+    /** Overflow-safe width-division bucketing: width ≥ 1, ≤1025 buckets. */
+    def bktExpr(v: org.apache.spark.sql.Column,
+        ck: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      if (count == Long.MaxValue) lit(0L) // bootstrap: one stats bucket
+      else if (ckMode) {
+        val w = (ckHi - ckLo) / 1024L + 1L
+        (ck - ckLo) / w
+      } else {
+        val w = (vHi - vLo) / 1024L + 1L
+        (v - vLo) / w
+      }
+  }
+  private[graft] val rankSelectCollectMax = 65536L
+  private[graft] val rankSelectMaxRounds = 20
+
+  /** Run the selection over `pts` for `tasks` = (vColumnName, rank)
+    * pairs sharing the unique tie-break column `ckCol`. Returns one
+    * exact (v, ck) per task, in task order. Caller materializes
+    * `pts` (it is scanned once per round). Ranks must be within
+    * [1, n]; an exhausted candidate set fails loudly.
+    */
+  private[graft] def exactRankPairs(pts: DataFrame, ckCol: String,
+      taskSpecs: Seq[(String, Long)]): IndexedSeq[(Long, Long)] = {
+    val tasks = taskSpecs.map { case (v, t) => RankTask(v, t) }.toIndexedSeq
+    var rounds = 0
+    while (tasks.exists(_.result.isEmpty)) {
+      rounds += 1
+      require(rounds <= rankSelectMaxRounds,
+        s"exactRankPairs did not converge in $rankSelectMaxRounds rounds")
+      val active = tasks.zipWithIndex.filter(_._1.result.isEmpty)
+      val (small, large) = active.partition(_._1.count <= rankSelectCollectMax)
+      if (small.nonEmpty) {
+        // collect round: candidates fit the driver — read ranks exactly
+        val entries = small.map { case (t, i) =>
+          when(t.candPred(col(t.vCol), col(ckCol)),
+            struct(lit(i).as("t"), col(t.vCol).as("v"), col(ckCol).as("ck")))
+        }
+        val rows = pts.select(explode(array(entries: _*)).as("e"))
+          .filter(col("e").isNotNull)
+          .select(col("e.t"), col("e.v"), col("e.ck"))
+          .collect()
+        val byTask = rows.groupBy(_.getInt(0))
+        small.foreach { case (t, i) =>
+          val cand = byTask.getOrElse(i, Array.empty)
+            .map(r => (r.getLong(1), r.getLong(2))).sorted
+          require(t.k >= 1 && t.k <= cand.length,
+            s"rank ${t.target} (${t.vCol}): local rank ${t.k} outside " +
+              s"${cand.length} candidates — selection state corrupt")
+          t.result = Some(cand((t.k - 1).toInt))
+        }
+      }
+      if (large.nonEmpty) {
+        // histogram round: shrink every large task's candidate set
+        val entries = large.map { case (t, i) =>
+          when(t.candPred(col(t.vCol), col(ckCol)),
+            struct(lit(i).as("t"),
+              t.bktExpr(col(t.vCol), col(ckCol)).as("bkt"),
+              col(t.vCol).as("v"), col(ckCol).as("ck")))
+        }
+        val stats = pts.select(explode(array(entries: _*)).as("e"))
+          .filter(col("e").isNotNull)
+          .groupBy(col("e.t").as("t"), col("e.bkt").as("bkt"))
+          .agg(count(lit(1)).as("c"),
+            min(col("e.v")).as("vmn"), max(col("e.v")).as("vmx"),
+            min(col("e.ck")).as("cmn"), max(col("e.ck")).as("cmx"))
+          .collect()
+          .groupBy(_.getInt(0))
+        large.foreach { case (t, i) =>
+          val buckets = stats.getOrElse(i, Array.empty).sortBy(_.getLong(1))
+          var cum = 0L
+          var hit = false
+          buckets.foreach { b =>
+            val c = b.getLong(2)
+            if (!hit && t.k <= cum + c) {
+              hit = true
+              t.k -= cum
+              t.count = c
+              t.vLo = b.getLong(3); t.vHi = b.getLong(4)
+              t.ckLo = b.getLong(5); t.ckHi = b.getLong(6)
+            }
+            cum += c
+          }
+          require(hit, s"rank ${t.target} (${t.vCol}): target beyond the " +
+            s"$cum candidate rows — rank out of range")
+        }
+      }
+    }
+    tasks.map(_.result.get)
+  }
+
   /** §2.A round 10 — RFM (recency/frequency/monetary) customer
     * segmentation, the classic BI cohort report: per-customer order
     * aggregates are quartile-scored on each dimension and the 4×4×4
-    * segment cells counted. The ntile windows are GLOBAL sorts — but
-    * over the one-row-per-customer AGGREGATE (|customers| rows), not
-    * the fact table; the facts are reduced by a partial-aggregating
-    * groupBy first, which is what makes the global windows affordable
-    * at warehouse scale (at truly huge customer counts the quartile
-    * cut-points come from approx_percentile and scoring goes
-    * map-only — the q37 sketch precedent). Monetary is rounded with
-    * the cross-engine floor(x*100+0.5)/100 BEFORE ranking and every
-    * window tie-breaks on custkey, so quartile assignment is
-    * deterministic in both engines.
+    * segment cells counted.
+    *
+    * ROUND 18 (the r17 verdict's ask #1): the three ntile(4) windows
+    * were GLOBAL sorts — over the per-customer aggregate, not the
+    * facts, but still one task holding every customer (billions of
+    * rows at a 100 TB warehouse). ntile needs only each row's side of
+    * three BOUNDARY ranks, and with a unique tie-break the boundary
+    * rank is held by exactly one (value, custkey) pair — so the exact
+    * quartile boundaries per dimension come from
+    * [[exactRankPairs]] (distributed iterated-histogram selection, no
+    * global sort anywhere) and scoring is a MAP-ONLY projection:
+    * score = 1 + Σᵢ (row > boundaryᵢ), identical to ntile by
+    * construction (boundary ranks use the exact SQL ntile sizing:
+    * the first n mod 4 quartiles carry ⌈n/4⌉ rows). Dimensions are
+    * the integer forms shared with the q46 sketch twin
+    * ([[rfmAggregate]]): days-since-epoch (order-isomorphic to the
+    * date), count, e2 cents (floor(x*100+0.5) — order-isomorphic to
+    * floor(x*100+0.5)/100 because /100 of e2 longs is monotone and
+    * collision-free below 2⁵³). The aggregate is localCheckpointed
+    * once and feeds the count, the selection rounds and the scoring —
+    * one fact reduction total; the scoring plan has no join, no
+    * window, no single-partition exchange (plan-pinned in
+    * PlanHealthSpec; oracle unchanged — hash-equal ntile SQL).
     */
   val q46RfmSegment: Q = (s, d) => {
-    val rfm = Tables.orders(s, d)
-      .groupBy(col("o_custkey"))
-      .agg(max(col("o_orderdate")).as("last_order"),
-        count(lit(1)).as("frequency"),
-        (floor(sum(col("o_totalprice")) * 100 + 0.5) / 100).as("monetary"))
-    val rW = Window.orderBy(col("last_order"), col("o_custkey"))
-    val fW = Window.orderBy(col("frequency"), col("o_custkey"))
-    val mW = Window.orderBy(col("monetary"), col("o_custkey"))
-    rfm
-      .select(col("o_custkey"),
-        ntile(4).over(rW).cast("long").as("r_score"),
-        ntile(4).over(fW).cast("long").as("f_score"),
-        ntile(4).over(mW).cast("long").as("m_score"))
+    val agg = rfmAggregate(s, d).localCheckpoint()
+    val n = agg.count()
+    val scored =
+      if (n == 0)
+        agg.select(lit(1L).as("r_score"), lit(1L).as("f_score"),
+          lit(1L).as("m_score"))
+      else {
+        // exact ntile(4) boundary ranks: first (n mod 4) tiles hold
+        // ⌈n/4⌉ rows, the rest ⌊n/4⌋
+        val base = n / 4; val rem = n % 4
+        val bounds = (1L to 3L).map(i => i * base + math.min(i, rem))
+        val dims = Seq("recency_days", "frequency", "monetary_e2")
+        val cuts = exactRankPairs(agg, "o_custkey",
+          dims.flatMap(v => bounds.map(v -> _)))
+        def score(vCol: String, dimIdx: Int) = {
+          val v = col(vCol); val ck = col("o_custkey")
+          (0 to 2).map { j =>
+            val (bv, bck) = cuts(dimIdx * 3 + j)
+            when(v > bv || (v === bv && ck > bck), 1L).otherwise(0L)
+          }.foldLeft(lit(1L))(_ + _)
+        }
+        agg.select(score("recency_days", 0).as("r_score"),
+          score("frequency", 1).as("f_score"),
+          score("monetary_e2", 2).as("m_score"))
+      }
+    scored
       .groupBy(col("r_score"), col("f_score"), col("m_score"))
       .agg(count(lit(1)).as("customers"))
       .orderBy(col("r_score"), col("f_score"), col("m_score"))
@@ -1299,23 +1445,90 @@ object Relational {
     * supplied (id, cost_c, qty_l) points — extracted so the property
     * spec can drive it with adversarial random point sets (duplicate
     * points, all-equal costs, single buckets). Strict dominance on
-    * both dims; caller materializes the input (it is read four times).
+    * both dims; caller materializes the input (it is read three
+    * times).
+    *
+    * ROUND 18 (the r17 verdict's ask #1): both global windows are
+    * gone. (a) The 64-row bucket-cummax was a single-partition window
+    * over a BOUNDED frame — now the histogram is collected (≤64 rows
+    * by construction) and the exclusive running max computed on the
+    * driver, scoring against broadcast literals (the rfm-cutpoints
+    * size-routing precedent). (b) The exact refine was a
+    * single-partition RANGE window over the SURVIVORS — bounded only
+    * by data shape (the cheapest bucket survives whole, so one task
+    * held O(n/64) rows at scale). Now it is the textbook two-pass
+    * distributed prefix scan: survivors are range-partitioned by
+    * cost_c (equal costs co-partitioned by the range partitioner, so
+    * cross-partition peers are always STRICTLY cheaper), each
+    * partition's max qty is collected (≤P rows), the driver forms
+    * exclusive per-partition prefix maxima, and the exact
+    * strictly-cheaper running max is greatest(per-partition RANGE
+    * window, broadcast prefix) — a partitionBy(__pid) window, never a
+    * single task. Oracle unchanged; SweepSkylinePropertySpec pins the
+    * kernel against brute force on ties / all-equal / single-point
+    * shapes.
     */
-  private[graft] def skyline(pts: DataFrame): DataFrame = {
-    val stats = pts.agg(min(col("cost_c")).as("c_min"), max(col("cost_c")).as("c_max"))
-    val bucketed = pts.crossJoin(broadcast(stats))
-      .withColumn("bkt", expr("((cost_c - c_min) * 64) div (c_max - c_min + 1)"))
+  /** The broadcast bucket-cummax PREFILTER leg of [[skyline]], split
+    * out so PlanHealthSpec can pin its plan (the refine checkpoint
+    * hides it from the final plan): stats collected (2 longs), ≤64-row
+    * histogram collected, exclusive running max computed on the
+    * driver, dominated points killed map-side against the broadcast
+    * literals. Returns None on empty input.
+    */
+  private[graft] def skylineSurvivors(pts: DataFrame): Option[DataFrame] = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val statsRow = pts
+      .agg(min(col("cost_c")).as("c_min"), max(col("cost_c")).as("c_max"))
+      .head()
+    if (statsRow.isNullAt(0)) return None
+    val (cMin, cMax) = (statsRow.getLong(0), statsRow.getLong(1))
+    val bucketed = pts
+      .withColumn("bkt", expr(s"((cost_c - ${cMin}L) * 64) div (${cMax}L - ${cMin}L + 1)"))
       .select(col("id"), col("cost_c"), col("qty_l"), col("bkt"))
-    val cum = bucketed.groupBy(col("bkt")).agg(max(col("qty_l")).as("bqty"))
-      .withColumn("prev_bqty", max(col("bqty")).over(
-        Window.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)))
-      .select(col("bkt"), col("prev_bqty"))
-    val survivors = bucketed
-      .join(broadcast(cum), Seq("bkt"))
+    // ≤64-row histogram by construction — driver-side exclusive cummax
+    val hist = bucketed.groupBy(col("bkt")).agg(max(col("qty_l")).as("bqty"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val prevB = hist.scanLeft((Long.MinValue, Option.empty[Long])) {
+      case ((_, run), (bkt, bqty)) =>
+        (bkt, Some(run.fold(bqty)(math.max(_, bqty))))
+    }.sliding(2).collect { case Array((_, run), (bkt, _)) =>
+      (bkt, run.map(Long.box).orNull)
+    }.toSeq
+    val cum = broadcast(prevB.toDF("bkt", "prev_bqty"))
+    Some(bucketed
+      .join(cum, Seq("bkt"))
       .filter(col("prev_bqty").isNull || col("qty_l") >= col("prev_bqty"))
-    survivors
-      .withColumn("prev_max", max(col("qty_l")).over(
-        Window.orderBy(col("cost_c")).rangeBetween(Window.unboundedPreceding, -1)))
+      .select(col("id"), col("cost_c"), col("qty_l")))
+  }
+
+  private[graft] def skyline(pts: DataFrame): DataFrame = {
+    val spark = pts.sparkSession
+    import spark.implicits._
+    val survivors = skylineSurvivors(pts) match {
+      case None => // empty input: empty result, same schema
+        return pts.select(col("id"), col("cost_c"), col("qty_l")).limit(0)
+      case Some(sv) => sv
+    }
+    // exact refine, two-pass: range partition on cost_c, per-partition
+    // maxima to the driver, exclusive prefix back as a broadcast
+    val sp = survivors.repartitionByRange(col("cost_c"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    val pidMax = sp.groupBy(col("__pid")).agg(max(col("qty_l")).as("pmax"))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sortBy(_._1)
+    val prefix = pidMax.scanLeft((Int.MinValue, Option.empty[Long])) {
+      case ((_, run), (pid, pmax)) =>
+        (pid, Some(run.fold(pmax)(math.max(_, pmax))))
+    }.sliding(2).collect { case Array((_, run), (pid, _)) =>
+      (pid, run.map(Long.box).orNull)
+    }.toSeq
+    val prefixDf = broadcast(prefix.toDF("__pid", "prefix_max"))
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("cost_c"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    sp.join(prefixDf, Seq("__pid"))
+      .withColumn("prev_max",
+        greatest(max(col("qty_l")).over(wLocal), col("prefix_max")))
       .filter(col("prev_max").isNull || col("prev_max") <= col("qty_l"))
       .select(col("id"), col("cost_c"), col("qty_l"))
       .orderBy(col("cost_c"), col("id"))
@@ -1496,45 +1709,59 @@ object Relational {
     * ≤1024-row bucket histogram cumulates score-descending, and
     * decile(bucket) = ⌊cum_before·10/N⌋ — every row of a bucket shares
     * a decile, boundaries land within one bucket-width of the exact
-    * cut, and the only single-partition windows run over ≤1024 and
-    * ≤10 rows BY CONSTRUCTION (bounded by the bucket count, never the
+    * cut, and since round 18 the ≤1024-row tail (cumulations, decile
+    * grouping, lift ratios) is DRIVER arithmetic over the collected
+    * histogram — zero window nodes, zero single-partition exchanges
+    * (bounded by the bucket count, never the
     * corpus). Response = o_orderstatus 'F', score = e2-integer
     * o_totalprice; rates in truncating-div ppm, cumulative lift in e3
     * (reordered divisions so no product exceeds ~2⁵³ at any corpus
     * size). All integer end to end.
     */
   val q56DecileLift: Q = (s, d) => {
+    import s.implicits._
     val scored = Tables.orders(s, d)
       .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("w_e2"),
         when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("resp"))
-    val stats = scored.agg(min(col("w_e2")).as("mn"), max(col("w_e2")).as("mx"))
-    val buckets = scored.crossJoin(broadcast(stats))
-      .withColumn("bkt", expr("((w_e2 - mn) * 1024) div (mx - mn + 1)"))
-      .groupBy(col("bkt"))
-      .agg(count(lit(1)).as("n"), sum(col("resp")).as("r"))
-    val byScoreDesc = Window.orderBy(col("bkt").desc)
-    val deciled = buckets
-      .withColumn("cum_before", coalesce(sum(col("n")).over(
-        byScoreDesc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .withColumn("total_n", sum(col("n")).over(
-        byScoreDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("total_r", sum(col("r")).over(
-        byScoreDesc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .withColumn("decile", expr("(cum_before * 10) div total_n"))
-      .groupBy(col("decile"))
-      .agg(sum(col("n")).as("n"), sum(col("r")).as("responders"),
-        max(col("total_n")).as("total_n"), max(col("total_r")).as("total_r"))
-    val byDecile = Window.orderBy(col("decile"))
-    deciled
-      .withColumn("cum_n", sum(col("n")).over(
-        byDecile.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("cum_r", sum(col("responders")).over(
-        byDecile.rowsBetween(Window.unboundedPreceding, 0)))
-      .select(col("decile"), col("n"), col("responders"),
-        expr("responders * 1000000 div n").as("resp_ppm"),
-        expr("((cum_r * 1000000 div cum_n) * 1000) div greatest(total_r * 1000000 div total_n, 1)")
-          .as("cum_lift_e3"))
-      .orderBy(col("decile"))
+    val statsRow = scored.agg(min(col("w_e2")), max(col("w_e2"))).head()
+    val outCols = Seq("decile", "n", "responders", "resp_ppm", "cum_lift_e3")
+    if (statsRow.isNullAt(0)) // empty orders: empty lift table
+      Seq.empty[(Long, Long, Long, Long, Long)].toDF(outCols: _*)
+    else {
+      val (mn, mx) = (statsRow.getLong(0), statsRow.getLong(1))
+      // the ≤1024-row bucket histogram — the ONLY distributed pass
+      // (map-side partial agg, one hash exchange); everything after it
+      // is ≤1024-row arithmetic and ran as two single-partition window
+      // passes + an agg + another window until round 18 (the r17
+      // verdict's ask #1). Collecting the bounded histogram (the
+      // rfm-cutpoints size-routing precedent) and replaying the SAME
+      // integer recurrences on the driver removes every global window
+      // from the plan without touching a single output bit: the scan
+      // side is unchanged, and all divisions are truncating Longs on
+      // non-negative values in both forms.
+      val hist = scored
+        .groupBy(expr(s"((w_e2 - ${mn}L) * 1024) div (${mx}L - ${mn}L + 1)").as("bkt"))
+        .agg(count(lit(1)).as("n"), sum(col("resp")).as("r"))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+        .sortBy(-_._1) // score-descending = bkt DESC
+      val totalN = hist.map(_._2).sum
+      val totalR = hist.map(_._3).sum
+      var cumBefore = 0L
+      val byDecile = hist.map { case (_, n, r) =>
+        val dec = cumBefore * 10 / totalN
+        cumBefore += n
+        (dec, n, r)
+      }.groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (dec, g) => (dec, g.map(_._2).sum, g.map(_._3).sum) }
+      var (cumN, cumR) = (0L, 0L)
+      val out = byDecile.map { case (dec, n, r) =>
+        cumN += n; cumR += r
+        (dec, n, r, r * 1000000L / n,
+          (cumR * 1000000L / cumN) * 1000L /
+            math.max(totalR * 1000000L / totalN, 1L))
+      }
+      out.toDF(outCols: _*).orderBy(col("decile"))
+    }
   }
 
   /** §2.A round 10 — single-changepoint detection per series (the

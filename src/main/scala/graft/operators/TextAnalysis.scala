@@ -883,17 +883,21 @@ object TextAnalysis {
     * "iteration 1 only" gap): the real vocabulary-induction loop, 8
     * sequential merges driver-orchestrated over the bounded vocab.
     * The corpus is touched exactly ONCE (the word-frequency
-    * aggregate); every merge round then runs three bounded jobs over
-    * the vocab frame — adjacent-SYMBOL pair counts (multi-char
+    * aggregate); every merge round then runs ONE bounded aggregate
+    * over the vocab frame — adjacent-SYMBOL pair counts (multi-char
     * symbols after merges, so pairs come from the space-split token
-    * array, not substr), a 1-row argmax collect (pair_count DESC,
-    * sym_a, sym_b — deterministic), and the literal merge applied via
-    * space-sentinel replace(' a b ' → ' ab '), which is left-to-right
+    * array, not substr) reduced to a 1-row driver read carrying both
+    * the argmax (min(struct(-cnt, a, b)) ≡ pair_count DESC, sym_a,
+    * sym_b — deterministic) and the previous round's corpus token
+    * count (Σ pair weight + the merge-invariant Σwf — see
+    * [[trainedMerges]]); the literal merge applies via space-sentinel
+    * replace(' a b ' → ' ab '), which is left-to-right
     * non-overlapping in Spark, DuckDB AND java.lang.String alike (the
     * classic BPE scan order; spec-replayed). The vocab
-    * localCheckpoints each round — without the barrier round N would
-    * replay rounds 1..N-1 and the loop goes quadratic (the CC-loop
-    * lineage contract). Output: one row per learned merge with the
+    * localCheckpoints every SECOND round — lineage stays ≤2 literal
+    * replaces deep, so round N never replays rounds 1..N-1 (the
+    * CC-loop lineage contract) while half the materialization jobs
+    * disappear (round 18). Output: one row per learned merge with the
     * corpus token count AFTER that merge — the BPE training curve
     * that decides how many merges a vocabulary is worth (weighted by
     * wf, so it prices the CORPUS, while only vocab rows are ever
@@ -934,27 +938,53 @@ object TextAnalysis {
       .select(concat(lit(" "), regexp_replace(col("word"), "(.)", "$1 ")).as("sp"),
         col("wf"))
       .localCheckpoint()
-    val merges = Seq.newBuilder[(Long, String, String, Long, Long)]
+    // ROUND 18 (the r17 verdict's ask #5) — the loop ran THREE driver
+    // jobs per merge (argmax limit(1), checkpoint, token recount);
+    // now ONE aggregate per merge carries both decisions:
+    //  - the argmax rides min(struct(-cnt, sym_a, sym_b)) — struct
+    //    comparison is lexicographic and strings compare binary, so
+    //    the min IS the (cnt DESC, sym_a, sym_b) head row;
+    //  - tokens(word) = pairs(word) + 1, and Σwf never changes (words
+    //    never merge across words), so Σ wf·tokens = total pair
+    //    weight + Σwf — round k's pair aggregate therefore PRICES the
+    //    corpus after merge k−1 for free, and the old per-round
+    //    recount job disappears (one trailing pair aggregate prices
+    //    merge 8). Checkpoints drop to every second merge: lineage is
+    //    then ≤2 literal replaces deep (state stays vocab-bounded,
+    //    the §5 contract), halving the materialization jobs.
+    // 3·8+1 = 25 jobs → 8 aggs + 4 checkpoints + Σwf + trailer = 14.
+    // Identical merges, counts and curve — OperatorsSpec replays the
+    // trainer in plain Scala and the oracle re-learns all 8 rounds.
+    val totalWf = vocab.agg(sum(col("wf"))).head().getLong(0)
+    def pairAgg(v: DataFrame): org.apache.spark.sql.Row = v
+      .withColumn("toks", split(trim(col("sp")), " "))
+      .select(col("wf"), explode(pairsOfToks).as("p"))
+      .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
+      .agg(sum(col("wf")).as("cnt"))
+      .agg(min(struct((-col("cnt")).as("nc"), col("sym_a"), col("sym_b")))
+          .as("best"),
+        sum(col("cnt")).as("pair_wt"))
+      .head()
+    def tokensOf(r: org.apache.spark.sql.Row): Long =
+      (if (r.isNullAt(1)) 0L else r.getLong(1)) + totalWf
+    val steps = Seq.newBuilder[(String, String, Long)]
+    val tokenCurve = Seq.newBuilder[Long]
     (1 to nMerges).foreach { step =>
-      val best = vocab
-        .withColumn("toks", split(trim(col("sp")), " "))
-        .select(col("wf"), explode(pairsOfToks).as("p"))
-        .groupBy(col("p.a").as("sym_a"), col("p.b").as("sym_b"))
-        .agg(sum(col("wf")).as("cnt"))
-        .orderBy(col("cnt").desc, col("sym_a"), col("sym_b"))
-        .limit(1).head()
-      val (a, b, cnt) =
-        (best.getString(0), best.getString(1), best.getLong(2))
+      val r = pairAgg(vocab)
+      val best = r.getStruct(0)
+      val (a, b, cnt) = (best.getString(1), best.getString(2), -best.getLong(0))
+      if (step > 1) tokenCurve += tokensOf(r) // corpus after merge step-1
+      steps += ((a, b, cnt))
       vocab = vocab
         .withColumn("sp", call_function("replace",
           col("sp"), lit(s" $a $b "), lit(s" $a$b ")))
-        .localCheckpoint()
-      val corpusTokens = vocab
-        .agg(sum(col("wf") * (size(split(trim(col("sp")), " ")))).as("t"))
-        .head().getLong(0)
-      merges += ((step.toLong, a, b, cnt, corpusTokens))
+      if (step % 2 == 0) vocab = vocab.localCheckpoint()
     }
-    merges.result()
+    tokenCurve += tokensOf(pairAgg(vocab)) // corpus after merge 8
+    val curve = tokenCurve.result()
+    steps.result().zipWithIndex.map { case ((a, b, cnt), i) =>
+      ((i + 1).toLong, a, b, cnt, curve(i))
+    }
   }
 
   /** §2.E round 11 — tokenize the corpus with the TRAINED merge list

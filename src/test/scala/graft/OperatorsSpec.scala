@@ -926,6 +926,62 @@ class OperatorsSpec extends SparkTestBase {
     }
   }
 
+  test("exactRankPairs: adversarial distributions match an in-memory sort") {
+    // round 18: q46's exact quartiles ride the distributed iterated-
+    // histogram selection — pin it against brute force on the tie
+    // shapes that break naive bucketing: all values equal (pure
+    // ck-mode), two heavy values, a huge-range outlier (one bucket
+    // holds nearly everything), negatives, and uniform.
+    import spark.implicits._
+    val rng = new scala.util.Random(46)
+    val shapes: Seq[(String, Int => Long)] = Seq(
+      ("all-equal", _ => 7L),
+      ("two-heavy", i => if (i % 3 == 0) 5L else -5L),
+      ("outlier-range", i => if (i == 0) Long.MaxValue / 4 else rng.nextInt(10).toLong),
+      ("uniform", _ => rng.nextLong() % 1000000L))
+    shapes.foreach { case (label, gen) =>
+      val n = 501
+      val rows = (0 until n).map(i => (gen(i), i.toLong * 7 % 1009))
+      val df = rows.toDF("v", "ck").localCheckpoint()
+      val targets = Seq(1L, 2L, n / 4L, n / 2L, n - 1L, n.toLong)
+      val got = operators.Relational.exactRankPairs(
+        df, "ck", targets.map("v" -> _))
+      val sortedRows = rows.sorted
+      targets.zipWithIndex.foreach { case (t, i) =>
+        assert(got(i) == sortedRows((t - 1).toInt),
+          s"$label: rank $t got ${got(i)} want ${sortedRows((t - 1).toInt)}")
+      }
+    }
+  }
+
+  test("q46_rfm_segment equals the exact three-window ntile formulation") {
+    // the boundary-scoring rewrite must be cell-for-cell identical to
+    // the global ntile(4) windows it replaced (the oracle pins this at
+    // every SF too; this is the in-repo witness)
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val rfm = sources.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate")).as("last_order"),
+        count(lit(1)).as("frequency"),
+        (floor(sum(col("o_totalprice")) * 100 + 0.5) / 100).as("monetary"))
+    val legacy = rfm.select(col("o_custkey"),
+        ntile(4).over(Window.orderBy(col("last_order"), col("o_custkey")))
+          .cast("long").as("r_score"),
+        ntile(4).over(Window.orderBy(col("frequency"), col("o_custkey")))
+          .cast("long").as("f_score"),
+        ntile(4).over(Window.orderBy(col("monetary"), col("o_custkey")))
+          .cast("long").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("customers"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+      .collect().toSeq
+    val rewritten =
+      operators.Relational.q46RfmSegment(spark, sfDir).collect().toSeq
+    assert(rewritten == legacy,
+      s"boundary scoring diverged from exact ntile:\n$rewritten\nvs\n$legacy")
+  }
+
   test("q47_ohlc_bars: OHLC invariants hold and a driver replay confirms a spot bar") {
     import org.apache.spark.sql.functions.{col => c}
     val bars = operators.Relational.q47OhlcBars(spark, sfDir).collect()

@@ -225,27 +225,28 @@ class PlanHealthSpec extends SparkTestBase {
       s"expected the declarative pair explode in:\n$plan")
   }
 
-  test("q46_rfm_segment: global ntile windows run over the aggregate, not the facts") {
-    // the quartile windows are global sorts — affordable only because
-    // they sort the one-row-per-customer aggregate. The plan must
-    // scan orders ONCE, reduce it with a partial-aggregating groupBy
-    // BEFORE any single-partition exchange, and never join.
+  test("q46_rfm_segment: no global window — boundary scoring is map-only") {
+    // round 18: the three exact ntile(4) windows were single-partition
+    // sorts of the per-customer aggregate — the r17 verdict's #1
+    // scale-killer. Quartiles now come from distributed exact rank
+    // selection (Relational.exactRankPairs: iterated-histogram rounds,
+    // never a global sort) and the scoring plan is a map-only
+    // projection over the checkpointed aggregate: NO window node, NO
+    // single-partition exchange, NO join anywhere in the final plan —
+    // the only exchanges are the 64-cell segment aggregate and the
+    // presentation sort.
     val plan = planOf("q46_rfm_segment")
     assert(!plan.contains("Join"), s"q46_rfm_segment must not join:\n$plan")
-    val scans = "FileScan parquet|Scan parquet".r.findAllIn(plan).size
-    assert(scans == 1, s"q46_rfm_segment scans the facts $scans times:\n$plan")
-    val single = plan.linesIterator.filter(_.contains("Exchange SinglePartition")).size
-    assert(single >= 1, s"expected the windows' single-partition exchange in:\n$plan")
-    // the fact-reducing aggregate must sit BELOW the window exchange in
-    // the dataflow — physical plans print root-first, so the custkey
-    // HashAggregate's text position must come AFTER the SinglePartition
-    // exchange (a plan windowing the raw facts would aggregate above it)
-    val idxAgg = "HashAggregate\\(keys=\\[o_custkey".r
-      .findFirstMatchIn(plan).map(_.start).getOrElse(-1)
-    val idxSingle = plan.indexOf("Exchange SinglePartition")
-    assert(idxAgg >= 0, s"no custkey HashAggregate in:\n$plan")
-    assert(idxAgg > idxSingle,
-      s"custkey aggregate is not upstream of the window exchange:\n$plan")
+    assert(!plan.contains("Window"),
+      s"q46_rfm_segment must not plan a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q46_rfm_segment must not single-partition:\n$plan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(hashEx <= 1, s"q46_rfm_segment plans $hashEx hash exchanges:\n$plan")
+    // scoring reads the one checkpointed custkey reduction, never the
+    // fact files a second time
+    assert(!plan.contains("FileScan parquet"),
+      s"q46_rfm_segment re-scans the facts past the checkpoint:\n$plan")
   }
 
   test("q59_markov_transitions: map-side pair expansion, no self-join, bounded window") {
@@ -380,24 +381,32 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 2, s"q58_attribution plans $hashEx hash exchanges:\n$plan")
   }
 
-  test("q56_decile_lift: single-partition work is bucket-bounded, never the fact table") {
-    // the only SinglePartition exchanges may carry (a) the 2-value
-    // min/max stats and (b) the ≤1024-row bucket histogram; the fact
-    // table itself reaches one hash exchange (the bucket aggregate,
-    // partial map-side) and is never globally sorted — the exact-ntile
-    // formulation this operator exists to avoid
+  test("q56_decile_lift: no window anywhere — the bounded tail is driver math") {
+    // round 18: the fact table reaches ONE map-side-aggregated bucket
+    // histogram (≤1024 rows by construction), the histogram is
+    // collected, and the decile/lift tail is driver arithmetic — the
+    // result plan is a local relation with zero window nodes and zero
+    // single-partition exchanges. The histogram job itself (run at
+    // construction) is pinned separately below.
     val plan = planOf("q56_decile_lift")
-    val single = "Exchange SinglePartition".r.findAllIn(plan).size
-    assert(single <= 2, s"q56_decile_lift plans $single global exchanges:\n$plan")
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx <= 1, s"q56_decile_lift plans $hashEx hash exchanges:\n$plan")
-    assert(plan.contains("partial_count"),
-      s"bucket histogram must partial-aggregate map-side:\n$plan")
-    // the window must consume the bucket aggregate, not raw orders:
-    // its input operator chain below the window contains the bkt-keyed
-    // HashAggregate
-    assert("Window .*\\n(.*\\n)*?.*HashAggregate\\(keys=\\[bkt".r.findFirstIn(plan).isDefined,
-      s"decile window must ride the bucket histogram:\n$plan")
+    assert(!plan.contains("Window"), s"q56_decile_lift plans a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q56_decile_lift single-partitions:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"the lift table must not re-scan the facts:\n$plan")
+    // the distributed side: the histogram aggregate partial-aggregates
+    // map-side and carries only (bkt, n, r) through its one exchange
+    import org.apache.spark.sql.functions._
+    val histPlan = sources.Tables.orders(spark, sfDir)
+      .select(expr("CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)").as("w_e2"),
+        when(col("o_orderstatus") === "F", 1L).otherwise(0L).as("resp"))
+      .groupBy(expr("((w_e2 - 0L) * 1024) div 1024").as("bkt"))
+      .agg(count(lit(1)).as("n"), sum(col("resp")).as("r"))
+      .queryExecution.executedPlan.toString
+    assert(histPlan.contains("partial_count"),
+      s"bucket histogram must partial-aggregate map-side:\n$histPlan")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(histPlan).size
+    assert(hashEx <= 1, s"histogram plans $hashEx hash exchanges:\n$histPlan")
   }
 
   test("dd_lsh_stats: two partial-agg exchanges, never a bucket sort") {
@@ -569,20 +578,33 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 3, s"tx_collocations plans $hashEx hash exchanges:\n$plan")
   }
 
-  test("q52_skyline: the global refine window only sees prefiltered survivors") {
-    // the exact 2-D refine is a SinglePartition RANGE window — legal
-    // only because the broadcast bucket-cummax prefilter kills
-    // dominated points MAP-SIDE first. The plan must show the refine
-    // exchange ABOVE the prefilter join (root-first text: exchange
-    // index < join index), and the fact table must be aggregated once
-    // (the checkpointed per-part aggregate replaces any FileScan)
+  test("q52_skyline: the exact refine is a partitioned two-pass, never one task") {
+    // round 18: the refine window is partitionBy(__pid) over the
+    // range-partitioned survivor checkpoint, composed with the
+    // broadcast per-partition prefix maxima — no single-partition
+    // exchange, no global window anywhere; the bucket-cummax
+    // prefilter survives as a broadcast literal join (prev_bqty)
     val plan = planOf("q52_skyline")
-    assert(plan.contains("prev_bqty"),
-      s"bucket-cummax prefilter missing from:\n$plan")
-    val idxWin = plan.indexOf("Exchange SinglePartition")
-    val idxJoin = plan.indexOf("BroadcastHashJoin")
-    assert(idxWin >= 0 && idxJoin >= 0 && idxWin < idxJoin,
-      s"refine window is not downstream of the prefilter join:\n$plan")
+    assert(plan.contains("prefix_max") && plan.contains("__pid"),
+      s"two-pass prefix refine missing from:\n$plan")
+    // the prefilter leg (hidden behind the refine checkpoint in the
+    // final plan): broadcast literal join on prev_bqty, no window
+    import org.apache.spark.sql.functions._
+    val svPlan = operators.Relational.skylineSurvivors(
+      sources.Tables.lineitem(spark, sfDir)
+        .groupBy(col("l_partkey").as("id"))
+        .agg(expr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
+          expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
+        .localCheckpoint())
+      .get.queryExecution.executedPlan.toString
+    assert(svPlan.contains("prev_bqty") && svPlan.contains("BroadcastHashJoin"),
+      s"bucket-cummax prefilter missing from:\n$svPlan")
+    assert(!svPlan.contains("Window"), s"prefilter leg plans a window:\n$svPlan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q52_skyline still single-partitions:\n$plan")
+    assert("Window \\[max\\(qty_l".r.findFirstIn(plan).isDefined &&
+      "windowspecdefinition\\(__pid".r.findFirstIn(plan).isDefined,
+      s"refine window must partition by __pid:\n$plan")
     assert(!plan.contains("FileScan parquet"),
       s"skyline re-scans the fact table past the checkpointed aggregate:\n$plan")
     assert(!plan.contains("CartesianProduct"), s"unbounded product in:\n$plan")
