@@ -234,39 +234,12 @@ object Profile {
         val tf = if (n <= 60000) f"${timeQ("ann_incremental")}%.2f s" else "skipped"
         println(f"[profile] ann-k-sweep n=$n k=$k adaptive=$ta%.2f s fixed16=$tf")
       case "--walk-stages" =>
-        // stage decomposition of ann_graph_walk_adaptive (round 17 —
-        // the r16 sweep's slowest op at sf0.1): ASSIGN = three-level
-        // quantizer assignment of the whole corpus (materialized, as
-        // the op's localCheckpoint does), BUILD = within-list pair
-        // cosines + per-src TopK into the kNN graph, WALK = everything
-        // else (entry choice + the greedy descent's per-hop join
-        // rounds, each a driver-blocking localCheckpoint job)
-        val emb = sources.Tables.embeddings(spark, d)
-        val n = emb.count()
-        val k = operators.Similarity.annK(n)
-        val t0 = System.nanoTime()
-        val (_, _, fineAssign) =
-          operators.Similarity.threeLevelParts(spark, emb, k)
-        val assigned = fineAssign(emb, "vec_id", "embedding").localCheckpoint()
-        assigned.count()
-        val t1 = System.nanoTime()
-        val pairSims = assigned.as("a").join(assigned.as("b"),
-            col("a.cent_id") === col("b.cent_id") &&
-              col("a.vec_id") =!= col("b.vec_id"))
-          .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
-            graft.functions.VectorFunctions
-              .cosineSim(col("a.embedding"), col("b.embedding"))
-              .as("g_sim"))
-        graft.plans.TopK.perKey(pairSims, Seq("src"), "g_sim", "dst",
-            operators.Similarity.walkDegree)
-          .select(col("src"), col("dst")).localCheckpoint().count()
-        val t2 = System.nanoTime()
-        SparkEntry.queries("ann_graph_walk_adaptive")(spark, d).count()
-        val t3 = System.nanoTime()
-        println(f"[profile] walk-stages n=$n k=$k " +
-          f"assign=${(t1 - t0) / 1e9}%.2f s build=${(t2 - t1) / 1e9}%.2f s " +
-          f"full=${(t3 - t2) / 1e9}%.2f s " +
-          f"walk≈${((t3 - t2) - (t2 - t0)) / 1e9}%.2f s")
+        // per-stage cost split of BOTH graph-walk ops (round 18 — the
+        // finer probe superseding round 17's adaptive-only split; see
+        // Similarity.walkStageProbe: noop-sink timings for store/
+        // assignment, kNN graph checkpoint, entry lookup, the greedy
+        // descent loop, and the emit sort)
+        operators.Similarity.walkStageProbe(spark, d)
       case "--ann-occupancy" =>
         // fine-list occupancy census of the adaptive quantizer — the
         // scale driver of ann_graph_walk_adaptive's within-list build
@@ -469,32 +442,40 @@ object Profile {
         val bounds = docs.agg(
           org.apache.spark.sql.functions.min(c("doc_id")),
           org.apache.spark.sql.functions.max(c("doc_id"))).head()
+        // empty documents table: nothing to split — say so, don't NPE
+        require(!bounds.isNullAt(0), "--curation-stages: documents table is empty")
         val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
         val (cut1, cut2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
         val tag = java.lang.Long.toHexString(System.nanoTime())
         val keeperTbl = s"profile_curation_keeper_$tag"
         val tmp = java.nio.file.Files.createTempDirectory("graft-cur-prof").toString
-        val batches = Seq(
-          docs.filter(c("doc_id") <= cut1),
-          docs.filter(c("doc_id") > cut1 && c("doc_id") <= cut2),
-          docs.filter(c("doc_id") > cut2))
-        batches.zipWithIndex.foreach { case (b, i) =>
-          val t0 = System.nanoTime()
-          streaming.EventStreams.curationApplyBatch(
-            b, i.toLong, keeperTbl, s"$tmp/cursor", s"$tmp/out")
-          println(f"[profile] curation-stages batch=$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
-        }
-        val t0 = System.nanoTime()
-        val n = spark.read.option("recursiveFileLookup", "true")
-          .parquet(s"$tmp/out").orderBy(c("doc_id")).localCheckpoint().count()
-        println(f"[profile] curation-stages assemble ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
-        spark.sql(s"DROP TABLE IF EXISTS $keeperTbl")
+        // table + temp dir must not leak when a batch throws mid-loop
         try {
-          import scala.jdk.CollectionConverters._
-          val root = java.nio.file.Paths.get(tmp)
-          java.nio.file.Files.walk(root).iterator().asScala.toSeq.reverse
-            .foreach(java.nio.file.Files.deleteIfExists(_))
-        } catch { case _: Throwable => () }
+          val batches = Seq(
+            docs.filter(c("doc_id") <= cut1),
+            docs.filter(c("doc_id") > cut1 && c("doc_id") <= cut2),
+            docs.filter(c("doc_id") > cut2))
+          batches.zipWithIndex.foreach { case (b, i) =>
+            val t0 = System.nanoTime()
+            streaming.EventStreams.curationApplyBatch(
+              b, i.toLong, keeperTbl, s"$tmp/cursor", s"$tmp/out")
+            println(f"[profile] curation-stages batch=$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          }
+          val t0 = System.nanoTime()
+          val n = spark.read.option("recursiveFileLookup", "true")
+            .parquet(s"$tmp/out").orderBy(c("doc_id")).localCheckpoint().count()
+          println(f"[profile] curation-stages assemble ${(System.nanoTime() - t0) / 1e9}%.2f s rows=$n")
+        } finally {
+          try spark.sql(s"DROP TABLE IF EXISTS $keeperTbl")
+          catch { case _: Throwable => () }
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close() // the stream holds a directory handle
+          } catch { case _: Throwable => () }
+        }
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)
@@ -505,6 +486,15 @@ object Profile {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, d).count()
         println(f"[profile] $n%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$rows")
+        // MEASUREMENT FIX (round 18): drop the op's persisted
+        // intermediates, exactly like Bench does between samples.
+        // Without this, a repeat timing of any self-persisting op
+        // (q22/q37 persist their RESULT for Verify's double
+        // materialization) reads the CacheManager's copy of the
+        // previous run — the r17 "q22/q37 profile ~0.15 s warm vs
+        // ~1.0 s in-sweep" mystery was exactly this phantom: the warm
+        // number measured a 3-row cache read, not the query.
+        spark.catalog.clearCache()
     }
     spark.stop()
   }

@@ -1226,6 +1226,16 @@ object Similarity {
     * query itself), argmax by (sim DESC, id ASC) through the bounded-
     * heap TopK, move only on STRICT improvement, stop at the local
     * maximum. Emits the full path (query_id, step, node, q4 sim).
+    *
+    * ROUND 18 (the r17 verdict's ask #4; --walk-stages measured the
+    * loop as ~⅔ of both ops' warm cost): each hop used to pay TWO
+    * driver-blocking actions — the localCheckpoint materialization
+    * plus a separate isEmpty probe. The emptiness test now rides the
+    * checkpoint job itself through an [[org.apache.spark.sql.Observation]]
+    * (a CollectMetrics count collected by the SAME action), so a hop
+    * is exactly ONE job and the per-hop driver round-trips halve —
+    * the walk's job count is 1 + hops, the semantic floor for a
+    * lock-step sequential descent.
     */
   private def greedyWalk(graph: DataFrame, queriesDf: DataFrame,
       entry: DataFrame, vecs: DataFrame): DataFrame = {
@@ -1248,11 +1258,13 @@ object Similarity {
           col("dst"), cosineSim(col("q_emb"), col("d_emb")).as("nsim"))
       val best = graft.plans.TopK.perKey(cand,
         Seq("query_id"), "nsim", "dst", 1)
+      val movedCount = new org.apache.spark.sql.Observation()
       val moved = best.filter(col("nsim") > col("sim"))
         .select(col("query_id"), col("q_emb"), col("dst").as("node"),
           col("nsim").as("sim"), (col("step") + 1).as("step"))
+        .observe(movedCount, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (moved.isEmpty) done = true
+      if (movedCount.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         hops += 1
         if (hops > walkMaxHops)
@@ -1304,6 +1316,73 @@ object Similarity {
       .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
     greedyWalk(graph, queriesDf, entry,
       assigned.select(col("vec_id"), col("embedding")))
+  }
+
+  /** Stage decomposition for the walk family (round 18, the r17
+    * verdict's ask #4; Profile --walk-stages): replicates
+    * [[annGraphWalk]] / [[annGraphWalkAdaptive]] stage by stage and
+    * times each with the noop sink (guide §1.4) — store/assignment,
+    * kNN graph build (checkpoint), entry lookup, the greedy descent
+    * loop (whose per-hop checkpoint+emptiness driver actions are the
+    * suspected fixed cost), and the final emit sort.
+    */
+  private[graft] def walkStageProbe(s: SparkSession, d: String): Unit = {
+    def time[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[profile] walk-stages $label%-26s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+      r
+    }
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    val emb = Tables.embeddings(s, d)
+    // ---- fixed-k op, stage by stage (mirrors annGraphWalk) ----
+    val centroids = fixedCentroids(s, d)
+    val assigned = assignedStore(s, d)
+    time("fixed: store read")(noop(assigned))
+    val pairSims = assigned.as("a").join(assigned.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("g_sim"))
+    val graph = time("fixed: knn graph ckpt") {
+      graft.plans.TopK.perKey(pairSims, Seq("src"), "g_sim", "dst", walkDegree)
+        .select(col("src"), col("dst")).localCheckpoint()
+    }
+    val queriesDf = emb.filter(col("vec_id") % 101 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val entry = probesOf(queriesDf, centroids, nprobe = 1)
+      .join(assigned.select(col("cent_id"), col("vec_id")), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
+    time("fixed: entry lookup")(noop(entry))
+    val walked = time("fixed: greedy loop")(
+      greedyWalk(graph, queriesDf, entry,
+        assigned.select(col("vec_id"), col("embedding"))))
+    time("fixed: emit sort")(noop(walked))
+    // ---- adaptive op, stage by stage (mirrors annGraphWalkAdaptive) ----
+    val (fine, toMid, fineAssign) = time("adaptive: quantizer parts")(
+      threeLevelParts(s, emb, annK(emb.count())))
+    val assigned2 = time("adaptive: assignment ckpt")(
+      fineAssign(emb, "vec_id", "embedding").localCheckpoint())
+    val pairSims2 = assigned2.as("a").join(assigned2.as("b"),
+        col("a.cent_id") === col("b.cent_id") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("src"), col("b.vec_id").as("dst"),
+        cosineSim(col("a.embedding"), col("b.embedding")).as("g_sim"))
+    val graph2 = time("adaptive: knn graph ckpt") {
+      graft.plans.TopK.perKey(pairSims2, Seq("src"), "g_sim", "dst", walkDegree)
+        .select(col("src"), col("dst")).localCheckpoint()
+    }
+    val entry2 = fineProbes(
+        toMid(queriesDf, "query_id", "q_emb"), fine, nprobe = 1)
+      .join(assigned2.select(col("cent_id"), col("vec_id")), Seq("cent_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy(col("query_id")).agg(min(col("vec_id")).as("node"))
+    time("adaptive: entry lookup")(noop(entry2))
+    val walked2 = time("adaptive: greedy loop")(
+      greedyWalk(graph2, queriesDf, entry2,
+        assigned2.select(col("vec_id"), col("embedding"))))
+    time("adaptive: emit sort")(noop(walked2))
   }
 
   val queries: Map[String, Q] = Map(
