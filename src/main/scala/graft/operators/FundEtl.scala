@@ -1899,6 +1899,12 @@ object FundEtl {
     // but composing them verbatim re-ran that scan+classify three
     // times inside one query. Persisted MEMORY_AND_DISK; in a 100 TB
     // deployment this is the per-batch statement slice, not a corpus.
+    // Lifecycle note (round-17 advice): never unpersisted here — the
+    // returned frame reads it through all three legs, so the entry
+    // lives until the caller's clearCache (Bench does this between
+    // measurements) or session end; blocks are storage-evictable and
+    // a long-lived driver re-running the op reuses the same entry
+    // (plan-identity) rather than accreting new ones.
     val cls = classifyDividends(s, loadStatements(s, dividendsDir)).persist()
     val singles = divIngestFrame(s, Some(cls))
       .filter(col("valid") && col("rec_marker").isNull &&

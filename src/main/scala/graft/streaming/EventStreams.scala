@@ -574,9 +574,12 @@ object EventStreams extends Serializable {
     *     first q_ok doc_id per normalized-text hash. The batch probes
     *     it with one left join (at scale the stored side reads in
     *     place, co-partitioned — the dedupIndexMaintain shape) and
-    *     appends only hashes it introduced (left_anti against the
-    *     store, localCheckpoint'd before the append so the write
-    *     never reads the table it writes).
+    *     appends only hashes it introduced, derived as a FILTER off
+    *     the already-persisted labeled frame: a new keeper is exactly
+    *     a q_ok row that is its own batch keeper with NULL stored
+    *     keeper (round 17 — no second store scan, no anti-join;
+    *     localCheckpoint'd before the append so the write never reads
+    *     the table it writes).
     *   - PACK CURSOR (one row per source, rewritten whole per batch
     *     into a batch-scoped file): the cumulative kept-token count
     *     feeding pack_id. Driver-side it is a bounded collect — one
@@ -585,11 +588,13 @@ object EventStreams extends Serializable {
     *
     * Replay contract (a failed batch re-runs with the same batchId):
     * output and cursor are batch-scoped whole-directory rewrites; the
-    * keeper append is idempotent BY the left_anti (a crashed attempt
-    * that already appended makes the replay's anti-join empty, and a
-    * replayed probe reads the crashed attempt's keepers — its own
-    * batch's values, so the output is identical). _APPLIED marker
-    * written last short-circuits fully-applied batches.
+    * keeper append is idempotent BY the stored_keeper-isNull filter
+    * over the recomputed labeled frame (a crashed attempt's append
+    * lands in stored_keeper, so the replay's new-keeper filter is
+    * empty, and the replayed probe reads the crashed attempt's
+    * keepers — its own batch's values, so the output is identical).
+    * _APPLIED marker written last short-circuits fully-applied
+    * batches.
     * Batch-vs-stream equivalence is driver-gated end-to-end: the
     * registered tx_curation_incremental operator applies this very
     * function over doc_id-range batches and its oracle is the batch
