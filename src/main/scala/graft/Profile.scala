@@ -476,6 +476,22 @@ object Profile {
             finally walk.close() // the stream holds a directory handle
           } catch { case _: Throwable => () }
         }
+      case "--explain-skyline-dist" =>
+        // the q52 refine's DISTRIBUTED route (driverMax = 0 forces the
+        // two-pass prefix scan the 100 TB staircase takes) — committed
+        // as plan evidence since the registered op size-routes to the
+        // driver refine at every test SF
+        val agg = sources.Tables.lineitem(spark, d)
+          .groupBy(col("l_partkey").as("id"))
+          .agg(org.apache.spark.sql.functions.expr(
+            "CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
+            org.apache.spark.sql.functions.expr(
+              "CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
+          .localCheckpoint()
+        val q = operators.Relational.skyline(agg, driverMax = 0L)
+        q.queryExecution.toRdd.count()
+        println(s"[profile] plan for q52_skyline (distributed refine route):\n" +
+          q.queryExecution.executedPlan.toString)
       case n if n.startsWith("explain:") =>
         // dump the EXECUTED physical plan (post-AQE) for one query
         val q = SparkEntry.queries(n.stripPrefix("explain:"))(spark, d)

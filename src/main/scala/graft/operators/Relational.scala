@@ -798,16 +798,20 @@ object Relational {
         ck: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
       if (ckMode) v === vLo && ck >= ckLo && ck <= ckHi
       else v >= vLo && v <= vHi
-    /** Overflow-safe width-division bucketing: width ≥ 1, ≤1025 buckets. */
-    def bktExpr(v: org.apache.spark.sql.Column,
-        ck: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    /** Overflow-safe width-division bucketing: width ≥ 1, ≤1025
+      * buckets. MUST be exact integer `div` — Column./ is DOUBLE
+      * division (caught at 25×: Double bucket ids broke the driver's
+      * Long reads, and above 2⁵³ a double quotient would merge
+      * distinct buckets).
+      */
+    def bktExpr(vColName: String, ckColName: String): org.apache.spark.sql.Column =
       if (count == Long.MaxValue) lit(0L) // bootstrap: one stats bucket
       else if (ckMode) {
         val w = (ckHi - ckLo) / 1024L + 1L
-        (ck - ckLo) / w
+        expr(s"(`$ckColName` - (${ckLo}L)) div ${w}L")
       } else {
         val w = (vHi - vLo) / 1024L + 1L
-        (v - vLo) / w
+        expr(s"(`$vColName` - (${vLo}L)) div ${w}L")
       }
   }
   private[graft] val rankSelectCollectMax = 65536L
@@ -820,7 +824,8 @@ object Relational {
     * [1, n]; an exhausted candidate set fails loudly.
     */
   private[graft] def exactRankPairs(pts: DataFrame, ckCol: String,
-      taskSpecs: Seq[(String, Long)]): IndexedSeq[(Long, Long)] = {
+      taskSpecs: Seq[(String, Long)],
+      collectMax: Long = rankSelectCollectMax): IndexedSeq[(Long, Long)] = {
     val tasks = taskSpecs.map { case (v, t) => RankTask(v, t) }.toIndexedSeq
     var rounds = 0
     while (tasks.exists(_.result.isEmpty)) {
@@ -828,7 +833,7 @@ object Relational {
       require(rounds <= rankSelectMaxRounds,
         s"exactRankPairs did not converge in $rankSelectMaxRounds rounds")
       val active = tasks.zipWithIndex.filter(_._1.result.isEmpty)
-      val (small, large) = active.partition(_._1.count <= rankSelectCollectMax)
+      val (small, large) = active.partition(_._1.count <= collectMax)
       if (small.nonEmpty) {
         // collect round: candidates fit the driver — read ranks exactly
         val entries = small.map { case (t, i) =>
@@ -854,7 +859,7 @@ object Relational {
         val entries = large.map { case (t, i) =>
           when(t.candPred(col(t.vCol), col(ckCol)),
             struct(lit(i).as("t"),
-              t.bktExpr(col(t.vCol), col(ckCol)).as("bkt"),
+              t.bktExpr(t.vCol, ckCol).as("bkt"),
               col(t.vCol).as("v"), col(ckCol).as("ck")))
         }
         val stats = pts.select(explode(array(entries: _*)).as("e"))
@@ -1502,13 +1507,50 @@ object Relational {
       .select(col("id"), col("cost_c"), col("qty_l")))
   }
 
-  private[graft] def skyline(pts: DataFrame): DataFrame = {
+  /** Size routing for the exact refine (the CC-router / rank-driver
+    * precedent): at or below this many surviving candidates the
+    * refine is a driver scan (3 bounded collects total, no extra
+    * jobs); above it, the distributed two-pass prefix scan runs.
+    * ~24 B/row — 1M rows ≈ 24 MB, far under maxResultSize (4g).
+    * A 100 TB corpus's survivor staircase exceeds this and routes to
+    * the distributed path; both routes are property-spec'd equal.
+    */
+  private[graft] val skylineDriverMaxSurvivors = 1000000L
+
+  private[graft] def skyline(pts: DataFrame,
+      driverMax: Long = skylineDriverMaxSurvivors): DataFrame = {
     val spark = pts.sparkSession
     import spark.implicits._
     val survivors = skylineSurvivors(pts) match {
       case None => // empty input: empty result, same schema
         return pts.select(col("id"), col("cost_c"), col("qty_l")).limit(0)
       case Some(sv) => sv
+    }
+    // driver route: take(budget+1) probes the size and, when within
+    // budget, IS the full survivor set — one job, then pure driver
+    // arithmetic (sort by (cost_c, id), running max over strictly
+    // cheaper groups — the exact replica of the range-frame window)
+    val taken = survivors.take(math.min(driverMax + 1, Int.MaxValue.toLong).toInt)
+    if (taken.length <= driverMax) {
+      val sorted = taken.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sortBy { case (id, c, _) => (c, id) }
+      val out = Seq.newBuilder[(Long, Long, Long)]
+      var prevMax = Option.empty[Long] // max qty over STRICTLY cheaper
+      var i = 0
+      while (i < sorted.length) {
+        var j = i // the equal-cost group [i, j)
+        var groupMax = Long.MinValue
+        while (j < sorted.length && sorted(j)._2 == sorted(i)._2) {
+          val q = sorted(j)._3
+          if (prevMax.forall(_ <= q)) out += sorted(j)
+          if (q > groupMax) groupMax = q
+          j += 1
+        }
+        prevMax = Some(prevMax.fold(groupMax)(math.max(_, groupMax)))
+        i = j
+      }
+      return out.result().toDF("id", "cost_c", "qty_l")
+        .orderBy(col("cost_c"), col("id"))
     }
     // exact refine, two-pass: range partition on cost_c, per-partition
     // maxima to the driver, exclusive prefix back as a broadcast

@@ -944,12 +944,19 @@ class OperatorsSpec extends SparkTestBase {
       val rows = (0 until n).map(i => (gen(i), i.toLong * 7 % 1009))
       val df = rows.toDF("v", "ck").localCheckpoint()
       val targets = Seq(1L, 2L, n / 4L, n / 2L, n - 1L, n.toLong)
-      val got = operators.Relational.exactRankPairs(
-        df, "ck", targets.map("v" -> _))
       val sortedRows = rows.sorted
-      targets.zipWithIndex.foreach { case (t, i) =>
-        assert(got(i) == sortedRows((t - 1).toInt),
-          s"$label: rank $t got ${got(i)} want ${sortedRows((t - 1).toInt)}")
+      // both routes: the straight-to-collect path (default threshold)
+      // AND the iterated-histogram path (collectMax = 16 forces real
+      // bucket rounds, incl. ck-mode on the all-equal/two-heavy
+      // shapes — the 25× path no small SF reaches, where a Double
+      // bucket id once slipped through)
+      Seq(operators.Relational.rankSelectCollectMax, 16L).foreach { cm =>
+        val got = operators.Relational.exactRankPairs(
+          df, "ck", targets.map("v" -> _), collectMax = cm)
+        targets.zipWithIndex.foreach { case (t, i) =>
+          assert(got(i) == sortedRows((t - 1).toInt),
+            s"$label(cm=$cm): rank $t got ${got(i)} want ${sortedRows((t - 1).toInt)}")
+        }
       }
     }
   }

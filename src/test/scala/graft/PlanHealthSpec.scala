@@ -578,35 +578,44 @@ class PlanHealthSpec extends SparkTestBase {
     assert(hashEx <= 3, s"tx_collocations plans $hashEx hash exchanges:\n$plan")
   }
 
-  test("q52_skyline: the exact refine is a partitioned two-pass, never one task") {
-    // round 18: the refine window is partitionBy(__pid) over the
-    // range-partitioned survivor checkpoint, composed with the
-    // broadcast per-partition prefix maxima — no single-partition
-    // exchange, no global window anywhere; the bucket-cummax
-    // prefilter survives as a broadcast literal join (prev_bqty)
+  test("q52_skyline: no global window on either refine route") {
+    // round 18: the exact refine SIZE-ROUTES (the CC-router
+    // precedent) — survivors within budget refine on the driver (the
+    // registered op's plan at test SFs: a local relation, no window,
+    // no exchange), larger sets run the distributed two-pass prefix
+    // scan (partitionBy(__pid) window + broadcast prefix maxima —
+    // asserted below by forcing driverMax = 0). Neither route may
+    // single-partition.
     val plan = planOf("q52_skyline")
-    assert(plan.contains("prefix_max") && plan.contains("__pid"),
-      s"two-pass prefix refine missing from:\n$plan")
-    // the prefilter leg (hidden behind the refine checkpoint in the
-    // final plan): broadcast literal join on prev_bqty, no window
+    assert(!plan.contains("Window"), s"driver route plans a window:\n$plan")
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"q52_skyline still single-partitions:\n$plan")
+    assert(!plan.contains("FileScan parquet"),
+      s"skyline re-scans the fact table past the checkpointed aggregate:\n$plan")
     import org.apache.spark.sql.functions._
-    val svPlan = operators.Relational.skylineSurvivors(
-      sources.Tables.lineitem(spark, sfDir)
-        .groupBy(col("l_partkey").as("id"))
-        .agg(expr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
-          expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
-        .localCheckpoint())
+    val agg = sources.Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_partkey").as("id"))
+      .agg(expr("CAST(min(floor(l_extendedprice * 100 + 0.5)) AS BIGINT)").as("cost_c"),
+        expr("CAST(floor(sum(l_quantity) + 0.5) AS BIGINT)").as("qty_l"))
+      .localCheckpoint()
+    // the prefilter leg: broadcast literal join on prev_bqty, no window
+    val svPlan = operators.Relational.skylineSurvivors(agg)
       .get.queryExecution.executedPlan.toString
     assert(svPlan.contains("prev_bqty") && svPlan.contains("BroadcastHashJoin"),
       s"bucket-cummax prefilter missing from:\n$svPlan")
     assert(!svPlan.contains("Window"), s"prefilter leg plans a window:\n$svPlan")
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"q52_skyline still single-partitions:\n$plan")
-    assert("Window \\[max\\(qty_l".r.findFirstIn(plan).isDefined &&
-      "windowspecdefinition\\(__pid".r.findFirstIn(plan).isDefined,
-      s"refine window must partition by __pid:\n$plan")
-    assert(!plan.contains("FileScan parquet"),
-      s"skyline re-scans the fact table past the checkpointed aggregate:\n$plan")
+    // the distributed refine route (driverMax = 0): a __pid-partitioned
+    // window over the survivor checkpoint + broadcast prefix maxima,
+    // still never a single-partition exchange
+    val distPlan = operators.Relational.skyline(agg, driverMax = 0L)
+      .queryExecution.executedPlan.toString
+    assert(distPlan.contains("prefix_max") && distPlan.contains("__pid"),
+      s"two-pass prefix refine missing from:\n$distPlan")
+    assert("Window \\[max\\(qty_l".r.findFirstIn(distPlan).isDefined &&
+      "windowspecdefinition\\(__pid".r.findFirstIn(distPlan).isDefined,
+      s"refine window must partition by __pid:\n$distPlan")
+    assert(!distPlan.contains("Exchange SinglePartition"),
+      s"distributed refine single-partitions:\n$distPlan")
     assert(!plan.contains("CartesianProduct"), s"unbounded product in:\n$plan")
   }
 

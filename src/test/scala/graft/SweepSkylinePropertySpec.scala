@@ -78,13 +78,20 @@ class SweepSkylinePropertySpec extends SparkTestBase {
     val rng = new scala.util.Random(seed)
     val pts = (0 until n).map(i =>
       (i.toLong, (rng.nextInt(costRange) + 100).toLong, (rng.nextInt(qtyRange) + 1).toLong))
-    val got = operators.Relational.skyline(
-        pts.toDF("id", "cost_c", "qty_l").repartition(5).localCheckpoint())
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
     val expect = pts.filter { case (_, c, q) =>
       !pts.exists { case (_, c2, q2) => c2 < c && q2 > q }
     }.sortBy { case (id, c, _) => (c, id) }
-    assert(got == expect, s"seed=$seed: got ${got.take(4)} want ${expect.take(4)}")
+    // both refine routes (round 18): the driver scan (default budget)
+    // and the distributed two-pass prefix scan (driverMax = 0 forces
+    // it at any size) must agree with brute force
+    Seq(operators.Relational.skylineDriverMaxSurvivors, 0L).foreach { budget =>
+      val got = operators.Relational.skyline(
+          pts.toDF("id", "cost_c", "qty_l").repartition(5).localCheckpoint(),
+          driverMax = budget)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expect,
+        s"seed=$seed budget=$budget: got ${got.take(4)} want ${expect.take(4)}")
+    }
   }
 
   test("skyline: dense ties and duplicate points") {
