@@ -448,13 +448,19 @@ object Dedup {
       // remaining are plain filters OVER this checkpoint, so their own
       // localCheckpoints bought no lineage truncation and cost a full
       // materialization job each, every round. Both stay node-bounded
-      // reads of flagged's cached blocks.
+      // reads of flagged's cached blocks. Round 18: the removal-
+      // emptiness probe rides the SAME checkpoint job as an observed
+      // metric (the greedyWalk Observation pattern) — one driver
+      // action per round, not two.
+      val nRemovedObs = new org.apache.spark.sql.Observation()
       val flagged = remaining.join(liveDeg, Seq("doc_id"), "left")
         .withColumn("deg", coalesce(col("deg"), lit(0L)))
+        .observe(nRemovedObs,
+          count(when(col("deg") < k, lit(1))).as("n_removed"))
         .localCheckpoint()
       val removed = flagged.filter(col("deg") < k)
         .select(col("doc_id"), lit(round).as("removed_round"))
-      if (removed.isEmpty) done = true
+      if (nRemovedObs.get("n_removed").asInstanceOf[Long] == 0L) done = true
       else {
         // the cap guards REMOVAL rounds: a peel converging in exactly
         // maxRounds removal rounds is fine (its confirming empty round
@@ -1868,18 +1874,47 @@ object Dedup {
         .unionAll(e.groupBy(col("a")).agg(count(lit(1)).as("np"))
           .filter(col("np") > 1).select(col("a")))
         .isEmpty
+    // ROUND 18: the structural stars test ran as its OWN job after
+    // every round's checkpoint (intersect + multi-parent aggregate —
+    // two exchanges per probe). The loop now detects the FIXPOINT
+    // instead — (row count, wrap-sum of xxhash64(a,b)) observed for
+    // free on each round's checkpoint job (CollectMetrics rides the
+    // materialization; no extra action): S∘L is deterministic, so an
+    // unchanged edge multiset means every later round is identical
+    // and the loop must stop. Soundness is NOT entrusted to the hash:
+    // on fixpoint-equality the loop runs isStars ONCE and (a) a hash
+    // collision that wasn't a fixpoint just fails the probe and keeps
+    // iterating, (b) a true fixpoint that is not stars still throws
+    // loudly below, exactly as before. Per round: 2 jobs → 1.
+    def edgeSig(e: DataFrame): (DataFrame, () => (Long, Long)) = {
+      val obs = new org.apache.spark.sql.Observation()
+      // bit_xor, not sum: order-independent AND overflow-free under
+      // ANSI (a hash sum tripped ARITHMETIC_OVERFLOW); xor-cancel
+      // needs duplicate rows, which canon/largeStar/smallStar exclude
+      // by construction (.distinct() outputs)
+      val observed = e.observe(obs,
+        count(lit(1)).as("n"),
+        expr("bit_xor(xxhash64(a, b))").as("h"))
+      (observed, () => (obs.get("n").asInstanceOf[Long],
+        Option(obs.get("h")).fold(0L)(_.asInstanceOf[Long])))
+    }
     var rounds = 0
     val maxRounds = 60 // O(log² n) bound; hitting it means a logic bug
-    var stars = isStars(edges)
+    var stars = false
+    var prevSig = Option.empty[(Long, Long)]
     while (!stars && rounds < maxRounds) {
-      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val (observed, sig) = edgeSig(smallStar(largeStar(edges)))
+      edges = observed.localCheckpoint()
+      val cur = sig()
       // per-round edge telemetry (spec/Profile only): THE property that
       // makes this algorithm the billion-edge route is that the edge
       // set CONTRACTS as components collapse — unlike pointer jumping,
-      // whose per-round shuffle never shrinks
-      if (roundEdges != null) roundEdges += edges.count()
+      // whose per-round shuffle never shrinks. The count now reads off
+      // the observed metric — no extra job.
+      if (roundEdges != null) roundEdges += cur._1
       rounds += 1
-      stars = isStars(edges)
+      if (prevSig.contains(cur)) stars = isStars(edges)
+      prevSig = Some(cur)
     }
     if (!stars)
       throw new IllegalStateException(

@@ -789,9 +789,9 @@ object Relational {
     var k: Long = target            // local rank within candidates
     var vLo: Long = Long.MinValue   // candidate v range, inclusive
     var vHi: Long = Long.MaxValue
-    var ckLo: Long = Long.MinValue  // ck range — meaningful when vLo==vHi
+    var ckLo: Long = Long.MinValue  // ck bucketing range when vLo==vHi
     var ckHi: Long = Long.MaxValue
-    var count: Long = Long.MaxValue // candidate count (MaxValue = unknown)
+    var count: Long = Long.MaxValue // candidate count (set by the pre-pass)
     var result: Option[(Long, Long)] = None
     def ckMode: Boolean = vLo == vHi
     def candPred(v: org.apache.spark.sql.Column,
@@ -805,8 +805,7 @@ object Relational {
       * distinct buckets).
       */
     def bktExpr(vColName: String, ckColName: String): org.apache.spark.sql.Column =
-      if (count == Long.MaxValue) lit(0L) // bootstrap: one stats bucket
-      else if (ckMode) {
+      if (ckMode) {
         val w = (ckHi - ckLo) / 1024L + 1L
         expr(s"(`$ckColName` - (${ckLo}L)) div ${w}L")
       } else {
@@ -824,9 +823,30 @@ object Relational {
     * [1, n]; an exhausted candidate set fails loudly.
     */
   private[graft] def exactRankPairs(pts: DataFrame, ckCol: String,
-      taskSpecs: Seq[(String, Long)],
+      dims: Seq[String], targetsOf: Long => Seq[(String, Long)],
       collectMax: Long = rankSelectCollectMax): IndexedSeq[(Long, Long)] = {
-    val tasks = taskSpecs.map { case (v, t) => RankTask(v, t) }.toIndexedSeq
+    // ONE stats pre-pass initializes every task — total count (which
+    // prices the target ranks via targetsOf, so no separate count()
+    // job), per-dim min/max, and global ck min/max (the ck-mode
+    // starting bounds when a dimension is single-valued). Bootstrap
+    // rounds per task are gone: at test SFs the whole selection is
+    // stats + one collect.
+    val statsCols = min(col(ckCol)).as("ckmn") +: max(col(ckCol)).as("ckmx") +:
+      dims.flatMap(v => Seq(min(col(v)), max(col(v))))
+    val st = pts.agg(count(lit(1)).as("n"), statsCols: _*).head()
+    val n = st.getLong(0)
+    val specs = targetsOf(n)
+    if (specs.isEmpty) return IndexedSeq.empty
+    val dimIdx = dims.zipWithIndex.toMap
+    val tasks = specs.map { case (v, t) =>
+      val task = RankTask(v, t)
+      val i = dimIdx.getOrElse(v,
+        sys.error(s"exactRankPairs: target column $v not in dims $dims"))
+      task.count = n
+      task.vLo = st.getLong(3 + 2 * i); task.vHi = st.getLong(4 + 2 * i)
+      task.ckLo = st.getLong(1); task.ckHi = st.getLong(2)
+      task
+    }.toIndexedSeq
     var rounds = 0
     while (tasks.exists(_.result.isEmpty)) {
       rounds += 1
@@ -921,20 +941,28 @@ object Relational {
     * PlanHealthSpec; oracle unchanged — hash-equal ntile SQL).
     */
   val q46RfmSegment: Q = (s, d) => {
-    val agg = rfmAggregate(s, d).localCheckpoint()
-    val n = agg.count()
-    val scored =
-      if (n == 0)
-        agg.select(lit(1L).as("r_score"), lit(1L).as("f_score"),
-          lit(1L).as("m_score"))
+    // persisted, not checkpointed: the stats pre-pass (the first
+    // consumer) materializes the cache inside its own job, so no
+    // standalone materialization job runs. Lifecycle: the returned
+    // frame still reads it (scoring projection); cleared by the
+    // caller's clearCache (Bench) or session end.
+    val agg = rfmAggregate(s, d).persist()
+    val dims = Seq("recency_days", "frequency", "monetary_e2")
+    val cuts = exactRankPairs(agg, "o_custkey", dims, { n =>
+      if (n == 0) Seq.empty
       else {
         // exact ntile(4) boundary ranks: first (n mod 4) tiles hold
         // ⌈n/4⌉ rows, the rest ⌊n/4⌋
         val base = n / 4; val rem = n % 4
         val bounds = (1L to 3L).map(i => i * base + math.min(i, rem))
-        val dims = Seq("recency_days", "frequency", "monetary_e2")
-        val cuts = exactRankPairs(agg, "o_custkey",
-          dims.flatMap(v => bounds.map(v -> _)))
+        dims.flatMap(v => bounds.map(v -> _))
+      }
+    })
+    val scored =
+      if (cuts.isEmpty) // empty orders: empty segments
+        agg.select(lit(1L).as("r_score"), lit(1L).as("f_score"),
+          lit(1L).as("m_score"))
+      else {
         def score(vCol: String, dimIdx: Int) = {
           val v = col(vCol); val ck = col("o_custkey")
           (0 to 2).map { j =>

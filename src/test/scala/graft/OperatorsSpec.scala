@@ -952,7 +952,7 @@ class OperatorsSpec extends SparkTestBase {
       // bucket id once slipped through)
       Seq(operators.Relational.rankSelectCollectMax, 16L).foreach { cm =>
         val got = operators.Relational.exactRankPairs(
-          df, "ck", targets.map("v" -> _), collectMax = cm)
+          df, "ck", Seq("v"), _ => targets.map("v" -> _), collectMax = cm)
         targets.zipWithIndex.foreach { case (t, i) =>
           assert(got(i) == sortedRows((t - 1).toInt),
             s"$label(cm=$cm): rank $t got ${got(i)} want ${sortedRows((t - 1).toInt)}")

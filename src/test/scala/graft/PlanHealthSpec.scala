@@ -235,18 +235,26 @@ class PlanHealthSpec extends SparkTestBase {
     // single-partition exchange, NO join anywhere in the final plan —
     // the only exchanges are the 64-cell segment aggregate and the
     // presentation sort.
-    val plan = planOf("q46_rfm_segment")
-    assert(!plan.contains("Join"), s"q46_rfm_segment must not join:\n$plan")
-    assert(!plan.contains("Window"),
-      s"q46_rfm_segment must not plan a window:\n$plan")
-    assert(!plan.contains("Exchange SinglePartition"),
-      s"q46_rfm_segment must not single-partition:\n$plan")
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).size
-    assert(hashEx <= 1, s"q46_rfm_segment plans $hashEx hash exchanges:\n$plan")
-    // scoring reads the one checkpointed custkey reduction, never the
-    // fact files a second time
-    assert(!plan.contains("FileScan parquet"),
-      s"q46_rfm_segment re-scans the facts past the checkpoint:\n$plan")
+    val full = planOf("q46_rfm_segment")
+    assert(!full.contains("Join"), s"q46_rfm_segment must not join:\n$full")
+    assert(!full.contains("Window"),
+      s"q46_rfm_segment must not plan a window:\n$full")
+    assert(!full.contains("Exchange SinglePartition"),
+      s"q46_rfm_segment must not single-partition:\n$full")
+    // the persisted custkey reduction prints its own cached child plan
+    // under InMemoryRelation — assertions about the SCORING plan stop
+    // at the cache boundary (the cached subtree holds the one fact
+    // scan + the one partial-agg exchange, pinned below)
+    val scoring = full.split("InMemoryRelation", 2)(0)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(scoring).size
+    assert(hashEx <= 1, s"q46_rfm_segment plans $hashEx hash exchanges:\n$full")
+    assert(!scoring.contains("FileScan parquet"),
+      s"q46_rfm_segment re-scans the facts past the cached reduction:\n$full")
+    assert(scoring.contains("InMemoryTableScan"),
+      s"scoring must read the cached reduction:\n$full")
+    val scans = "FileScan parquet".r.findAllIn(full).size
+    assert(scans <= 2, // final + initial adaptive plan printout of ONE scan
+      s"q46_rfm_segment scans the facts $scans times:\n$full")
   }
 
   test("q59_markov_transitions: map-side pair expansion, no self-join, bounded window") {
