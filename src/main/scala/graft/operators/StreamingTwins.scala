@@ -128,11 +128,26 @@ object StreamingTwins {
     * minus G — exactly how Structured Streaming advances watermarks.
     *
     * Scale shape: per-partition row_number (partitioned window), one
-    * groupBy to tick-level maxima, a running max over the TINY tick
-    * table (rows = corpus/500 — the only global window, bounded), and
-    * a broadcast join back. No global per-event window.
+    * groupBy to tick-level maxima, and a broadcast join back. The
+    * watermark cumulation over the tick table was the operator's one
+    * global window — "tiny" meant corpus/500 rows, which is 500×
+    * reduced but still corpus-PROPORTIONAL (2×10⁹ ticks on one task
+    * at 10¹² events). Round 18 (the r17 verdict's ask #1 applied
+    * operator-wide): the watermark table now SIZE-ROUTES — within
+    * [[stLatenessMaxDriverTicks]] a take()-probe collects the tick
+    * maxima and the exclusive cummax is driver arithmetic behind a
+    * broadcast literal (the rfm-cutpoints precedent; ticks at every
+    * test SF and any plausible batch land here); beyond it, the shared
+    * distributed two-pass prefix scan ([[graft.plans.PrefixScan]])
+    * computes prev-exclusive maxima with a partitioned window and the
+    * join is left un-hinted (a multi-GB watermark table must not
+    * broadcast). Route equality is spec-pinned against the original
+    * single-partition window formulation.
     */
+  private[graft] val stLatenessMaxDriverTicks = 1000000
+
   val stLatenessAudit: Q = (s, d) => {
+    import s.implicits._
     val wPart = Window.partitionBy(col("src_part")).orderBy(col("event_id"))
     val arr = Tables.events(s, d)
       .withColumn("src_part", col("user_id") % 8)
@@ -141,13 +156,27 @@ object StreamingTwins {
         expr("(row_number() OVER (PARTITION BY src_part ORDER BY event_id) " +
           "* (64 + src_part)) div 64"))
       .withColumn("tick", expr("arrival_rank div 500"))
-    val wTick = Window.orderBy(col("tick"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val watermarks = arr.groupBy(col("tick"))
-      .agg(max(col("ts_us")).as("tick_max"))
-      .withColumn("watermark", max(col("tick_max")).over(wTick) - 600000000L)
-      .select(col("tick"), col("watermark"))
-    arr.join(broadcast(watermarks), "tick")
+    val tickMax = arr.groupBy(col("tick")).agg(max(col("ts_us")).as("tick_max"))
+    val probe = tickMax.take(stLatenessMaxDriverTicks + 1)
+    val joined =
+      if (probe.length <= stLatenessMaxDriverTicks) {
+        // ticks with no predecessor get no watermark row — the inner
+        // join drops their events exactly like the old ts < NULL filter
+        val sorted = probe.map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        var run = Option.empty[Long]
+        val rows = sorted.flatMap { case (t, m) =>
+          val out = run.map(w => (t, w - 600000000L))
+          run = Some(run.fold(m)(math.max(_, m)))
+          out
+        }.toSeq
+        arr.join(broadcast(rows.toDF("tick", "watermark")), "tick")
+      } else
+        arr.join(
+          graft.plans.PrefixScan.exclusiveMaxByKey(tickMax, "tick", "tick_max")
+            .filter(col("prev_max").isNotNull)
+            .select(col("tick"), (col("prev_max") - 600000000L).as("watermark")),
+          "tick")
+    joined
       .filter(col("ts_us") < col("watermark"))
       .select(col("event_id"), col("user_id"), col("ts_us"),
         (col("watermark") - col("ts_us")).as("late_by_us"))

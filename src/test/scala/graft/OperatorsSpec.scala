@@ -989,6 +989,47 @@ class OperatorsSpec extends SparkTestBase {
       s"boundary scoring diverged from exact ntile:\n$rewritten\nvs\n$legacy")
   }
 
+  test("st_lateness_audit equals the single-partition window formulation; PrefixScan exact") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // (a) the registered op (driver-routed watermarks at this SF)
+    // against the legacy global-window formulation, row for row
+    val arr = sources.Tables.events(spark, sfDir)
+      .withColumn("src_part", col("user_id") % 8)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("arrival_rank",
+        expr("(row_number() OVER (PARTITION BY src_part ORDER BY event_id) " +
+          "* (64 + src_part)) div 64"))
+      .withColumn("tick", expr("arrival_rank div 500"))
+    val wTick = Window.orderBy(col("tick"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val legacy = arr.groupBy(col("tick")).agg(max(col("ts_us")).as("tick_max"))
+      .withColumn("watermark", max(col("tick_max")).over(wTick) - 600000000L)
+      .select(col("tick"), col("watermark"))
+    val legacyOut = arr.join(broadcast(legacy), "tick")
+      .filter(col("ts_us") < col("watermark"))
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        (col("watermark") - col("ts_us")).as("late_by_us"))
+      .orderBy(col("event_id")).collect().toSeq
+    val got = SparkEntry.queries("st_lateness_audit")(spark, sfDir)
+      .collect().toSeq
+    assert(got == legacyOut, s"lateness audit diverged: ${got.take(3)} vs ${legacyOut.take(3)}")
+    // (b) the distributed PrefixScan helper (the over-budget route)
+    // against a global window, on data with duplicate keys
+    import spark.implicits._
+    val rng = new scala.util.Random(18)
+    val rows = (0 until 400).map(i => (rng.nextInt(40).toLong, rng.nextLong() % 1000L, i.toLong))
+    val df = rows.toDF("k", "v", "id").repartition(7).localCheckpoint()
+    val gotPs = graft.plans.PrefixScan.exclusiveMaxByKey(df, "k", "v")
+      .select(col("id"), col("prev_max")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    val expectPs = rows.map { case (k, _, id) =>
+      val strictlySmaller = rows.filter(_._1 < k).map(_._2)
+      id -> (if (strictlySmaller.isEmpty) None else Some(strictlySmaller.max))
+    }.toMap
+    assert(gotPs == expectPs, s"PrefixScan diverged")
+  }
+
   test("q47_ohlc_bars: OHLC invariants hold and a driver replay confirms a spot bar") {
     import org.apache.spark.sql.functions.{col => c}
     val bars = operators.Relational.q47OhlcBars(spark, sfDir).collect()
