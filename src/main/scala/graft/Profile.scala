@@ -233,6 +233,34 @@ object Profile {
         val ta = timeQ("ann_incremental_adaptive")
         val tf = if (n <= 60000) f"${timeQ("ann_incremental")}%.2f s" else "skipped"
         println(f"[profile] ann-k-sweep n=$n k=$k adaptive=$ta%.2f s fixed16=$tf")
+      case "--rfm-stages" =>
+        // per-stage cost split of q46_rfm_segment (round 18): where
+        // does the restructured op's fixed cost sit at a test SF —
+        // aggregate materialization, the exactRankPairs selection, or
+        // the scoring aggregate? (The registered op re-runs everything
+        // fresh after a clearCache, so `total` is the honest op time
+        // and `score ≈ total − materialize − selection`.)
+        def tstage[A](label: String)(f: => A): A = {
+          val t0 = System.nanoTime(); val r = f
+          println(f"[profile] rfm-stage $label%-14s ${(System.nanoTime() - t0) / 1e9}%6.2f s")
+          r
+        }
+        val rfmAgg = operators.Relational.rfmAggregate(spark, d).persist()
+        tstage("materialize")(rfmAgg.count())
+        val rfmDims = Seq("recency_days", "frequency", "monetary_e2")
+        tstage("selection") {
+          operators.Relational.exactRankPairs(rfmAgg, "o_custkey", rfmDims, { n =>
+            if (n == 0) Seq.empty
+            else {
+              val base = n / 4; val rem = n % 4
+              val bounds = (1L to 3L).map(i => i * base + math.min(i, rem))
+              rfmDims.flatMap(v => bounds.map(v -> _))
+            }
+          })
+        }
+        spark.sharedState.cacheManager.clearCache()
+        tstage("total")(SparkEntry.queries("q46_rfm_segment")(spark, d).count())
+        spark.sharedState.cacheManager.clearCache()
       case "--walk-stages" =>
         // per-stage cost split of BOTH graph-walk ops (round 18 — the
         // finer probe superseding round 17's adaptive-only split; see

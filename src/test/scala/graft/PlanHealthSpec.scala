@@ -241,20 +241,16 @@ class PlanHealthSpec extends SparkTestBase {
       s"q46_rfm_segment must not plan a window:\n$full")
     assert(!full.contains("Exchange SinglePartition"),
       s"q46_rfm_segment must not single-partition:\n$full")
-    // the persisted custkey reduction prints its own cached child plan
-    // under InMemoryRelation — assertions about the SCORING plan stop
-    // at the cache boundary (the cached subtree holds the one fact
-    // scan + the one partial-agg exchange, pinned below)
-    val scoring = full.split("InMemoryRelation", 2)(0)
-    val hashEx = "Exchange hashpartitioning".r.findAllIn(scoring).size
+    // the custkey reduction is localCheckpointed (measured faster
+    // than persist — every consumer plans over a bare ExistingRDD
+    // scan), so the scoring plan's leaf is the checkpoint RDD and the
+    // fact scan appears NOWHERE in the final plan
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(full).size
     assert(hashEx <= 1, s"q46_rfm_segment plans $hashEx hash exchanges:\n$full")
-    assert(!scoring.contains("FileScan parquet"),
-      s"q46_rfm_segment re-scans the facts past the cached reduction:\n$full")
-    assert(scoring.contains("InMemoryTableScan"),
-      s"scoring must read the cached reduction:\n$full")
-    val scans = "FileScan parquet".r.findAllIn(full).size
-    assert(scans <= 2, // final + initial adaptive plan printout of ONE scan
-      s"q46_rfm_segment scans the facts $scans times:\n$full")
+    assert(!full.contains("FileScan parquet"),
+      s"q46_rfm_segment re-scans the facts past the checkpointed reduction:\n$full")
+    assert(full.contains("Scan ExistingRDD"),
+      s"scoring must read the checkpointed reduction:\n$full")
   }
 
   test("q59_markov_transitions: map-side pair expansion, no self-join, bounded window") {
