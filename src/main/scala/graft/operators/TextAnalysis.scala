@@ -1291,8 +1291,18 @@ object TextAnalysis {
     */
   val txTextrank: Q = (s, d) => {
     val docs = Tables.documents(s, d)
+    // localCheckpoint (round 18): the rank kernel's driver route
+    // consumes nodeIds in THREE separate driver jobs (endpoint
+    // semi-join, node count, final fan-back join) and the pair build
+    // broadcasts vocab twice more — without a materialization each of
+    // those actions re-ran the corpus explode+distinct (cross-JOB
+    // plans never ReuseExchange). The checkpoint is vocab-bounded
+    // (distinct words, not corpus rows) and, unlike the r17 persist()
+    // attempt that measured SLOWER (cache barrier + InMemoryTableScan
+    // per consumer), consumers plan over a bare ExistingRDD: warm
+    // 1.46 → 1.29 s at sf0.1, 4.30 → 3.40 s at 25×.
     val vocab = docs.select(explode(split(col("text"), " ")).as("w")).distinct()
-      .withColumn("doc_id", xxhash64(col("w")))
+      .withColumn("doc_id", xxhash64(col("w"))).localCheckpoint()
     val bi = docs
       .select(explode(expr(
         """CASE WHEN size(split(text, ' ')) < 2 THEN array()
