@@ -2174,25 +2174,29 @@ object Dedup {
         .select(col("doc_id"), col("quality_score"))
         .localCheckpoint()
     }
-    // the digest projection is persisted NARROW (doc_id, text_hash):
-    // it feeds both the keeper aggregate and the fan-back join, and
-    // without the persist each consumer re-ran the corpus scan + the
+    // the digest projection is materialized NARROW (doc_id,
+    // text_hash): it feeds both the keeper aggregate and the fan-back
+    // join, and without it each consumer re-ran the corpus scan + the
     // normalize-regex + md5 (round 17 — at 100 TB that is a second
     // full pass over the text for zero new information).
-    // Lifecycle note: never unpersisted here — the returned frame
-    // still reads it (fan-back join), so the cache lives until the
-    // caller's clearCache (Bench) or session end; blocks are
-    // storage-evictable, narrow, and corpus-key-free.
+    // localCheckpoint, not persist (round 18): the pipeline's many
+    // driver actions each re-planned the cached frame as an
+    // InMemoryTableScan + AQE pass — as a checkpoint they read a bare
+    // ExistingRDD (hashed+keepers A/B: warm min 1.82 → 1.38 s).
+    // Blocks are ContextCleaner-freed when the result goes
+    // unreachable; 40 B/row, the same residency bound the old
+    // cache paid when hit.
     val hashed = docs.select(col("doc_id"),
       md5(lower(regexp_replace(trim(col("text")), "\\s+", " ")))
         .as("text_hash"))
-      .persist()
+      .localCheckpoint()
     // exact stage: one partial-aggregating shuffle on the digest; the
-    // keeper (min doc_id per digest) is the survivor set. Persisted:
-    // read by the fan-back join AND as the root of the survivor chain.
+    // keeper (min doc_id per digest) is the survivor set.
+    // Materialized: read by the fan-back join AND as the root of the
+    // survivor chain (pairs semi-joins, rank nodes, CC labels).
     val keepers = hashed.groupBy(col("text_hash"))
       .agg(min(col("doc_id")).as("keeper_id"))
-      .persist()
+      .localCheckpoint()
     val withKeeper = hashed
       .join(keepers, "text_hash")
       .select(col("doc_id"), col("keeper_id"))
