@@ -1585,10 +1585,15 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("ep_deg"), lit(0L)).as("deg"),
           coalesce(col("ep_score"), lit(isoScore)).as("score_e9"))
     }
+    // localCheckpoint, not persist (round 18, same finding as wpairs
+    // above): nodes feeds n/nIso counts, the initial-score checkpoint
+    // and one join per iteration — eight separate actions, each of
+    // which re-planned an InMemoryTableScan + AQE pass as a persist.
+    // Node-bounded blocks, ContextCleaner-freed.
     val nodes = nodeIds.select(col("doc_id"))
       .join(deg, Seq("doc_id"), "left")
       .withColumn("deg", coalesce(col("deg"), lit(0L)))
-      .persist()
+      .localCheckpoint()
     val n = nodes.count()
     val teleport = 150000000L / n
     // In an undirected pair graph every non-isolated node has deg ≥ 1,
@@ -1625,7 +1630,6 @@ object Dedup {
         .localCheckpoint()
       isoScore = teleport + (85L * perNodeDangling) / 100
     }
-    nodes.unpersist()
     scores.select(col("doc_id"), col("deg"), col("score_e9"))
   }
 

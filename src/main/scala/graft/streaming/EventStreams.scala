@@ -426,9 +426,15 @@ object EventStreams extends Serializable {
     val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
     if (!fs.exists(marker)) {
+      // localCheckpoint, not persist (round 18, the rank-kernel
+      // finding): the pairs write and the index append are separate
+      // driver actions — as a persist each re-planned an
+      // InMemoryTableScan + AQE pass over the band rows; as an eager
+      // checkpoint both read a bare ExistingRDD. Batch-bounded blocks,
+      // ContextCleaner-freed when the batch-local reference drops.
       val banded = graft.operators.Dedup.bandedOf(
-        graft.operators.Dedup.minhashSigTableOf(batch)).persist()
-      try {
+        graft.operators.Dedup.minhashSigTableOf(batch)).localCheckpoint()
+      locally {
         def collide(index: DataFrame, cond: org.apache.spark.sql.Column) =
           graft.operators.Dedup.pairsFromCollisions(
             banded.as("a").join(index.as("b"),
@@ -448,7 +454,7 @@ object EventStreams extends Serializable {
           .bucketBy(nBuckets, "band_key")
           .saveAsTable(indexTable)
         fs.create(marker, true).close()
-      } finally { banded.unpersist(); () }
+      }
     }
   }
 
@@ -507,13 +513,18 @@ object EventStreams extends Serializable {
       // stored row sharing a vec_id — a later batch may legitimately
       // re-send an id, and its OLD stored version stays probe-able),
       // and replay can detect an already-applied append
+      // localCheckpoint, not persist (round 18, the rank-kernel
+      // finding): the top-k write and the index append are separate
+      // driver actions — checkpointed, both plan over a bare
+      // ExistingRDD instead of re-running AQE over an
+      // InMemoryTableScan. Batch-bounded, ContextCleaner-freed.
       val assigned = batch
         .select(col("vec_id"), col("embedding"),
           graft.operators.Similarity.nearestCentroidCol(
             col("embedding"), centroids).as("cent_id"),
           lit(batchId).as("batch_id"))
-        .persist()
-      try {
+        .localCheckpoint()
+      locally {
         val result =
           if (spark.catalog.tableExists(indexTable)) {
             // probe + presentation are the SHARED Similarity helpers, so
@@ -554,7 +565,7 @@ object EventStreams extends Serializable {
             .bucketBy(nBuckets, "cent_id")
             .saveAsTable(indexTable)
         fs.create(marker, true).close()
-      } finally { assigned.unpersist(); () }
+      }
     }
   }
 
@@ -575,11 +586,11 @@ object EventStreams extends Serializable {
     *     it with one left join (at scale the stored side reads in
     *     place, co-partitioned — the dedupIndexMaintain shape) and
     *     appends only hashes it introduced, derived as a FILTER off
-    *     the already-persisted labeled frame: a new keeper is exactly
+    *     the checkpointed labeled frame: a new keeper is exactly
     *     a q_ok row that is its own batch keeper with NULL stored
-    *     keeper (round 17 — no second store scan, no anti-join;
-    *     localCheckpoint'd before the append so the write never reads
-    *     the table it writes).
+    *     keeper (round 17 — no second store scan, no anti-join; the
+    *     labeled checkpoint severs the lineage through the store, so
+    *     the append never reads the table it writes).
     *   - PACK CURSOR (one row per source, rewritten whole per batch
     *     into a batch-scoped file): the cumulative kept-token count
     *     feeding pack_id. Driver-side it is a bounded collect — one
@@ -624,28 +635,42 @@ object EventStreams extends Serializable {
     val fs = batchDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(batchDir, "_APPLIED")
     if (fs.exists(marker)) return
-    val scored = graft.operators.TextAnalysis.curationScored(batch).persist()
     val storeExists = spark.catalog.tableExists(keeperTable)
-    // the batch's own keeper candidates: first q_ok doc per hash
-    val batchKeeper = scored.filter(col("q_ok"))
-      .groupBy(col("text_hash")).agg(min(col("doc_id")).as("batch_keeper"))
+    // the batch's own keeper candidates: first q_ok doc per hash, as
+    // the SAME unordered window aggregate the one-shot flagship uses
+    // (TextAnalysis.txPipeline) — round 18: the old groupBy + join-back
+    // paid a second exchange of the scored rows plus a join; the window
+    // rides the text_hash exchange the store probe needs anyway, and
+    // with the scored subtree appearing once in one plan its persist is
+    // gone too
+    val withBk = graft.operators.TextAnalysis.curationScored(batch)
+      .withColumn("batch_keeper",
+        min(when(col("q_ok"), col("doc_id")))
+          .over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("text_hash"))))
     val keyed =
       if (storeExists) {
         // min() absorbs crash-window duplicate rows in the store
         val stored = spark.table(keeperTable)
           .groupBy(col("text_hash")).agg(min(col("keeper_id")).as("stored_keeper"))
-        scored.join(stored, Seq("text_hash"), "left")
-      } else scored.withColumn("stored_keeper", lit(null).cast("long"))
-    // persisted: the manifest write and the cursor-advance aggregate
-    // both read it — without the cache the join pipeline runs twice
-    val labeled = keyed.join(batchKeeper, Seq("text_hash"), "left")
+        withBk.join(stored, Seq("text_hash"), "left")
+      } else withBk.withColumn("stored_keeper", lit(null).cast("long"))
+    // localCheckpoint, not persist (round 18, the rank-kernel finding):
+    // the manifest write, the cursor-advance aggregate and the keeper
+    // append are three SEPARATE driver actions — as a persist each one
+    // re-planned an InMemoryTableScan + AQE pass; as an eager checkpoint
+    // they all read a bare ExistingRDD. The materialization also severs
+    // the lineage through spark.table(keeperTable), so the append below
+    // never reads the table it writes. Batch-bounded blocks,
+    // ContextCleaner-freed when the batch-local reference drops.
+    val labeled = keyed
       // a stored keeper arrived in an earlier batch → smaller doc_id
       .withColumn("keeper", coalesce(col("stored_keeper"), col("batch_keeper")))
       .withColumn("drop_reason",
         when(!col("q_ok"), "quality")
           .when(col("doc_id") =!= col("keeper"), "duplicate"))
-      .persist()
-    try {
+      .localCheckpoint()
+    locally {
       // pack cursor after the previous batch: one row per SOURCE —
       // driver-bounded by contract (the ANN-centroid bounded-literal
       // precedent), so it lives as a plain FS sidecar read/written
@@ -689,25 +714,26 @@ object EventStreams extends Serializable {
       val co = fs.create(cursorFile(batchId), true)
       try co.write(mergedTsv.getBytes("UTF-8")) finally co.close()
       // grow the keeper store: only hashes this batch introduced —
-      // read off the PERSISTED labeled frame (a new keeper is exactly
-      // a q_ok row that is its own batch keeper with no stored
+      // read off the CHECKPOINTED labeled frame (a new keeper is
+      // exactly a q_ok row that is its own batch keeper with no stored
       // keeper), so the append costs no second scan of the keeper
       // table and no anti-join (round 17; the old shape re-read +
       // anti-joined the store per batch). Replay stays idempotent: a
       // crashed attempt's append lands in `stored_keeper`, so the
-      // filter is empty on replay. localCheckpoint truncates lineage
-      // so the append never reads the table it writes.
-      val newKeepers = labeled
+      // filter is empty on replay. labeled's own checkpoint already
+      // severed the lineage through the keeper table, so the append
+      // never reads the table it writes (the per-frame checkpoint this
+      // filter used to carry is gone — one job per batch saved).
+      labeled
         .filter(col("q_ok") && col("stored_keeper").isNull &&
           col("doc_id") === col("batch_keeper"))
         .select(col("text_hash"), col("batch_keeper").as("keeper_id"))
         .repartition(nBuckets, col("text_hash"))
-        .localCheckpoint()
-      newKeepers.write.mode("append").format("parquet")
+        .write.mode("append").format("parquet")
         .bucketBy(nBuckets, "text_hash")
         .saveAsTable(keeperTable)
       fs.create(marker, true).close()
-    } finally { labeled.unpersist(); scored.unpersist(); () }
+    }
   }
 
   /** STREAMING FLAGSHIP — the incremental twin of the composed batch
@@ -733,8 +759,9 @@ object EventStreams extends Serializable {
     *      [[annIndexApplyBatch]], emitting each new statement's top-k
     *      nearest already-indexed statements.
     *
-    * The batch frame is persisted once and shared by all three stages
-    * (the binaryFile source is read once per micro-batch, not thrice).
+    * The batch frame is checkpointed once and shared by all three
+    * stages (the binaryFile source is read once per micro-batch, not
+    * thrice).
     * Crash safety composes from the stages' own contracts: stage 1 is
     * a whole-directory rewrite, stages 2-3 carry _APPLIED markers, so
     * a replayed batch re-runs only the stages that did not complete.
@@ -775,23 +802,27 @@ object EventStreams extends Serializable {
       pairsDir: String, centroids: Seq[(Long, Seq[Float])],
       annIndexTable: String, topkDir: String, nprobe: Int, k: Int): Unit = {
     val spark = batch.sparkSession
+    // localCheckpoint, not persist (round 18, the rank-kernel finding):
+    // the three stages are separate driver actions (a write plus two
+    // apply-batch kernels that each run several jobs) — checkpointed,
+    // every consumer plans over a bare ExistingRDD instead of re-running
+    // AQE over an InMemoryTableScan of the extract chain. Batch-bounded,
+    // ContextCleaner-freed when the batch-local reference drops.
     val extracted = graft.operators.FundEtl.extractStatementFields(spark,
         graft.operators.FundEtl.classifyStatements(spark, batch),
         extra = Seq("content"))
       .withColumn("doc_id", xxhash64(col("file_name")))
-      .persist()
-    try {
-      extracted.drop("content", "doc_id")
-        .write.mode("overwrite").parquet(s"$extractedDir/batch-$batchId")
-      dedupIndexApplyBatch(
-        extracted.select(col("doc_id"), col("content").as("text")),
-        batchId, dedupIndexTable, pairsDir)
-      annIndexApplyBatch(
-        extracted.select(col("doc_id").as("vec_id"),
-          graft.functions.VectorFunctions
-            .hashedTextEmbedding(col("content")).as("embedding")),
-        batchId, centroids, annIndexTable, topkDir, nprobe, k, 8)
-    } finally { extracted.unpersist(); () }
+      .localCheckpoint()
+    extracted.drop("content", "doc_id")
+      .write.mode("overwrite").parquet(s"$extractedDir/batch-$batchId")
+    dedupIndexApplyBatch(
+      extracted.select(col("doc_id"), col("content").as("text")),
+      batchId, dedupIndexTable, pairsDir)
+    annIndexApplyBatch(
+      extracted.select(col("doc_id").as("vec_id"),
+        graft.functions.VectorFunctions
+          .hashedTextEmbedding(col("content")).as("embedding")),
+      batchId, centroids, annIndexTable, topkDir, nprobe, k, 8)
   }
 
   /** STREAMING event-rate anomaly detection — the online variant of
