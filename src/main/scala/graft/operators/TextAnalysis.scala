@@ -413,7 +413,14 @@ object TextAnalysis {
   val txDecontaminateBloom: Q = (s, d) => {
     val docs = Tables.documents(s, d)
     // persisted: the eval-side shingle stream is read twice (the bloom
-    // build's .head action, then the broadcast join side)
+    // build's .head action, then the broadcast join side). NEGATIVE
+    // RESULT (round 18): converting this persist to the §10-style
+    // eager localCheckpoint measured ~2× SLOWER warm (1.16-1.56 →
+    // 2.37-2.90 s, Profile min-of-3 at sf0.1) — the frame is tiny and
+    // both consumers are cheap, so the eager materialization job +
+    // serialized-block reads cost more than the two AQE re-plans the
+    // checkpoint saves. The multi-action rule pays off on frames whose
+    // per-action re-planning is expensive, not on 20-doc shingle sets.
     val bench = contamShingles(docs.filter(col("doc_id") < 20), "bench_id").persist()
     val corpus = contamShingles(docs.filter(col("doc_id") >= 20), "doc_id")
     // 20 eval docs × ≤~1k shingles: 64Ki capacity / 8 bits-per-item
