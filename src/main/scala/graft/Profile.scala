@@ -458,6 +458,96 @@ object Profile {
             f"driver=$nDrv (${(t3 - t2) / 1e9}%.2f s, heap $h0%d->$h1%d MB) " +
             f"score_diff=$diff")
         }
+      case "--stmt-probe" =>
+        // end-to-end timing of one cold statement batch (exactly
+        // Bench.timeStatementBatch's construction: fresh tables + temp
+        // dirs per call so every run pays the full per-batch cost) —
+        // the A/B harness for changes to statementPipelineApplyBatch.
+        val fe = operators.FundEtl
+        val docs = fe.loadStatements(spark, fe.statementsDir)
+        val seedNames = docs.select(col("file_name"))
+          .orderBy(col("file_name")).limit(4).collect().map(_.getString(0)).toSeq
+        val cents: Seq[(Long, Seq[Float])] = docs
+          .filter(col("file_name").isin(seedNames: _*))
+          .select(org.apache.spark.sql.functions.xxhash64(col("file_name")).as("id"),
+            functions.VectorFunctions.hashedTextEmbedding(col("content"))
+              .as("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stmt-probe").toString
+        val tag = java.lang.Long.toHexString(System.nanoTime())
+        val (ddTbl, annTbl) = (s"profile_probe_dd_$tag", s"profile_probe_ann_$tag")
+        try {
+          val t0 = System.nanoTime()
+          streaming.EventStreams.statementPipelineApplyBatch(
+            docs, 0L, s"$tmp/extracted", ddTbl, s"$tmp/pairs", cents,
+            annTbl, s"$tmp/topk", 2, 3)
+          println(f"[profile] stmt-probe ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } finally {
+          Seq(ddTbl, annTbl).foreach(t =>
+            try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () })
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          } catch { case _: Throwable => () }
+        }
+      case "--stmt-stages" =>
+        // per-stage cost split of the statement flagship's batch probe
+        // (Bench.timeStatementBatch's construction, with the three
+        // stages of statementPipelineApplyBatch timed separately):
+        // extract checkpoint / manifest write / dedup-index batch /
+        // ann-index batch. Decides whether the stages are worth
+        // overlapping (guide §2.6) or one of them dominates.
+        val fe = operators.FundEtl
+        val docs = fe.loadStatements(spark, fe.statementsDir)
+        val seedNames = docs.select(col("file_name"))
+          .orderBy(col("file_name")).limit(4).collect().map(_.getString(0)).toSeq
+        val cents: Seq[(Long, Seq[Float])] = docs
+          .filter(col("file_name").isin(seedNames: _*))
+          .select(org.apache.spark.sql.functions.xxhash64(col("file_name")).as("id"),
+            functions.VectorFunctions.hashedTextEmbedding(col("content"))
+              .as("embedding"))
+          .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1).toSeq
+        val tmp = java.nio.file.Files.createTempDirectory("graft-stmt-prof").toString
+        val tag = java.lang.Long.toHexString(System.nanoTime())
+        val (ddTbl, annTbl) = (s"profile_stmt_dd_$tag", s"profile_stmt_ann_$tag")
+        try {
+          var t0 = System.nanoTime()
+          val extracted = fe.extractStatementFields(spark,
+              fe.classifyStatements(spark, docs), extra = Seq("content"))
+            .withColumn("doc_id",
+              org.apache.spark.sql.functions.xxhash64(col("file_name")))
+            .localCheckpoint()
+          println(f"[profile] stmt-stages extract  ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          t0 = System.nanoTime()
+          extracted.drop("content", "doc_id")
+            .write.mode("overwrite").parquet(s"$tmp/extracted/batch-0")
+          println(f"[profile] stmt-stages manifest ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          t0 = System.nanoTime()
+          streaming.EventStreams.dedupIndexApplyBatch(
+            extracted.select(col("doc_id"), col("content").as("text")),
+            0L, ddTbl, s"$tmp/pairs")
+          println(f"[profile] stmt-stages dedup    ${(System.nanoTime() - t0) / 1e9}%.2f s")
+          t0 = System.nanoTime()
+          streaming.EventStreams.annIndexApplyBatch(
+            extracted.select(col("doc_id").as("vec_id"),
+              functions.VectorFunctions
+                .hashedTextEmbedding(col("content")).as("embedding")),
+            0L, cents, annTbl, s"$tmp/topk", 2, 3, 8)
+          println(f"[profile] stmt-stages ann      ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        } finally {
+          Seq(ddTbl, annTbl).foreach(t =>
+            try spark.sql(s"DROP TABLE IF EXISTS $t") catch { case _: Throwable => () })
+          try {
+            import scala.jdk.CollectionConverters._
+            val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(tmp))
+            try walk.iterator().asScala.toSeq.reverse
+              .foreach(java.nio.file.Files.deleteIfExists(_))
+            finally walk.close()
+          } catch { case _: Throwable => () }
+        }
       case "--curation-stages" =>
         // per-batch cost split of tx_curation_incremental: the op is 3
         // sequential curationApplyBatch calls against a keeper table +
