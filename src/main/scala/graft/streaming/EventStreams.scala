@@ -692,46 +692,75 @@ object EventStreams extends Serializable {
         .partitionBy(col("source")).orderBy(col("doc_id"))
         .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
           org.apache.spark.sql.expressions.Window.currentRow)
-      labeled
-        .withColumn("n_toks", when(col("drop_reason").isNull, col("toks")))
-        .withColumn("cum_toks",
-          sum(coalesce(col("n_toks"), lit(0L))).over(bySource) + offset)
-        .select(col("doc_id"), col("source"), col("quality_score"),
-          col("drop_reason"),
-          when(col("drop_reason") === "duplicate", col("keeper")).as("keeper_id"),
-          col("n_toks"),
-          when(col("drop_reason").isNull,
-            expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
-        .write.mode("overwrite").parquet(batchDir.toString)
-      // advance the cursor: previous totals + this batch's kept tokens,
-      // rewritten whole (replay-safe), sorted for determinism
-      val batchTotals = labeled.filter(col("drop_reason").isNull)
-        .groupBy(col("source")).agg(sum(col("toks")).as("t"))
-        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val mergedTsv = (cursor.keySet ++ batchTotals.keySet).toSeq.sorted
-        .map(k => s"$k\t${cursor.getOrElse(k, 0L) + batchTotals.getOrElse(k, 0L)}")
-        .mkString("\n")
-      val co = fs.create(cursorFile(batchId), true)
-      try co.write(mergedTsv.getBytes("UTF-8")) finally co.close()
-      // grow the keeper store: only hashes this batch introduced —
-      // read off the CHECKPOINTED labeled frame (a new keeper is
-      // exactly a q_ok row that is its own batch keeper with no stored
-      // keeper), so the append costs no second scan of the keeper
-      // table and no anti-join (round 17; the old shape re-read +
-      // anti-joined the store per batch). Replay stays idempotent: a
-      // crashed attempt's append lands in `stored_keeper`, so the
-      // filter is empty on replay. labeled's own checkpoint already
-      // severed the lineage through the keeper table, so the append
-      // never reads the table it writes (the per-frame checkpoint this
-      // filter used to carry is gone — one job per batch saved).
-      labeled
-        .filter(col("q_ok") && col("stored_keeper").isNull &&
-          col("doc_id") === col("batch_keeper"))
-        .select(col("text_hash"), col("batch_keeper").as("keeper_id"))
-        .repartition(nBuckets, col("text_hash"))
-        .write.mode("append").format("parquet")
-        .bucketBy(nBuckets, "text_hash")
-        .saveAsTable(keeperTable)
+      // OVERLAPPED INDEPENDENT STAGES (round 18, guide §2.6 — the
+      // statement-batch precedent): the manifest write, the
+      // cursor-advance (collect + sidecar rewrite) and the keeper
+      // append all read only the checkpointed labeled frame and write
+      // disjoint artifacts, so nothing orders them within a batch.
+      // Replay already covers any completion order — the manifest dir
+      // and cursor file are whole rewrites, a crashed attempt's keeper
+      // append lands in stored_keeper (see the scaladoc contract), and
+      // the _APPLIED marker still goes last, after all three complete.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val cpool = java.util.concurrent.Executors.newFixedThreadPool(3)
+      implicit val ec: ExecutionContext =
+        ExecutionContext.fromExecutorService(cpool)
+      try {
+        val manifestF = Future {
+          spark.sparkContext.setJobDescription("curation batch: manifest (overlapped)")
+          labeled
+            .withColumn("n_toks", when(col("drop_reason").isNull, col("toks")))
+            .withColumn("cum_toks",
+              sum(coalesce(col("n_toks"), lit(0L))).over(bySource) + offset)
+            .select(col("doc_id"), col("source"), col("quality_score"),
+              col("drop_reason"),
+              when(col("drop_reason") === "duplicate", col("keeper")).as("keeper_id"),
+              col("n_toks"),
+              when(col("drop_reason").isNull,
+                expr(s"(cum_toks - 1) div $budget")).as("pack_id"))
+            .write.mode("overwrite").parquet(batchDir.toString)
+        }
+        // advance the cursor: previous totals + this batch's kept
+        // tokens, rewritten whole (replay-safe), sorted for determinism
+        val cursorF = Future {
+          spark.sparkContext.setJobDescription("curation batch: cursor advance (overlapped)")
+          val batchTotals = labeled.filter(col("drop_reason").isNull)
+            .groupBy(col("source")).agg(sum(col("toks")).as("t"))
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+          val mergedTsv = (cursor.keySet ++ batchTotals.keySet).toSeq.sorted
+            .map(k => s"$k\t${cursor.getOrElse(k, 0L) + batchTotals.getOrElse(k, 0L)}")
+            .mkString("\n")
+          val co = fs.create(cursorFile(batchId), true)
+          try co.write(mergedTsv.getBytes("UTF-8")) finally co.close()
+        }
+        // grow the keeper store: only hashes this batch introduced —
+        // read off the CHECKPOINTED labeled frame (a new keeper is
+        // exactly a q_ok row that is its own batch keeper with no
+        // stored keeper), so the append costs no second scan of the
+        // keeper table and no anti-join (round 17; the old shape
+        // re-read + anti-joined the store per batch). Replay stays
+        // idempotent: a crashed attempt's append lands in
+        // `stored_keeper`, so the filter is empty on replay. labeled's
+        // own checkpoint already severed the lineage through the
+        // keeper table, so the append never reads the table it writes
+        // (the per-frame checkpoint this filter used to carry is gone
+        // — one job per batch saved).
+        val keeperF = Future {
+          spark.sparkContext.setJobDescription("curation batch: keeper append (overlapped)")
+          labeled
+            .filter(col("q_ok") && col("stored_keeper").isNull &&
+              col("doc_id") === col("batch_keeper"))
+            .select(col("text_hash"), col("batch_keeper").as("keeper_id"))
+            .repartition(nBuckets, col("text_hash"))
+            .write.mode("append").format("parquet")
+            .bucketBy(nBuckets, "text_hash")
+            .saveAsTable(keeperTable)
+        }
+        Await.result(manifestF, Duration.Inf)
+        Await.result(cursorF, Duration.Inf)
+        Await.result(keeperF, Duration.Inf)
+      } finally { cpool.shutdown() }
       fs.create(marker, true).close()
     }
   }
