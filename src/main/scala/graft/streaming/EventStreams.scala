@@ -449,10 +449,34 @@ object EventStreams extends Serializable {
               .groupBy(col("doc_a"), col("doc_b"))
               .agg(first(col("est_jaccard")).as("est_jaccard"))
           else vsNew
-        newPairs.write.mode("overwrite").parquet(batchDir.toString)
-        banded.write.mode("append").format("parquet")
-          .bucketBy(nBuckets, "band_key")
-          .saveAsTable(indexTable)
+        // pairs write and index append write disjoint artifacts off the
+        // same checkpointed banded frame — overlapped (guide §2.6).
+        // Safe even if the append commits while the pairs job is
+        // running and its index scan re-lists the table: the probe
+        // would then see this batch's own rows, but those collisions
+        // are exactly vsNew's pairs, and the (doc_a, doc_b) collapse
+        // absorbs them — the same argument that already covers a
+        // crashed replay re-probing rows the failed attempt indexed.
+        // Marker still last, after both complete.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val dpool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(dpool)
+        try {
+          val pairsF = Future {
+            spark.sparkContext.setJobDescription("dedup batch: pairs (overlapped)")
+            newPairs.write.mode("overwrite").parquet(batchDir.toString)
+          }
+          val appendF = Future {
+            spark.sparkContext.setJobDescription("dedup batch: index append (overlapped)")
+            banded.write.mode("append").format("parquet")
+              .bucketBy(nBuckets, "band_key")
+              .saveAsTable(indexTable)
+          }
+          Await.result(pairsF, Duration.Inf)
+          Await.result(appendF, Duration.Inf)
+        } finally { dpool.shutdown() }
         fs.create(marker, true).close()
       }
     }
@@ -554,16 +578,37 @@ object EventStreams extends Serializable {
           } else
             Seq.empty[(Long, Long, Long, Double)]
               .toDF("query_id", "rank", "neighbor_id", "sim")
-        result.write.mode("overwrite").parquet(batchDir.toString)
-        // idempotent append: a crashed attempt that already appended
-        // this batch (marker lost) must not append a second copy —
-        // otherwise every crash/replay cycle grows the index
-        val alreadyAppended = spark.catalog.tableExists(indexTable) &&
-          !spark.table(indexTable).filter(col("batch_id") === batchId).isEmpty
-        if (!alreadyAppended)
-          assigned.write.mode("append").format("parquet")
-            .bucketBy(nBuckets, "cent_id")
-            .saveAsTable(indexTable)
+        // top-k write and index append overlapped (guide §2.6): both
+        // read only the checkpointed assigned frame. Safe even if the
+        // append commits while the result job is running and its index
+        // scan re-lists the table — the probe filters
+        // batch_id =!= batchId, which excludes exactly the rows the
+        // concurrent append adds. The idempotent-append probe (a
+        // crashed attempt that already appended must not append a
+        // second copy) stays strictly BEFORE the append on its own
+        // thread. Marker still last, after both complete.
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val apool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        implicit val ec: ExecutionContext =
+          ExecutionContext.fromExecutorService(apool)
+        try {
+          val resultF = Future {
+            spark.sparkContext.setJobDescription("ann batch: topk (overlapped)")
+            result.write.mode("overwrite").parquet(batchDir.toString)
+          }
+          val appendF = Future {
+            spark.sparkContext.setJobDescription("ann batch: index append (overlapped)")
+            val alreadyAppended = spark.catalog.tableExists(indexTable) &&
+              !spark.table(indexTable).filter(col("batch_id") === batchId).isEmpty
+            if (!alreadyAppended)
+              assigned.write.mode("append").format("parquet")
+                .bucketBy(nBuckets, "cent_id")
+                .saveAsTable(indexTable)
+          }
+          Await.result(resultF, Duration.Inf)
+          Await.result(appendF, Duration.Inf)
+        } finally { apool.shutdown() }
         fs.create(marker, true).close()
       }
     }
@@ -856,6 +901,18 @@ object EventStreams extends Serializable {
     // batch is considered applied.
     import scala.concurrent.{Await, ExecutionContext, Future}
     import scala.concurrent.duration.Duration
+    // Force the operator singletons' init on THIS thread before
+    // forking: Dedup/Similarity/TextAnalysis reference each other in
+    // their object initializers, which is fine single-threaded (JVM
+    // class init is re-entrant) but DEADLOCKS when two pool threads
+    // first-touch different members of the cycle concurrently — each
+    // blocks on the other's class-init monitor (observed hang, thread
+    // dump in OPTIMIZATION_r18.md §11).
+    locally {
+      val _ = (graft.operators.Dedup.queries.size,
+        graft.operators.Similarity.queries.size,
+        graft.operators.TextAnalysis.queries.size)
+    }
     val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
     try {
